@@ -1,0 +1,56 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Sources and sinks matching the reference's I/O surface
+  * (/root/reference/src/heurFuzz.py:10-20, :131-136;
+  * /root/reference/src/example_helpers/parse_inputs.py:27-42).
+  */
+object Readers {
+
+  /** Line-delimited text -> (id, term): stable 0-based input-order row id,
+    * Python-strip applied (the reference strips every line at read,
+    * /root/reference/src/heurFuzz.py:15). zipWithIndex preserves file line
+    * order across partitions (partitions are ordered by file offset), so
+    * `id` is a faithful replacement for the reference's row index without
+    * forcing the file into one partition.
+    */
+  def lines(spark: SparkSession, path: String, idCol: String = "id", termCol: String = "term"): DataFrame = {
+    import spark.implicits._
+    spark.read
+      .textFile(path)
+      .rdd
+      .zipWithIndex()
+      .map { case (v, i) => (i, v) }
+      .toDF(idCol, "raw")
+      .withColumn(termCol, TextFunctions.pyStrip(col("raw")))
+      .drop("raw")
+  }
+
+  /** Headered TSV (parse_inputs.py:31 uses csv.DictReader with '\t'). */
+  def tsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("sep", "\t").option("header", "true").csv(path)
+
+  /** NCBI-style .dmp: pipe-delimited, field extracted then stripped
+    * (parse_inputs.py:41: line.split("|")[1].strip()).
+    */
+  def dmpField(spark: SparkSession, path: String, fieldIndex: Int = 1): DataFrame =
+    spark.read
+      .text(path)
+      .select(TextFunctions.pyStrip(split(col("value"), "\\|").getItem(fieldIndex)).as("term"))
+
+  /** Distributed TSV sink, ordered by `orderCol`, single output file.
+    * The `coalesce(1)` is CLI parity (the reference writes one file); at
+    * cluster scale drop it and let the sink shard.
+    */
+  def writeTsv(df: DataFrame, orderCol: String, path: String): Unit =
+    df.orderBy(col(orderCol))
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .option("sep", "\t")
+      .option("header", "true")
+      .csv(path)
+}
