@@ -21,6 +21,10 @@ import java.util.Locale
   * Scores are rounded to the nearest integer (the reference requests
   * `dtype=np.uint8` from cdist) and zeroed below `scoreCutoff`
   * (/root/reference/src/heurFuzz.py:109-111).
+  *
+  * Known divergence (documented, SURVEY §7.4): lengths/LCS operate on UTF-16
+  * code units, while Python operates on code points — non-BMP input (emoji,
+  * rare CJK) can diverge slightly. BMP input is exact.
   */
 object Fuzz extends Serializable {
 
@@ -105,7 +109,9 @@ object Fuzz extends Serializable {
     val m = s.length
     val n = l.length
     if (m == 0) return if (n == 0) 100.0 else 0.0
-    if (m == n) return ratioDouble(s, l)
+    // NB: even when m == n, RapidFuzz's partial_ratio_short_needle still
+    // evaluates the prefix/suffix edge windows (e.g. partial_ratio("ab","ba")
+    // is ~66.67, not 50), so there is deliberately no equal-length shortcut.
     var best = 0.0
     // partial windows hanging off the start: l[0, j), j < m
     var j = 1
@@ -132,11 +138,14 @@ object Fuzz extends Serializable {
   def pyLower(s: String): String = s.toLowerCase(Locale.ROOT)
 
   /** The exact scoring call the reference makes per candidate pair:
-    * lowercase both sides, partial_ratio, round, zero below cutoff.
+    * lowercase both sides, partial_ratio, apply cutoff in DOUBLE domain
+    * (rapidfuzz applies score_cutoff inside the scorer before the uint8
+    * conversion, so e.g. 89.6 at cutoff 90 must be 0, not rounded to 90),
+    * then round like cdist(dtype=uint8).
     */
   def partialRatioCutoff(a: String, b: String, cutoff: Int): Int = {
     if (a == null || b == null) return 0
-    val score = partialRatio(pyLower(a), pyLower(b))
-    if (score >= cutoff) score else 0
+    val d = partialRatioDouble(pyLower(a), pyLower(b))
+    if (d >= cutoff) math.round(d).toInt else 0
   }
 }

@@ -17,8 +17,11 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Python str.strip(): Spark `trim` only strips ' ', so use a regex. */
-  def pyStrip(c: Column): Column = regexp_replace(c, "^\\s+|\\s+$", "")
+  /** Python str.strip(): Spark `trim` only strips ' ', so use a regex.
+    * (?U) = UNICODE_CHARACTER_CLASS so \s matches all Unicode whitespace
+    * ( ,  , ...) like Python's str.strip, not just ASCII.
+    */
+  def pyStrip(c: Column): Column = regexp_replace(c, "(?U)^\\s+|\\s+$", "")
 
   /** UTF-8 byte length of a string column (reference counts bytes, not
     * chars — /root/reference/src/heurFuzz.py:72-79).
@@ -66,17 +69,23 @@ object TextFunctions {
   /** One MinHash value: min over shingles of md5(seed || shingle).
     * md5 is available verbatim in DuckDB, so the oracle can reproduce the
     * signature bit-for-bit (no engine-specific hash functions).
+    * Empty shingle set -> null (array_min of [] would silently be null
+    * anyway; made explicit + documented: callers must filter or
+    * null-propagate docs shorter than the shingle width).
     */
   def minhash(shingles: Column, seed: Int): Column =
-    array_min(transform(array_distinct(shingles), g => md5(concat(lit(seed.toString), g))))
+    when(size(array_distinct(shingles)) === 0, lit(null).cast("string"))
+      .otherwise(array_min(transform(array_distinct(shingles), g => md5(concat(lit(seed.toString), g)))))
 
   /** Full MinHash signature as array<string> of length `numHashes`. */
   def minhashSignature(shingles: Column, numHashes: Int): Column =
     array((0 until numHashes).map(i => minhash(shingles, i)): _*)
 
-  /** Whitespace tokens of trimmed text (empty string -> empty array). */
+  /** Whitespace tokens of trimmed text (empty string -> empty array).
+    * (?U) for Unicode-whitespace parity with Python str.split().
+    */
   def whitespaceTokens(c: Column): Column = {
     val t = pyStrip(c)
-    when(t === "", array().cast("array<string>")).otherwise(split(t, "\\s+"))
+    when(t === "", array().cast("array<string>")).otherwise(split(t, "(?U)\\s+"))
   }
 }

@@ -53,4 +53,25 @@ object Readers {
       .option("sep", "\t")
       .option("header", "true")
       .csv(path)
+
+  /** Single exact-path TSV file (CLI parity with the reference's
+    * `_dump_to_file`, /root/reference/src/heurFuzz.py:131-136): the ordered
+    * frame is written as a Spark csv directory, then the lone part file is
+    * moved to `outputFile`. The order column is dropped from the output.
+    * Local-CLI convenience only — the distributed sink is `writeTsv`.
+    */
+  def writeTsvFile(df: DataFrame, orderCol: String, outputFile: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = Files.createTempDirectory("graft-tsv-").resolve("out").toString
+    val ordered = df.orderBy(col(orderCol)).drop(orderCol).coalesce(1)
+    ordered.write
+      .mode("overwrite")
+      .option("sep", "\t")
+      .option("header", "true")
+      .csv(tmp)
+    val part = new java.io.File(tmp).listFiles().find(_.getName.startsWith("part-")).get
+    val target = Paths.get(outputFile).toAbsolutePath
+    if (target.getParent != null) Files.createDirectories(target.getParent)
+    Files.move(part.toPath, target, StandardCopyOption.REPLACE_EXISTING)
+  }
 }
