@@ -1,13 +1,552 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, HeurFuzz, Multimodal, Similarity, TextAnalysis}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in `queries` is a SURVEY §2 operator or a builder-brief
+  * pillar (dedup / similarity / text analysis / multimodal / events)
+  * expressed over the driver's parquet testdata; `oracleSql` holds the
+  * DuckDB-equivalent SQL for every query whose semantics SQL can express
+  * (the partial_ratio scorer is the documented exception — q09/q10/q11
+  * get the driver's weaker rows-only check).
+  *
+  * Oracle-parity conventions used throughout:
+  *   - integer outputs are long/BIGINT on both sides;
+  *   - double outputs are either raw parquet values or derived with
+  *     deterministic IEEE ops (integer-valued numerators/denominators,
+  *     sequential fold order) so Spark and DuckDB agree bit-for-bit;
+  *   - money-like sums go through DECIMAL(18,2/4) (exact) then cast to
+  *     double;
+  *   - every result carries a deterministic total ORDER BY.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def rd(s: SparkSession, dir: String, name: String): DataFrame = {
+    // events.parquet carries INT64 TIMESTAMP(NANOS), which Spark rejects
+    // unless nanos are surfaced as long (the driver's session may not set
+    // this, so set it defensively at read time).
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the reference's whole pipeline (fuzzy match of dirty part names
+    * against the distinct name catalog).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val parts = rd(spark, dir, "part")
+    val queries = parts
+      .select(col("p_partkey").as("id"), lower(col("p_name")).as("term"))
+      .filter(col("id") < 40)
+    val refs = parts
+      .select(col("p_name").as("term"))
+      .distinct()
+      .withColumn("id", row_number().over(Window.orderBy("term")).cast("long") - 1)
+    HeurFuzz.matchTable(queries, refs, HeurFuzz.Params(topK = 5, scoreCutoff = 80))
+  }
+
+  // ---- shared fragments -------------------------------------------------
+
+  /** Pair table for the coverage/top-k operators: dirty part names
+    * (partkey < 30) against the 30..229 slice, with bigram coverage and
+    * length difference (SURVEY §2 ops 4-6).
+    */
+  private def partPairs(s: SparkSession, dir: String): DataFrame = {
+    val p = rd(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        col("p_name"),
+        TextFunctions.charShingles(col("p_name"), 2).as("bg"),
+        octet_length(col("p_name")).cast("long").as("len")
+      )
+    val q = p.filter(col("p_partkey") < 30)
+      .select(col("p_partkey").as("q_id"), col("p_name").as("q_name"), col("bg").as("qb"), col("len").as("q_len"))
+    val r = p.filter(col("p_partkey") >= 30 && col("p_partkey") < 230)
+      .select(col("p_partkey").as("r_id"), col("p_name").as("r_name"), col("bg").as("rb"), col("len").as("r_len"))
+    r.crossJoin(broadcast(q))
+      .withColumn("coverage", TextFunctions.bigramCoverage(col("qb"), col("rb")))
+      .withColumn("len_diff", abs(col("q_len") - col("r_len")).cast("double"))
+  }
+
+  private val partPairsSql =
+    """WITH p AS (
+      |  SELECT p_partkey, p_name,
+      |         list_transform(range(1, strlen(p_name)), i -> substr(p_name, i::INT, 2)) AS bg,
+      |         strlen(p_name) AS len
+      |  FROM part),
+      |q AS (SELECT p_partkey AS q_id, p_name AS q_name, bg AS qb, len AS q_len FROM p WHERE p_partkey < 30),
+      |r AS (SELECT p_partkey AS r_id, p_name AS r_name, bg AS rb, len AS r_len FROM p WHERE p_partkey >= 30 AND p_partkey < 230),
+      |pairs AS (
+      |  SELECT q_id, r_id,
+      |         CASE WHEN len(qb) = 0 THEN 0.0
+      |              ELSE len(list_filter(qb, g -> list_contains(rb, g)))::DOUBLE / len(qb) END AS coverage,
+      |         abs(q_len - r_len)::DOUBLE AS len_diff
+      |  FROM q CROSS JOIN r)
+      |""".stripMargin
+
+  private val docShinglesSql = (n: Int) =>
+    s"list_distinct(list_transform(range(1, greatest(strlen(lower(text)) - ${n - 2}, 1)), i -> substr(lower(text), i::INT, $n)))"
+
+  private val tokensSql =
+    "string_split_regex(trim(text), '\\s+')"
+  private val tokensLowerSql =
+    "string_split_regex(trim(lower(text)), '\\s+')"
+
+  // ---- the registry -----------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2 op 1: text scan + strip projection
+    "q01_scan_strip" -> ((s, dir) =>
+      rd(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.pyStrip(col("text")).as("term"))
+        .orderBy("doc_id")),
+
+    // §2 op 2: byte-length projection
+    "q02_byte_len" -> ((s, dir) =>
+      rd(s, dir, "documents")
+        .select(col("doc_id"), octet_length(col("text")).cast("long").as("byte_len"))
+        .orderBy("doc_id")),
+
+    // §2 op 3: bigram extraction (counts; list payloads stay engine-side)
+    "q03_bigram_stats" -> ((s, dir) =>
+      rd(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          size(TextFunctions.byteBigrams(col("text"))).cast("long").as("n_bigrams"),
+          size(array_distinct(TextFunctions.byteBigrams(col("text")))).cast("long").as("n_distinct")
+        )
+        .orderBy("doc_id")),
+
+    // §2 ops 4-6: cross join + per-pair coverage + length difference
+    "q05_pair_coverage" -> ((s, dir) =>
+      partPairs(s, dir).select("q_id", "r_id", "coverage", "len_diff").orderBy("q_id", "r_id")),
+
+    // §2 op 7: per-query top-K window, desc(coverage, len_diff, ref_id)
+    "q07_pair_topk" -> ((s, dir) => {
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("coverage").desc, col("len_diff").desc, col("r_id").desc)
+      partPairs(s, dir)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select("q_id", "r_id", "coverage", "len_diff", "rank")
+        .orderBy("q_id", "rank")
+    }),
+
+    // §2 op 9: partial_ratio verify scorer (UDF — no SQL oracle, rows-only)
+    "q09_fuzzy_score" -> ((s, dir) => {
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("coverage").desc, col("len_diff").desc, col("r_id").desc)
+      partPairs(s, dir)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .withColumn("score", HeurFuzz.partialRatioCutoffUdf(60)(col("r_name"), col("q_name")))
+        .select(col("q_id"), col("r_id"), col("score").cast("long").as("score"))
+        .orderBy("q_id", "r_id")
+    }),
+
+    // §2 op 10: argmax + tie-break reduce — the full match pipeline
+    // (depends on the UDF scorer — rows-only check)
+    "q10_fuzzy_match" -> ((s, dir) => {
+      val parts = rd(s, dir, "part")
+      val queries = parts.select(col("p_partkey").as("id"), lower(col("p_name")).as("term"))
+        .filter(col("id") < 100)
+      val refs = parts.select(col("p_name").as("term")).distinct()
+        .withColumn("id", row_number().over(Window.orderBy("term")).cast("long") - 1)
+      HeurFuzz.matchTable(queries, refs, HeurFuzz.Params(topK = 5, scoreCutoff = 80))
+        .orderBy("q_id")
+    }),
+
+    // §2 op 11: map-ratio global aggregate (depends on the scorer — rows-only)
+    "q11_map_ratio" -> ((s, dir) => {
+      val parts = rd(s, dir, "part")
+      val queries = parts.select(col("p_partkey").as("id"), lower(col("p_name")).as("term"))
+        .filter(col("id") < 100)
+      val refs = parts.select(col("p_name").as("term")).distinct()
+        .withColumn("id", row_number().over(Window.orderBy("term")).cast("long") - 1)
+      HeurFuzz.matchTable(queries, refs, HeurFuzz.Params(topK = 5, scoreCutoff = 80))
+        .agg(round(avg(when(col("match") =!= "NA", 1.0).otherwise(0.0)) * 100, 2).as("map_ratio"))
+    }),
+
+    // §2 op 12: ordered export (the sink's SELECT; file format in ReadersSpec)
+    "q12_ordered_export" -> ((s, dir) =>
+      rd(s, dir, "documents").select("doc_id", "lang", "source").orderBy("doc_id")),
+
+    // §2 op 14: ETL dedup + normalize
+    "q14_etl_dedup" -> ((s, dir) =>
+      rd(s, dir, "documents")
+        .select(lower(TextFunctions.pyStrip(col("text"))).as("term"))
+        .filter(octet_length(col("term")) > 1)
+        .distinct()
+        .orderBy("term")),
+
+    // §2 op 15: delimited-field extract (dmp-style split)
+    "q15_field_extract" -> ((s, dir) =>
+      rd(s, dir, "part")
+        .select(col("p_partkey"), split(col("p_name"), " ").getItem(1).as("field"))
+        .orderBy("p_partkey")),
+
+    // relational: TPC-H Q1-style pricing summary (scan+filter+agg)
+    "q20_pricing_summary" -> ((s, dir) =>
+      rd(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+          sum(col("l_discount").cast("decimal(18,4)")).cast("double").as("sum_disc"),
+          count(lit(1)).as("count_order")
+        )
+        .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // relational: 3-way broadcast join + agg
+    "q21_revenue_by_nation" -> ((s, dir) =>
+      rd(s, dir, "orders")
+        .join(rd(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(rd(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_orders")
+        )
+        .orderBy("n_name")),
+
+    // relational: per-group top-N window
+    "q22_top_orders_per_cust" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      rd(s, dir, "orders")
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+        .orderBy("o_custkey", "rank")
+    }),
+
+    // relational: global top-k sort/limit
+    "q23_top100_orders" -> ((s, dir) =>
+      rd(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+        .select("o_orderkey", "o_totalprice")),
+
+    // relational: anti join (customers with no recent orders)
+    "q24_customers_without_orders" -> ((s, dir) =>
+      rd(s, dir, "customer")
+        .join(
+          rd(s, dir, "orders").filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")),
+
+    // relational: agg with decimal-exact money
+    "q25_segment_stats" -> ((s, dir) =>
+      rd(s, dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+          count(lit(1)).as("n_customers"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("sum_acctbal")
+        )
+        .orderBy("c_mktsegment")),
+
+    // pillar dedup: exact (hash groupBy)
+    "q30_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(rd(s, dir, "documents"), "doc_id", "text").orderBy("h")),
+
+    // pillar dedup: MinHash + LSH banding + Jaccard verify
+    "q31_dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.nearDuplicates(rd(s, dir, "documents"), "doc_id", "text",
+          shingleN = 4, numHashes = 8, rowsPerBand = 2, threshold = 0.35)
+        .orderBy("id_a", "id_b")),
+
+    // pillar dedup: SimHash (frequency-weighted token bits)
+    "q32_simhash" -> ((s, dir) =>
+      rd(s, dir, "documents")
+        .select(col("doc_id"), Dedup.simhash(col("text"), bits = 16).as("simhash"))
+        .orderBy("doc_id")),
+
+    // pillar dedup: n-gram Jaccard pair similarity
+    "q33_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(
+          rd(s, dir, "documents").filter(col("doc_id") < 60), "doc_id", "text",
+          shingleN = 3, threshold = 0.4)
+        .orderBy("id_a", "id_b")),
+
+    // pillar similarity: brute-force exact cosine top-k
+    "q34_embed_cosine_topk" -> ((s, dir) => {
+      val e = rd(s, dir, "embeddings")
+      Similarity.cosineTopK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding", 5)
+        .orderBy("q_id", "rank")
+    }),
+
+    // pillar similarity: IVF-style quantized centroid assignment
+    "q35_embed_ivf_assign" -> ((s, dir) => {
+      val e = rd(s, dir, "embeddings")
+      Similarity.assignToCentroids(e, e.filter(col("vec_id") < 8), "vec_id", "embedding")
+        .orderBy("id")
+    }),
+
+    // pillar text analysis: language-ID stopword heuristic
+    "q36_lang_stopword_ratio" -> ((s, dir) =>
+      rd(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), TextAnalysis.stopwordRatio(col("text")).as("en_score"))
+        .orderBy("doc_id")),
+
+    // pillar text analysis: quality metrics
+    "q37_quality_metrics" -> ((s, dir) =>
+      rd(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          octet_length(col("text")).cast("long").as("n_bytes"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.meanTokenLength(col("text")).as("mean_tok_len"),
+          TextAnalysis.punctRatio(col("text")).as("punct_ratio")
+        )
+        .orderBy("doc_id")),
+
+    // pillar text analysis: document fingerprint (k-min shingle hashes)
+    "q38_fingerprint" -> ((s, dir) =>
+      rd(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text"), 4, 8).as("fp"))
+        .orderBy("doc_id")),
+
+    // pillar text analysis: token counting (whitespace + BPE-ish regex)
+    "q39_token_counts" -> ((s, dir) =>
+      rd(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_ws_tokens"),
+          TextAnalysis.wordPieceCount(col("text")).as("n_word_pieces")
+        )
+        .orderBy("doc_id")),
+
+    // events: tumbling-window aggregate (batch form of the streaming slice).
+    // ts arrives as long nanoseconds (nanosAsLong); integer div keeps the
+    // hour bucket exact (double division would lose precision at 1e18).
+    "q40_events_hourly" -> ((s, dir) =>
+      rd(s, dir, "events")
+        .groupBy(
+          (expr("ts div 3600000000000") * 3600).as("hour_epoch"),
+          col("event_type")
+        )
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value")
+        )
+        .orderBy("hour_epoch", "event_type")),
+
+    // events: per-type distinct users
+    "q42_events_user_stats" -> ((s, dir) =>
+      rd(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events")
+        )
+        .orderBy("event_type")),
+
+    // pillar multimodal: binary content + metadata extraction (decode is a
+    // documented stub; this is the declarative pre-filter side)
+    "q41_multimodal_meta" -> ((s, dir) =>
+      Multimodal.contentMeta(
+          Multimodal.withContent(rd(s, dir, "documents"), "text"), "doc_id")
+        .orderBy("doc_id"))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_scan_strip" ->
+      """SELECT doc_id, regexp_replace(text, '^\s+|\s+$', '', 'g') AS term
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q02_byte_len" ->
+      "SELECT doc_id, strlen(text) AS byte_len FROM documents ORDER BY doc_id",
+
+    "q03_bigram_stats" ->
+      """SELECT doc_id,
+        |       greatest(strlen(text) - 1, 0) AS n_bigrams,
+        |       len(list_distinct(list_transform(range(1, strlen(text)), i -> substr(text, i::INT, 2)))) AS n_distinct
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q05_pair_coverage" ->
+      (partPairsSql + "SELECT q_id, r_id, coverage, len_diff FROM pairs ORDER BY q_id, r_id"),
+
+    "q07_pair_topk" ->
+      (partPairsSql +
+        """, ranked AS (
+          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY coverage DESC, len_diff DESC, r_id DESC) AS rank
+          |  FROM pairs)
+          |SELECT q_id, r_id, coverage, len_diff, rank FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin),
+
+    "q12_ordered_export" ->
+      "SELECT doc_id, lang, source FROM documents ORDER BY doc_id",
+
+    "q14_etl_dedup" ->
+      """SELECT DISTINCT lower(regexp_replace(text, '^\s+|\s+$', '', 'g')) AS term
+        |FROM documents
+        |WHERE strlen(lower(regexp_replace(text, '^\s+|\s+$', '', 'g'))) > 1
+        |ORDER BY term""".stripMargin,
+
+    "q15_field_extract" ->
+      "SELECT p_partkey, split_part(p_name, ' ', 2) AS field FROM part ORDER BY p_partkey",
+
+    "q20_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |       CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc,
+        |       count(*) AS count_order,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q21_revenue_by_nation" ->
+      """SELECT n_name,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q22_top_orders_per_cust" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+        |  FROM orders)
+        |WHERE rank <= 3 ORDER BY o_custkey, rank""".stripMargin,
+
+    "q23_top100_orders" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100",
+
+    "q24_customers_without_orders" ->
+      """SELECT c_custkey FROM customer
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q25_segment_stats" ->
+      """SELECT c_mktsegment, count(*) AS n_customers,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q30_dedup_exact" ->
+      """SELECT md5(text) AS h, count(*) AS cnt, min(doc_id) AS keep_id
+        |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin,
+
+    "q31_dedup_minhash_lsh" ->
+      s"""WITH d AS (SELECT doc_id, ${docShinglesSql(4)} AS sh FROM documents),
+         |ok AS (SELECT * FROM d WHERE len(sh) > 0),
+         |mh AS (
+         |  SELECT doc_id, s.seed,
+         |         list_min(list_transform(sh, g -> md5(s.seed::VARCHAR || g))) AS m
+         |  FROM ok, (SELECT unnest(range(8)) AS seed) s),
+         |band AS (
+         |  SELECT a.doc_id, a.seed // 2 AS band, a.m || '|' || b.m AS key
+         |  FROM mh a JOIN mh b ON a.doc_id = b.doc_id AND b.seed = a.seed + 1 AND a.seed % 2 = 0),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM band x JOIN band y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+         |verified AS (
+         |  SELECT c.id_a, c.id_b,
+         |         len(list_intersect(da.sh, db.sh))::DOUBLE / len(list_distinct(list_concat(da.sh, db.sh))) AS jacc
+         |  FROM cand c JOIN ok da ON da.doc_id = c.id_a JOIN ok db ON db.doc_id = c.id_b)
+         |SELECT id_a, id_b, jacc FROM verified WHERE jacc >= 0.35 ORDER BY id_a, id_b""".stripMargin,
+
+    "q32_simhash" -> {
+      val bitSums = (0 until 16).map(b => s"sum(((hv >> $b) & 1) * 2 - 1) AS s$b").mkString(",\n  ")
+      val bits = (0 until 16).map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, unnest($tokensLowerSql) AS tok FROM documents),
+         |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM t),
+         |b AS (SELECT doc_id,
+         |  $bitSums
+         |  FROM h GROUP BY doc_id)
+         |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM b ORDER BY doc_id""".stripMargin
+    },
+
+    "q33_ngram_jaccard" ->
+      s"""WITH d AS (SELECT doc_id, ${docShinglesSql(3)} AS sh FROM documents WHERE doc_id < 60),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) AS jacc
+         |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, jacc FROM pairs WHERE jacc >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+
+    "q34_embed_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+        |p AS (
+        |  SELECT q.vec_id AS q_id, r.vec_id AS r_id,
+        |         list_sum(list_transform(range(1, 65), i -> q.v[i::INT] * r.v[i::INT])) / (q.nrm * r.nrm) AS cos_sim
+        |  FROM n q JOIN n r ON q.vec_id < 10 AND q.vec_id <> r.vec_id),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, r_id ASC) AS rank FROM p)
+        |SELECT q_id, r_id, cos_sim, rank FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    "q35_embed_ivf_assign" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> floor(x::DOUBLE * 1000)::BIGINT) AS qv FROM embeddings),
+        |c AS (SELECT vec_id AS centroid_id, qv AS cv FROM v WHERE vec_id < 8),
+        |s AS (
+        |  SELECT v.vec_id AS id, c.centroid_id,
+        |         CAST(list_sum(list_transform(range(1, 65), i -> v.qv[i::INT] * c.cv[i::INT])) AS BIGINT) AS score
+        |  FROM v CROSS JOIN c),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY id ORDER BY score DESC, centroid_id ASC) AS rk FROM s)
+        |SELECT id, centroid_id, score FROM r WHERE rk = 1 ORDER BY id""".stripMargin,
+
+    "q36_lang_stopword_ratio" -> {
+      val sw = TextAnalysis.EnglishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""SELECT doc_id, lang,
+         |  CASE WHEN len($tokensLowerSql) = 0 THEN 0.0
+         |       ELSE len(list_filter($tokensLowerSql, t -> list_contains($sw, t)))::DOUBLE
+         |            / len($tokensLowerSql) END AS en_score
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "q37_quality_metrics" ->
+      s"""SELECT doc_id,
+         |  strlen(text) AS n_bytes,
+         |  CASE WHEN trim(text) = '' THEN 0 ELSE len($tokensSql) END AS n_tokens,
+         |  CASE WHEN trim(text) = '' THEN 0.0
+         |       ELSE list_sum(list_transform($tokensSql, t -> strlen(t)))::DOUBLE / len($tokensSql) END AS mean_tok_len,
+         |  CASE WHEN strlen(text) = 0 THEN 0.0
+         |       ELSE len(regexp_extract_all(text, '[!-/:-@\\[-`{-~]'))::DOUBLE / strlen(text) END AS punct_ratio
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q38_fingerprint" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN len(${docShinglesSql(4)}) = 0 THEN NULL
+         |       ELSE array_to_string(list_sort(list_transform(${docShinglesSql(4)}, g -> md5(g)))[1:8], ',') END AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q39_token_counts" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN trim(text) = '' THEN 0 ELSE len($tokensSql) END AS n_ws_tokens,
+         |  CASE WHEN strlen(text) = 0 THEN 0
+         |       ELSE len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) END AS n_word_pieces
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q40_events_hourly" ->
+      """SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch, event_type,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_epoch, event_type""".stripMargin,
+
+    "q42_events_user_stats" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q41_multimodal_meta" ->
+      """SELECT doc_id,
+        |       strlen(text) AS n_bytes,
+        |       ('0x' || substr(md5(text), 1, 4))::BIGINT % 1024 AS width,
+        |       ('0x' || substr(md5(text), 5, 4))::BIGINT % 1024 AS height,
+        |       ('0x' || substr(md5(text), 9, 2))::BIGINT % 16 + 1 AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
 }

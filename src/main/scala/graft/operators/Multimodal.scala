@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing (builder-brief pillar): images/audio/video
+  * ride through the engine as opaque `binary` columns plus typed metadata.
+  * The decode step is a clearly-marked deterministic STUB (no image/audio
+  * libraries in this container) — everything around it (schema, batch
+  * iteration shape, partitioning) is real and tested.
+  *
+  * Scale design: decode/feature-extract runs inside mapPartitions so a
+  * real codec would amortize per-partition setup (model load, codec init)
+  * across the batch — the same shape a Pandas-UDF/mapInPandas pipeline
+  * has in PySpark. No shuffle is introduced; partition counts carry over.
+  */
+object Multimodal {
+
+  /** Output schema of the (stub) decoder. */
+  val featureSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)
+  ))
+
+  /** Attach an opaque binary content column (testdata has no true media
+    * blobs; UTF-8 bytes of the text column stand in — the engine treats
+    * them as opaque either way).
+    */
+  def withContent(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("content", encode(col(textCol), "UTF-8"))
+
+  /** Column-level metadata extraction from the binary content: byte size
+    * plus md5-derived pseudo-dimensions. Purely declarative (codegen'd,
+    * oracle-reproducible) — the cheap pre-filter before any real decode.
+    */
+  def contentMeta(df: DataFrame, idCol: String): DataFrame = {
+    val h = md5(col("content"))
+    df.select(
+      col(idCol),
+      octet_length(col("content")).cast("long").as("n_bytes"),
+      (conv(substring(h, 1, 4), 16, 10).cast("long") % 1024).as("width"),
+      (conv(substring(h, 5, 4), 16, 10).cast("long") % 1024).as("height"),
+      (conv(substring(h, 9, 2), 16, 10).cast("long") % 16 + 1).as("n_frames")
+    )
+  }
+
+  /** STUB decoder: a real implementation would decode the media bytes and
+    * run feature extraction here (per-partition batch, amortized setup).
+    * This stand-in derives deterministic pseudo-features from the bytes so
+    * the distributed plumbing is fully exercisable and testable.
+    */
+  private def stubDecode(id: Long, content: Array[Byte]): Row = {
+    // ??? <- real codec goes here; deterministic fake below
+    val h = java.security.MessageDigest.getInstance("MD5").digest(content)
+    def u(i: Int): Int = h(i) & 0xff
+    val width = (u(0) << 8 | u(1)) % 1024
+    val height = (u(2) << 8 | u(3)) % 1024
+    val nFrames = u(4) % 16 + 1
+    val features = Array.tabulate(8)(i => u(i * 2) / 255.0f)
+    Row(id, width, height, nFrames, features)
+  }
+
+  /** mapPartitions feature extraction over (id, content) — the batch shape
+    * a production decode would use. Output schema = `featureSchema`.
+    */
+  def decodeFeatures(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
+    val rdd = df
+      .select(col(idCol).cast("long"), col("content"))
+      .rdd
+      .mapPartitions(_.map(r => stubDecode(r.getLong(0), r.getAs[Array[Byte]](1))))
+    spark.createDataFrame(rdd, featureSchema)
+  }
+}
