@@ -34,6 +34,14 @@ object SparkEntry {
     s.read.parquet(s"$dir/$name.parquet")
   }
 
+  /** The testdata's small tables arrive as one parquet file = one input
+    * partition; hash-heavy per-row work (md5 shingles, simhash) would run
+    * single-core locally. Spread to the session's parallelism — at real
+    * cluster scale the inputs are many files and this is a no-op cost.
+    */
+  private def spread(s: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(s.sparkContext.defaultParallelism)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the reference's whole pipeline (fuzzy match of dirty part names
     * against the distinct name catalog).
@@ -115,7 +123,7 @@ object SparkEntry {
 
     // §2 op 3: bigram extraction (counts; list payloads stay engine-side)
     "q03_bigram_stats" -> ((s, dir) =>
-      rd(s, dir, "documents")
+      spread(s, rd(s, dir, "documents"))
         .select(
           col("doc_id"),
           size(TextFunctions.byteBigrams(col("text"))).cast("long").as("n_bigrams"),
@@ -259,14 +267,18 @@ object SparkEntry {
       Dedup.exactGroups(rd(s, dir, "documents"), "doc_id", "text").orderBy("h")),
 
     // pillar dedup: MinHash + LSH banding + Jaccard verify
+    // 2 bands x 4 rows: band-collision probability j^4 keeps the candidate
+    // set selective (j=0.3 vocabulary-overlap pairs pass <1%, true
+    // near-dups at j>=0.8 pass >80%) — the knob that keeps LSH sub-
+    // quadratic at 100 TB.
     "q31_dedup_minhash_lsh" -> ((s, dir) =>
-      Dedup.nearDuplicates(rd(s, dir, "documents"), "doc_id", "text",
-          shingleN = 4, numHashes = 8, rowsPerBand = 2, threshold = 0.35)
+      Dedup.nearDuplicates(spread(s, rd(s, dir, "documents")), "doc_id", "text",
+          shingleN = 4, numHashes = 8, rowsPerBand = 4, threshold = 0.4)
         .orderBy("id_a", "id_b")),
 
     // pillar dedup: SimHash (frequency-weighted token bits)
     "q32_simhash" -> ((s, dir) =>
-      rd(s, dir, "documents")
+      spread(s, rd(s, dir, "documents"))
         .select(col("doc_id"), Dedup.simhash(col("text"), bits = 16).as("simhash"))
         .orderBy("doc_id")),
 
@@ -293,13 +305,13 @@ object SparkEntry {
 
     // pillar text analysis: language-ID stopword heuristic
     "q36_lang_stopword_ratio" -> ((s, dir) =>
-      rd(s, dir, "documents")
+      spread(s, rd(s, dir, "documents"))
         .select(col("doc_id"), col("lang"), TextAnalysis.stopwordRatio(col("text")).as("en_score"))
         .orderBy("doc_id")),
 
     // pillar text analysis: quality metrics
     "q37_quality_metrics" -> ((s, dir) =>
-      rd(s, dir, "documents")
+      spread(s, rd(s, dir, "documents"))
         .select(
           col("doc_id"),
           octet_length(col("text")).cast("long").as("n_bytes"),
@@ -311,7 +323,7 @@ object SparkEntry {
 
     // pillar text analysis: document fingerprint (k-min shingle hashes)
     "q38_fingerprint" -> ((s, dir) =>
-      rd(s, dir, "documents")
+      spread(s, rd(s, dir, "documents"))
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text"), 4, 8).as("fp"))
         .orderBy("doc_id")),
 
@@ -441,24 +453,45 @@ object SparkEntry {
       """SELECT md5(text) AS h, count(*) AS cnt, min(doc_id) AS keep_id
         |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin,
 
-    "q31_dedup_minhash_lsh" ->
-      s"""WITH d AS (SELECT doc_id, ${docShinglesSql(4)} AS sh FROM documents),
-         |ok AS (SELECT * FROM d WHERE len(sh) > 0),
-         |mh AS (
-         |  SELECT doc_id, s.seed,
-         |         list_min(list_transform(sh, g -> md5(s.seed::VARCHAR || g))) AS m
-         |  FROM ok, (SELECT unnest(range(8)) AS seed) s),
+    "q31_dedup_minhash_lsh" -> {
+      // signature SQL generated from the SAME constants Spark uses
+      // (TextFunctions.MinhashParams/MinhashP) so they cannot drift
+      val p = TextFunctions.MinhashP
+      val sigCols = TextFunctions.MinhashParams.zipWithIndex
+        .map { case ((a, b), i) =>
+          s"list_min(list_transform(hb, h -> (h * $a + $b) % $p)) AS m$i"
+        }
+        .mkString(",\n  ")
+      val rowsPerBand = 4
+      val bandSelects = (0 until TextFunctions.MinhashParams.length / rowsPerBand)
+        .map { bd =>
+          val key = (0 until rowsPerBand)
+            .map(r => s"m${bd * rowsPerBand + r}::VARCHAR")
+            .mkString(" || '|' || ")
+          s"SELECT doc_id, $bd AS band, $key AS key FROM sig"
+        }
+        .mkString("\n  UNION ALL ")
+      s"""WITH d AS (SELECT doc_id,
+         |  list_distinct(list_transform(
+         |    list_transform(range(1, greatest(strlen(lower(text)) - 2, 1)), i -> substr(lower(text), i::INT, 4)),
+         |    g -> ('0x' || substr(md5(g), 1, 15))::BIGINT % $p)) AS hb
+         |  FROM documents),
+         |ok AS (SELECT * FROM d WHERE len(hb) > 0),
+         |sig AS (SELECT doc_id,
+         |  $sigCols
+         |  FROM ok),
          |band AS (
-         |  SELECT a.doc_id, a.seed // 2 AS band, a.m || '|' || b.m AS key
-         |  FROM mh a JOIN mh b ON a.doc_id = b.doc_id AND b.seed = a.seed + 1 AND a.seed % 2 = 0),
+         |  $bandSelects),
          |cand AS (
          |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
          |  FROM band x JOIN band y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
          |verified AS (
          |  SELECT c.id_a, c.id_b,
-         |         len(list_intersect(da.sh, db.sh))::DOUBLE / len(list_distinct(list_concat(da.sh, db.sh))) AS jacc
+         |         len(list_intersect(da.hb, db.hb))::DOUBLE
+         |           / (len(da.hb) + len(db.hb) - len(list_intersect(da.hb, db.hb))) AS jacc
          |  FROM cand c JOIN ok da ON da.doc_id = c.id_a JOIN ok db ON db.doc_id = c.id_b)
-         |SELECT id_a, id_b, jacc FROM verified WHERE jacc >= 0.35 ORDER BY id_a, id_b""".stripMargin,
+         |SELECT id_a, id_b, jacc FROM verified WHERE jacc >= 0.4 ORDER BY id_a, id_b""".stripMargin
+    },
 
     "q32_simhash" -> {
       val bitSums = (0 until 16).map(b => s"sum(((hv >> $b) & 1) * 2 - 1) AS s$b").mkString(",\n  ")

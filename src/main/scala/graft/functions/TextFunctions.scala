@@ -66,20 +66,63 @@ object TextFunctions {
     when(union === 0, lit(0.0)).otherwise(inter / union)
   }
 
-  /** One MinHash value: min over shingles of md5(seed || shingle).
-    * md5 is available verbatim in DuckDB, so the oracle can reproduce the
-    * signature bit-for-bit (no engine-specific hash functions).
-    * Empty shingle set -> null (array_min of [] would silently be null
-    * anyway; made explicit + documented: callers must filter or
-    * null-propagate docs shorter than the shingle width).
+  /** MinHash via affine permutations over ONE md5 base hash per shingle:
+    * base(g) = first 60 bits of md5(g) mod p (p = 2^31-1, Mersenne), and
+    * h_i(g) = (a_i * base(g) + b_i) mod p. One md5 per shingle regardless
+    * of signature width (the md5-per-seed alternative is numHashes x the
+    * hashing cost — it dominated the LSH benchmark). All integer math, so
+    * a DuckDB oracle reproduces signatures exactly; a_i < p and base < p
+    * keep the product under 2^62 (no int64 overflow).
     */
-  def minhash(shingles: Column, seed: Int): Column =
-    when(size(array_distinct(shingles)) === 0, lit(null).cast("string"))
-      .otherwise(array_min(transform(array_distinct(shingles), g => md5(concat(lit(seed.toString), g)))))
+  val MinhashP: Long = 2147483647L
 
-  /** Full MinHash signature as array<string> of length `numHashes`. */
+  /** Fixed (a, b) permutation constants — mirrored verbatim in oracle SQL
+    * (SparkEntry generates the SQL from this list so they cannot drift).
+    */
+  val MinhashParams: Seq[(Long, Long)] = Seq(
+    (1610612741L, 12582917L), (805306457L, 25165843L),
+    (402653189L, 50331653L), (201326611L, 100663319L),
+    (100663319L, 201326611L), (50331653L, 402653189L),
+    (25165843L, 805306457L), (12582917L, 1610612741L)
+  )
+
+  /** 60-bit md5 prefix of a shingle, reduced mod p. */
+  def shingleBaseHash(g: Column): Column =
+    conv(substring(md5(g), 1, 15), 16, 10).cast("long") % MinhashP
+
+  /** One MinHash value under permutation (a, b). Null for an empty shingle
+    * set (documented semantics: too-short docs cannot be near-dups).
+    */
+  def minhash(shingles: Column, a: Long, b: Long): Column = {
+    val da = array_distinct(shingles)
+    when(size(da) === 0, lit(null).cast("long"))
+      .otherwise(array_min(transform(da, g => (shingleBaseHash(g) * a + b) % MinhashP)))
+  }
+
+  /** Seed-indexed convenience overload (params from MinhashParams). */
+  def minhash(shingles: Column, seed: Int): Column = {
+    val (a, b) = MinhashParams(seed)
+    minhash(shingles, a, b)
+  }
+
+  /** Full MinHash signature as array<long> of length `numHashes`
+    * (<= MinhashParams.length). Base hashes are materialized once per
+    * shingle and reused by every permutation — numHashes adds only cheap
+    * integer ops, not md5 calls.
+    */
   def minhashSignature(shingles: Column, numHashes: Int): Column =
-    array((0 until numHashes).map(i => minhash(shingles, i)): _*)
+    minhashSignatureFromBases(transform(array_distinct(shingles), g => shingleBaseHash(g)), numHashes)
+
+  /** Signature from pre-computed base hashes (array<long>, already mod p) —
+    * lets callers hash each shingle exactly once and reuse the longs for
+    * both banding and Jaccard verify.
+    */
+  def minhashSignatureFromBases(bases: Column, numHashes: Int): Column =
+    when(size(bases) === 0, lit(null).cast("array<bigint>")).otherwise(
+      array(MinhashParams.take(numHashes).map { case (a, b) =>
+        array_min(transform(bases, h => (h * a + b) % MinhashP))
+      }: _*)
+    )
 
   /** Whitespace tokens of trimmed text (empty string -> empty array).
     * (?U) for Unicode-whitespace parity with Python str.split().

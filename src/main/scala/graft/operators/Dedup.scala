@@ -45,19 +45,32 @@ object Dedup {
       shCol: String,
       numHashes: Int,
       rowsPerBand: Int
+  ): DataFrame =
+    lshCandidatesFromSig(docs, idCol, TextFunctions.minhashSignature(col(shCol), numHashes),
+      numHashes, rowsPerBand)
+
+  /** As `lshCandidates` but with a caller-supplied signature expression
+    * (e.g. built from pre-hashed shingles via minhashSignatureFromBases).
+    */
+  def lshCandidatesFromSig(
+      docs: DataFrame,
+      idCol: String,
+      sig: org.apache.spark.sql.Column,
+      numHashes: Int,
+      rowsPerBand: Int
   ): DataFrame = {
     val numBands = numHashes / rowsPerBand
-    val sig = TextFunctions.minhashSignature(col(shCol), numHashes)
     // band key = concat of the band's hashes; null signature (empty shingle
     // set) rows drop out — they cannot be near-dups of anything.
     val banded = docs
       .select(col(idCol), sig.as("sig"))
-      .filter(!exists(col("sig"), h => h.isNull))
+      .filter(col("sig").isNotNull)
       .select(
         col(idCol),
         posexplode(
           array((0 until numBands).map(b =>
-            concat_ws("|", (0 until rowsPerBand).map(r => col("sig")(b * rowsPerBand + r)): _*)
+            concat_ws("|", (0 until rowsPerBand).map(r =>
+              col("sig")(b * rowsPerBand + r).cast("string")): _*)
           ): _*)
         ).as(Seq("band", "key"))
       )
@@ -70,7 +83,15 @@ object Dedup {
   }
 
   /** Near-duplicate pairs: LSH candidates verified with exact Jaccard over
-    * the shingle sets, kept at >= `threshold`.
+    * the hashed shingle sets, kept at >= `threshold`.
+    *
+    * Shingles are reduced to 31-bit md5-based longs ONCE; banding and the
+    * Jaccard verify both run on the long arrays (one md5 per shingle
+    * total, integer set-intersection in the verify — several times
+    * cheaper than string-array intersection, and the shuffle rows shrink
+    * accordingly). Hash collisions merge shingles deterministically at
+    * ~n/2^31 rate; the oracle mirrors the same hashing so results match
+    * exactly. |A u B| comes from |A|+|B|-|A n B| — no union array is built.
     */
   def nearDuplicates(
       docs: DataFrame,
@@ -78,17 +99,47 @@ object Dedup {
       textCol: String,
       shingleN: Int = 4,
       numHashes: Int = 8,
-      rowsPerBand: Int = 2,
-      threshold: Double = 0.35
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.4
   ): DataFrame = {
-    val withSh = docs.select(col(idCol), shingleSet(col(textCol), shingleN).as("sh"))
-    val cands = lshCandidates(withSh, idCol, "sh", numHashes, rowsPerBand)
-    cands
-      .join(withSh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(withSh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("jacc", TextFunctions.jaccard(col("sh_a"), col("sh_b")))
+    val numBands = numHashes / rowsPerBand
+    val withH = docs.select(
+      col(idCol),
+      array_distinct(
+        transform(
+          TextFunctions.charShingles(lower(col(textCol)), shingleN),
+          g => TextFunctions.shingleBaseHash(g)
+        )
+      ).as("hs")
+    )
+    // Carry the hash arrays through the band join: the shingle hashing is
+    // computed once per join side instead of re-derived by separate
+    // candidate + two dimension joins (a 3x recompute diamond), and the
+    // Jaccard verify runs inline on the join output before the distinct,
+    // so only (id_a, id_b, jacc) rows ever shuffle afterwards.
+    val sig = TextFunctions.minhashSignatureFromBases(col("hs"), numHashes)
+    val banded = withH
+      .select(col(idCol), col("hs"), sig.as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(
+        col(idCol), col("hs"),
+        posexplode(
+          array((0 until numBands).map(b =>
+            concat_ws("|", (0 until rowsPerBand).map(r =>
+              col("sig")(b * rowsPerBand + r).cast("string")): _*)
+          ): _*)
+        ).as(Seq("band", "key"))
+      )
+    val inter = size(array_intersect(col("hs_a"), col("hs_b"))).cast("double")
+    banded.select(col(idCol).as("id_a"), col("hs").as("hs_a"), col("band"), col("key"))
+      .join(
+        banded.select(col(idCol).as("id_b"), col("hs").as("hs_b"), col("band"), col("key")),
+        Seq("band", "key"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("jacc", inter / (size(col("hs_a")) + size(col("hs_b")) - inter))
       .filter(col("jacc") >= threshold)
       .select("id_a", "id_b", "jacc")
+      .distinct()
   }
 
   /** SimHash over whitespace tokens: each token hashes to `bits` bits (md5
