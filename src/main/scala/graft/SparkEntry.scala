@@ -106,6 +106,22 @@ object SparkEntry {
   private val tokensLowerSql =
     "string_split_regex(trim(lower(text)), '\\s+')"
 
+  /** Fuzzy-match workload at testdata scale: queries = the distinct part
+    * names (small side, broadcast), refs = 40-char document prefixes (the
+    * large side, streamed). Exercises the full reference pipeline on the
+    * biggest text table the harness ships.
+    */
+  private def matchDocs(s: SparkSession, dir: String, inverted: Boolean): DataFrame = {
+    val queries = rd(s, dir, "part")
+      .select(lower(col("p_name")).as("term")).distinct()
+      .withColumn("id", row_number().over(Window.orderBy("term")).cast("long") - 1)
+    val refs = rd(s, dir, "documents")
+      .select(col("doc_id").as("id"), substring(col("text"), 1, 40).as("term"))
+    HeurFuzz.matchTable(queries, refs,
+        HeurFuzz.Params(topK = 10, scoreCutoff = 70, useInvertedIndex = inverted))
+      .orderBy("q_id")
+  }
+
   // ---- the registry -----------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -261,6 +277,14 @@ object SparkEntry {
           sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("sum_acctbal")
         )
         .orderBy("c_mktsegment")),
+
+    // scale bench pair: the SAME fuzzy match (64 distinct part names vs
+    // 5000 document-prefix refs) through the brute-force cross join vs the
+    // inverted-index equi-join (SURVEY §4.3). Rows-only correctness (UDF
+    // scorer); outputs must be identical between the two — the bench
+    // compares their cost.
+    "q50_match_cross_5k" -> ((s, dir) => matchDocs(s, dir, inverted = false)),
+    "q51_match_inverted_5k" -> ((s, dir) => matchDocs(s, dir, inverted = true)),
 
     // pillar dedup: exact (hash groupBy)
     "q30_dedup_exact" -> ((s, dir) =>

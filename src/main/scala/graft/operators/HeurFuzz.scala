@@ -193,10 +193,16 @@ object HeurFuzz {
       outputFile: String,
       params: Params = Params()
   ): Double = {
+    // step banners for CLI parity (/root/reference/src/heurFuzz.py:140-168);
+    // they are log lines, not materialization barriers — the DAG stays lazy
+    println("[STEP1] Reading queries and refs...")
     val queries = Readers.lines(spark, queryFile)
     val refs = Readers.lines(spark, refFile)
+    println("[STEP2-5] Planning lengths, coverage, top-K (lazy single DAG)...")
     val matches = matchTable(queries, refs, params).cache()
+    println("[STEP6] Running verify scorer + reduce...")
     val ratio = mapRatio(matches)
+    println("[STEP6] Writing output file...")
     Readers.writeTsvFile(matches.select("q_id", "query", "match"), "q_id", outputFile)
     println(f"Map ratio: $ratio%.2f%%")
     matches.unpersist()

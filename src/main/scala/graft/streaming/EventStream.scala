@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.Row
+
+/** Structured Streaming slice over the events table (builder-brief
+  * extension; the reference is fully batch, SURVEY §2.2).
+  *
+  * The transforms are shared with the batch path: `hourlyAggregate` is the
+  * same logical aggregation as SparkEntry's q40 — in streaming mode Spark
+  * maintains it incrementally with watermark-bounded state, in batch mode
+  * it is a plain groupBy. `foreachBatchSink` shows the standard pattern of
+  * reusing arbitrary batch operators (e.g. the dedup/match pipelines) on
+  * each micro-batch.
+  *
+  * Scale design: state is keyed by (window, event_type) — cardinality
+  * bounded by types x watermark horizon, so executor state stays small no
+  * matter the event volume; the watermark bounds late data instead of
+  * letting state grow unboundedly.
+  */
+object EventStream {
+
+  /** Event schema as the driver's events.parquet provides it (ts read as
+    * long nanoseconds under nanosAsLong).
+    */
+  def eventsSchemaDdl: String =
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+
+  /** Normalize the raw events frame: nanosecond-long ts -> timestamp. */
+  def withEventTime(events: DataFrame): DataFrame =
+    events.withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+
+  /** Tumbling 1-hour aggregate per event type. Works on both batch and
+    * streaming frames; streaming callers get watermark-bounded state.
+    */
+  def hourlyAggregate(events: DataFrame, watermark: Option[String] = None): DataFrame = {
+    val src = withEventTime(events)
+    val marked = watermark.fold(src)(w => src.withWatermark("event_time", w))
+    marked
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value")
+      )
+      .select(
+        unix_timestamp(col("window.start")).as("hour_epoch"),
+        col("event_type"), col("n_events"), col("sum_value")
+      )
+  }
+
+  /** File-source stream over a directory of event parquet files. */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(eventsSchemaDdl).parquet(dir)
+  }
+
+  /** Streaming hourly aggregate with a 2-hour watermark, update mode. */
+  def hourlyStream(spark: SparkSession, dir: String): DataFrame =
+    hourlyAggregate(readEventStream(spark, dir), watermark = Some("2 hours"))
+
+  /** foreachBatch sink reusing an arbitrary batch transform — the bridge
+    * that lets every batch operator in this engine (dedup, match, ...)
+    * run over a stream without a streaming rewrite.
+    */
+  def foreachBatchSink(
+      stream: DataFrame,
+      transform: DataFrame => DataFrame
+  )(handle: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) => handle(transform(batch), id) }
+}
