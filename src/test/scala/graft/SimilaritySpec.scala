@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** Similarity search semantics: exact cosine math, top-k ordering and
+  * tie-breaks, quantized centroid assignment.
+  */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.0f, 1.0f, 0.0f)),
+    (2L, Array(1.0f, 1.0f, 0.0f)),
+    (3L, Array(-1.0f, 0.0f, 0.0f)),
+    (4L, Array(0.6f, 0.8f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("cosine: exact values on known vectors") {
+    val df = Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+                 (Array(1.0f, 0.0f), Array(0.0f, 1.0f))).toDF("a", "b")
+    val out = df.select(
+      Similarity.cosine(Similarity.asDouble(col("a")), Similarity.asDouble(col("b"))))
+      .collect().map(_.getDouble(0))
+    assert(math.abs(out(0) - 1.0) < 1e-12)
+    assert(math.abs(out(1)) < 1e-12)
+  }
+
+  test("cosineTopK: nearest neighbors in order, self excluded") {
+    val topk = Similarity.cosineTopK(vecs.filter(col("vec_id") === 0), vecs, "vec_id", "embedding", 4)
+    val rows = topk.orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    // neighbors of (1,0,0): cos with 2=(1,1,0)->0.7071, 4=(0.6,.8,0)->0.6, 1->0, 3->-1
+    assert(rows.map(_._1) == Seq(2L, 4L, 1L, 3L))
+    assert(math.abs(rows.head._2 - 1.0 / math.sqrt(2)) < 1e-9)
+    assert(rows.forall(_._1 != 0L))
+  }
+
+  test("cosineTopK: score ties break on ascending ref id") {
+    val dup = Seq(
+      (10L, Array(1.0f, 0.0f)),
+      (11L, Array(2.0f, 0.0f)), // same direction as 12 -> identical cosine
+      (12L, Array(3.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val rows = Similarity.cosineTopK(dup.filter(col("vec_id") === 10), dup, "vec_id", "embedding", 2)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(rows == Seq(11L, 12L))
+  }
+
+  test("quantize: floor semantics, exact longs") {
+    val q = Seq(Array(0.0015f, -0.0015f)).toDF("v")
+      .select(Similarity.quantize(col("v"), 1000).as("q"))
+      .head().getSeq[Long](0)
+    assert(q == Seq(1L, -2L)) // floor(1.5)=1, floor(-1.5)=-2
+  }
+
+  test("assignToCentroids: picks argmax dot with lowest-id tie-break") {
+    val cents = vecs.filter(col("vec_id") < 2) // (1,0,0) and (0,1,0)
+    val assign = Similarity.assignToCentroids(vecs, cents, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assign(0L) == 0L)
+    assert(assign(1L) == 1L)
+    assert(assign(4L) == 1L) // (0.6,0.8): dot 600*1000? -> centroid 1 larger
+    assert(assign(2L) == 0L) // equal dots with both centroids -> lowest centroid id
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+
+/** Text-analysis operator semantics. */
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stopwordRatio: exact fraction, zero for empty") {
+    val out = Seq("the cat sat on a mat", "xyzzy plugh", "")
+      .toDF("t")
+      .select(TextAnalysis.stopwordRatio(col("t")).as("r"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(math.abs(out(0) - 3.0 / 6) < 1e-12) // the, on, a
+    assert(out(1) == 0.0)
+    assert(out(2) == 0.0)
+  }
+
+  test("tokenCount and wordPieceCount") {
+    val r = Seq("hello world, v2.0!").toDF("t")
+      .select(
+        TextAnalysis.tokenCount(col("t")).as("ws"),
+        TextAnalysis.wordPieceCount(col("t")).as("wp"))
+      .head()
+    assert(r.getLong(0) == 3)
+    // pieces: hello | world | , | v | 2 | . | 0 | !
+    assert(r.getLong(1) == 8)
+  }
+
+  test("punctRatio counts ASCII punctuation over length") {
+    val r = Seq("ab,.").toDF("t").select(TextAnalysis.punctRatio(col("t"))).head().getDouble(0)
+    assert(r == 0.5)
+  }
+
+  test("meanTokenLength") {
+    val r = Seq("ab cdef").toDF("t").select(TextAnalysis.meanTokenLength(col("t"))).head().getDouble(0)
+    assert(r == 3.0) // (2 + 4) / 2
+  }
+
+  test("fingerprint: deterministic, k-bounded, null for short docs") {
+    val rows = Seq("the quick brown fox", "the quick brown fox", "ab")
+      .toDF("t")
+      .select(TextAnalysis.fingerprint(col("t"), 4, 8).as("fp"))
+      .collect()
+    assert(rows(0).getString(0) == rows(1).getString(0))
+    assert(rows(0).getString(0).split(",").length == 8)
+    assert(rows(2).isNullAt(0))
+  }
+
+  test("fingerprint: word reordering shifts only part of the shingle set") {
+    val Seq(a, b) = Seq("alpha beta gamma delta", "beta alpha gamma delta")
+      .toDF("t")
+      .select(TextAnalysis.fingerprint(col("t"), 4, 8).as("fp"))
+      .collect().map(_.getString(0)).toSeq
+    val (sa, sb) = (a.split(",").toSet, b.split(",").toSet)
+    assert(sa != sb && (sa intersect sb).nonEmpty)
+  }
+}
