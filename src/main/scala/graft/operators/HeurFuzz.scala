@@ -196,8 +196,11 @@ object HeurFuzz {
     // step banners for CLI parity (/root/reference/src/heurFuzz.py:140-168);
     // they are log lines, not materialization barriers — the DAG stays lazy
     println("[STEP1] Reading queries and refs...")
-    val queries = Readers.lines(spark, queryFile)
-    val refs = Readers.lines(spark, refFile)
+    // linesFast: ordering-equivalent ids in one pass (no zipWithIndex
+    // count job) — tie-breaks depend only on id order, so output is
+    // identical to the contiguous-id reader (golden e2e covers both).
+    val queries = Readers.linesFast(spark, queryFile)
+    val refs = Readers.linesFast(spark, refFile)
     println("[STEP2-5] Planning lengths, coverage, top-K (lazy single DAG)...")
     val matches = matchTable(queries, refs, params).cache()
     println("[STEP6] Running verify scorer + reduce...")

@@ -29,6 +29,27 @@ object Readers {
       .drop("raw")
   }
 
+  /** Scale-path variant of `lines`: input-order ids WITHOUT the extra
+    * counting pass zipWithIndex needs (and without dropping out of
+    * whole-stage codegen at the first operator).
+    * `monotonically_increasing_id` is (partitionIndex << 33 | rowInPartition)
+    * and a single text file splits into offset-ordered partitions, so
+    * sorting by id IS input order — but ids are NOT contiguous (gaps
+    * between partitions). Everything downstream in the match pipeline
+    * needs only ordering + uniqueness (tie-breaks compare id ORDER, never
+    * id VALUES), so results are identical to `lines`.
+    * Caveat: for a directory of files the inter-file order follows
+    * Spark's listing order, not filename order — the reference reads
+    * single files (heurFuzz.py:10), so this matches its surface.
+    */
+  def linesFast(spark: SparkSession, path: String, idCol: String = "id", termCol: String = "term"): DataFrame =
+    spark.read
+      .text(path)
+      .select(
+        monotonically_increasing_id().as(idCol),
+        TextFunctions.pyStrip(col("value")).as(termCol)
+      )
+
   /** Headered TSV (parse_inputs.py:31 uses csv.DictReader with '\t'). */
   def tsv(spark: SparkSession, path: String): DataFrame =
     spark.read.option("sep", "\t").option("header", "true").csv(path)

@@ -16,6 +16,15 @@ class ReadersSpec extends SparkSpec {
     assert(rows == Seq((0L, "alpha"), (1L, "beta"), (2L, "gamma")))
   }
 
+  test("linesFast: id order matches lines' contiguous order; strip applied") {
+    val f = Files.createTempFile("graft-linesfast", ".txt")
+    Files.writeString(f, "  alpha  \nbeta\n\tgamma\ndelta\n")
+    val slow = Readers.lines(spark, f.toString).orderBy("id").collect().map(_.getString(1)).toSeq
+    val fast = Readers.linesFast(spark, f.toString).orderBy("id").collect().map(_.getString(1)).toSeq
+    assert(fast == slow)
+    assert(fast == Seq("alpha", "beta", "gamma", "delta"))
+  }
+
   test("dmpField: pipe-delimited field extract + strip (names.dmp shape)") {
     val f = Files.createTempFile("graft-dmp", ".dmp")
     Files.writeString(f, "1\t|\tall\t|\t\t|\tsynonym\t|\n2\t|\tBacteria\t|\t\t|\tscientific name\t|\n")
