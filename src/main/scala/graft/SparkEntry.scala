@@ -327,6 +327,24 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // pillar similarity: full IVF probe-and-refine ANN search
+    "q43_embed_ivf_topk" -> ((s, dir) => {
+      val e = rd(s, dir, "embeddings")
+      Similarity.ivfTopK(
+          e.filter(col("vec_id") < 10), e, e.filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 3, nprobe = 2)
+        .orderBy("q_id", "rank")
+    }),
+
+    // pillar text analysis: argmax language classifier over stopword lists
+    "q44_lang_id" -> ((s, dir) =>
+      spread(s, rd(s, dir, "documents"))
+        .select(
+          col("doc_id"), col("lang"),
+          TextAnalysis.predictedLang(col("text")).as("pred_lang"),
+          TextAnalysis.bestLangScore(col("text")).as("best_score"))
+        .orderBy("doc_id")),
+
     // pillar text analysis: language-ID stopword heuristic
     "q36_lang_stopword_ratio" -> ((s, dir) =>
       spread(s, rd(s, dir, "documents"))
@@ -555,6 +573,59 @@ object SparkEntry {
         |  FROM v CROSS JOIN c),
         |r AS (SELECT *, row_number() OVER (PARTITION BY id ORDER BY score DESC, centroid_id ASC) AS rk FROM s)
         |SELECT id, centroid_id, score FROM r WHERE rk = 1 ORDER BY id""".stripMargin,
+
+    "q43_embed_ivf_topk" ->
+      """WITH v AS (SELECT vec_id,
+        |             list_transform(embedding, x -> floor(x::DOUBLE * 1000)::BIGINT) AS qv,
+        |             list_transform(embedding, x -> x::DOUBLE) AS dv
+        |           FROM embeddings),
+        |c AS (SELECT vec_id AS centroid_id, qv AS cv FROM v WHERE vec_id < 8),
+        |score AS (
+        |  SELECT v.vec_id AS id, c.centroid_id,
+        |         CAST(list_sum(list_transform(range(1, 65), i -> v.qv[i::INT] * c.cv[i::INT])) AS BIGINT) AS sc
+        |  FROM v CROSS JOIN c),
+        |assign AS (
+        |  SELECT id AS r_id, centroid_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY sc DESC, centroid_id ASC) AS rk FROM score)
+        |  WHERE rk = 1),
+        |probes AS (
+        |  SELECT id AS q_id, centroid_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY sc DESC, centroid_id ASC) AS rk
+        |    FROM score WHERE id < 10)
+        |  WHERE rk <= 2),
+        |n AS (SELECT vec_id, dv, sqrt(list_sum(list_transform(dv, x -> x * x))) AS nrm FROM v),
+        |cand AS (SELECT q_id, r_id FROM probes JOIN assign USING (centroid_id) WHERE q_id <> r_id),
+        |ref AS (
+        |  SELECT cand.q_id, cand.r_id,
+        |         list_sum(list_transform(range(1, 65), i -> qn.dv[i::INT] * rn.dv[i::INT])) / (qn.nrm * rn.nrm) AS cos_sim
+        |  FROM cand JOIN n qn ON qn.vec_id = cand.q_id JOIN n rn ON rn.vec_id = cand.r_id),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, r_id ASC) AS rank FROM ref)
+        |SELECT q_id, r_id, cos_sim, rank FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+
+    "q44_lang_id" -> {
+      val scoreCols = TextAnalysis.LangStopwords.map { case (l, words) =>
+        val list = words.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"""CASE WHEN len(toks) = 0 THEN 0.0
+           |       ELSE len(list_filter(toks, t -> list_contains($list, t)))::DOUBLE / len(toks) END AS s_$l"""
+          .stripMargin
+      }.mkString(",\n  ")
+      val langs = TextAnalysis.LangStopwords.map(_._1)
+      // reverse-order strict-greater chain == Spark's nested whens:
+      // later language wins only if strictly above the max of all earlier
+      val predCases = langs.tail.reverse.map { l =>
+        val earlier = langs.takeWhile(_ != l).map(e => s"s_$e")
+        val m = if (earlier.length == 1) earlier.head else s"greatest(${earlier.mkString(", ")})"
+        s"WHEN s_$l > $m THEN '$l'"
+      }.mkString(" ")
+      s"""WITH t AS (SELECT doc_id, lang, $tokensLowerSql AS toks FROM documents),
+         |sc AS (SELECT doc_id, lang,
+         |  $scoreCols
+         |  FROM t)
+         |SELECT doc_id, lang,
+         |       CASE $predCases ELSE '${langs.head}' END AS pred_lang,
+         |       greatest(${langs.map(l => s"s_$l").mkString(", ")}) AS best_score
+         |FROM sc ORDER BY doc_id""".stripMargin
+    },
 
     "q36_lang_stopword_ratio" -> {
       val sw = TextAnalysis.EnglishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")

@@ -73,16 +73,17 @@ object Similarity {
   def dotQ(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
-  /** IVF-style coarse assignment: nearest centroid by quantized dot
-    * product (argmax, ties -> lowest centroid id). `centroids` is small
-    * and broadcast. Returns (id, centroid_id, score).
+  /** IVF-style coarse assignment: top-`nprobe` centroids by quantized dot
+    * product (ties -> lowest centroid id). `centroids` is small and
+    * broadcast. Returns (id, centroid_id, score) with `nprobe` rows per id.
     * At scale this bucket id becomes the partition/join key for probing.
     */
-  def assignToCentroids(
+  def centroidRanks(
       vectors: DataFrame,
       centroids: DataFrame,
       idCol: String,
       vecCol: String,
+      nprobe: Int,
       scale: Int = 1000
   ): DataFrame = {
     val v = vectors.select(col(idCol).as("id"), quantize(col(vecCol), scale).as("qv"))
@@ -93,7 +94,58 @@ object Similarity {
     val w = Window.partitionBy("id").orderBy(col("score").desc, col("centroid_id").asc)
     scored
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") === 1)
+      .filter(col("rank") <= nprobe)
       .select("id", "centroid_id", "score")
+  }
+
+  /** Single-bucket assignment (nprobe = 1). */
+  def assignToCentroids(
+      vectors: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      scale: Int = 1000
+  ): DataFrame = centroidRanks(vectors, centroids, idCol, vecCol, nprobe = 1, scale)
+
+  /** IVF probe-and-refine ANN search: corpus vectors live in their nearest
+    * centroid's bucket; each query probes its `nprobe` nearest buckets and
+    * refines with EXACT cosine over only those buckets' members.
+    * Approximate by construction (recall < 1 when a true neighbor lives in
+    * an unprobed bucket) but fully deterministic: the coarse phase is
+    * integer math, refine tie-breaks on ref id. Returns
+    * (q_id, r_id, cos_sim, rank).
+    *
+    * Scale shape: bucket membership is an equi-join key — the corpus
+    * shuffles ONCE by bucket; per-query work is bounded by probed-bucket
+    * sizes, never the whole corpus.
+    */
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int,
+      scale: Int = 1000
+  ): DataFrame = {
+    val buckets = assignToCentroids(corpus, centroids, idCol, vecCol, scale)
+      .select(col("id").as("r_id"), col("centroid_id"))
+    val probes = centroidRanks(queries, centroids, idCol, vecCol, nprobe, scale)
+      .select(col("id").as("q_id"), col("centroid_id"))
+    val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("q_vec"))
+    val c = corpus.select(col(idCol).as("r_id"), asDouble(col(vecCol)).as("r_vec"))
+    val cands = probes
+      .join(buckets, Seq("centroid_id"))
+      .where(col("q_id") =!= col("r_id"))
+      .select("q_id", "r_id")
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("r_id").asc)
+    cands
+      .join(broadcast(q), Seq("q_id"))
+      .join(c, Seq("r_id"))
+      .withColumn("cos_sim", cosine(col("q_vec"), col("r_vec")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "r_id", "cos_sim", "rank")
   }
 }

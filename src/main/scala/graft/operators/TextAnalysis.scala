@@ -19,6 +19,37 @@ object TextAnalysis {
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "are",
         "was", "for", "on", "with", "as", "at", "by", "from", "that", "this")
 
+  /** Per-language stopword lists for the argmax language classifier —
+    * shared with the generated oracle SQL (SparkEntry) so they cannot
+    * drift. Sorted key order = deterministic tie-break order.
+    */
+  val LangStopwords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "sich"),
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "was", "for", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del", "se", "las"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "en", "un", "du", "une")
+  )
+
+  /** Argmax language-ID over the stopword lists: scores every language,
+    * picks the best (ties -> first language in LangStopwords order, i.e.
+    * alphabetical). Returns a (pred_lang, best_score) struct's fields via
+    * the two helper methods below.
+    */
+  def langScore(text: Column, lang: String): Column =
+    stopwordRatio(text, LangStopwords.toMap.apply(lang))
+
+  def predictedLang(text: Column): Column = {
+    val scored = LangStopwords.map { case (l, _) => (l, langScore(text, l)) }
+    def maxOf(cs: Seq[Column]): Column = if (cs.length == 1) cs.head else greatest(cs: _*)
+    // strictly-greater chain => earlier (alphabetical) language wins ties
+    scored.tail.foldLeft(lit(scored.head._1)) { case (acc, (l, s)) =>
+      when(s > maxOf(scored.takeWhile(_._1 != l).map(_._2)), lit(l)).otherwise(acc)
+    }
+  }
+
+  def bestLangScore(text: Column): Column =
+    greatest(LangStopwords.map { case (l, _) => langScore(text, l) }: _*)
+
   /** Fraction of whitespace tokens present in `stopwords` — the classic
     * cheap language-ID signal (0.0 for empty docs).
     */

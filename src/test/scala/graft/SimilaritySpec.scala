@@ -55,6 +55,25 @@ class SimilaritySpec extends SparkSpec {
     assert(q == Seq(1L, -2L)) // floor(1.5)=1, floor(-1.5)=-2
   }
 
+  test("ivfTopK: probed buckets bound the candidate set; refine is exact cosine") {
+    val cents = vecs.filter(col("vec_id") < 2)
+    val res = Similarity.ivfTopK(
+        vecs.filter(col("vec_id") === 4), vecs, cents, "vec_id", "embedding", k = 3, nprobe = 1)
+      .orderBy("rank").collect()
+    // (0.6,0.8,0): nearest centroid is 1=(0,1,0); probing ONLY that bucket
+    // restricts candidates to bucket-1 members {1, 3, 4}\{4} = {1, 3}
+    // (vec 3=(-1,0,0) lands in bucket 1 too: dot 0 beats dot -1e6)
+    assert(res.map(_.getLong(1)).toSeq == Seq(1L, 3L))
+    // float32 literals are not exact in double: compare loosely
+    assert(math.abs(res.head.getDouble(2) - 0.8) < 1e-6)
+    // nprobe=2 widens to both buckets -> full neighbor set reachable
+    val res2 = Similarity.ivfTopK(
+        vecs.filter(col("vec_id") === 4), vecs, cents, "vec_id", "embedding", k = 3, nprobe = 2)
+      .orderBy("rank").collect()
+    assert(res2.length == 3)
+    assert(res2.head.getLong(1) == 2L) // (1,1,0) is the true nearest
+  }
+
   test("assignToCentroids: picks argmax dot with lowest-id tie-break") {
     val cents = vecs.filter(col("vec_id") < 2) // (1,0,0) and (0,1,0)
     val assign = Similarity.assignToCentroids(vecs, cents, "vec_id", "embedding")

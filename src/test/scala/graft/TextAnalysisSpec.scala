@@ -38,6 +38,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r == 3.0) // (2 + 4) / 2
   }
 
+  test("predictedLang: argmax over stopword lists with alphabetical tie-break") {
+    val out = Seq(
+      "the cat and the dog of the house",  // en
+      "el perro y la casa de la abuela",   // es
+      "le chien et la maison des amis",    // fr
+      "der hund und die katze ist nicht",  // de
+      "zzz qqq www"                        // no stopwords anywhere -> tie -> 'de' (first)
+    ).toDF("t")
+      .select(TextAnalysis.predictedLang(col("t")).as("l"), TextAnalysis.bestLangScore(col("t")).as("s"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(out.map(_._1) == Seq("en", "es", "fr", "de", "de"))
+    assert(out(4)._2 == 0.0)
+  }
+
   test("fingerprint: deterministic, k-bounded, null for short docs") {
     val rows = Seq("the quick brown fox", "the quick brown fox", "ab")
       .toDF("t")
