@@ -49,11 +49,10 @@ object HeurFuzz {
       useInvertedIndex: Boolean = false
   )
 
-  /** partial_ratio with cutoff as a Spark UDF. UDF (not codegen Expression)
-    * is deliberate: the scorer is O(|s|*|l|^2/64) per pair — orders of
-    * magnitude heavier than row-serialization overhead, so codegen would
-    * not move the needle; keeping it a plain Scala function keeps it
-    * unit-testable against RapidFuzz's published values.
+  /** partial_ratio with cutoff as a Spark UDF — kept as the simple
+    * comparison surface; the pipeline uses the codegen'd Catalyst
+    * expression (graft.expressions.PartialRatioCutoff), which calls the
+    * same audited scorer without the ScalaUDF wrapper.
     */
   def partialRatioCutoffUdf(cutoff: Int) =
     udf((a: String, b: String) => Fuzz.partialRatioCutoff(a, b, cutoff))
@@ -146,7 +145,8 @@ object HeurFuzz {
     */
   def bestMatches(candidates: DataFrame, scoreCutoff: Int): DataFrame = {
     val scored = candidates
-      .withColumn("score", partialRatioCutoffUdf(scoreCutoff)(col("r_term"), col("q_term")))
+      .withColumn("score",
+        org.apache.spark.sql.graft.GraftFunctions.partialRatioCutoff(col("r_term"), col("q_term"), scoreCutoff))
       .filter(col("score") > 0)
     val w = Window
       .partitionBy("q_id")

@@ -1,0 +1,78 @@
+/** Hosted under org.apache.spark.sql.* deliberately: Catalyst's
+  * AbstractDataType and the classic Column<->Expression bridge
+  * (ExpressionUtils) are private[sql], and a subpackage is the standard
+  * extension-library pattern for native expressions (no Spark internals
+  * are modified — this file only USES them).
+  */
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, DataType, IntegerType, StringType}
+import org.apache.spark.sql.{Column, SparkSessionExtensions}
+import org.apache.spark.unsafe.types.UTF8String
+import graft.functions.Fuzz
+
+/** The reference's verify scorer (/root/reference/src/heurFuzz.py:106-112)
+  * as a native Catalyst expression: lowercase both sides, partial_ratio,
+  * score cutoff in double domain, uint8-style rounding.
+  *
+  * Versus the UDF form: no ScalaUDF encoder/closure wrapper, participates
+  * in whole-stage codegen (the generated code calls the static scorer
+  * directly on the operands), and null handling is the standard
+  * null-intolerant fast path. The scorer itself is the same audited
+  * `Fuzz.partialRatioCutoff` — one implementation, two surfaces.
+  */
+case class PartialRatioCutoff(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType, IntegerType)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "partial_ratio_cutoff"
+
+  override protected def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    Fuzz.partialRatioCutoff(
+      a.asInstanceOf[UTF8String].toString,
+      b.asInstanceOf[UTF8String].toString,
+      c.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) =>
+      s"graft.functions.Fuzz.partialRatioCutoff($a.toString(), $b.toString(), $c)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): PartialRatioCutoff =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** Column-level entry points for the custom expressions (usable without
+  * any session registration).
+  */
+object GraftFunctions {
+  def partialRatioCutoff(a: Column, b: Column, cutoff: Int): Column =
+    ExpressionUtils.column(
+      PartialRatioCutoff(
+        ExpressionUtils.expression(a),
+        ExpressionUtils.expression(b),
+        Literal(cutoff)))
+}
+
+/** SparkSessionExtensions wiring: exposes `partial_ratio_cutoff(a, b, c)`
+  * to SQL. Install via `.withExtensions(new GraftExtensions)` (GraftSession
+  * does) or `spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      FunctionIdentifier("partial_ratio_cutoff"),
+      new ExpressionInfo(classOf[PartialRatioCutoff].getName, "partial_ratio_cutoff"),
+      (children: Seq[Expression]) => {
+        if (children.length != 3)
+          throw new IllegalArgumentException(
+            s"partial_ratio_cutoff requires 3 arguments (a, b, cutoff); got ${children.length}")
+        PartialRatioCutoff(children(0), children(1), children(2))
+      }))
+}
