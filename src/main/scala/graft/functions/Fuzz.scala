@@ -112,20 +112,70 @@ object Fuzz extends Serializable {
     // NB: even when m == n, RapidFuzz's partial_ratio_short_needle still
     // evaluates the prefix/suffix edge windows (e.g. partial_ratio("ab","ba")
     // is ~66.67, not 50), so there is deliberately no equal-length shortcut.
+    if (m <= 64) partialRatioShortNeedle(s, l) else partialRatioGeneric(s, l)
+  }
+
+  /** Fast path for patterns <= 64 chars: the Allison-Dix match masks for
+    * the (fixed) short side are built ONCE and shared by every window —
+    * the naive per-window call rebuilt the mask HashMap each time, which
+    * dominated the verify stage's cost.
+    */
+  private def partialRatioShortNeedle(s: String, l: String): Double = {
+    val m = s.length
+    val n = l.length
+    val masks = new java.util.HashMap[Character, java.lang.Long](m * 2)
+    var i = 0
+    while (i < m) {
+      val c = s.charAt(i)
+      masks.put(c, masks.getOrDefault(c, 0L) | (1L << i))
+      i += 1
+    }
+    val full = if (m == 64) -1L else (1L << m) - 1L
+
+    // LCS(s, l[from, until)) via the shared masks
+    def lcsWindow(from: Int, until: Int): Int = {
+      var v = full
+      var j = from
+      while (j < until) {
+        val mtch = masks.getOrDefault(l.charAt(j), 0L)
+        val u = v & mtch
+        v = ((v + u) | (v & ~mtch)) & full
+        j += 1
+      }
+      m - java.lang.Long.bitCount(v)
+    }
+
     var best = 0.0
+    def consider(from: Int, until: Int): Unit = {
+      val w = until - from
+      best = math.max(best, 200.0 * lcsWindow(from, until) / (m + w))
+    }
     // partial windows hanging off the start: l[0, j), j < m
+    var j = 1
+    while (j < m && best < 100.0) { consider(0, j); j += 1 }
+    // full windows l[i, i+m)
+    var i2 = 0
+    while (i2 <= n - m && best < 100.0) { consider(i2, i2 + m); i2 += 1 }
+    // partial windows hanging off the end: l[n-j, n), j < m
+    j = 1
+    while (j < m && best < 100.0) { consider(n - j, n); j += 1 }
+    best
+  }
+
+  private def partialRatioGeneric(s: String, l: String): Double = {
+    val m = s.length
+    val n = l.length
+    var best = 0.0
     var j = 1
     while (j < m && best < 100.0) {
       best = math.max(best, ratioDouble(s, l.subSequence(0, j)))
       j += 1
     }
-    // full windows l[i, i+m)
     var i = 0
     while (i <= n - m && best < 100.0) {
       best = math.max(best, ratioDouble(s, l.subSequence(i, i + m)))
       i += 1
     }
-    // partial windows hanging off the end: l[n-j, n), j < m
     j = 1
     while (j < m && best < 100.0) {
       best = math.max(best, ratioDouble(s, l.subSequence(n - j, n)))

@@ -24,16 +24,34 @@ object FuzzPropertySpec extends Properties("Fuzz") {
       mid.isEmpty || Fuzz.partialRatio(mid, pre + mid + post) == 100
     }
 
-  property("partial_ratio >= ratio (a window can only help)") =
-    Prop.forAll(asciiStr, asciiStr) { (a, b) =>
-      Fuzz.partialRatioDouble(a, b) >= Fuzz.ratioDouble(a, b) - 1e-9
-    }
+  // NB deliberately NO "partial_ratio >= ratio" property: it is FALSE.
+  // When s's matches are scattered wider than any length-m window (e.g.
+  // s="aaaa", l="axaxaxax"), every window catches fewer matches than the
+  // full-string LCS and partial_ratio (50) < ratio (66.7) — RapidFuzz
+  // behaves identically. The brute-force window-max property below is the
+  // correct specification.
 
   property("cutoff zeroes strictly-below scores, passes the rest unchanged") =
     Prop.forAll(asciiStr, asciiStr, Gen.choose(0, 100)) { (a, b, cutoff) =>
       val d = Fuzz.partialRatioDouble(Fuzz.pyLower(a), Fuzz.pyLower(b))
       val s = Fuzz.partialRatioCutoff(a, b, cutoff)
       if (d >= cutoff) s == math.round(d).toInt else s == 0
+    }
+
+  property("partial_ratio equals the brute-force max over all windows") =
+    Prop.forAll(Gen.resize(20, asciiStr), Gen.resize(80, asciiStr)) { (a, b) =>
+      val (s, l) = if (a.length <= b.length) (a, b) else (b, a)
+      val m = s.length
+      val n = l.length
+      if (m == 0) true
+      else {
+        val windows =
+          (1 until m).map(j => l.substring(0, j)) ++
+            (0 to n - m).map(i => l.substring(i, i + m)) ++
+            (1 until m).map(j => l.substring(n - j))
+        val brute = (windows.map(w => Fuzz.ratioDouble(s, w)) :+ 0.0).max
+        math.abs(Fuzz.partialRatioDouble(a, b) - brute) < 1e-9
+      }
     }
 
   property("bit-parallel LCS agrees with DP: appending chars absent from b keeps LCS") =
