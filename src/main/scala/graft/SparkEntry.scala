@@ -268,6 +268,26 @@ object SparkEntry {
         .select("c_custkey")
         .orderBy("c_custkey")),
 
+    // relational: ROLLUP grouping sets
+    "q26_rollup_pricing" -> ((s, dir) =>
+      rd(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty")
+        )
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    // semi-structured: JSON field extraction from the events props column
+    "q45_events_props" -> ((s, dir) =>
+      rd(s, dir, "events")
+        .select(
+          col("event_id"),
+          col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k")
+        )
+        .orderBy("event_id")),
+
     // relational: agg with decimal-exact money
     "q25_segment_stats" -> ((s, dir) =>
       rd(s, dir, "customer")
@@ -485,6 +505,17 @@ object SparkEntry {
         |  SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
         |ORDER BY c_custkey""".stripMargin,
+
+    "q26_rollup_pricing" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q45_events_props" ->
+      """SELECT event_id, event_type, CAST(props->>'$.k' AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q25_segment_stats" ->
       """SELECT c_mktsegment, count(*) AS n_customers,
