@@ -268,6 +268,19 @@ object SparkEntry {
         .select("c_custkey")
         .orderBy("c_custkey")),
 
+    // relational: salted equi-join for planned skew — must produce exactly
+    // the plain join's result (the oracle IS the plain join)
+    "q27_salted_join_revenue" -> ((s, dir) =>
+      graft.operators.Joins.saltedJoin(
+          rd(s, dir, "orders").withColumnRenamed("o_custkey", "c_custkey"),
+          rd(s, dir, "customer").select("c_custkey", "c_mktsegment"),
+          key = "c_custkey", saltSourceCol = "o_orderkey", buckets = 8)
+        .groupBy("c_mktsegment")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+        .orderBy("c_mktsegment")),
+
     // relational: ROLLUP grouping sets
     "q26_rollup_pricing" -> ((s, dir) =>
       rd(s, dir, "lineitem")
@@ -505,6 +518,12 @@ object SparkEntry {
         |  SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
         |ORDER BY c_custkey""".stripMargin,
+
+    "q27_salted_join_revenue" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q26_rollup_pricing" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_items,

@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Join utilities for skewed data at scale.
+  *
+  * AQE's skew-join splitting (enabled in GraftSession/Bench) handles
+  * runtime-detected skew; `saltedJoin` is the planned-skew tool for keys
+  * KNOWN to be hot (null-heavy foreign keys, default values, celebrity
+  * entities) where pre-spreading beats detect-and-split.
+  */
+object Joins {
+
+  /** Salted equi-join: the large (skewed) side derives a deterministic
+    * salt in [0, buckets) from `saltSourceCol` (any well-distributed
+    * column — a row id works); the small side is replicated to every
+    * bucket. The join key becomes (key, salt), spreading each hot key
+    * over `buckets` reducers. Deterministic under retries (no rand()).
+    *
+    * Cost model: small side grows x buckets (keep it broadcastable);
+    * large side gets one extra narrow projection. Use only for the
+    * skewed key columns — normal keys pay the replication for nothing.
+    */
+  def saltedJoin(
+      large: DataFrame,
+      small: DataFrame,
+      key: String,
+      saltSourceCol: String,
+      buckets: Int
+  ): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val salted = large.withColumn("__salt", pmod(hash(col(saltSourceCol)), lit(buckets)))
+    val replicated = small.withColumn(
+      "__salt",
+      explode(array((0 until buckets).map(lit): _*))
+    )
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+}
