@@ -346,6 +346,36 @@ object SparkEntry {
           shingleN = 3, threshold = 0.4)
         .orderBy("id_a", "id_b")),
 
+    // pillar dedup: embedding-cosine near-dup — IVF bucket equality as the
+    // sub-quadratic prefilter (same-bucket pairs only), exact cosine verify
+    "q46_dedup_embed_cosine" -> ((s, dir) => {
+      val e = rd(s, dir, "embeddings")
+      val buckets = Similarity.assignToCentroids(e, e.filter(col("vec_id") < 8), "vec_id", "embedding")
+        .select(col("id").as("vec_id"), col("centroid_id"))
+      val v = e.select(col("vec_id"), Similarity.asDouble(col("embedding")).as("dv"))
+      val withB = buckets.join(v, Seq("vec_id"))
+      withB.select(col("centroid_id"), col("vec_id").as("id_a"), col("dv").as("dv_a"))
+        .join(withB.select(col("centroid_id"), col("vec_id").as("id_b"), col("dv").as("dv_b")), Seq("centroid_id"))
+        .where(col("id_a") < col("id_b"))
+        .withColumn("cos_sim", Similarity.cosine(col("dv_a"), col("dv_b")))
+        .filter(col("cos_sim") >= 0.3)
+        .select("id_a", "id_b", "cos_sim")
+        .orderBy("id_a", "id_b")
+    }),
+
+    // pillar dedup: SimHash hamming-distance candidate pairs
+    "q47_dedup_simhash_pairs" -> ((s, dir) => {
+      val h = spread(s, rd(s, dir, "documents"))
+        .select(col("doc_id"), Dedup.simhash(col("text"), 16).as("sh"))
+      h.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+        .crossJoin(h.select(col("doc_id").as("id_b"), col("sh").as("sh_b")))
+        .where(col("id_a") < col("id_b"))
+        .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
+        .filter(col("hamming") <= 2)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    }),
+
     // pillar similarity: brute-force exact cosine top-k
     "q34_embed_cosine_topk" -> ((s, dir) => {
       val e = rd(s, dir, "embeddings")
@@ -603,6 +633,43 @@ object SparkEntry {
          |         len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) AS jacc
          |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
          |SELECT id_a, id_b, jacc FROM pairs WHERE jacc >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+
+    "q46_dedup_embed_cosine" ->
+      """WITH v AS (SELECT vec_id,
+        |             list_transform(embedding, x -> floor(x::DOUBLE * 1000)::BIGINT) AS qv,
+        |             list_transform(embedding, x -> x::DOUBLE) AS dv
+        |           FROM embeddings),
+        |c AS (SELECT vec_id AS centroid_id, qv AS cv FROM v WHERE vec_id < 8),
+        |score AS (
+        |  SELECT v.vec_id AS id, c.centroid_id,
+        |         CAST(list_sum(list_transform(range(1, 65), i -> v.qv[i::INT] * c.cv[i::INT])) AS BIGINT) AS sc
+        |  FROM v CROSS JOIN c),
+        |assign AS (
+        |  SELECT id AS vec_id, centroid_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY sc DESC, centroid_id ASC) AS rk FROM score)
+        |  WHERE rk = 1),
+        |n AS (SELECT vec_id, dv, sqrt(list_sum(list_transform(dv, x -> x * x))) AS nrm FROM v),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |         list_sum(list_transform(range(1, 65), i -> na.dv[i::INT] * nb.dv[i::INT])) / (na.nrm * nb.nrm) AS cos_sim
+        |  FROM assign a JOIN assign b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+        |  JOIN n na ON na.vec_id = a.vec_id JOIN n nb ON nb.vec_id = b.vec_id)
+        |SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.3 ORDER BY id_a, id_b""".stripMargin,
+
+    "q47_dedup_simhash_pairs" -> {
+      val bitSums = (0 until 16).map(b => s"sum(((hv >> $b) & 1) * 2 - 1) AS s$b").mkString(",\n  ")
+      val bits = (0 until 16).map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, unnest($tokensLowerSql) AS tok FROM documents),
+         |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM t),
+         |b AS (SELECT doc_id,
+         |  $bitSums
+         |  FROM h GROUP BY doc_id),
+         |sh AS (SELECT doc_id, CAST($bits AS BIGINT) AS sh FROM b),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, bit_count(xor(a.sh, b.sh))::BIGINT AS hamming
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 2 ORDER BY id_a, id_b""".stripMargin
+    },
 
     "q34_embed_cosine_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
