@@ -26,6 +26,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Warm the JVM/codegen/parquet-footer paths so the alphabetically-first
+    // query does not absorb several seconds of one-time startup cost.
+    try {
+      spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+      SparkEntry.queries("q02_byte_len")(spark, sfDir).write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () } // warmup failures surface per-query below
+
     var times = Vector.empty[(String, Double)]
     var errors = Vector.empty[(String, String)]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
