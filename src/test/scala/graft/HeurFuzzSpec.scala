@@ -81,6 +81,32 @@ class HeurFuzzSpec extends SparkSpec {
     assert(rows(2) == ("vanilla", "vanilla"))
   }
 
+  test("inverted index: zero-overlap query hits the starved fallback and matches crossJoin") {
+    import spark.implicits._
+    // "qqqq" shares no bigram with any example ref -> it vanishes from the
+    // index join entirely and must come back through the fallback
+    val queries = Seq((0L, "qqqq"), (1L, "test")).toDF("id", "term")
+    val refs = Readers.lines(spark, exR)
+    def run(inv: Boolean) =
+      HeurFuzz.matchTable(queries, refs, HeurFuzz.Params(topK = 5, scoreCutoff = 90, useInvertedIndex = inv))
+        .orderBy("q_id").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val cross = run(false)
+    val inverted = run(true)
+    assert(cross == inverted)
+    assert(cross == Seq(("qqqq", "NA"), ("test", "test2")))
+  }
+
+  test("empty query set: both paths yield an empty result, no crash") {
+    import spark.implicits._
+    val queries = Seq.empty[(Long, String)].toDF("id", "term")
+    val refs = Readers.lines(spark, exR)
+    for (inv <- Seq(false, true)) {
+      val n = HeurFuzz.matchTable(queries, refs,
+        HeurFuzz.Params(topK = 5, scoreCutoff = 90, useInvertedIndex = inv)).count()
+      assert(n == 0, s"inverted=$inv")
+    }
+  }
+
   test("cutoff gate: peanutbutter maps once the cutoff is dropped") {
     val rows = matchRows(HeurFuzz.Params(topK = 5, scoreCutoff = 0))
     assert(rows(3)._2 != "NA")
