@@ -353,11 +353,12 @@ object SparkEntry {
       val buckets = Similarity.assignToCentroids(e, e.filter(col("vec_id") < 8), "vec_id", "embedding")
         .select(col("id").as("vec_id"), col("centroid_id"))
       val v = e.select(col("vec_id"), Similarity.asDouble(col("embedding")).as("dv"))
+        .withColumn("nrm", Similarity.l2Norm(col("dv")))
       val withB = buckets.join(v, Seq("vec_id"))
-      withB.select(col("centroid_id"), col("vec_id").as("id_a"), col("dv").as("dv_a"))
-        .join(withB.select(col("centroid_id"), col("vec_id").as("id_b"), col("dv").as("dv_b")), Seq("centroid_id"))
+      withB.select(col("centroid_id"), col("vec_id").as("id_a"), col("dv").as("dv_a"), col("nrm").as("nrm_a"))
+        .join(withB.select(col("centroid_id"), col("vec_id").as("id_b"), col("dv").as("dv_b"), col("nrm").as("nrm_b")), Seq("centroid_id"))
         .where(col("id_a") < col("id_b"))
-        .withColumn("cos_sim", Similarity.cosine(col("dv_a"), col("dv_b")))
+        .withColumn("cos_sim", Similarity.dot(col("dv_a"), col("dv_b")) / (col("nrm_a") * col("nrm_b")))
         .filter(col("cos_sim") >= 0.3)
         .select("id_a", "id_b", "cos_sim")
         .orderBy("id_a", "id_b")

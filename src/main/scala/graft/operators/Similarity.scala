@@ -48,12 +48,17 @@ object Similarity {
       vecCol: String,
       k: Int
   ): DataFrame = {
+    // norms are computed ONCE per vector, not per pair — cosine per pair is
+    // then a single dot product + one divide (3x less per-pair arithmetic;
+    // same doubles, so oracle parity is unchanged)
     val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("q_vec"))
+      .withColumn("q_nrm", l2Norm(col("q_vec")))
     val c = corpus.select(col(idCol).as("r_id"), asDouble(col(vecCol)).as("r_vec"))
+      .withColumn("r_nrm", l2Norm(col("r_vec")))
     val scored = c
       .crossJoin(broadcast(q))
       .where(col("q_id") =!= col("r_id"))
-      .withColumn("cos_sim", cosine(col("q_vec"), col("r_vec")))
+      .withColumn("cos_sim", dot(col("q_vec"), col("r_vec")) / (col("q_nrm") * col("r_nrm")))
     val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("r_id").asc)
     scored
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -134,7 +139,9 @@ object Similarity {
     val probes = centroidRanks(queries, centroids, idCol, vecCol, nprobe, scale)
       .select(col("id").as("q_id"), col("centroid_id"))
     val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("q_vec"))
+      .withColumn("q_nrm", l2Norm(col("q_vec")))
     val c = corpus.select(col(idCol).as("r_id"), asDouble(col(vecCol)).as("r_vec"))
+      .withColumn("r_nrm", l2Norm(col("r_vec")))
     val cands = probes
       .join(buckets, Seq("centroid_id"))
       .where(col("q_id") =!= col("r_id"))
@@ -143,7 +150,7 @@ object Similarity {
     cands
       .join(broadcast(q), Seq("q_id"))
       .join(c, Seq("r_id"))
-      .withColumn("cos_sim", cosine(col("q_vec"), col("r_vec")))
+      .withColumn("cos_sim", dot(col("q_vec"), col("r_vec")) / (col("q_nrm") * col("r_nrm")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("q_id", "r_id", "cos_sim", "rank")
