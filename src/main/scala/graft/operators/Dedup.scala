@@ -130,12 +130,18 @@ object Dedup {
           ): _*)
         ).as(Seq("band", "key"))
       )
+    // true self-join with the rename AFTER the join: both sides canonicalize
+    // to the identical plan, so ReuseExchange materializes the banded
+    // shuffle ONCE instead of recomputing shingles+hashes per side
     val inter = size(array_intersect(col("hs_a"), col("hs_b"))).cast("double")
-    banded.select(col(idCol).as("id_a"), col("hs").as("hs_a"), col("band"), col("key"))
+    banded.alias("a")
       .join(
-        banded.select(col(idCol).as("id_b"), col("hs").as("hs_b"), col("band"), col("key")),
-        Seq("band", "key"))
-      .where(col("id_a") < col("id_b"))
+        banded.alias("b"),
+        col(s"a.band") === col(s"b.band") && col(s"a.key") === col(s"b.key") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(
+        col(s"a.$idCol").as("id_a"), col("a.hs").as("hs_a"),
+        col(s"b.$idCol").as("id_b"), col("b.hs").as("hs_b"))
       .withColumn("jacc", inter / (size(col("hs_a")) + size(col("hs_b")) - inter))
       .filter(col("jacc") >= threshold)
       .select("id_a", "id_b", "jacc")
