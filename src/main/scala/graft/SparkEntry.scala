@@ -458,6 +458,24 @@ object SparkEntry {
         )
         .orderBy("hour_epoch", "event_type")),
 
+    // events: backward as-of join — each click matched to the user's most
+    // recent view at or before it (oracle = DuckDB's native ASOF JOIN)
+    "q48_events_asof_join" -> ((s, dir) => {
+      // micros, not raw nanos: DuckDB truncates TIMESTAMP(NANOS) parquet to
+      // microsecond precision on read, so both engines must compare on the
+      // same (microsecond) timeline
+      val ev = rd(s, dir, "events")
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("tsn"), col("event_type"))
+      val clicks = ev.filter(col("event_type") === "click").drop("event_type")
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy("user_id", "tsn")
+        .agg(max(col("event_id")).as("v_event_id"))
+      graft.operators.AsofJoin.asofBackward(clicks, views, "user_id", "tsn", Seq("v_event_id"))
+        .filter(col("v_event_id").isNotNull) // inner asof semantics
+        .select(col("event_id"), col("user_id"), col("v_event_id"), col("asof_tsn").as("v_tsn"))
+        .orderBy("event_id")
+    }),
+
     // events: per-type distinct users
     "q42_events_user_stats" -> ((s, dir) =>
       rd(s, dir, "events")
@@ -786,6 +804,16 @@ object SparkEntry {
     "q42_events_user_stats" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q48_events_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS tsn FROM events WHERE event_type = 'click'),
+        |views AS (
+        |  SELECT user_id, epoch_us(ts) AS tsn, max(event_id) AS v_event_id
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id, epoch_us(ts))
+        |SELECT c.event_id, c.user_id, v.v_event_id, v.tsn AS v_tsn
+        |FROM clicks c ASOF JOIN views v ON c.user_id = v.user_id AND c.tsn >= v.tsn
+        |ORDER BY c.event_id""".stripMargin,
 
     "q41_multimodal_meta" ->
       """SELECT doc_id,

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join — an operator Spark lacks natively (the classic
+  * time-series "most recent right row at or before the left row's time").
+  *
+  * Implementation is the union + running-last trick, NOT a range join:
+  * both sides union into one stream, a window partitioned by the key and
+  * ordered by (time, side) carries the latest right-side values forward,
+  * and left rows read them. Cost at scale: ONE hash shuffle on the key +
+  * a per-partition sort — no candidate-interval explosion, no skew beyond
+  * the key distribution itself, and AQE's skew handling applies to the
+  * single exchange. This is the plan shape a native ASOF implementation
+  * (e.g. DuckDB's) lowers to.
+  *
+  * Right-side rows at exactly the left row's timestamp ARE visible
+  * (backward-inclusive, matching `ON l.ts >= r.ts` ASOF semantics): right
+  * rows sort before left rows at equal timestamps.
+  */
+object AsofJoin {
+
+  /** For every left row: left.* plus each `valueCols` column holding the
+    * most recent right value at or before `tsCol`, plus `asof_<tsCol>` =
+    * the matched right timestamp. Unmatched left rows keep nulls (left
+    * semantics); filter on the asof column for inner semantics.
+    *
+    * `right` must contain (keyCol, tsCol, valueCols*); value column names
+    * must not clash with left's columns. If the right side can hold
+    * several rows per (key, ts), pre-aggregate it — otherwise "the" value
+    * at a timestamp is ambiguous in ANY asof implementation.
+    */
+  def asofBackward(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCols: Seq[String]
+  ): DataFrame = {
+    val clash = valueCols.toSet.intersect(left.columns.toSet)
+    require(clash.isEmpty, s"right value columns clash with left columns: $clash")
+
+    val l = left.withColumn("__side", lit(1))
+    val r = right.select((Seq(keyCol, tsCol) ++ valueCols).map(col): _*)
+      .withColumn("__side", lit(0))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+
+    val w = Window
+      .partitionBy(keyCol)
+      .orderBy(col(tsCol).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val filled = valueCols.foldLeft(
+      unioned.withColumn(
+        s"asof_$tsCol",
+        last(when(col("__side") === 0, col(tsCol)), ignoreNulls = true).over(w))
+    ) { (df, vc) =>
+      df.withColumn(vc, last(col(vc), ignoreNulls = true).over(w))
+    }
+
+    filled
+      .filter(col("__side") === 1)
+      .drop("__side")
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.AsofJoin
+
+class AsofJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val left = Seq(
+    (1L, "u1", 100L), (2L, "u1", 205L), (3L, "u1", 50L),
+    (4L, "u2", 300L), (5L, "u3", 10L)
+  ).toDF("event_id", "user", "tsn")
+  private val right = Seq(
+    ("u1", 100L, 11L), ("u1", 200L, 12L), ("u2", 299L, 21L), ("u2", 301L, 22L)
+  ).toDF("user", "tsn", "val")
+
+  private def run() = AsofJoin.asofBackward(left, right, "user", "tsn", Seq("val"))
+    .orderBy("event_id")
+    .collect()
+    .map(r => (r.getLong(0), Option(r.getAs[java.lang.Long]("val")).map(_.toLong),
+               Option(r.getAs[java.lang.Long]("asof_tsn")).map(_.toLong)))
+    .toSeq
+
+  test("backward-inclusive: equal timestamp matches; latest <= wins") {
+    val rows = run()
+    assert(rows(0) == ((1L, Some(11L), Some(100L)))) // ts 100 matches right at exactly 100
+    assert(rows(1) == ((2L, Some(12L), Some(200L)))) // most recent of {100, 200}
+  }
+
+  test("left rows before any right row get nulls (left semantics)") {
+    val rows = run()
+    assert(rows(2) == ((3L, None, None)))  // u1@50: nothing at or before
+    assert(rows(4) == ((5L, None, None)))  // u3: key has no right rows at all
+  }
+
+  test("future right rows are invisible") {
+    val rows = run()
+    assert(rows(3) == ((4L, Some(21L), Some(299L)))) // u2@300 sees 299, not 301
+  }
+
+  test("clashing value column names are rejected") {
+    intercept[IllegalArgumentException] {
+      AsofJoin.asofBackward(left, right.withColumnRenamed("val", "tsn2")
+        .withColumnRenamed("tsn2", "event_id"), "user", "tsn", Seq("event_id"))
+    }
+  }
+}
