@@ -476,6 +476,20 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // events: banded range join — views within the hour preceding each click
+    "q49_events_range_join" -> ((s, dir) => {
+      val ev = rd(s, dir, "events")
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("tsn"), col("event_type"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("tsn").as("c_tsn"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("tsn").as("v_tsn"))
+      graft.operators.Joins.rangeJoinBackWindow(clicks, views, "user_id", "c_tsn", "v_tsn", 3600000000L)
+        .groupBy("event_id", "user_id")
+        .agg(count(lit(1)).as("n_prior_views"))
+        .orderBy("event_id")
+    }),
+
     // events: per-type distinct users
     "q42_events_user_stats" -> ((s, dir) =>
       rd(s, dir, "events")
@@ -804,6 +818,16 @@ object SparkEntry {
     "q42_events_user_stats" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q49_events_range_join" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS c_tsn FROM events WHERE event_type = 'click'),
+        |views AS (
+        |  SELECT user_id, epoch_us(ts) AS v_tsn FROM events WHERE event_type = 'view')
+        |SELECT c.event_id, c.user_id, count(*) AS n_prior_views
+        |FROM clicks c JOIN views v
+        |  ON c.user_id = v.user_id AND v.v_tsn >= c.c_tsn - 3600000000 AND v.v_tsn <= c.c_tsn
+        |GROUP BY c.event_id, c.user_id ORDER BY c.event_id""".stripMargin,
 
     "q48_events_asof_join" ->
       """WITH clicks AS (

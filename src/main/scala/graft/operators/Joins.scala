@@ -37,4 +37,37 @@ object Joins {
     )
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Banded backward range join: pairs each left row with every right row
+    * whose `rightTs` lies in [leftTs - window, leftTs], same key.
+    *
+    * Scale path: Spark plans a raw inequality join as a nested loop; here
+    * both sides bucket by floor(ts / window) (integer div — exact on long
+    * timestamps), the left row probes buckets {b-1, b} (which fully cover
+    * a window-length look-back), and the exact range predicate refines
+    * after an EQUI-join on (key, bucket). One hash shuffle per side; per-
+    * row work bounded by bucket occupancy, never the whole partner table.
+    *
+    * `leftTs` and `rightTs` must be distinct column names; other column
+    * names must not clash.
+    */
+  def rangeJoinBackWindow(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      window: Long
+  ): DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
+    require(leftTs != rightTs, "leftTs and rightTs must be distinct column names")
+    val l = left
+      .withColumn("__b", expr(s"$leftTs div $window"))
+      .withColumn("__probe", explode(array(col("__b") - 1, col("__b"))))
+      .drop("__b")
+    val r = right.withColumn("__probe", expr(s"$rightTs div $window"))
+    l.join(r, Seq(key, "__probe"))
+      .where(col(rightTs) >= col(leftTs) - window && col(rightTs) <= col(leftTs))
+      .drop("__probe")
+  }
 }

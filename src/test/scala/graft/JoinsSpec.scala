@@ -23,6 +23,30 @@ class JoinsSpec extends SparkSpec {
     assert(plain.nonEmpty)
   }
 
+  test("rangeJoinBackWindow: matches an unbanded inequality join exactly") {
+    val rnd = new scala.util.Random(7)
+    val left = (1 to 200).map(i => (i.toLong, s"u${i % 5}", rnd.nextInt(10000).toLong)).toDF("lid", "k", "lts")
+    val right = (1 to 300).map(i => (i.toLong, s"u${i % 5}", rnd.nextInt(10000).toLong)).toDF("rid", "k", "rts")
+    val banded = graft.operators.Joins
+      .rangeJoinBackWindow(left, right, "k", "lts", "rts", window = 500L)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val plain = left.join(right, Seq("k"))
+      .where(col("rts") >= col("lts") - 500L && col("rts") <= col("lts"))
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(banded == plain)
+    assert(plain.nonEmpty)
+  }
+
+  test("rangeJoinBackWindow: boundary timestamps included, outside excluded") {
+    val left = Seq((1L, "u", 1000L)).toDF("lid", "k", "lts")
+    val right = Seq((10L, "u", 500L), (11L, "u", 1000L), (12L, "u", 499L), (13L, "u", 1001L))
+      .toDF("rid", "k", "rts")
+    val got = graft.operators.Joins
+      .rangeJoinBackWindow(left, right, "k", "lts", "rts", window = 500L)
+      .select("rid").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(10L, 11L)) // [lts-500, lts] inclusive both ends
+  }
+
   test("saltedJoin: salt spreads the hot key across buckets") {
     val large = (1 to 1000).map(i => (1L, i.toLong)).toDF("k", "row_id")
     val saltCounts = large
