@@ -319,6 +319,29 @@ object SparkEntry {
     "q50_match_cross_5k" -> ((s, dir) => matchDocs(s, dir, inverted = false)),
     "q51_match_inverted_5k" -> ((s, dir) => matchDocs(s, dir, inverted = true)),
 
+    // relational: exact interpolated percentiles per group
+    "q28_quantiles" -> ((s, dir) =>
+      rd(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          percentile(col("l_quantity"), lit(0.5)).as("p50_qty"),
+          percentile(col("l_extendedprice"), lit(0.9)).as("p90_price"),
+          count(lit(1)).as("n")
+        )
+        .orderBy("l_returnflag")),
+
+    // relational: set operations (INTERSECT / EXCEPT)
+    "q29_set_ops" -> ((s, dir) => {
+      val orders = rd(s, dir, "orders")
+      def buyers(y: Int) = orders
+        .filter(col("o_orderdate") >= lit(s"$y-01-01").cast("timestamp")
+          && col("o_orderdate") < lit(s"${y + 1}-01-01").cast("timestamp"))
+        .select("o_custkey").distinct()
+      buyers(2000).intersect(buyers(2001)).except(buyers(1995))
+        .withColumnRenamed("o_custkey", "custkey")
+        .orderBy("custkey")
+    }),
+
     // pillar dedup: exact (hash groupBy)
     "q30_dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(rd(s, dir, "documents"), "doc_id", "text").orderBy("h")),
@@ -603,6 +626,25 @@ object SparkEntry {
       """SELECT c_mktsegment, count(*) AS n_customers,
         |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q28_quantiles" ->
+      """SELECT l_returnflag,
+        |       quantile_cont(l_quantity, 0.5) AS p50_qty,
+        |       quantile_cont(l_extendedprice, 0.9) AS p90_price,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q29_set_ops" ->
+      """SELECT custkey FROM (
+        |  SELECT o_custkey AS custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '2000-01-01' AND o_orderdate < TIMESTAMP '2001-01-01'
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '2001-01-01' AND o_orderdate < TIMESTAMP '2002-01-01'
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01')
+        |ORDER BY custkey""".stripMargin,
 
     "q30_dedup_exact" ->
       """SELECT md5(text) AS h, count(*) AS cnt, min(doc_id) AS keep_id
