@@ -107,12 +107,18 @@ object HeurFuzz {
       .withColumn("len_diff", abs(col("q_len") - col("r_len")).cast("double"))
       .drop("hits", "q_nbigrams")
 
-    // Queries with < topK indexed candidates (incl. zero-bigram queries that
-    // vanished entirely) fall back to the exact cross join so the emitted
-    // candidate set matches pairsCross bit-for-bit.
-    val starved = joined
-      .groupBy("q_id").agg(count(lit(1)).as("n"))
-      .filter(col("n") < topK)
+    // Queries with < topK indexed candidates fall back to the exact cross
+    // join so the emitted candidate set matches pairsCross bit-for-bit.
+    // Derived from the FULL query set (left join to the candidate counts),
+    // not from `joined` alone: a query with ZERO index candidates (no
+    // bigrams at all, or no bigram shared with any ref — the reference
+    // still scores those, /root/reference/src/heurFuzz.py:113-125) forms
+    // no group in `joined` and would otherwise silently return NA.
+    val counts = joined.groupBy("q_id").agg(count(lit(1)).as("n"))
+    val starved = queries
+      .select(col("q_id"))
+      .join(counts, Seq("q_id"), "left")
+      .filter(coalesce(col("n"), lit(0L)) < topK)
       .select("q_id")
     val starvedQueries = queries.join(broadcast(starved), Seq("q_id"))
     val fallback = pairsCross(starvedQueries, refs)

