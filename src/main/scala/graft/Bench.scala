@@ -33,9 +33,14 @@ object Bench {
       SparkEntry.queries("q02_byte_len")(spark, sfDir).write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () } // warmup failures surface per-query below
 
+    // optional args: query-name substrings to run (builder-local iteration;
+    // the driver passes none and benches everything)
+    val only = args.toSet
     var times = Vector.empty[(String, Double)]
     var errors = Vector.empty[(String, String)]
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only.exists(name.contains) }
+      .foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()

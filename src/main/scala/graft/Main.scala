@@ -23,16 +23,30 @@ object Main {
     var out: Option[String] = None
     var params = HeurFuzz.Params()
     var i = 0
+    def value(flag: String): String = {
+      if (i + 1 >= args.length) {
+        System.err.println(s"missing value for $flag\n$usage"); sys.exit(2)
+      }
+      args(i + 1)
+    }
+    def intValue(flag: String): Int = {
+      val v = value(flag)
+      try v.toInt
+      catch {
+        case _: NumberFormatException =>
+          System.err.println(s"$flag expects an integer, got '$v'\n$usage"); sys.exit(2)
+      }
+    }
     while (i < args.length) {
       args(i) match {
-        case "-q" | "--query"       => query = Some(args(i + 1)); i += 2
-        case "-r" | "--reference"   => ref = Some(args(i + 1)); i += 2
-        case "-o" | "--OutputFile"  => out = Some(args(i + 1)); i += 2
-        case "-n" | "--topN"        => params = params.copy(topK = args(i + 1).toInt); i += 2
-        case "-s" | "--scoreCutOff" => params = params.copy(scoreCutoff = args(i + 1).toInt); i += 2
-        case "-b" | "--bufferSize"  => params = params.copy(bufferSize = args(i + 1).toInt); i += 2
-        case "--inverted-index"     => params = params.copy(useInvertedIndex = true); i += 1
-        case "-h" | "--help"        => println(usage); return
+        case f @ ("-q" | "--query")       => query = Some(value(f)); i += 2
+        case f @ ("-r" | "--reference")   => ref = Some(value(f)); i += 2
+        case f @ ("-o" | "--OutputFile")  => out = Some(value(f)); i += 2
+        case f @ ("-n" | "--topN")        => params = params.copy(topK = intValue(f)); i += 2
+        case f @ ("-s" | "--scoreCutOff") => params = params.copy(scoreCutoff = intValue(f)); i += 2
+        case f @ ("-b" | "--bufferSize")  => params = params.copy(bufferSize = intValue(f)); i += 2
+        case "--inverted-index"           => params = params.copy(useInvertedIndex = true); i += 1
+        case "-h" | "--help"              => println(usage); return
         case other =>
           System.err.println(s"unknown argument: $other\n$usage"); sys.exit(2)
       }

@@ -11,9 +11,9 @@ import graft.operators.{Dedup, HeurFuzz, Multimodal, Similarity, TextAnalysis}
   * Every entry in `queries` is a SURVEY §2 operator or a builder-brief
   * pillar (dedup / similarity / text analysis / multimodal / events)
   * expressed over the driver's parquet testdata; `oracleSql` holds the
-  * DuckDB-equivalent SQL for every query whose semantics SQL can express
-  * (the partial_ratio scorer is the documented exception — q09/q10/q11
-  * get the driver's weaker rows-only check).
+  * DuckDB-equivalent SQL for every query — including the partial_ratio
+  * scorer pipeline (q09/q10/q11/q50/q51), whose oracle re-derives the
+  * bit-parallel LCS scorer in SQL lambdas (see scorerCtes).
   *
   * Oracle-parity conventions used throughout:
   *   - integer outputs are long/BIGINT on both sides;
@@ -52,10 +52,14 @@ object SparkEntry {
     val queries = parts
       .select(col("p_partkey").as("id"), lower(col("p_name")).as("term"))
       .filter(col("id") < 40)
+    // ref ids: natural key (min partkey per distinct name) — deterministic
+    // and distributed (one hash shuffle), vs a no-partition window that
+    // would drag the whole table onto a single executor at scale.
+    // Downstream tie-breaks need only a deterministic total id order,
+    // not term-sorted contiguity.
     val refs = parts
-      .select(col("p_name").as("term"))
-      .distinct()
-      .withColumn("id", row_number().over(Window.orderBy("term")).cast("long") - 1)
+      .groupBy(col("p_name").as("term"))
+      .agg(min(col("p_partkey")).cast("long").as("id"))
     HeurFuzz.matchTable(queries, refs, HeurFuzz.Params(topK = 5, scoreCutoff = 80))
   }
 
@@ -112,9 +116,11 @@ object SparkEntry {
     * biggest text table the harness ships.
     */
   private def matchDocs(s: SparkSession, dir: String, inverted: Boolean): DataFrame = {
+    // query ids: natural key (min partkey per distinct lowered name) — no
+    // single-partition global window; see `entry`
     val queries = rd(s, dir, "part")
-      .select(lower(col("p_name")).as("term")).distinct()
-      .withColumn("id", row_number().over(Window.orderBy("term")).cast("long") - 1)
+      .groupBy(lower(col("p_name")).as("term"))
+      .agg(min(col("p_partkey")).cast("long").as("id"))
     val refs = rd(s, dir, "documents")
       .select(col("doc_id").as("id"), substring(col("text"), 1, 40).as("term"))
     HeurFuzz.matchTable(queries, refs,
@@ -180,8 +186,8 @@ object SparkEntry {
       val parts = rd(s, dir, "part")
       val queries = parts.select(col("p_partkey").as("id"), lower(col("p_name")).as("term"))
         .filter(col("id") < 100)
-      val refs = parts.select(col("p_name").as("term")).distinct()
-        .withColumn("id", row_number().over(Window.orderBy("term")).cast("long") - 1)
+      val refs = parts.groupBy(col("p_name").as("term"))
+        .agg(min(col("p_partkey")).cast("long").as("id"))
       HeurFuzz.matchTable(queries, refs, HeurFuzz.Params(topK = 5, scoreCutoff = 80))
         .orderBy("q_id")
     }),
@@ -191,8 +197,8 @@ object SparkEntry {
       val parts = rd(s, dir, "part")
       val queries = parts.select(col("p_partkey").as("id"), lower(col("p_name")).as("term"))
         .filter(col("id") < 100)
-      val refs = parts.select(col("p_name").as("term")).distinct()
-        .withColumn("id", row_number().over(Window.orderBy("term")).cast("long") - 1)
+      val refs = parts.groupBy(col("p_name").as("term"))
+        .agg(min(col("p_partkey")).cast("long").as("id"))
       HeurFuzz.matchTable(queries, refs, HeurFuzz.Params(topK = 5, scoreCutoff = 80))
         .agg(round(avg(when(col("match") =!= "NA", 1.0).otherwise(0.0)) * 100, 2).as("map_ratio"))
     }),
@@ -311,11 +317,11 @@ object SparkEntry {
         )
         .orderBy("c_mktsegment")),
 
-    // scale bench pair: the SAME fuzzy match (64 distinct part names vs
-    // 5000 document-prefix refs) through the brute-force cross join vs the
-    // inverted-index equi-join (SURVEY §4.3). Rows-only correctness (UDF
-    // scorer); outputs must be identical between the two — the bench
-    // compares their cost.
+    // scale bench pair: the SAME fuzzy match (distinct part names vs
+    // document-prefix refs) through the brute-force cross join vs the
+    // inverted-index equi-join (SURVEY §4.3). Both share one SQL oracle
+    // (the full pipeline incl. the LCS scorer), so the driver hash-checks
+    // that the two paths agree with the reference semantics exactly.
     "q50_match_cross_5k" -> ((s, dir) => matchDocs(s, dir, inverted = false)),
     "q51_match_inverted_5k" -> ((s, dir) => matchDocs(s, dir, inverted = true)),
 
@@ -362,12 +368,30 @@ object SparkEntry {
         .select(col("doc_id"), Dedup.simhash(col("text"), bits = 16).as("simhash"))
         .orderBy("doc_id")),
 
-    // pillar dedup: n-gram Jaccard pair similarity
+    // pillar dedup: n-gram Jaccard pair similarity over the FULL corpus —
+    // prefix-filtered inverted-index join (AllPairs, rare-shingle-first),
+    // same result set as the oracle's all-pairs compare but with no
+    // cartesian in the plan. n=8 shingles + threshold 0.8 are the
+    // realistic near-dup settings: this corpus has only 377 DISTINCT
+    // 3-gram shingles total (median df 1062), so small-n shingles are
+    // non-discriminative for any exact filter, and sub-0.5 thresholds
+    // make the OUTPUT itself quadratic regardless of plan.
     "q33_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(
-          rd(s, dir, "documents").filter(col("doc_id") < 60), "doc_id", "text",
-          shingleN = 3, threshold = 0.4)
+          spread(s, rd(s, dir, "documents")), "doc_id", "text",
+          shingleN = 8, threshold = 0.8)
         .orderBy("id_a", "id_b")),
+
+    // pillar dedup: group resolution — near-dup pairs collapsed into
+    // (doc_id, keep_id) connected components via distributed min-label
+    // propagation (pairs alone are an edge list; THIS is the keep-one
+    // dedup output a training-data pipeline consumes)
+    "q52_dedup_groups" -> ((s, dir) => {
+      val docs = spread(s, rd(s, dir, "documents"))
+      val pairs = Dedup.nearDuplicates(docs, "doc_id", "text",
+        shingleN = 4, numHashes = 8, rowsPerBand = 4, threshold = 0.4)
+      Dedup.resolveGroups(docs, "doc_id", pairs).orderBy("doc_id")
+    }),
 
     // pillar dedup: embedding-cosine near-dup — IVF bucket equality as the
     // sub-quadratic prefilter (same-bucket pairs only), exact cosine verify
@@ -387,16 +411,13 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
-    // pillar dedup: SimHash hamming-distance candidate pairs
+    // pillar dedup: SimHash hamming-distance candidate pairs via
+    // multi-index banding (pigeonhole equi-join — no cross join; same
+    // result set as an all-pairs hamming filter, which the oracle runs)
     "q47_dedup_simhash_pairs" -> ((s, dir) => {
       val h = spread(s, rd(s, dir, "documents"))
         .select(col("doc_id"), Dedup.simhash(col("text"), 16).as("sh"))
-      h.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-        .crossJoin(h.select(col("doc_id").as("id_b"), col("sh").as("sh_b")))
-        .where(col("id_a") < col("id_b"))
-        .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
-        .filter(col("hamming") <= 2)
-        .select("id_a", "id_b", "hamming")
+      Dedup.simhashCandidates(h, "doc_id", "sh", bits = 16, maxHamming = 2)
         .orderBy("id_a", "id_b")
     }),
 
@@ -481,6 +502,33 @@ object SparkEntry {
         )
         .orderBy("hour_epoch", "event_type")),
 
+    // streaming: the SAME hourly aggregate as q40 but through the real
+    // Structured Streaming path — file source, watermarked tumbling
+    // window, memory sink, AvailableNow trigger run to completion. The
+    // q40-equivalent oracle makes the streaming engine itself (not a
+    // batch re-derivation) pass the correctness gate.
+    "q53_events_hourly_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      // the file-stream source monitors a DIRECTORY (its contract); stage
+      // the events file into one via symlink
+      val stage = java.nio.file.Files.createTempDirectory("graft-q53-")
+      java.nio.file.Files.createSymbolicLink(
+        stage.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val sinkTable = "q53_events_hourly_stream_sink"
+      if (s.catalog.tableExists(sinkTable)) s.catalog.dropTempView(sinkTable)
+      val q = graft.streaming.EventStream
+        .hourlyStream(s, stage.toString)
+        .writeStream
+        .format("memory")
+        .queryName(sinkTable)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      s.table(sinkTable).orderBy("hour_epoch", "event_type")
+    }),
+
     // events: backward as-of join — each click matched to the user's most
     // recent view at or before it (oracle = DuckDB's native ASOF JOIN)
     "q48_events_asof_join" -> ((s, dir) => {
@@ -531,6 +579,114 @@ object SparkEntry {
         .orderBy("doc_id"))
   )
 
+  /** Shared CTE chain for the MinHash-LSH near-dup pairs (q31 + q52),
+    * ending in `nd_pairs(id_a, id_b, jacc)`. Signature SQL is generated
+    * from the SAME constants Spark uses (TextFunctions.MinhashParams/
+    * MinhashP) so the two sides cannot drift.
+    */
+  private lazy val lshPairsCtes: String = {
+    val p = TextFunctions.MinhashP
+    val sigCols = TextFunctions.MinhashParams.zipWithIndex
+      .map { case ((a, b), i) =>
+        s"list_min(list_transform(hb, h -> (h * $a + $b) % $p)) AS m$i"
+      }
+      .mkString(",\n  ")
+    val rowsPerBand = 4
+    val bandSelects = (0 until TextFunctions.MinhashParams.length / rowsPerBand)
+      .map { bd =>
+        val key = (0 until rowsPerBand)
+          .map(r => s"m${bd * rowsPerBand + r}::VARCHAR")
+          .mkString(" || '|' || ")
+        s"SELECT doc_id, $bd AS band, $key AS key FROM sig"
+      }
+      .mkString("\n  UNION ALL ")
+    s"""d AS (SELECT doc_id,
+       |  list_distinct(list_transform(
+       |    list_transform(range(1, greatest(strlen(lower(text)) - 2, 1)), i -> substr(lower(text), i::INT, 4)),
+       |    g -> ('0x' || substr(md5(g), 1, 15))::BIGINT % $p)) AS hb
+       |  FROM documents),
+       |ok AS (SELECT * FROM d WHERE len(hb) > 0),
+       |sig AS (SELECT doc_id,
+       |  $sigCols
+       |  FROM ok),
+       |band AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM band x JOIN band y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+       |verified AS (
+       |  SELECT c.id_a, c.id_b,
+       |         len(list_intersect(da.hb, db.hb))::DOUBLE
+       |           / (len(da.hb) + len(db.hb) - len(list_intersect(da.hb, db.hb))) AS jacc
+       |  FROM cand c JOIN ok da ON da.doc_id = c.id_a JOIN ok db ON db.doc_id = c.id_b),
+       |nd_pairs AS (SELECT id_a, id_b, jacc FROM verified WHERE jacc >= 0.4)""".stripMargin
+  }
+
+  /** DuckDB CTE chain scoring Fuzz.partialRatioCutoff(aCol, bCol, cutoff)
+    * for every row of `src` — the same published bit-parallel Allison–Dix
+    * LCS the Spark scorer uses (functions/Fuzz.scala:41-68), evaluated
+    * over every RapidFuzz partial_ratio window through SQL lambdas. Ends
+    * in CTE `scored` = src.* + `score` BIGINT. Cross-validated against a
+    * port of the Spark scorer on 400+ random and edge-case pairs
+    * (tools/proto_partial_ratio.py). Needle must fit a BIGINT bit vector
+    * (< 63 chars; the testdata maximum is 40).
+    */
+  private def scorerCtes(src: String, aCol: String, bCol: String, cutoff: Int): String =
+    s"""pr1 AS (SELECT *,
+       |  CASE WHEN strlen($aCol) <= strlen($bCol) THEN lower($aCol) ELSE lower($bCol) END AS pr_s,
+       |  CASE WHEN strlen($aCol) <= strlen($bCol) THEN lower($bCol) ELSE lower($aCol) END AS pr_l
+       |  FROM $src),
+       |pr2 AS (SELECT *, strlen(pr_s) AS pr_m, strlen(pr_l) AS pr_n FROM pr1),
+       |pr3 AS (SELECT *,
+       |  CASE WHEN pr_m = 0 THEN 0 ELSE (1::BIGINT << pr_m) - 1 END AS pr_full,
+       |  list_transform(string_split(pr_l, ''), ch ->
+       |    list_sum(list_transform(range(1, pr_m + 1),
+       |      i -> CASE WHEN substr(pr_s, i::INT, 1) = ch THEN (1::BIGINT << (i::INT - 1)) ELSE 0::BIGINT END))::BIGINT) AS pr_ml
+       |  FROM pr2),
+       |pr4 AS (SELECT *,
+       |  list_concat(list_concat(
+       |    list_transform(range(1, pr_m), j -> {'wa': 1::INT, 'wb': j::INT}),
+       |    list_transform(range(1, pr_n - pr_m + 2), i -> {'wa': i::INT, 'wb': (i + pr_m - 1)::INT})),
+       |    list_transform(range(1, pr_m), j -> {'wa': (pr_n - j + 1)::INT, 'wb': pr_n::INT})) AS pr_wins
+       |  FROM pr3),
+       |pr5 AS (SELECT *,
+       |  CASE WHEN pr_m = 0 THEN (CASE WHEN pr_n = 0 THEN 100.0 ELSE 0.0 END)
+       |       ELSE list_max(list_transform(pr_wins, w ->
+       |         200.0 * (pr_m - bit_count(list_reduce(list_prepend(pr_full, list_slice(pr_ml, w.wa, w.wb)),
+       |                    (v, mk) -> ((v + (v & mk)) | (v & ~mk)) & pr_full)))
+       |           / (pr_m + (w.wb - w.wa + 1)))) END AS pr_best
+       |  FROM pr4),
+       |scored AS (SELECT *, CASE WHEN pr_best >= $cutoff THEN round(pr_best)::BIGINT ELSE 0::BIGINT END AS score FROM pr5)""".stripMargin
+
+  /** DuckDB CTE chain reproducing HeurFuzz.matchTable over arbitrary
+    * query/ref relations (each `SELECT ... id, ... term`): bigram
+    * coverage pairs -> per-query top-K -> partial_ratio verify -> argmax
+    * with the reference tie-breaks -> NA coalesce. Ends in CTE
+    * `mt(q_id, query, match)`.
+    */
+  private def matchPipelineCtes(qSql: String, rSql: String, topK: Int, cutoff: Int): String =
+    s"""mq AS ($qSql),
+       |mr AS ($rSql),
+       |qq AS (SELECT id AS q_id, term AS q_term, strlen(term) AS q_len,
+       |         list_transform(range(1, strlen(term)), i -> substr(term, i::INT, 2)) AS qb FROM mq),
+       |rr AS (SELECT id AS r_id, term AS r_term, strlen(term) AS r_len,
+       |         list_transform(range(1, strlen(term)), i -> substr(term, i::INT, 2)) AS rb FROM mr),
+       |prs AS (SELECT q_id, q_term, r_id, r_term,
+       |         CASE WHEN len(qb) = 0 THEN 0.0
+       |              ELSE len(list_filter(qb, g -> list_contains(rb, g)))::DOUBLE / len(qb) END AS coverage,
+       |         abs(q_len - r_len)::DOUBLE AS len_diff
+       |       FROM qq CROSS JOIN rr),
+       |topk AS (SELECT * EXCLUDE (rk) FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY coverage DESC, len_diff DESC, r_id DESC) AS rk FROM prs)
+       |  WHERE rk <= $topK),
+       |${scorerCtes("topk", "r_term", "q_term", cutoff)},
+       |kept AS (SELECT * FROM scored WHERE score > 0),
+       |best AS (SELECT q_id, r_term AS match FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, len_diff ASC, r_id DESC) AS brk FROM kept)
+       |  WHERE brk = 1),
+       |mt AS (SELECT mq.id AS q_id, mq.term AS query, coalesce(b.match, 'NA') AS match
+       |       FROM mq LEFT JOIN best b ON b.q_id = mq.id)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q01_scan_strip" ->
       """SELECT doc_id, regexp_replace(text, '^\s+|\s+$', '', 'g') AS term
@@ -554,6 +710,50 @@ object SparkEntry {
           |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY coverage DESC, len_diff DESC, r_id DESC) AS rank
           |  FROM pairs)
           |SELECT q_id, r_id, coverage, len_diff, rank FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin),
+
+    // the verify scorer over the q07 top-5 candidates (argument order
+    // matches the Spark query: partialRatioCutoff(r_name, q_name, 60))
+    "q09_fuzzy_score" ->
+      (partPairsSql +
+        s""", ranked AS (
+           |  SELECT q_id, r_id, row_number() OVER (PARTITION BY q_id ORDER BY coverage DESC, len_diff DESC, r_id DESC) AS rank
+           |  FROM pairs),
+           |topk AS (SELECT q_id, r_id FROM ranked WHERE rank <= 5),
+           |named AS (
+           |  SELECT t.q_id, t.r_id, q.q_name, r.r_name
+           |  FROM topk t JOIN q ON q.q_id = t.q_id JOIN r ON r.r_id = t.r_id),
+           |${scorerCtes("named", "r_name", "q_name", 60)}
+           |SELECT q_id, r_id, score FROM scored ORDER BY q_id, r_id""".stripMargin),
+
+    "q10_fuzzy_match" ->
+      s"""WITH ${matchPipelineCtes(
+           "SELECT p_partkey AS id, lower(p_name) AS term FROM part WHERE p_partkey < 100",
+           "SELECT min(p_partkey)::BIGINT AS id, p_name AS term FROM part GROUP BY p_name",
+           topK = 5, cutoff = 80)}
+         |SELECT q_id, query, match FROM mt ORDER BY q_id""".stripMargin,
+
+    "q11_map_ratio" ->
+      s"""WITH ${matchPipelineCtes(
+           "SELECT p_partkey AS id, lower(p_name) AS term FROM part WHERE p_partkey < 100",
+           "SELECT min(p_partkey)::BIGINT AS id, p_name AS term FROM part GROUP BY p_name",
+           topK = 5, cutoff = 80)}
+         |SELECT round(avg(CASE WHEN match <> 'NA' THEN 1.0 ELSE 0.0 END) * 100, 2) AS map_ratio FROM mt""".stripMargin,
+
+    // the full fuzzy pipeline at document scale — one oracle, BOTH Spark
+    // pair paths (q50 cross, q51 inverted) must match it bit-for-bit
+    "q50_match_cross_5k" ->
+      s"""WITH ${matchPipelineCtes(
+           "SELECT min(p_partkey)::BIGINT AS id, lower(p_name) AS term FROM part GROUP BY lower(p_name)",
+           "SELECT doc_id AS id, substr(text, 1, 40) AS term FROM documents",
+           topK = 10, cutoff = 70)}
+         |SELECT q_id, query, match FROM mt ORDER BY q_id""".stripMargin,
+
+    "q51_match_inverted_5k" ->
+      s"""WITH ${matchPipelineCtes(
+           "SELECT min(p_partkey)::BIGINT AS id, lower(p_name) AS term FROM part GROUP BY lower(p_name)",
+           "SELECT doc_id AS id, substr(text, 1, 40) AS term FROM documents",
+           topK = 10, cutoff = 70)}
+         |SELECT q_id, query, match FROM mt ORDER BY q_id""".stripMargin,
 
     "q12_ordered_export" ->
       "SELECT doc_id, lang, source FROM documents ORDER BY doc_id",
@@ -650,45 +850,24 @@ object SparkEntry {
       """SELECT md5(text) AS h, count(*) AS cnt, min(doc_id) AS keep_id
         |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin,
 
-    "q31_dedup_minhash_lsh" -> {
-      // signature SQL generated from the SAME constants Spark uses
-      // (TextFunctions.MinhashParams/MinhashP) so they cannot drift
-      val p = TextFunctions.MinhashP
-      val sigCols = TextFunctions.MinhashParams.zipWithIndex
-        .map { case ((a, b), i) =>
-          s"list_min(list_transform(hb, h -> (h * $a + $b) % $p)) AS m$i"
-        }
-        .mkString(",\n  ")
-      val rowsPerBand = 4
-      val bandSelects = (0 until TextFunctions.MinhashParams.length / rowsPerBand)
-        .map { bd =>
-          val key = (0 until rowsPerBand)
-            .map(r => s"m${bd * rowsPerBand + r}::VARCHAR")
-            .mkString(" || '|' || ")
-          s"SELECT doc_id, $bd AS band, $key AS key FROM sig"
-        }
-        .mkString("\n  UNION ALL ")
-      s"""WITH d AS (SELECT doc_id,
-         |  list_distinct(list_transform(
-         |    list_transform(range(1, greatest(strlen(lower(text)) - 2, 1)), i -> substr(lower(text), i::INT, 4)),
-         |    g -> ('0x' || substr(md5(g), 1, 15))::BIGINT % $p)) AS hb
-         |  FROM documents),
-         |ok AS (SELECT * FROM d WHERE len(hb) > 0),
-         |sig AS (SELECT doc_id,
-         |  $sigCols
-         |  FROM ok),
-         |band AS (
-         |  $bandSelects),
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-         |  FROM band x JOIN band y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
-         |verified AS (
-         |  SELECT c.id_a, c.id_b,
-         |         len(list_intersect(da.hb, db.hb))::DOUBLE
-         |           / (len(da.hb) + len(db.hb) - len(list_intersect(da.hb, db.hb))) AS jacc
-         |  FROM cand c JOIN ok da ON da.doc_id = c.id_a JOIN ok db ON db.doc_id = c.id_b)
-         |SELECT id_a, id_b, jacc FROM verified WHERE jacc >= 0.4 ORDER BY id_a, id_b""".stripMargin
-    },
+    "q31_dedup_minhash_lsh" ->
+      s"""WITH $lshPairsCtes
+         |SELECT id_a, id_b, jacc FROM nd_pairs ORDER BY id_a, id_b""".stripMargin,
+
+    // group resolution: transitive closure over the near-dup pair graph,
+    // min id per component (DuckDB recursive CTE; UNION dedupes so the
+    // recursion reaches a fixpoint despite cycles)
+    "q52_dedup_groups" ->
+      s"""WITH RECURSIVE $lshPairsCtes,
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM nd_pairs
+         |  UNION ALL
+         |  SELECT id_b AS src, id_a AS dst FROM nd_pairs),
+         |reach(id, r) AS (
+         |  SELECT doc_id::BIGINT, doc_id::BIGINT FROM documents
+         |  UNION
+         |  SELECT e.dst, w.r FROM reach w JOIN edges e ON e.src = w.id)
+         |SELECT id AS doc_id, min(r) AS keep_id FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
 
     "q32_simhash" -> {
       val bitSums = (0 until 16).map(b => s"sum(((hv >> $b) & 1) * 2 - 1) AS s$b").mkString(",\n  ")
@@ -702,12 +881,16 @@ object SparkEntry {
     },
 
     "q33_ngram_jaccard" ->
-      s"""WITH d AS (SELECT doc_id, ${docShinglesSql(3)} AS sh FROM documents WHERE doc_id < 60),
+      s"""WITH d AS (SELECT doc_id,
+         |  list_distinct(list_transform(${docShinglesSql(8)}, g -> ('0x' || substr(md5(g), 1, 15))::BIGINT)) AS sh
+         |  FROM documents),
+         |ok AS (SELECT * FROM d WHERE len(sh) > 0),
          |pairs AS (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |         len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) AS jacc
-         |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
-         |SELECT id_a, id_b, jacc FROM pairs WHERE jacc >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+         |         len(list_intersect(a.sh, b.sh))::DOUBLE
+         |           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jacc
+         |  FROM ok a JOIN ok b ON a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, jacc FROM pairs WHERE jacc >= 0.8 ORDER BY id_a, id_b""".stripMargin,
 
     "q46_dedup_embed_cosine" ->
       """WITH v AS (SELECT vec_id,
@@ -860,6 +1043,13 @@ object SparkEntry {
     "q42_events_user_stats" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // identical aggregate to q40 — the Spark side differs (streaming engine)
+    "q53_events_hourly_stream" ->
+      """SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch, event_type,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_epoch, event_type""".stripMargin,
 
     "q49_events_range_join" ->
       """WITH clicks AS (

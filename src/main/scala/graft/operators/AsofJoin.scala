@@ -31,6 +31,12 @@ object AsofJoin {
     * must not clash with left's columns. If the right side can hold
     * several rows per (key, ts), pre-aggregate it — otherwise "the" value
     * at a timestamp is ambiguous in ANY asof implementation.
+    *
+    * The right row's timestamp and ALL its values travel as ONE struct
+    * through a single last(ignoreNulls) — so the output never mixes
+    * values from different right rows, even when some right values are
+    * legitimately null (a per-column last() would skip a null value but
+    * not the row's other columns).
     */
   def asofBackward(
       left: DataFrame,
@@ -43,8 +49,13 @@ object AsofJoin {
     require(clash.isEmpty, s"right value columns clash with left columns: $clash")
 
     val l = left.withColumn("__side", lit(1))
-    val r = right.select((Seq(keyCol, tsCol) ++ valueCols).map(col): _*)
-      .withColumn("__side", lit(0))
+    val r = right
+      .select(
+        col(keyCol), col(tsCol), lit(0).as("__side"),
+        struct((tsCol +: valueCols).map(col): _*).as("__rv")
+      )
+    // left rows get a null __rv via allowMissingColumns; right rows carry
+    // their (ts, values*) as one non-null struct
     val unioned = l.unionByName(r, allowMissingColumns = true)
 
     val w = Window
@@ -52,16 +63,13 @@ object AsofJoin {
       .orderBy(col(tsCol).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val filled = valueCols.foldLeft(
-      unioned.withColumn(
-        s"asof_$tsCol",
-        last(when(col("__side") === 0, col(tsCol)), ignoreNulls = true).over(w))
-    ) { (df, vc) =>
-      df.withColumn(vc, last(col(vc), ignoreNulls = true).over(w))
-    }
-
-    filled
-      .filter(col("__side") === 1)
-      .drop("__side")
+    val filled = unioned.withColumn("__last", last(col("__rv"), ignoreNulls = true).over(w))
+    valueCols
+      .foldLeft(
+        filled
+          .filter(col("__side") === 1)
+          .withColumn(s"asof_$tsCol", col(s"__last.$tsCol"))
+      ) { (df, vc) => df.withColumn(vc, col(s"__last.$vc")) }
+      .drop("__side", "__rv", "__last")
   }
 }

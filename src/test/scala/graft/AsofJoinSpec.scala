@@ -38,6 +38,21 @@ class AsofJoinSpec extends SparkSpec {
     assert(rows(3) == ((4L, Some(21L), Some(299L)))) // u2@300 sees 299, not 301
   }
 
+  test("null right values do not mix rows: ts and value come from the SAME right row") {
+    // u1 has a newer right row whose value is legitimately NULL; the asof
+    // result must be (ts=200, val=NULL) — not ts=200 paired with the
+    // OLDER row's val=11 (the bug a per-column last(ignoreNulls) has)
+    val r = Seq(
+      ("u1", 100L, Some(11L)), ("u1", 200L, None)
+    ).toDF("user", "tsn", "val")
+    val l = Seq((1L, "u1", 250L)).toDF("event_id", "user", "tsn")
+    val row = AsofJoin.asofBackward(l, r, "user", "tsn", Seq("val"))
+      .select("event_id", "val", "asof_tsn").head()
+    assert(row.getLong(0) == 1L)
+    assert(row.isNullAt(1), "value must be the matched row's NULL, not an older row's value")
+    assert(row.getLong(2) == 200L)
+  }
+
   test("clashing value column names are rejected") {
     intercept[IllegalArgumentException] {
       AsofJoin.asofBackward(left, right.withColumnRenamed("val", "tsn2")

@@ -72,4 +72,83 @@ class DedupSpec extends SparkSpec {
     assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 1.0))
     assert(!pairs.exists(p => p._2 == 3L))
   }
+
+  test("ngramJaccardPairs: prefix-filtered result == brute-force all-pairs result") {
+    import spark.implicits._
+    // deterministic pseudo-random corpus with overlapping vocabulary so
+    // thresholds land both sides of 0.4
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta")
+    val corpus = (0 until 40).map { i =>
+      val txt = (0 until 6).map(j => words((i * 7 + j * 3) % words.length)).mkString(" ")
+      (i.toLong, txt)
+    }.toDF("doc_id", "text")
+    val fast = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // brute force over the same shingle sets
+    val withSh = corpus.select(col("doc_id"), Dedup.shingleSet(col("text"), 3).as("sh"))
+    val brute = withSh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      .crossJoin(withSh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("jacc", graft.functions.TextFunctions.jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jacc") >= 0.4)
+      .select("id_a", "id_b", "jacc")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(brute.nonEmpty, "fixture should produce at least one qualifying pair")
+    assert(fast == brute)
+  }
+
+  test("simhashCandidates: banded result == brute-force hamming filter; no crossJoin in plan") {
+    val h = docs.select(col("doc_id"), Dedup.simhash(col("text"), 16).as("sh"))
+    val banded = Dedup.simhashCandidates(h, "doc_id", "sh", bits = 16, maxHamming = 2)
+    val fast = banded.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = h.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      .crossJoin(h.select(col("doc_id").as("id_b"), col("sh").as("sh_b")))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
+      .filter(col("hamming") <= 2)
+      .select("id_a", "id_b", "hamming")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fast == brute)
+    val plan = banded.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"banded plan must not contain a cross join:\n$plan")
+  }
+
+  test("resolveGroups: chains collapse to min id, singletons keep themselves") {
+    import spark.implicits._
+    val verts = (0L to 6L).map(i => Tuple1(i)).toDF("doc_id")
+    // two components: {0,1,2,3} via a chain (0-1, 1-2, 2-3), {5,6}; 4 isolated
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val groups = Dedup.resolveGroups(verts, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("resolveGroups: label flows against edge direction too (cycle + reversed edge)") {
+    import spark.implicits._
+    val verts = (0L to 3L).map(i => Tuple1(i)).toDF("doc_id")
+    // edges given with the LARGER id first; component {0,1,2,3} as a cycle
+    val pairs = Seq((3L, 2L), (2L, 1L), (1L, 0L), (0L, 3L)).toDF("id_a", "id_b")
+    val groups = Dedup.resolveGroups(verts, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups.values.toSet == Set(0L))
+  }
+
+  test("simhashCandidates: pigeonhole holds across the full hamming<=2 ball (property)") {
+    import spark.implicits._
+    // signatures that differ from a base in 0, 1, 2, and 3 bit positions:
+    // everything at hamming <= 2 must be found, hamming 3 must not
+    val base = 0xBEEFL & 0xFFFFL
+    val sigs = Seq(
+      (0L, base),
+      (1L, base ^ 1L), // hamming 1 (band 0)
+      (2L, base ^ (1L << 7) ^ (1L << 8)), // hamming 2 (spans bands)
+      (3L, base ^ (1L << 1) ^ (1L << 6) ^ (1L << 12)) // hamming 3 — one flip per band
+    ).toDF("doc_id", "sh")
+    val pairs = Dedup.simhashCandidates(sigs, "doc_id", "sh", 16, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 2L)))
+    assert(!pairs.contains((0L, 3L)))
+  }
 }
