@@ -274,9 +274,13 @@ object Dedup {
       pairs: DataFrame,
       maxIter: Int = 25
   ): DataFrame = {
+    // materialize the edge list ONCE: `pairs` is usually an expensive
+    // pipeline (LSH near-dup detection), and every propagation round plus
+    // every convergence check would otherwise re-run it from scratch
     val edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
     var labels = docs
       .select(col(idCol).cast("long").as("id"), col(idCol).cast("long").as("keep_id"))
       .localCheckpoint()
