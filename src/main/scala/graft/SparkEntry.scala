@@ -576,8 +576,89 @@ object SparkEntry {
     "q41_multimodal_meta" -> ((s, dir) =>
       Multimodal.contentMeta(
           Multimodal.withContent(rd(s, dir, "documents"), "text"), "doc_id")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // events: sessionization — gap > 30 min starts a new session. Every
+    // window is partitioned by user_id (no global window); the classic
+    // lag -> flag -> running-sum plan, one shuffle on the key.
+    "q54_events_sessionize" -> ((s, dir) => {
+      val ev = rd(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("tsn"), col("event_id"))
+      val w = Window.partitionBy("user_id").orderBy(col("tsn").asc, col("event_id").asc)
+      ev
+        .withColumn("prev", lag(col("tsn"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev").isNull || col("tsn") - col("prev") > SessionGapMicros, 1L).otherwise(0L))
+        .withColumn("sess_id",
+          sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sess_id")
+        .agg(
+          min(col("tsn")).as("session_start"),
+          max(col("tsn")).as("session_end"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id", "sess_id")
+    }),
+
+    // pillar text analysis: C4-style quality filter — the keep/drop
+    // decision a training-data pipeline applies; thresholds shared with
+    // the generated oracle SQL so they cannot drift
+    "q55_quality_filter" -> ((s, dir) =>
+      spread(s, rd(s, dir, "documents"))
+        .select(
+          col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.meanTokenLength(col("text")).as("mean_tok_len"),
+          TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+          TextAnalysis.stopwordRatio(col("text")).as("en_score"))
+        .withColumn("keep",
+          col("n_tokens") >= QfMinTokens &&
+            col("mean_tok_len") >= QfMinMeanTokLen && col("mean_tok_len") <= QfMaxMeanTokLen &&
+            col("punct_ratio") <= QfMaxPunctRatio &&
+            col("en_score") >= QfMinStopwordRatio)
+        .orderBy("doc_id")),
+
+    // pillar text analysis: corpus-level top-50 token bigrams — the
+    // word-count shape (explode -> hash agg -> TakeOrdered top-k)
+    "q56_top_ngrams" -> ((s, dir) => {
+      val toks = TextFunctions.whitespaceTokens(lower(col("text")))
+      spread(s, rd(s, dir, "documents"))
+        .select(explode(when(size(toks) >= 2,
+          transform(sequence(lit(1), size(toks) - 1),
+            i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+          .otherwise(array().cast("array<string>"))).as("ng"))
+        .groupBy("ng")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("ng").asc)
+        .limit(50)
+    }),
+
+    // relational/pipeline: per-source corpus stats (partition-style audit
+    // a data pipeline runs before training)
+    "q57_source_stats" -> ((s, dir) =>
+      rd(s, dir, "documents")
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(octet_length(col("text")).cast("long")).as("sum_bytes"))
+        .withColumn("avg_bytes", col("sum_bytes").cast("double") / col("n_docs"))
+        .orderBy("source"))
   )
+
+  /** Sessionization gap (microseconds) — 4 hours (the testdata's events
+    * average ~100 min between a user's events, so a web-style 30-min gap
+    * would make nearly every event its own session).
+    */
+  private val SessionGapMicros: Long = 14400000000L
+
+  /** Quality-filter thresholds (shared between the Spark query and the
+    * generated oracle SQL).
+    */
+  private val QfMinTokens = 5L
+  private val QfMinMeanTokLen = 3.0
+  private val QfMaxMeanTokLen = 12.0
+  private val QfMaxPunctRatio = 0.2
+  private val QfMinStopwordRatio = 0.05
 
   /** Shared CTE chain for the MinHash-LSH near-dup pairs (q31 + q52),
     * ending in `nd_pairs(id_a, id_b, jacc)`. Signature SQL is generated
@@ -1077,6 +1158,45 @@ object SparkEntry {
         |       ('0x' || substr(md5(text), 1, 4))::BIGINT % 1024 AS width,
         |       ('0x' || substr(md5(text), 5, 4))::BIGINT % 1024 AS height,
         |       ('0x' || substr(md5(text), 9, 2))::BIGINT % 16 + 1 AS n_frames
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q54_events_sessionize" ->
+      s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS tsn, event_id FROM events),
+         |l AS (SELECT *, lag(tsn) OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS prev FROM ev),
+         |f AS (SELECT *, CASE WHEN prev IS NULL OR tsn - prev > $SessionGapMicros THEN 1 ELSE 0 END AS new_sess FROM l),
+         |c AS (SELECT *, (sum(new_sess) OVER (
+         |    PARTITION BY user_id ORDER BY tsn, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS sess_id FROM f)
+         |SELECT user_id, sess_id, min(tsn) AS session_start, max(tsn) AS session_end, count(*) AS n_events
+         |FROM c GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin,
+
+    "q55_quality_filter" -> {
+      val sw = TextAnalysis.EnglishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH m AS (SELECT doc_id,
+         |  CASE WHEN trim(text) = '' THEN 0 ELSE len($tokensSql) END AS n_tokens,
+         |  CASE WHEN trim(text) = '' THEN 0.0
+         |       ELSE list_sum(list_transform($tokensSql, t -> strlen(t)))::DOUBLE / len($tokensSql) END AS mean_tok_len,
+         |  CASE WHEN strlen(text) = 0 THEN 0.0
+         |       ELSE len(regexp_extract_all(text, '[!-/:-@\\[-`{-~]'))::DOUBLE / strlen(text) END AS punct_ratio,
+         |  CASE WHEN len($tokensLowerSql) = 0 THEN 0.0
+         |       ELSE len(list_filter($tokensLowerSql, t -> list_contains($sw, t)))::DOUBLE
+         |            / len($tokensLowerSql) END AS en_score
+         |  FROM documents)
+         |SELECT doc_id, n_tokens, mean_tok_len, punct_ratio, en_score,
+         |       (n_tokens >= $QfMinTokens AND mean_tok_len >= $QfMinMeanTokLen AND mean_tok_len <= $QfMaxMeanTokLen
+         |        AND punct_ratio <= $QfMaxPunctRatio AND en_score >= $QfMinStopwordRatio) AS keep
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
+
+    "q56_top_ngrams" ->
+      s"""WITH t AS (SELECT $tokensLowerSql AS toks FROM documents WHERE trim(text) <> ''),
+         |b AS (SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i::INT] || ' ' || toks[(i::INT)+1])) AS ng FROM t)
+         |SELECT ng, count(*) AS cnt FROM b GROUP BY ng ORDER BY cnt DESC, ng ASC LIMIT 50""".stripMargin,
+
+    "q57_source_stats" ->
+      """SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
+        |       sum(strlen(text))::BIGINT AS sum_bytes,
+        |       (sum(strlen(text))::BIGINT)::DOUBLE / count(*) AS avg_bytes
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin
   )
 }

@@ -1,8 +1,20 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+
+/** Typed output row of the (stub) decoder — the Dataset element type that
+  * keeps decodeFeatures on the Dataset API (Tungsten encoders, no RDD
+  * round-trip).
+  */
+case class MediaFeatures(
+    id: Long,
+    width: Int,
+    height: Int,
+    n_frames: Int,
+    features: Array[Float]
+)
 
 /** Multimodal column plumbing (builder-brief pillar): images/audio/video
   * ride through the engine as opaque `binary` columns plus typed metadata.
@@ -17,14 +29,9 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
-  /** Output schema of the (stub) decoder. */
-  val featureSchema: StructType = StructType(Seq(
-    StructField("id", LongType, nullable = false),
-    StructField("width", IntegerType, nullable = false),
-    StructField("height", IntegerType, nullable = false),
-    StructField("n_frames", IntegerType, nullable = false),
-    StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)
-  ))
+  /** Output schema of the (stub) decoder (= the MediaFeatures encoder's). */
+  val featureSchema: StructType =
+    org.apache.spark.sql.Encoders.product[MediaFeatures].schema
 
   /** Attach an opaque binary content column (testdata has no true media
     * blobs; UTF-8 bytes of the text column stand in — the engine treats
@@ -53,7 +60,7 @@ object Multimodal {
     * This stand-in derives deterministic pseudo-features from the bytes so
     * the distributed plumbing is fully exercisable and testable.
     */
-  private def stubDecode(id: Long, content: Array[Byte]): Row = {
+  private def stubDecode(id: Long, content: Array[Byte]): MediaFeatures = {
     // ??? <- real codec goes here; deterministic fake below
     val h = java.security.MessageDigest.getInstance("MD5").digest(content)
     def u(i: Int): Int = h(i) & 0xff
@@ -61,17 +68,19 @@ object Multimodal {
     val height = (u(2) << 8 | u(3)) % 1024
     val nFrames = u(4) % 16 + 1
     val features = Array.tabulate(8)(i => u(i * 2) / 255.0f)
-    Row(id, width, height, nFrames, features)
+    MediaFeatures(id, width, height, nFrames, features)
   }
 
-  /** mapPartitions feature extraction over (id, content) — the batch shape
-    * a production decode would use. Output schema = `featureSchema`.
+  /** Dataset.mapPartitions feature extraction over (id, content) — the
+    * batch shape a production decode would use (per-partition setup
+    * amortized; Tungsten encoders both directions, no RDD round-trip).
+    * Output schema = `featureSchema`.
     */
   def decodeFeatures(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
-    val rdd = df
-      .select(col(idCol).cast("long"), col("content"))
-      .rdd
-      .mapPartitions(_.map(r => stubDecode(r.getLong(0), r.getAs[Array[Byte]](1))))
-    spark.createDataFrame(rdd, featureSchema)
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, content) => stubDecode(id, content) })
+      .toDF()
   }
 }
