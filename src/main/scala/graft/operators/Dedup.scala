@@ -230,11 +230,20 @@ object Dedup {
     val prefixLen = (col("nsh") - ceil(lit(threshold) * col("nsh")) + 1).cast("int")
     val prefixes = ordered.select(
       col(idCol), col("nsh"),
-      explode(slice(transform(col("sg"), x => x("h")), lit(1), prefixLen)).as("h")
+      posexplode(slice(transform(col("sg"), x => x("h")), lit(1), prefixLen)).as(Seq("pos", "h"))
     )
-    // candidate generation stays NARROW (ids + sizes only) — the shingle
-    // arrays re-join after the distinct, so prefix-match multiplicity
-    // never replicates an array through a shuffle
+    // candidate generation stays NARROW (ids + sizes + positions only) —
+    // the shingle arrays re-join after the pair aggregation, so
+    // prefix-match multiplicity never replicates an array through a
+    // shuffle. PPJoin positional filter (Xiao et al., WWW'08): a pair
+    // with jacc >= t needs |A∩B| >= t/(1+t)·(|A|+|B|); its globally
+    // smallest shared shingle sits at 0-based positions (pa, pb) in BOTH
+    // rare-first lists (same global order), so the achievable overlap is
+    // at most 1 + min(|A|-pa-1, |B|-pb-1) — pairs whose bound falls short
+    // never reach the array verify. The 1e-9 slack keeps the double-math
+    // comparison conservative.
+    val alpha = lit(threshold / (1.0 + threshold)) * (col("nsh_a") + col("nsh_b"))
+    val ubound = lit(1) + least(col("nsh_a") - col("pa") - 1, col("nsh_b") - col("pb") - 1)
     val cands = prefixes.alias("a")
       .join(
         prefixes.alias("b"),
@@ -242,8 +251,14 @@ object Dedup {
           && col("a.nsh") * lit(threshold) <= col("b.nsh")
           && col("b.nsh") * lit(threshold) <= col("a.nsh")
       )
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
-      .distinct()
+      .select(
+        col(s"a.$idCol").as("id_a"), col("a.nsh").as("nsh_a"), col("a.pos").as("pos_a"),
+        col(s"b.$idCol").as("id_b"), col("b.nsh").as("nsh_b"), col("b.pos").as("pos_b")
+      )
+      .groupBy("id_a", "id_b", "nsh_a", "nsh_b")
+      .agg(min(col("pos_a")).as("pa"), min(col("pos_b")).as("pb"))
+      .filter(ubound.cast("double") + 1e-9 >= alpha)
+      .select("id_a", "id_b")
     val inter = size(array_intersect(col("hs_a"), col("hs_b"))).cast("double")
     cands
       .join(hashed.select(col(idCol).as("id_a"), col("hs").as("hs_a"), col("nsh").as("nsh_a")), Seq("id_a"))
