@@ -642,7 +642,39 @@ object SparkEntry {
           countDistinct(col("lang")).as("n_langs"),
           sum(octet_length(col("text")).cast("long")).as("sum_bytes"))
         .withColumn("avg_bytes", col("sum_bytes").cast("double") / col("n_docs"))
-        .orderBy("source"))
+        .orderBy("source")),
+
+    // pillar text analysis: per-document top-5 TF-IDF terms. The idf
+    // surrogate tf*N/df is a single integer-exact multiply + one IEEE
+    // divide, so ranks (and scores) match DuckDB bit-for-bit — a log()
+    // idf would hinge on libm ulp agreement across engines.
+    "q58_tfidf_top_terms" -> ((s, dir) => {
+      val docs = spread(s, rd(s, dir, "documents"))
+      val n = rd(s, dir, "documents").count()
+      val toks = docs.select(
+        col("doc_id"),
+        explode(TextFunctions.whitespaceTokens(lower(col("text")))).as("term"))
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
+      tf.join(dfreq, Seq("term"))
+        .withColumn("score", col("tf").cast("double") * lit(n) / col("df"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select("doc_id", "term", "tf", "df", "score", "rank")
+        .orderBy("doc_id", "rank")
+    }),
+
+    // pipeline: deterministic content-hash train/val split — stable under
+    // re-sharding/re-ingestion (the property a random() split lacks), and
+    // exact-dup documents always land in the same split
+    "q59_train_split" -> ((s, dir) =>
+      rd(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          (conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long") % 100).as("bucket"))
+        .withColumn("split", when(col("bucket") < 90, "train").otherwise("val"))
+        .orderBy("doc_id"))
   )
 
   /** Sessionization gap (microseconds) — 4 hours (the testdata's events
@@ -1197,6 +1229,22 @@ object SparkEntry {
       """SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
         |       sum(strlen(text))::BIGINT AS sum_bytes,
         |       (sum(strlen(text))::BIGINT)::DOUBLE / count(*) AS avg_bytes
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q58_tfidf_top_terms" ->
+      s"""WITH t AS (SELECT doc_id, unnest($tokensLowerSql) AS term FROM documents WHERE trim(text) <> ''),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |sc AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+         |         (tf.tf * (SELECT count(*) FROM documents))::DOUBLE / dfq.df AS score
+         |       FROM tf JOIN dfq USING (term)),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank FROM sc)
+         |SELECT doc_id, term, tf, df, score, rank FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+
+    "q59_train_split" ->
+      """SELECT doc_id,
+        |       ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 AS bucket,
+        |       CASE WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 < 90 THEN 'train' ELSE 'val' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }
