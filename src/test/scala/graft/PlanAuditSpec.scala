@@ -1,0 +1,50 @@
+package graft
+
+/** Physical-plan audit over EVERY registered query: the scale paths must
+  * not contain a cartesian (CartesianProduct / BroadcastNestedLoopJoin).
+  * Queries that are DOCUMENTED brute-force baselines or small-dimension
+  * coarse phases are allowlisted explicitly — anything new that
+  * introduces an all-pairs plan fails this spec.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  /** Queries allowed to contain a nested-loop/cartesian join, and why:
+    *   - q05/q07/q09: SURVEY §2 ops 4-6 ARE pair generation (30 queries
+    *     broadcast against a 200-row ref slice) — the operator under test.
+    *   - q10/q11/q50: the reference-faithful brute-force match path
+    *     (pairsCross); q51 is its scale-path twin and must stay clean.
+    *   - q34: the documented brute-force cosine top-k baseline the IVF
+    *     path (q43) exists to beat.
+    *   - q35/q43/q46: IVF coarse phase scores every vector against the
+    *     (tiny, broadcast) centroid set by definition.
+    *   - q51: the MAIN path is the bigram equi-join, but the plan always
+    *     carries the exact-parity FALLBACK branch — a cross join limited
+    *     to queries with fewer than topK indexed candidates (HeurFuzz
+    *     .pairsInverted) — so a BroadcastNestedLoopJoin node is present
+    *     by design even though almost no rows flow through it.
+    */
+  private val allowlist = Set(
+    "q05_pair_coverage", "q07_pair_topk", "q09_fuzzy_score",
+    "q10_fuzzy_match", "q11_map_ratio", "q50_match_cross_5k",
+    "q34_embed_cosine_topk", "q35_embed_ivf_assign", "q43_embed_ivf_topk",
+    "q46_dedup_embed_cosine", "q51_match_inverted_5k"
+  )
+
+  // q52 runs its propagation loop eagerly (actions inside the builder) and
+  // q53 runs a streaming query — both too heavy for a plan string check
+  // here; their plans are exercised by the correctness gate instead.
+  private val skipped = Set("q52_dedup_groups", "q53_events_hourly_stream")
+
+  private val dir = "/root/testdata/sf0.001"
+
+  for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+       if !allowlist.contains(name) && !skipped.contains(name)) {
+    test(s"$name: no cartesian in the physical plan") {
+      val plan = fn(spark, dir).queryExecution.executedPlan.toString
+      assert(
+        !plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"unexpected all-pairs join in $name:\n$plan"
+      )
+    }
+  }
+}
