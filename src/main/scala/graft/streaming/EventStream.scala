@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.Row
 
 /** Structured Streaming slice over the events table (builder-brief
@@ -72,4 +72,45 @@ object EventStream {
       .outputMode(OutputMode.Update())
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) => handle(transform(batch), id) }
+
+  /** Gap-based per-user session aggregate via Spark's native
+    * `session_window` — the same expression works on batch and streaming
+    * frames; in streaming mode Spark merges overlapping session state
+    * incrementally and the watermark closes sessions (state per OPEN
+    * session only, bounded by the watermark horizon, not event volume).
+    */
+  def sessionAggregate(events: DataFrame, gap: String, watermark: Option[String] = None): DataFrame = {
+    val src = withEventTime(events)
+    val marked = watermark.fold(src)(w => src.withWatermark("event_time", w))
+    marked
+      .groupBy(col("user_id"), session_window(col("event_time"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        unix_timestamp(col("session_window.start")).as("session_start"),
+        unix_timestamp(col("session_window.end")).as("session_end"),
+        col("n_events")
+      )
+  }
+
+  /** Custom arbitrary state (the mapGroupsWithState surface): a running
+    * per-user event count carried across micro-batches. Update-mode
+    * output — each batch emits the refreshed totals for the users it saw.
+    */
+  def runningUserCounts(spark: SparkSession, stream: DataFrame): Dataset[UserCount] = {
+    import spark.implicits._
+    stream
+      .select(col("user_id"))
+      .as[Long]
+      .groupByKey(identity)
+      .mapGroupsWithState[Long, UserCount](GroupStateTimeout.NoTimeout) {
+        (user: Long, events: Iterator[Long], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + events.size
+          state.update(n)
+          UserCount(user, n)
+      }
+  }
 }
+
+/** Output row of `runningUserCounts`. */
+case class UserCount(user_id: Long, n_events: Long)

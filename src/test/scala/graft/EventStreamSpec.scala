@@ -66,4 +66,57 @@ class EventStreamSpec extends SparkSpec {
   }
 
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
+
+  test("sessionAggregate: streaming session_window result matches the batch result") {
+    val dir = stageEventsDir()
+    val q = EventStream
+      .sessionAggregate(EventStream.readEventStream(spark, dir), "4 hours", Some("8 hours"))
+      .writeStream
+      .format("memory")
+      .queryName("session_stream_test")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = EventStream
+      .sessionAggregate(spark.read.parquet(s"$dir/events.parquet"), "4 hours")
+      .orderBy("user_id", "session_start")
+      .collect()
+      .toSeq
+    val streamed = spark
+      .table("session_stream_test")
+      .orderBy("user_id", "session_start")
+      .collect()
+      .toSeq
+    assert(batch.nonEmpty)
+    assert(batch.exists(_.getLong(3) > 1), "fixture should merge at least one multi-event session")
+    assert(streamed == batch)
+  }
+
+  test("runningUserCounts: mapGroupsWithState totals equal the batch group counts") {
+    val dir = stageEventsDir()
+    val q = EventStream
+      .runningUserCounts(spark, EventStream.readEventStream(spark, dir))
+      .writeStream
+      .format("memory")
+      .queryName("running_counts_test")
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val expected = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // update mode re-emits a user's total each batch; the LAST emission
+    // per user is the final running count
+    val got = spark.table("running_counts_test")
+      .groupBy("user_id").agg(org.apache.spark.sql.functions.max("n_events").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(expected.nonEmpty)
+    assert(got == expected)
+  }
 }
