@@ -665,6 +665,28 @@ object SparkEntry {
         .orderBy("doc_id", "rank")
     }),
 
+    // pillar similarity: one k-means centroid-update step (the iterate
+    // half of Lloyd's algorithm). Per-dimension means accumulate as
+    // QUANTIZED longs — exact and order-independent under any
+    // partitioning/AQE/retry schedule, unlike a float sum — then divide
+    // once. Long-form (centroid, dim) output keeps the compare scalar.
+    "q60_embed_centroid_update" -> ((s, dir) => {
+      val e = rd(s, dir, "embeddings")
+      val assign = Similarity.assignToCentroids(e, e.filter(col("vec_id") < 8), "vec_id", "embedding")
+        .select(col("id").as("vec_id"), col("centroid_id"))
+      val q = e
+        .select(col("vec_id"), posexplode(Similarity.asDouble(col("embedding"))).as(Seq("dim", "x")))
+        .select(
+          col("vec_id"),
+          col("dim").cast("long").as("dim"),
+          floor(col("x") * 1000000).cast("long").as("qx"))
+      assign.join(q, Seq("vec_id"))
+        .groupBy("centroid_id", "dim")
+        .agg(sum(col("qx")).as("sum_q"), count(lit(1)).as("n"))
+        .withColumn("mean_q", col("sum_q").cast("double") / col("n"))
+        .orderBy("centroid_id", "dim")
+    }),
+
     // pipeline: deterministic content-hash train/val split — stable under
     // re-sharding/re-ingestion (the property a random() split lacks), and
     // exact-dup documents always land in the same split
@@ -1245,6 +1267,28 @@ object SparkEntry {
       """SELECT doc_id,
         |       ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 AS bucket,
         |       CASE WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 < 90 THEN 'train' ELSE 'val' END AS split
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q60_embed_centroid_update" ->
+      """WITH v AS (SELECT vec_id,
+        |             list_transform(embedding, x -> floor(x::DOUBLE * 1000)::BIGINT) AS qv,
+        |             list_transform(embedding, x -> x::DOUBLE) AS dv
+        |           FROM embeddings),
+        |c AS (SELECT vec_id AS centroid_id, qv AS cv FROM v WHERE vec_id < 8),
+        |score AS (
+        |  SELECT v.vec_id AS id, c.centroid_id,
+        |         CAST(list_sum(list_transform(range(1, 65), i -> v.qv[i::INT] * c.cv[i::INT])) AS BIGINT) AS sc
+        |  FROM v CROSS JOIN c),
+        |assign AS (
+        |  SELECT id AS vec_id, centroid_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY sc DESC, centroid_id ASC) AS rk FROM score)
+        |  WHERE rk = 1),
+        |q AS (SELECT vec_id, i::BIGINT - 1 AS dim, floor(dv[i::INT] * 1000000)::BIGINT AS qx
+        |      FROM v, range(1, 65) t(i))
+        |SELECT a.centroid_id, q.dim,
+        |       sum(q.qx)::BIGINT AS sum_q, count(*) AS n,
+        |       (sum(q.qx)::BIGINT)::DOUBLE / count(*) AS mean_q
+        |FROM assign a JOIN q USING (vec_id)
+        |GROUP BY a.centroid_id, q.dim ORDER BY a.centroid_id, q.dim""".stripMargin
   )
 }

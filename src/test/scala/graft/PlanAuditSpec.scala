@@ -27,7 +27,8 @@ class PlanAuditSpec extends SparkSpec {
     "q05_pair_coverage", "q07_pair_topk", "q09_fuzzy_score",
     "q10_fuzzy_match", "q11_map_ratio", "q50_match_cross_5k",
     "q34_embed_cosine_topk", "q35_embed_ivf_assign", "q43_embed_ivf_topk",
-    "q46_dedup_embed_cosine", "q51_match_inverted_5k"
+    "q46_dedup_embed_cosine", "q51_match_inverted_5k",
+    "q60_embed_centroid_update"
   )
 
   // q52 runs its propagation loop eagerly (actions inside the builder) and
