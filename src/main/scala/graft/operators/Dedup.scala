@@ -275,13 +275,16 @@ object Dedup {
     * helper dedups with a set(),
     * /root/reference/src/example_helpers/parse_inputs.py:27-35).
     *
-    * Iterative min-label propagation: each round sends every vertex's
-    * current label across its edges and keeps the minimum — converges in
-    * O(max component diameter) rounds, each round one join + one
+    * Iterative min-label propagation WITH pointer jumping: each round
+    * every vertex takes the min over (its label, neighbors' labels, its
+    * label's label). The shortcut through the label table halves path
+    * lengths each round, so convergence is O(log n) rounds even for a
+    * long-chain component — maxIter 25 covers ~2^25-vertex diameters.
+    * Each round is one edge join + one label self-join + one min
     * aggregation, all distributed (the driver loop only counts changed
     * labels; no vertex data ever reaches the driver). localCheckpoint
-    * truncates the growing lineage per round. Near-dup components are
-    * short chains in practice, so rounds stay in the single digits.
+    * truncates the growing lineage per round. Throws if maxIter rounds
+    * were insufficient rather than returning silently-wrong labels.
     */
   def resolveGroups(
       docs: DataFrame,
@@ -305,8 +308,14 @@ object Dedup {
       val prop = edges
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .select(col("dst").as("id"), col("keep_id"))
+      // pointer jumping: every label is itself a vertex id, so following
+      // keep_id -> that vertex's keep_id halves chains each round
+      val jump = labels.alias("x")
+        .join(labels.alias("y"), col("x.keep_id") === col("y.id"))
+        .select(col("x.id").as("id"), col("y.keep_id").as("keep_id"))
       val next = labels
         .union(prop)
+        .union(jump)
         .groupBy("id")
         .agg(min("keep_id").as("keep_id"))
         .localCheckpoint()
@@ -318,6 +327,9 @@ object Dedup {
       labels = next
       iter += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"resolveGroups did not converge in $maxIter rounds ($changed labels still changing)")
     labels.select(col("id").as(idCol), col("keep_id"))
   }
 

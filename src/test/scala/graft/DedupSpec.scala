@@ -134,6 +134,18 @@ class DedupSpec extends SparkSpec {
     assert(groups.values.toSet == Set(0L))
   }
 
+  test("resolveGroups: pointer jumping converges a 60-vertex chain within the round budget") {
+    import spark.implicits._
+    // a pure chain 0-1-2-...-59 has diameter 59 — plain propagation needs
+    // ~59 rounds; pointer jumping must finish well inside maxIter=10
+    val n = 60
+    val verts = (0L until n).map(Tuple1(_)).toDF("doc_id")
+    val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val groups = Dedup.resolveGroups(verts, "doc_id", pairs, maxIter = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups.size == n.toInt && groups.values.forall(_ == 0L))
+  }
+
   test("simhashCandidates: pigeonhole holds across the full hamming<=2 ball (property)") {
     import spark.implicits._
     // signatures that differ from a base in 0, 1, 2, and 3 bit positions:
