@@ -36,11 +36,15 @@ object SparkEntry {
 
   /** The testdata's small tables arrive as one parquet file = one input
     * partition; hash-heavy per-row work (md5 shingles, simhash) would run
-    * single-core locally. Spread to the session's parallelism — at real
-    * cluster scale the inputs are many files and this is a no-op cost.
+    * single-core locally. Spread to the session's parallelism ONLY when
+    * the scan is under-partitioned — on a real cluster the inputs are
+    * many files and no shuffle is injected (an unconditional repartition
+    * would re-shuffle 100 TB for nothing).
     */
-  private def spread(s: SparkSession, df: DataFrame): DataFrame =
-    df.repartition(s.sparkContext.defaultParallelism)
+  private def spread(s: SparkSession, df: DataFrame): DataFrame = {
+    val target = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the reference's whole pipeline (fuzzy match of dirty part names
