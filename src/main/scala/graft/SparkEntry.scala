@@ -691,6 +691,28 @@ object SparkEntry {
         .orderBy("centroid_id", "dim")
     }),
 
+    // relational: TPC-H Q12-shape — fact-to-fact join + conditional CASE
+    // aggregation (high/low priority line counts per return flag)
+    "q61_priority_lines" -> ((s, dir) =>
+      rd(s, dir, "orders")
+        .join(rd(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") >= lit("2000-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("2001-01-01").cast("timestamp"))
+        .groupBy("l_returnflag")
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L)).as("low_line_count"))
+        .orderBy("l_returnflag")),
+
+    // relational: calendar bucketing — monthly order volume + revenue
+    "q62_monthly_orders" -> ((s, dir) =>
+      rd(s, dir, "orders")
+        .groupBy(unix_timestamp(date_trunc("month", col("o_orderdate"))).as("month_epoch"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+        .orderBy("month_epoch")),
+
     // pipeline: deterministic content-hash train/val split — stable under
     // re-sharding/re-ingestion (the property a random() split lacks), and
     // exact-dup documents always land in the same split
@@ -1266,6 +1288,20 @@ object SparkEntry {
          |       FROM tf JOIN dfq USING (term)),
          |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank FROM sc)
          |SELECT doc_id, term, tf, df, score, rank FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+
+    "q61_priority_lines" ->
+      """SELECT l_returnflag,
+        |       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+        |       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '2000-01-01' AND l_shipdate < TIMESTAMP '2001-01-01'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q62_monthly_orders" ->
+      """SELECT epoch(date_trunc('month', o_orderdate))::BIGINT AS month_epoch,
+        |       count(*) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY 1 ORDER BY month_epoch""".stripMargin,
 
     "q59_train_split" ->
       """SELECT doc_id,
