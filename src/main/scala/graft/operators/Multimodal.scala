@@ -74,13 +74,23 @@ object Multimodal {
   /** Dataset.mapPartitions feature extraction over (id, content) — the
     * batch shape a production decode would use (per-partition setup
     * amortized; Tungsten encoders both directions, no RDD round-trip).
-    * Output schema = `featureSchema`.
+    * Output schema = `featureSchema`. Defaults to the deterministic stub;
+    * pass a real codec via `decodeFeaturesWith` when one is available.
     */
-  def decodeFeatures(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
+  def decodeFeatures(spark: SparkSession, df: DataFrame, idCol: String): DataFrame =
+    decodeFeaturesWith(spark, df, idCol)(stubDecode)
+
+  /** As `decodeFeatures` but with a caller-supplied decoder — the
+    * extension point where a production image/audio codec plugs in
+    * (initialize per-partition state by wrapping the iterator instead of
+    * the element function if the codec has setup cost).
+    */
+  def decodeFeaturesWith(spark: SparkSession, df: DataFrame, idCol: String)(
+      decoder: (Long, Array[Byte]) => MediaFeatures): DataFrame = {
     import spark.implicits._
     df.select(col(idCol).cast("long"), col("content"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, content) => stubDecode(id, content) })
+      .mapPartitions(_.map { case (id, content) => decoder(id, content) })
       .toDF()
   }
 }

@@ -44,4 +44,13 @@ class MultimodalSpec extends SparkSpec {
       .orderBy("id").collect()
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
+
+  test("decodeFeaturesWith: a custom decoder plugs into the same plumbing") {
+    val src = Multimodal.withContent(docs, "text")
+    val out = Multimodal.decodeFeaturesWith(spark, src, "doc_id") { (id, content) =>
+      graft.operators.MediaFeatures(id, content.length, 0, 1, Array(content.length.toFloat))
+    }
+    val rows = out.orderBy("id").collect()
+    assert(rows.map(_.getInt(1)).toSeq == Seq(11, 0, 20)) // widths = byte lengths
+  }
 }
