@@ -704,6 +704,20 @@ object SparkEntry {
           sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L)).as("low_line_count"))
         .orderBy("l_returnflag")),
 
+    // relational: running windows — cumulative decimal-exact revenue and
+    // previous-order lookup per customer (partitioned windows only)
+    "q63_cumulative_revenue" -> ((s, dir) => {
+      val order = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      val running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rd(s, dir, "orders")
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(running).cast("double").as("cum_revenue"),
+          lag(col("o_orderkey"), 1).over(order).as("prev_orderkey"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // relational: calendar bucketing — monthly order volume + revenue
     "q62_monthly_orders" -> ((s, dir) =>
       rd(s, dir, "orders")
@@ -1296,6 +1310,14 @@ object SparkEntry {
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |WHERE l_shipdate >= TIMESTAMP '2000-01-01' AND l_shipdate < TIMESTAMP '2001-01-01'
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q63_cumulative_revenue" ->
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_revenue,
+        |       lag(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_orderkey
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q62_monthly_orders" ->
       """SELECT epoch(date_trunc('month', o_orderdate))::BIGINT AS month_epoch,
