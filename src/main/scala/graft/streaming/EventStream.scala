@@ -93,6 +93,18 @@ object EventStream {
       )
   }
 
+  /** Streaming exact dedup: drops rows whose key columns repeat within
+    * the watermark horizon — the streaming half of the dedup pillar
+    * (batch exact dedup is operators/Dedup.exactGroups). State holds one
+    * entry per DISTINCT key seen inside the horizon and is evicted by the
+    * watermark, so memory is bounded by key arrival rate × horizon, not
+    * stream length.
+    */
+  def dedupStream(events: DataFrame, keys: Seq[String], watermark: String): DataFrame =
+    withEventTime(events)
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** Custom arbitrary state (the mapGroupsWithState surface): a running
     * per-user event count carried across micro-batches. Update-mode
     * output — each batch emits the refreshed totals for the users it saw.

@@ -119,4 +119,31 @@ class EventStreamSpec extends SparkSpec {
     assert(expected.nonEmpty)
     assert(got == expected)
   }
+
+  test("dedupStream: duplicated input files collapse back to distinct events") {
+    // stage the SAME parquet twice -> the stream delivers every event
+    // twice; watermark-scoped dedup on event_id must restore the original
+    val dir = Files.createTempDirectory("graft-dup-events")
+    for (n <- Seq("a.parquet", "b.parquet"))
+      Files.copy(
+        Paths.get("/root/testdata/sf0.001/events.parquet"),
+        dir.resolve(n), StandardCopyOption.REPLACE_EXISTING)
+    val q = EventStream
+      .dedupStream(EventStream.readEventStream(spark, dir.toString), Seq("event_id"), "1 hour")
+      .writeStream
+      .format("memory")
+      .queryName("dedup_stream_test")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val expected = spark.read.parquet(s"$dir/a.parquet").count()
+    val got = spark.table("dedup_stream_test").count()
+    val gotDistinct = spark.table("dedup_stream_test").select("event_id").distinct().count()
+    assert(expected > 0)
+    assert(got == expected, s"expected $expected deduped events, got $got")
+    assert(gotDistinct == expected)
+  }
 }
