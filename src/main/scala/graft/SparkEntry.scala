@@ -727,6 +727,18 @@ object SparkEntry {
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
         .orderBy("month_epoch")),
 
+    // SQL surface: the codegen'd Catalyst expression invoked through
+    // spark.sql — gates the SparkSessionExtensions function (registered
+    // idempotently so it works on ANY caller's session) against the same
+    // LCS oracle as the Column API queries
+    "q64_sql_scorer" -> ((s, dir) => {
+      org.apache.spark.sql.graft.GraftExtensions.ensureRegistered(s)
+      rd(s, dir, "part").createOrReplaceTempView("graft_part_v")
+      s.sql(
+        """SELECT p_partkey, CAST(partial_ratio_cutoff(p_name, 'lavender', 50) AS BIGINT) AS score
+          |FROM graft_part_v ORDER BY p_partkey""".stripMargin)
+    }),
+
     // pipeline: deterministic content-hash train/val split — stable under
     // re-sharding/re-ingestion (the property a random() split lacks), and
     // exact-dup documents always land in the same split
@@ -1324,6 +1336,11 @@ object SparkEntry {
         |       count(*) AS n_orders,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM orders GROUP BY 1 ORDER BY month_epoch""".stripMargin,
+
+    "q64_sql_scorer" ->
+      s"""WITH named AS (SELECT p_partkey, p_name, 'lavender' AS probe FROM part),
+         |${scorerCtes("named", "p_name", "probe", 50)}
+         |SELECT p_partkey, score FROM scored ORDER BY p_partkey""".stripMargin,
 
     "q59_train_split" ->
       """SELECT doc_id,

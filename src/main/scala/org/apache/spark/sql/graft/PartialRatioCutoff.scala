@@ -66,13 +66,27 @@ object GraftFunctions {
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction((
-      FunctionIdentifier("partial_ratio_cutoff"),
-      new ExpressionInfo(classOf[PartialRatioCutoff].getName, "partial_ratio_cutoff"),
-      (children: Seq[Expression]) => {
-        if (children.length != 3)
-          throw new IllegalArgumentException(
-            s"partial_ratio_cutoff requires 3 arguments (a, b, cutoff); got ${children.length}")
-        PartialRatioCutoff(children(0), children(1), children(2))
-      }))
+    ext.injectFunction(GraftExtensions.registration)
+}
+
+object GraftExtensions {
+  val registration: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("partial_ratio_cutoff"),
+    new ExpressionInfo(classOf[PartialRatioCutoff].getName, "partial_ratio_cutoff"),
+    (children: Seq[Expression]) => {
+      if (children.length != 3)
+        throw new IllegalArgumentException(
+          s"partial_ratio_cutoff requires 3 arguments (a, b, cutoff); got ${children.length}")
+      PartialRatioCutoff(children(0), children(1), children(2))
+    })
+
+  /** Imperative per-session registration for sessions that were built
+    * WITHOUT `.withExtensions` (e.g. a host application's session):
+    * idempotently installs the same function the extension injects.
+    */
+  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val (id, info, builder) = registration
+    if (!spark.sessionState.functionRegistry.functionExists(id))
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+  }
 }
