@@ -103,12 +103,16 @@ object Dedup {
       threshold: Double = 0.4
   ): DataFrame = {
     val numBands = numHashes / rowsPerBand
+    // sorted ascending so the verify can use the merge-scan intersect
+    // expression (no per-row hash sets); minhash below is order-blind
     val withH = docs.select(
       col(idCol),
-      array_distinct(
-        transform(
-          TextFunctions.charShingles(lower(col(textCol)), shingleN),
-          g => TextFunctions.shingleBaseHash(g)
+      array_sort(
+        array_distinct(
+          transform(
+            TextFunctions.charShingles(lower(col(textCol)), shingleN),
+            g => TextFunctions.shingleBaseHash(g)
+          )
         )
       ).as("hs")
     )
@@ -133,7 +137,8 @@ object Dedup {
     // true self-join with the rename AFTER the join: both sides canonicalize
     // to the identical plan, so ReuseExchange materializes the banded
     // shuffle ONCE instead of recomputing shingles+hashes per side
-    val inter = size(array_intersect(col("hs_a"), col("hs_b"))).cast("double")
+    val inter = org.apache.spark.sql.graft.LongArrayIntersectSize
+      .column(col("hs_a"), col("hs_b")).cast("double")
     banded.alias("a")
       .join(
         banded.alias("b"),
@@ -207,13 +212,17 @@ object Dedup {
     // 60-bit md5 shingle hashes: every downstream shuffle/intersect runs
     // on longs instead of strings (collision odds ~2^-60 per shingle
     // pair), and a DuckDB oracle reproduces the hashes bit-for-bit.
+    // value-sorted for the merge-scan intersect at verify time (the
+    // rare-first ordering the prefix stage needs is built separately)
     val hashed = docs
       .select(
         col(idCol),
-        array_distinct(
-          transform(
-            shingleSet(col(textCol), shingleN),
-            g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")
+        array_sort(
+          array_distinct(
+            transform(
+              shingleSet(col(textCol), shingleN),
+              g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")
+            )
           )
         ).as("hs")
       )
@@ -259,7 +268,8 @@ object Dedup {
       .agg(min(col("pos_a")).as("pa"), min(col("pos_b")).as("pb"))
       .filter(ubound.cast("double") + 1e-9 >= alpha)
       .select("id_a", "id_b")
-    val inter = size(array_intersect(col("hs_a"), col("hs_b"))).cast("double")
+    val inter = org.apache.spark.sql.graft.LongArrayIntersectSize
+      .column(col("hs_a"), col("hs_b")).cast("double")
     cands
       .join(hashed.select(col(idCol).as("id_a"), col("hs").as("hs_a"), col("nsh").as("nsh_a")), Seq("id_a"))
       .join(hashed.select(col(idCol).as("id_b"), col("hs").as("hs_b"), col("nsh").as("nsh_b")), Seq("id_b"))
