@@ -718,6 +718,22 @@ object SparkEntry {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // relational: rank-family windows — dense_rank over tied order dates
+    // and ntile quartiles per market segment
+    "q65_order_rank_bands" -> ((s, dir) => {
+      val wDate = Window.partitionBy("c_mktsegment").orderBy(col("o_orderdate").asc)
+      val wPrice = Window.partitionBy("c_mktsegment")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      rd(s, dir, "orders")
+        .join(rd(s, dir, "customer").select("c_custkey", "c_mktsegment"),
+          col("o_custkey") === col("c_custkey"))
+        .select(
+          col("o_orderkey"), col("c_mktsegment"),
+          dense_rank().over(wDate).cast("long").as("date_rank"),
+          ntile(4).over(wPrice).cast("long").as("price_quartile"))
+        .orderBy("o_orderkey")
+    }),
+
     // relational: calendar bucketing — monthly order volume + revenue
     "q62_monthly_orders" -> ((s, dir) =>
       rd(s, dir, "orders")
@@ -1330,6 +1346,13 @@ object SparkEntry {
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_revenue,
         |       lag(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_orderkey
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q65_order_rank_bands" ->
+      """SELECT o_orderkey, c_mktsegment,
+        |       dense_rank() OVER (PARTITION BY c_mktsegment ORDER BY o_orderdate) AS date_rank,
+        |       ntile(4) OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey ASC) AS price_quartile
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q62_monthly_orders" ->
       """SELECT epoch(date_trunc('month', o_orderdate))::BIGINT AS month_epoch,
