@@ -603,6 +603,39 @@ object SparkEntry {
         .orderBy("user_id", "sess_id")
     }),
 
+    // relational: CUBE grouping sets (complements q26's ROLLUP)
+    "q66_cube_pricing" -> ((s, dir) =>
+      rd(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    // events: per-session ordered event-type paths (behavioral sequences
+    // — the feature shape session-based models train on). Reuses the q54
+    // session assignment; the path is an order-pinned collect.
+    "q67_session_paths" -> ((s, dir) => {
+      val ev = rd(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("tsn"), col("event_id"), col("event_type"))
+      val w = Window.partitionBy("user_id").orderBy(col("tsn").asc, col("event_id").asc)
+      ev
+        .withColumn("prev", lag(col("tsn"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev").isNull || col("tsn") - col("prev") > SessionGapMicros, 1L).otherwise(0L))
+        .withColumn("sess_id",
+          sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sess_id")
+        .agg(
+          array_join(
+            transform(
+              array_sort(collect_list(struct(col("tsn"), col("event_id"), col("event_type")))),
+              x => x("event_type")),
+            ">").as("path"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id", "sess_id")
+    }),
+
     // pillar text analysis: C4-style quality filter — the keep/drop
     // decision a training-data pipeline applies; thresholds shared with
     // the generated oracle SQL so they cannot drift
@@ -1290,6 +1323,25 @@ object SparkEntry {
          |    PARTITION BY user_id ORDER BY tsn, event_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS sess_id FROM f)
          |SELECT user_id, sess_id, min(tsn) AS session_start, max(tsn) AS session_end, count(*) AS n_events
+         |FROM c GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin,
+
+    "q66_cube_pricing" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q67_session_paths" ->
+      s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS tsn, event_id, event_type FROM events),
+         |l AS (SELECT *, lag(tsn) OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS prev FROM ev),
+         |f AS (SELECT *, CASE WHEN prev IS NULL OR tsn - prev > $SessionGapMicros THEN 1 ELSE 0 END AS new_sess FROM l),
+         |c AS (SELECT *, (sum(new_sess) OVER (
+         |    PARTITION BY user_id ORDER BY tsn, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS sess_id FROM f)
+         |SELECT user_id, sess_id,
+         |       string_agg(event_type, '>' ORDER BY tsn, event_id) AS path,
+         |       count(*) AS n_events
          |FROM c GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin,
 
     "q55_quality_filter" -> {
