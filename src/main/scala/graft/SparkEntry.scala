@@ -603,6 +603,23 @@ object SparkEntry {
         .orderBy("user_id", "sess_id")
     }),
 
+    // sources: JSON-lines round-trip — events written as sharded JSONL,
+    // read back with an explicit schema, aggregated; the oracle reads the
+    // parquet directly, so the JSON sink+source must preserve every value
+    // exactly (doubles survive via shortest-round-trip representation)
+    "q68_jsonl_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-jsonl-").toString
+      val ev = rd(s, dir, "events").select("event_id", "event_type", "value")
+      graft.sources.Readers.writeJsonLines(ev, s"$tmp/events")
+      graft.sources.Readers
+        .jsonLines(s, s"$tmp/events", "event_id BIGINT, event_type STRING, value DOUBLE")
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     // relational: CUBE grouping sets (complements q26's ROLLUP)
     "q66_cube_pricing" -> ((s, dir) =>
       rd(s, dir, "lineitem")
@@ -1324,6 +1341,11 @@ object SparkEntry {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS sess_id FROM f)
          |SELECT user_id, sess_id, min(tsn) AS session_start, max(tsn) AS session_end, count(*) AS n_events
          |FROM c GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin,
+
+    "q68_jsonl_roundtrip" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q66_cube_pricing" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_items,

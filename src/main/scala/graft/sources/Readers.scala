@@ -62,6 +62,16 @@ object Readers {
       .text(path)
       .select(TextFunctions.pyStrip(split(col("value"), "\\|").getItem(fieldIndex)).as("term"))
 
+  /** JSON-lines sink (one object per line, sharded). */
+  def writeJsonLines(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** JSON-lines source with an explicit schema (no inference scan — at
+    * 100 TB an inference pass would read the data twice).
+    */
+  def jsonLines(spark: SparkSession, path: String, schemaDdl: String): DataFrame =
+    spark.read.schema(schemaDdl).json(path)
+
   /** Distributed TSV sink, ordered by `orderCol`, single output file.
     * The `coalesce(1)` is CLI parity (the reference writes one file); at
     * cluster scale drop it and let the sink shard.
