@@ -620,6 +620,23 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // sources: hive-style partitioned parquet layout — documents written
+    // partitionBy(lang), read back through a partition filter (the scan
+    // lists only the lang=en directory — THE pruning pattern that makes
+    // a 100 TB corpus queryable), aggregate vs the unpartitioned oracle
+    "q69_partitioned_sink" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-part-").toString
+      rd(s, dir, "documents")
+        .write.mode("overwrite").partitionBy("lang").parquet(s"$tmp/docs")
+      s.read.parquet(s"$tmp/docs")
+        .filter(col("lang") === "en")
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(octet_length(col("text")).cast("long")).as("sum_bytes"))
+        .orderBy("source")
+    }),
+
     // relational: CUBE grouping sets (complements q26's ROLLUP)
     "q66_cube_pricing" -> ((s, dir) =>
       rd(s, dir, "lineitem")
@@ -1341,6 +1358,10 @@ object SparkEntry {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS sess_id FROM f)
          |SELECT user_id, sess_id, min(tsn) AS session_start, max(tsn) AS session_end, count(*) AS n_events
          |FROM c GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin,
+
+    "q69_partitioned_sink" ->
+      """SELECT source, count(*) AS n_docs, sum(strlen(text))::BIGINT AS sum_bytes
+        |FROM documents WHERE lang = 'en' GROUP BY source ORDER BY source""".stripMargin,
 
     "q68_jsonl_roundtrip" ->
       """SELECT event_type, count(*) AS n,

@@ -23,6 +23,13 @@ class RegistrySpec extends SparkSpec {
     assert(!plan.contains("l_comment"), "scan reads unprojected columns")
   }
 
+  test("partition pruning: q69's read scans only the lang=en partition") {
+    val plan = SparkEntry.queries("q69_partitioned_sink")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"),
+      s"partition filter missing from the scan:\n$plan")
+  }
+
   test("pushdown audit: q21 broadcasts both dimension joins") {
     val plan = SparkEntry.queries("q21_revenue_by_nation")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
