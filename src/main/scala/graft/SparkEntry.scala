@@ -515,7 +515,7 @@ object SparkEntry {
       import org.apache.spark.sql.streaming.Trigger
       // the file-stream source monitors a DIRECTORY (its contract); stage
       // the events file into one via symlink
-      val stage = java.nio.file.Files.createTempDirectory("graft-q53-")
+      val stage = Staging.dir("q53-")
       java.nio.file.Files.createSymbolicLink(
         stage.resolve("events.parquet"),
         java.nio.file.Paths.get(s"$dir/events.parquet"))
@@ -529,7 +529,13 @@ object SparkEntry {
         .outputMode("complete")
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination(300000)
+      // a timed-out stream would leave a PARTIAL memory sink — fail loudly
+      // instead of silently returning a nondeterministic prefix
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException("q53 stream did not finish within 300s")
+      }
+      Staging.discard(stage) // source fully drained; memory sink is resident
       s.table(sinkTable).orderBy("hour_epoch", "event_type")
     }),
 
@@ -608,7 +614,7 @@ object SparkEntry {
     // parquet directly, so the JSON sink+source must preserve every value
     // exactly (doubles survive via shortest-round-trip representation)
     "q68_jsonl_roundtrip" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-jsonl-").toString
+      val tmp = Staging.dir("jsonl-").toString
       val ev = rd(s, dir, "events").select("event_id", "event_type", "value")
       graft.sources.Readers.writeJsonLines(ev, s"$tmp/events")
       graft.sources.Readers
@@ -625,7 +631,7 @@ object SparkEntry {
     // lists only the lang=en directory — THE pruning pattern that makes
     // a 100 TB corpus queryable), aggregate vs the unpartitioned oracle
     "q69_partitioned_sink" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-part-").toString
+      val tmp = Staging.dir("part-").toString
       rd(s, dir, "documents")
         .write.mode("overwrite").partitionBy("lang").parquet(s"$tmp/docs")
       s.read.parquet(s"$tmp/docs")

@@ -302,6 +302,15 @@ object Dedup {
       pairs: DataFrame,
       maxIter: Int = 25
   ): DataFrame = {
+    // a non-integral id would silently cast to null below and propagate
+    // garbage keep_ids — reject it up front (fail-loudly contract)
+    val idType = docs.schema(idCol).dataType
+    require(
+      Seq(org.apache.spark.sql.types.ByteType,
+          org.apache.spark.sql.types.ShortType,
+          org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.LongType).contains(idType),
+      s"resolveGroups requires an integral id column; '$idCol' is $idType")
     // materialize the edge list ONCE: `pairs` is usually an expensive
     // pipeline (LSH near-dup detection), and every propagation round plus
     // every convergence check would otherwise re-run it from scratch

@@ -93,7 +93,8 @@ object Readers {
     */
   def writeTsvFile(df: DataFrame, orderCol: String, outputFile: String): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    val tmp = Files.createTempDirectory("graft-tsv-").resolve("out").toString
+    val stage = graft.Staging.dir("tsv-")
+    val tmp = stage.resolve("out").toString
     val ordered = df.orderBy(col(orderCol)).drop(orderCol).coalesce(1)
     ordered.write
       .mode("overwrite")
@@ -104,5 +105,6 @@ object Readers {
     val target = Paths.get(outputFile).toAbsolutePath
     if (target.getParent != null) Files.createDirectories(target.getParent)
     Files.move(part.toPath, target, StandardCopyOption.REPLACE_EXISTING)
+    graft.Staging.discard(stage)
   }
 }

@@ -108,6 +108,14 @@ object EventStream {
   /** Custom arbitrary state (the mapGroupsWithState surface): a running
     * per-user event count carried across micro-batches. Update-mode
     * output — each batch emits the refreshed totals for the users it saw.
+    *
+    * State tradeoff: counts are lifetime totals, so state holds one entry
+    * per distinct user EVER seen and grows with user cardinality — unlike
+    * the watermark-bounded operators above, nothing here is evicted. That
+    * is inherent to the semantics ("running count since stream start");
+    * a long-running deployment whose user space is unbounded should swap
+    * `NoTimeout` for `ProcessingTimeTimeout` + `setTimeoutDuration` and
+    * accept counts resetting for users idle past the TTL.
     */
   def runningUserCounts(spark: SparkSession, stream: DataFrame): Dataset[UserCount] = {
     import spark.implicits._
