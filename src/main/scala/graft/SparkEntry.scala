@@ -837,8 +837,232 @@ object SparkEntry {
           col("doc_id"),
           (conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long") % 100).as("bucket"))
         .withColumn("split", when(col("bucket") < 90, "train").otherwise("val"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // relational: PIVOT — month x order-priority count matrix. The value
+    // list is declared explicitly, so Spark skips the extra
+    // collect-distinct job a bare pivot() would run (one job, one
+    // shuffle — the scale-correct pivot form).
+    "q70_pivot_orders" -> ((s, dir) => {
+      val pivoted = rd(s, dir, "orders")
+        .groupBy(unix_timestamp(date_trunc("month", col("o_orderdate"))).as("month_epoch"))
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+      pivoted
+        .select(
+          col("month_epoch"),
+          coalesce(col("1-URGENT"), lit(0L)).as("n_urgent"),
+          coalesce(col("2-HIGH"), lit(0L)).as("n_high"),
+          coalesce(col("3-MEDIUM"), lit(0L)).as("n_medium"),
+          coalesce(col("4-NOT SPECIFIED"), lit(0L)).as("n_notspec"),
+          coalesce(col("5-LOW"), lit(0L)).as("n_low"))
+        .orderBy("month_epoch")
+    }),
+
+    // streaming: exact dedup through the real streaming engine —
+    // dropDuplicatesWithinWatermark over the file-source stream, memory
+    // sink, gated against a batch DISTINCT oracle (the projection to key
+    // columns makes "keeps ONE arbitrary row per key" deterministic)
+    "q71_stream_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val stage = Staging.dir("q71-")
+      java.nio.file.Files.createSymbolicLink(
+        stage.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val sinkTable = "q71_stream_dedup_sink"
+      if (s.catalog.tableExists(sinkTable)) s.catalog.dropTempView(sinkTable)
+      val deduped = graft.streaming.EventStream
+        .dedupStream(
+          graft.streaming.EventStream.readEventStream(s, stage.toString),
+          Seq("user_id", "event_type"), "24 hours")
+        .select("user_id", "event_type")
+      val q = deduped.writeStream
+        .format("memory")
+        .queryName(sinkTable)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException("q71 stream did not finish within 300s")
+      }
+      Staging.discard(stage)
+      s.table(sinkTable).orderBy("user_id", "event_type")
+    }),
+
+    // pillar similarity: signed-random-projection signatures (SimHash for
+    // embeddings) — each of the 16 Rademacher hyperplanes contributes the
+    // sign bit of its dot product; vectors hashing to the same signature
+    // are ANN candidates via a plain equi-join on `srp_sig` (the same
+    // pigeonhole banding Dedup.simhashCandidates uses would extend it to
+    // hamming>0). Hyperplanes are md5-derived constants shared with the
+    // generated oracle SQL.
+    "q72_embed_srp" -> ((s, dir) => {
+      val v = transform(col("embedding"), x => x.cast("double"))
+      val sig = SrpPlanes.zipWithIndex.map { case (p, b) =>
+        val plane = array(p.map(lit(_)): _*)
+        val dot = aggregate(
+          zip_with(v, plane, (x, w) => x * w), lit(0.0), (acc, x) => acc + x)
+        when(dot > 0.0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      rd(s, dir, "embeddings")
+        .select(col("vec_id"), sig.as("srp_sig"))
+        .withColumn("bucket_n",
+          count(lit(1)).over(Window.partitionBy("srp_sig")).cast("long"))
+        .orderBy("vec_id")
+    }),
+
+    // pillar text analysis: narrow token cleanup — drop single-char
+    // tokens, re-join; pure codegen'd projection (no shuffle)
+    "q73_text_normalize" -> ((s, dir) =>
+      spread(s, rd(s, dir, "documents"))
+        .select(
+          col("doc_id"),
+          array_join(filter(split(col("text"), " "), t => length(t) > 1), " ").as("clean"),
+          size(filter(split(col("text"), " "), t => length(t) <= 1)).cast("long").as("n_dropped"))
+        .orderBy("doc_id")),
+
+    // pillar text analysis: corpus-adaptive boilerplate removal — tokens
+    // whose document frequency exceeds 78% of the corpus are stripped
+    // from every document. The common-token set is produced
+    // distributively (df hash-agg vs a broadcast 1-row total; integer
+    // cross-multiplication, no float threshold) and applied via a
+    // broadcast LEFT ANTI join — no collect, no cartesian; order is
+    // restored from explode positions.
+    "q74_boilerplate_strip" -> ((s, dir) => {
+      val docs = spread(s, rd(s, dir, "documents")).select("doc_id", "text")
+      val toks = docs.select(
+        col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      val dfreq = toks.select("doc_id", "tok").distinct()
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+      val total = docs.agg(count(lit(1)).as("n_docs"))
+      val common = dfreq.crossJoin(broadcast(total))
+        .filter(col("df") * 100 > col("n_docs") * BoilerplateDfPct)
+        .select(col("tok").as("ctok"))
+      // `common` is derived FROM `toks`, so the anti join is a self-join:
+      // alias both sides or col("tok") can resolve into the right-hand
+      // lineage and make the condition trivially true (dropping every row)
+      val cleaned = toks.alias("t")
+        .join(broadcast(common.alias("c")), col("t.tok") === col("c.ctok"), "left_anti")
+        .groupBy("doc_id")
+        .agg(array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x("tok")),
+          " ").as("clean"))
+      docs.select("doc_id")
+        .join(cleaned, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("clean"), lit("")).as("clean"))
+        .orderBy("doc_id")
+    }),
+
+    // pipeline: stratified deterministic sampling — per-language keep
+    // rates applied through a content-stable hash bucket (reproducible
+    // under re-sharding, unlike rand(); exact-duplicate rows sample
+    // identically). Pure filter — pushes down, no shuffle.
+    "q75_stratified_sample" -> ((s, dir) =>
+      rd(s, dir, "documents")
+        .withColumn("bucket",
+          conv(substring(md5(concat(lit("split-"), col("doc_id"))), 1, 8), 16, 10)
+            .cast("long") % 100)
+        .withColumn("rate",
+          when(col("lang") === "en", lit(50L))
+            .when(col("lang") === "zh", lit(25L))
+            .otherwise(lit(10L)))
+        .filter(col("bucket") < col("rate"))
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")),
+
+    // pillar multimodal: the DECODE path itself through the oracle gate —
+    // Dataset.mapPartitions feature extraction (the per-partition batch
+    // shape a real codec plugs into), exploded to scalar rows so the
+    // md5-derived stub features hash-compare bit-for-bit vs DuckDB
+    "q76_multimodal_decode" -> ((s, dir) => {
+      val withC = Multimodal.withContent(spread(s, rd(s, dir, "documents")), "text")
+      Multimodal.decodeFeatures(s, withC, "doc_id")
+        .select(
+          col("id").as("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_frames").cast("long").as("n_frames"),
+          posexplode(col("features")).as(Seq("feat_idx", "feat_f")))
+        .select(
+          col("doc_id"), col("width"), col("height"), col("n_frames"),
+          col("feat_idx").cast("long").as("feat_idx"),
+          col("feat_f").cast("double").as("feat"))
+        .orderBy("doc_id", "feat_idx")
+    }),
+
+    // physical layout: bucketed co-located join — both fact tables are
+    // written bucketed+sorted on the join key, so the join runs with NO
+    // shuffle exchange on either side (BucketedJoinSpec asserts it): the
+    // pre-partitioning pattern that lets a 100 TB fact-fact join skip
+    // re-shuffling both inputs every query
+    "q77_bucketed_join" -> ((s, dir) => {
+      val tmp = Staging.dir("bucketed-").toString
+      s.sql("DROP TABLE IF EXISTS graft_li_bkt")
+      s.sql("DROP TABLE IF EXISTS graft_ord_bkt")
+      rd(s, dir, "lineitem").write.format("parquet")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$tmp/li").mode("overwrite").saveAsTable("graft_li_bkt")
+      rd(s, dir, "orders").write.format("parquet")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$tmp/ord").mode("overwrite").saveAsTable("graft_ord_bkt")
+      s.table("graft_li_bkt")
+        .join(s.table("graft_ord_bkt"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // relational: explicit GROUPING SETS (beyond q26 ROLLUP / q66 CUBE —
+    // the two marginals without the cross product)
+    "q78_grouping_sets" -> ((s, dir) => {
+      rd(s, dir, "lineitem").createOrReplaceTempView("graft_li_gs")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+          |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+          |FROM graft_li_gs
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+    }),
+
+    // events: lag/lead inter-arrival deltas per user — the
+    // feature-engineering window shape (both directions in ONE window
+    // spec = one shuffle on user_id, one sort)
+    "q79_event_deltas" -> ((s, dir) => {
+      val ev = rd(s, dir, "events")
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("tsn"))
+      val w = Window.partitionBy("user_id").orderBy(col("tsn").asc, col("event_id").asc)
+      ev
+        .withColumn("gap_before", col("tsn") - lag(col("tsn"), 1).over(w))
+        .withColumn("gap_after", lead(col("tsn"), 1).over(w) - col("tsn"))
+        .orderBy("event_id")
+    })
   )
+
+  /** Boilerplate-removal document-frequency threshold (percent of corpus;
+    * shared between the q74 Spark query and its generated oracle SQL).
+    */
+  private val BoilerplateDfPct = 78L
+
+  /** Signed-random-projection hyperplanes: 16 planes x 64 dims of
+    * Rademacher +-1 entries derived from md5 parity, so the Spark query
+    * and the generated oracle SQL share one deterministic source of truth
+    * (the same generate-from-constants pattern as MinhashParams).
+    */
+  private lazy val SrpPlanes: Seq[Seq[Int]] = {
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    (0 until 16).map { p =>
+      (0 until 64).map { d =>
+        val h = mdig.digest(s"srp-$p-$d".getBytes("UTF-8"))
+        if ((h(0) & 1) == 0) 1 else -1
+      }
+    }
+  }
 
   /** Sessionization gap (microseconds) — 4 hours (the testdata's events
     * average ~100 min between a user's events, so a web-style 30-min gap
@@ -1492,6 +1716,84 @@ object SparkEntry {
         |       sum(q.qx)::BIGINT AS sum_q, count(*) AS n,
         |       (sum(q.qx)::BIGINT)::DOUBLE / count(*) AS mean_q
         |FROM assign a JOIN q USING (vec_id)
-        |GROUP BY a.centroid_id, q.dim ORDER BY a.centroid_id, q.dim""".stripMargin
+        |GROUP BY a.centroid_id, q.dim ORDER BY a.centroid_id, q.dim""".stripMargin,
+
+    "q70_pivot_orders" ->
+      """SELECT epoch(date_trunc('month', o_orderdate))::BIGINT AS month_epoch,
+        |  sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)::BIGINT AS n_urgent,
+        |  sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)::BIGINT AS n_high,
+        |  sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END)::BIGINT AS n_medium,
+        |  sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END)::BIGINT AS n_notspec,
+        |  sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END)::BIGINT AS n_low
+        |FROM orders GROUP BY 1 ORDER BY month_epoch""".stripMargin,
+
+    "q71_stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type",
+
+    "q72_embed_srp" -> {
+      val planeSum = SrpPlanes.zipWithIndex.map { case (p, b) =>
+        val lst = p.mkString("[", ", ", "]")
+        s"CASE WHEN list_sum(list_transform(range(1, 65), i -> v[i::INT] * ($lst)[i::INT])) > 0 THEN ${1L << b} ELSE 0 END"
+      }.mkString("(", " + ", ")")
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         |s AS (SELECT vec_id, $planeSum::BIGINT AS srp_sig FROM e)
+         |SELECT vec_id, srp_sig, (count(*) OVER (PARTITION BY srp_sig))::BIGINT AS bucket_n
+         |FROM s ORDER BY vec_id""".stripMargin
+    },
+
+    "q73_text_normalize" ->
+      """SELECT doc_id,
+        |       array_to_string(list_filter(string_split(text, ' '), t -> strlen(t) > 1), ' ') AS clean,
+        |       len(list_filter(string_split(text, ' '), t -> strlen(t) <= 1))::BIGINT AS n_dropped
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q74_boilerplate_strip" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |tok AS (SELECT DISTINCT doc_id, unnest(toks) AS tok FROM d),
+         |dfreq AS (SELECT tok, count(*) AS df FROM tok GROUP BY tok),
+         |tot AS (SELECT count(*) AS n_docs FROM d),
+         |common AS (SELECT coalesce(list(tok), []) AS cl FROM dfreq, tot WHERE df * 100 > n_docs * $BoilerplateDfPct)
+         |SELECT doc_id,
+         |       coalesce(array_to_string(list_filter(toks, t -> NOT list_contains(cl, t)), ' '), '') AS clean
+         |FROM d, common ORDER BY doc_id""".stripMargin,
+
+    "q75_stratified_sample" ->
+      """SELECT doc_id, lang, source
+        |FROM documents
+        |WHERE ('0x' || substr(md5('split-' || doc_id), 1, 8))::BIGINT % 100
+        |      < CASE WHEN lang = 'en' THEN 50 WHEN lang = 'zh' THEN 25 ELSE 10 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "q76_multimodal_decode" ->
+      """WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents)
+        |SELECT doc_id,
+        |       ('0x' || substr(hx, 1, 4))::BIGINT % 1024 AS width,
+        |       ('0x' || substr(hx, 5, 4))::BIGINT % 1024 AS height,
+        |       ('0x' || substr(hx, 9, 2))::BIGINT % 16 + 1 AS n_frames,
+        |       r.range AS feat_idx,
+        |       ('0x' || substr(hx, (4 * r.range + 1)::INT, 2))::INT / 256.0 AS feat
+        |FROM h, range(0, 8) r
+        |ORDER BY doc_id, feat_idx""".stripMargin,
+
+    "q77_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q78_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q79_event_deltas" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS tsn,
+        |       epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS gap_before,
+        |       lead(epoch_us(ts), 1) OVER w - epoch_us(ts) AS gap_after
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC)
+        |ORDER BY event_id""".stripMargin
   )
 }

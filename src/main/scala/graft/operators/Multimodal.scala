@@ -67,7 +67,11 @@ object Multimodal {
     val width = (u(0) << 8 | u(1)) % 1024
     val height = (u(2) << 8 | u(3)) % 1024
     val nFrames = u(4) % 16 + 1
-    val features = Array.tabulate(8)(i => u(i * 2) / 255.0f)
+    // 256 (power of two), not 255: u/256 is exactly representable in
+    // float32, which makes the stub's output bit-reproducible from SQL
+    // (the q76 DuckDB oracle recomputes it from md5 hex) — no float
+    // double-rounding hazard
+    val features = Array.tabulate(8)(i => u(i * 2) / 256.0f)
     MediaFeatures(id, width, height, nFrames, features)
   }
 

@@ -1,0 +1,27 @@
+package graft
+
+/** q77's whole point is the physical layout: both fact tables bucketed +
+  * sorted on the join key, so the fact-fact join needs NO shuffle
+  * exchange on either input (the property that lets a 100 TB join skip
+  * re-shuffling both sides every query). The correctness gate checks the
+  * values; this spec pins the plan.
+  */
+class BucketedJoinSpec extends SparkSpec {
+
+  test("q77: bucketed fact-fact join plans without a shuffle on either join key") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // force the sort-merge path: a broadcast join would trivially have no
+    // exchange and prove nothing about the bucketing
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("q77_bucketed_join")(spark, "/root/testdata/sf0.001")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join:\n$plan")
+      assert(
+        !plan.contains("Exchange hashpartitioning(l_orderkey") &&
+          !plan.contains("Exchange hashpartitioning(o_orderkey"),
+        s"bucketed join still shuffles a side:\n$plan")
+      assert(plan.contains("SelectedBucketsCount"), s"scan is not bucket-aware:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}

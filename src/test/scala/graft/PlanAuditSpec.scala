@@ -22,19 +22,26 @@ class PlanAuditSpec extends SparkSpec {
     *     to queries with fewer than topK indexed candidates (HeurFuzz
     *     .pairsInverted) — so a BroadcastNestedLoopJoin node is present
     *     by design even though almost no rows flow through it.
+    *   - q74: joins the token-df table against a broadcast ONE-ROW corpus
+    *     total (the distributed alternative to a driver-side count) —
+    *     a 1-row nested-loop broadcast, not an all-pairs plan.
     */
   private val allowlist = Set(
     "q05_pair_coverage", "q07_pair_topk", "q09_fuzzy_score",
     "q10_fuzzy_match", "q11_map_ratio", "q50_match_cross_5k",
     "q34_embed_cosine_topk", "q35_embed_ivf_assign", "q43_embed_ivf_topk",
     "q46_dedup_embed_cosine", "q51_match_inverted_5k",
-    "q60_embed_centroid_update"
+    "q60_embed_centroid_update", "q74_boilerplate_strip"
   )
 
-  // q52 runs its propagation loop eagerly (actions inside the builder) and
-  // q53 runs a streaming query — both too heavy for a plan string check
-  // here; their plans are exercised by the correctness gate instead.
-  private val skipped = Set("q52_dedup_groups", "q53_events_hourly_stream")
+  // q52 runs its propagation loop eagerly (actions inside the builder),
+  // q53/q71 run streaming queries, and q77 writes bucketed tables — all
+  // execute work inside the builder, too heavy for a plan string check
+  // here; their plans are exercised by the correctness gate (and q77 by
+  // BucketedJoinSpec).
+  private val skipped = Set(
+    "q52_dedup_groups", "q53_events_hourly_stream", "q71_stream_dedup",
+    "q77_bucketed_join")
 
   private val dir = "/root/testdata/sf0.001"
 
