@@ -214,6 +214,12 @@ object Dedup {
     // pair), and a DuckDB oracle reproduces the hashes bit-for-bit.
     // value-sorted for the merge-scan intersect at verify time (the
     // rare-first ordering the prefix stage needs is built separately)
+    // lazily checkpointed: `hashed` is referenced FOUR times in the DAG
+    // (document-frequency count, rare-first reorder, and both verify-side
+    // array re-joins) — without the checkpoint every branch would redo
+    // the md5-per-shingle hashing, the dominant CPU cost. Lazy (not
+    // eager) so building the plan stays action-free; the first action
+    // materializes it once into the block manager.
     val hashed = docs
       .select(
         col(idCol),
@@ -228,6 +234,7 @@ object Dedup {
       )
       .withColumn("nsh", size(col("hs")))
       .filter(col("nsh") > 0)
+      .localCheckpoint(false)
     val ex = hashed.select(col(idCol), col("nsh"), explode(col("hs")).as("h"))
     val freq = ex.groupBy("h").agg(count(lit(1)).as("df"))
     // each doc's shingles re-assembled rare-first; (df, h) is a total
@@ -237,10 +244,13 @@ object Dedup {
       .groupBy(col(idCol), col("nsh"))
       .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("sg"))
     val prefixLen = (col("nsh") - ceil(lit(threshold) * col("nsh")) + 1).cast("int")
+    // checkpointed for the same reason: the candidate stage self-joins
+    // `prefixes`, which would otherwise recompute the df-join + reorder
+    // on both sides
     val prefixes = ordered.select(
       col(idCol), col("nsh"),
       posexplode(slice(transform(col("sg"), x => x("h")), lit(1), prefixLen)).as(Seq("pos", "h"))
-    )
+    ).localCheckpoint(false)
     // candidate generation stays NARROW (ids + sizes + positions only) —
     // the shingle arrays re-join after the pair aggregation, so
     // prefix-match multiplicity never replicates an array through a
@@ -318,38 +328,49 @@ object Dedup {
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint()
-    var labels = docs
-      .select(col(idCol).cast("long").as("id"), col(idCol).cast("long").as("keep_id"))
+    // iterate ONLY over edge-touched vertices: at realistic near-dup
+    // density (~0.02% of pairs at j>=0.8 on this corpus) the propagation
+    // frames are orders of magnitude smaller than the corpus; every
+    // untouched doc is a singleton (keep_id = id) and is merged back in
+    // one final left join instead of riding through every round
+    var labels = edges
+      .select(col("src").as("id"))
+      .distinct()
+      .select(col("id"), col("id").as("keep_id"))
       .localCheckpoint()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
       val prop = edges
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
-        .select(col("dst").as("id"), col("keep_id"))
+        .select(col("dst").as("id"), col("keep_id"), lit(null).cast("long").as("old_keep"))
       // pointer jumping: every label is itself a vertex id, so following
       // keep_id -> that vertex's keep_id halves chains each round
       val jump = labels.alias("x")
         .join(labels.alias("y"), col("x.keep_id") === col("y.id"))
-        .select(col("x.id").as("id"), col("y.keep_id").as("keep_id"))
+        .select(col("x.id").as("id"), col("y.keep_id").as("keep_id"),
+          lit(null).cast("long").as("old_keep"))
+      // the previous label rides along as `old_keep` (max ignores the
+      // nulls from the other branches), so the convergence check is a
+      // scan of THIS checkpointed frame — no extra join+shuffle per round
       val next = labels
+        .select(col("id"), col("keep_id"), col("keep_id").as("old_keep"))
         .union(prop)
         .union(jump)
         .groupBy("id")
-        .agg(min("keep_id").as("keep_id"))
+        .agg(min("keep_id").as("keep_id"), max("old_keep").as("old_keep"))
         .localCheckpoint()
-      changed = next
-        .alias("n")
-        .join(labels.alias("o"), Seq("id"))
-        .filter(col("n.keep_id") =!= col("o.keep_id"))
-        .count()
-      labels = next
+      changed = next.filter(col("keep_id") =!= col("old_keep")).count()
+      labels = next.select("id", "keep_id")
       iter += 1
     }
     if (changed > 0)
       throw new IllegalStateException(
         s"resolveGroups did not converge in $maxIter rounds ($changed labels still changing)")
-    labels.select(col("id").as(idCol), col("keep_id"))
+    docs
+      .select(col(idCol).cast("long").as("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id").as(idCol), coalesce(col("keep_id"), col("id")).as("keep_id"))
   }
 
   /** SimHash near-dup candidate pairs via multi-index hamming banding:
