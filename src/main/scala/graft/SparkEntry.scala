@@ -1041,6 +1041,82 @@ object SparkEntry {
         .withColumn("gap_before", col("tsn") - lag(col("tsn"), 1).over(w))
         .withColumn("gap_after", lead(col("tsn"), 1).over(w) - col("tsn"))
         .orderBy("event_id")
+    }),
+
+    // pipeline: CDC merge/upsert — a deterministic change set (updates to
+    // every 7th key, inserts beyond the key space) applied to the base
+    // table through ONE full-outer equi-join + coalesce: the MERGE INTO
+    // plan shape, one shuffle on the merge key, no row ever read twice
+    "q80_merge_upsert" -> ((s, dir) => {
+      val base = rd(s, dir, "orders").select(
+        col("o_orderkey"),
+        col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+      val changes = base.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+          (col("price") + lit(100).cast("decimal(18,2)")).cast("decimal(18,2)").as("price"))
+        .unionByName(
+          base.filter(col("o_orderkey") % 11 === 0)
+            .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+              lit("I").as("o_orderstatus"), col("price")))
+      base.alias("b")
+        .join(changes.alias("c"), Seq("o_orderkey"), "full_outer")
+        .select(
+          col("o_orderkey"),
+          coalesce(col("c.o_orderstatus"), col("b.o_orderstatus")).as("o_orderstatus"),
+          coalesce(col("c.price"), col("b.price")).cast("double").as("price"))
+        .orderBy("o_orderkey")
+    }),
+
+    // pipeline: CDC compaction / keep-newest — collapse each business key
+    // to its latest version (desc ts, event_id tie-break): the standard
+    // log-to-snapshot step; one shuffle on the key, WindowGroupLimit
+    // prunes non-winners before the final sort
+    "q81_dedup_latest" -> ((s, dir) => {
+      val ev = rd(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("ts div 1000").as("tsn"), col("value"))
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("tsn").desc, col("event_id").desc)
+      ev.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .drop("rn")
+        .orderBy("user_id", "event_type")
+    }),
+
+    // pillar similarity: int8 scalar quantization of embeddings (the
+    // compression step before shipping vectors to an ANN index) — exact
+    // per-vector max-abs scale; all-integer-or-IEEE-deterministic math so
+    // the codes reproduce bit-for-bit from SQL
+    "q82_embed_quantize" -> ((s, dir) => {
+      val v = transform(col("embedding"), x => x.cast("double"))
+      rd(s, dir, "embeddings")
+        .select(col("vec_id"), v.as("v"))
+        .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
+        .select(col("vec_id"), col("mx"), posexplode(col("v")).as(Seq("dim", "x")))
+        .select(
+          col("vec_id"),
+          col("dim").cast("long").as("dim"),
+          when(col("mx") === 0.0, lit(0L))
+            .otherwise(floor(col("x") / col("mx") * 127).cast("long")).as("q"))
+        .orderBy("vec_id", "dim")
+    }),
+
+    // custom typed UDAF (Aggregator surface): quantity-weighted mean
+    // price per return flag — integer-cents buffer, map-side combinable,
+    // one double division at finish (order-independent, oracle-exact)
+    "q83_weighted_avg" -> ((s, dir) => {
+      val wavg = udaf(graft.functions.Aggregators.WeightedMean)
+      rd(s, dir, "lineitem")
+        .select(
+          col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"),
+          col("l_quantity").cast("long").as("qty"))
+        .groupBy("l_returnflag")
+        .agg(
+          wavg(col("cents"), col("qty")).as("w_avg_price"),
+          count(lit(1)).as("n_items"))
+        .orderBy("l_returnflag")
     })
   )
 
@@ -1794,6 +1870,45 @@ object SparkEntry {
         |       lead(epoch_us(ts), 1) OVER w - epoch_us(ts) AS gap_after
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC)
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+
+    "q80_merge_upsert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders),
+        |changes AS (
+        |  SELECT o_orderkey, 'U' AS o_orderstatus,
+        |         CAST(price + CAST(100 AS DECIMAL(18,2)) AS DECIMAL(18,2)) AS price
+        |  FROM base WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, 'I' AS o_orderstatus, price
+        |  FROM base WHERE o_orderkey % 11 = 0)
+        |SELECT coalesce(b.o_orderkey, c.o_orderkey) AS o_orderkey,
+        |       coalesce(c.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+        |       CAST(coalesce(c.price, b.price) AS DOUBLE) AS price
+        |FROM base b FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q81_dedup_latest" ->
+      """SELECT event_id, user_id, event_type, tsn, value FROM (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS tsn, value,
+        |         row_number() OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "q82_embed_quantize" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e)
+        |SELECT vec_id, i - 1 AS dim,
+        |       CASE WHEN mx = 0 THEN 0 ELSE floor(v[i::INT] / mx * 127)::BIGINT END AS q
+        |FROM m, range(1, 65) t(i)
+        |ORDER BY vec_id, dim""".stripMargin,
+
+    "q83_weighted_avg" ->
+      """SELECT l_returnflag,
+        |       (sum(round(l_extendedprice * 100)::BIGINT * l_quantity::BIGINT)::BIGINT)::DOUBLE
+        |         / (sum(l_quantity::BIGINT)::BIGINT) / 100.0 AS w_avg_price,
+        |       count(*) AS n_items
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }
