@@ -1102,6 +1102,62 @@ object SparkEntry {
         .orderBy("vec_id", "dim")
     }),
 
+    // streaming: native session_window sessions through the real
+    // streaming engine (complete mode, AvailableNow), gated against a
+    // batch lag/flag/running-sum sessionization oracle — same 4h gap as
+    // q54; window.start = first event, window.end = last event + gap
+    "q84_stream_sessions" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val stage = Staging.dir("q84-")
+      java.nio.file.Files.createSymbolicLink(
+        stage.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val sinkTable = "q84_stream_sessions_sink"
+      if (s.catalog.tableExists(sinkTable)) s.catalog.dropTempView(sinkTable)
+      val q = graft.streaming.EventStream
+        .sessionAggregate(
+          graft.streaming.EventStream.readEventStream(s, stage.toString),
+          gap = "4 hours", watermark = Some("8 hours"))
+        .writeStream
+        .format("memory")
+        .queryName(sinkTable)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException("q84 stream did not finish within 300s")
+      }
+      Staging.discard(stage)
+      s.table(sinkTable).orderBy("user_id", "session_start")
+    }),
+
+    // pipeline: benchmark decontamination — drop every training doc that
+    // shares ANY 8-gram shingle with the (deterministic) held-out set:
+    // explode-distinct shingle hashes on both sides, equi-join to find
+    // contaminated ids, LEFT ANTI join to keep the clean remainder. Pure
+    // hash equi-joins — the benchmark side is tiny and broadcast; no
+    // similarity scan ever touches the full corpus pairwise.
+    "q85_decontaminate" -> ((s, dir) => {
+      val docs = spread(s, rd(s, dir, "documents"))
+      val shingles = docs.select(
+        col("doc_id"),
+        explode(array_distinct(
+          transform(
+            TextFunctions.charShingles(lower(col("text")), 8),
+            g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")))).as("h"))
+      val bench = shingles.filter(col("doc_id") % 50 === 0)
+        .select(col("h").as("bh")).distinct()
+      val contaminated = shingles
+        .join(broadcast(bench), col("h") === col("bh"))
+        .select("doc_id").distinct()
+      docs
+        .join(contaminated.withColumnRenamed("doc_id", "cid"),
+          col("doc_id") === col("cid"), "left_anti")
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    }),
+
     // custom typed UDAF (Aggregator surface): quantity-weighted mean
     // price per return flag — integer-cents buffer, map-side combinable,
     // one double division at finish (order-independent, oracle-exact)
@@ -1909,6 +1965,33 @@ object SparkEntry {
         |       (sum(round(l_extendedprice * 100)::BIGINT * l_quantity::BIGINT)::BIGINT)::DOUBLE
         |         / (sum(l_quantity::BIGINT)::BIGINT) / 100.0 AS w_avg_price,
         |       count(*) AS n_items
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // same sessionization CTE as q54 but surfaced in session_window's
+    // output convention: start = first event (whole seconds), end = last
+    // event + gap
+    "q84_stream_sessions" ->
+      s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS tsn, event_id FROM events),
+         |l AS (SELECT *, lag(tsn) OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS prev FROM ev),
+         |f AS (SELECT *, CASE WHEN prev IS NULL OR tsn - prev > $SessionGapMicros THEN 1 ELSE 0 END AS new_sess FROM l),
+         |c AS (SELECT *, (sum(new_sess) OVER (
+         |    PARTITION BY user_id ORDER BY tsn, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS sess_id FROM f)
+         |SELECT user_id,
+         |       min(tsn) // 1000000 AS session_start,
+         |       (max(tsn) + $SessionGapMicros) // 1000000 AS session_end,
+         |       count(*) AS n_events
+         |FROM c GROUP BY user_id, sess_id ORDER BY user_id, session_start""".stripMargin,
+
+    "q85_decontaminate" ->
+      s"""WITH sh AS (SELECT doc_id,
+         |  unnest(list_distinct(list_transform(${docShinglesSql(8)},
+         |    g -> ('0x' || substr(md5(g), 1, 15))::BIGINT))) AS h
+         |  FROM documents),
+         |bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 50 = 0),
+         |contaminated AS (SELECT DISTINCT doc_id FROM sh JOIN bench USING (h))
+         |SELECT d.doc_id, d.source FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+         |ORDER BY d.doc_id""".stripMargin
   )
 }
