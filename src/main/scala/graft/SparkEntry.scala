@@ -824,7 +824,7 @@ object SparkEntry {
       org.apache.spark.sql.graft.GraftExtensions.ensureRegistered(s)
       rd(s, dir, "part").createOrReplaceTempView("graft_part_v")
       s.sql(
-        """SELECT p_partkey, CAST(partial_ratio_cutoff(p_name, 'lavender', 50) AS BIGINT) AS score
+        """SELECT p_partkey, CAST(partial_ratio_cutoff(p_name, 'gadget', 50) AS BIGINT) AS score
           |FROM graft_part_v ORDER BY p_partkey""".stripMargin)
     }),
 
@@ -1156,6 +1156,21 @@ object SparkEntry {
           col("doc_id") === col("cid"), "left_anti")
         .select(col("doc_id"), col("source"))
         .orderBy("doc_id")
+    }),
+
+    // optimizer-rule surface: a filter-only scorer comparison — the
+    // FoldPartialRatioCutoffPredicate rule rewrites it into the
+    // early-exit partial_ratio_at_least expression (OptimizerRuleSpec
+    // pins the rewrite; this gate pins that the rewrite is
+    // answer-preserving vs the full LCS oracle)
+    "q86_scorer_predicate" -> ((s, dir) => {
+      org.apache.spark.sql.graft.GraftExtensions.ensureRegistered(s)
+      rd(s, dir, "part").createOrReplaceTempView("graft_part_pred_v")
+      s.sql(
+        """SELECT p_partkey, p_name
+          |FROM graft_part_pred_v
+          |WHERE partial_ratio_cutoff(p_name, 'gadget', 65) > 0
+          |ORDER BY p_partkey""".stripMargin)
     }),
 
     // custom typed UDAF (Aggregator surface): quantity-weighted mean
@@ -1818,7 +1833,7 @@ object SparkEntry {
         |FROM orders GROUP BY 1 ORDER BY month_epoch""".stripMargin,
 
     "q64_sql_scorer" ->
-      s"""WITH named AS (SELECT p_partkey, p_name, 'lavender' AS probe FROM part),
+      s"""WITH named AS (SELECT p_partkey, p_name, 'gadget' AS probe FROM part),
          |${scorerCtes("named", "p_name", "probe", 50)}
          |SELECT p_partkey, score FROM scored ORDER BY p_partkey""".stripMargin,
 
@@ -1982,6 +1997,11 @@ object SparkEntry {
          |       (max(tsn) + $SessionGapMicros) // 1000000 AS session_end,
          |       count(*) AS n_events
          |FROM c GROUP BY user_id, sess_id ORDER BY user_id, session_start""".stripMargin,
+
+    "q86_scorer_predicate" ->
+      s"""WITH named AS (SELECT p_partkey, p_name, 'gadget' AS probe FROM part),
+         |${scorerCtes("named", "p_name", "probe", 65)}
+         |SELECT p_partkey, p_name FROM scored WHERE score > 0 ORDER BY p_partkey""".stripMargin,
 
     "q85_decontaminate" ->
       s"""WITH sh AS (SELECT doc_id,

@@ -104,7 +104,16 @@ object Fuzz extends Serializable {
   def partialRatio(a: String, b: String): Int =
     math.round(partialRatioDouble(a, b)).toInt
 
-  def partialRatioDouble(a: String, b: String): Double = {
+  def partialRatioDouble(a: String, b: String): Double =
+    partialRatioDoubleBounded(a, b, 100.0)
+
+  /** As `partialRatioDouble` but the window scan stops once `best`
+    * reaches `stopAt` (100.0 = exact score, since nothing can top 100).
+    * With stopAt < 100 the return value is only a LOWER bound on the
+    * true score — sufficient for `best >= stopAt` predicates, where it
+    * skips the remaining windows the moment one clears the bar.
+    */
+  private def partialRatioDoubleBounded(a: String, b: String, stopAt: Double): Double = {
     val (s, l) = if (a.length <= b.length) (a, b) else (b, a)
     val m = s.length
     val n = l.length
@@ -112,7 +121,7 @@ object Fuzz extends Serializable {
     // NB: even when m == n, RapidFuzz's partial_ratio_short_needle still
     // evaluates the prefix/suffix edge windows (e.g. partial_ratio("ab","ba")
     // is ~66.67, not 50), so there is deliberately no equal-length shortcut.
-    if (m <= 64) partialRatioShortNeedle(s, l) else partialRatioGeneric(s, l)
+    if (m <= 64) partialRatioShortNeedle(s, l, stopAt) else partialRatioGeneric(s, l, stopAt)
   }
 
   /** Fast path for patterns <= 64 chars: the Allison-Dix match masks for
@@ -120,7 +129,7 @@ object Fuzz extends Serializable {
     * the naive per-window call rebuilt the mask HashMap each time, which
     * dominated the verify stage's cost.
     */
-  private def partialRatioShortNeedle(s: String, l: String): Double = {
+  private def partialRatioShortNeedle(s: String, l: String, stopAt: Double = 100.0): Double = {
     val m = s.length
     val n = l.length
     val masks = new java.util.HashMap[Character, java.lang.Long](m * 2)
@@ -152,32 +161,32 @@ object Fuzz extends Serializable {
     }
     // partial windows hanging off the start: l[0, j), j < m
     var j = 1
-    while (j < m && best < 100.0) { consider(0, j); j += 1 }
+    while (j < m && best < stopAt) { consider(0, j); j += 1 }
     // full windows l[i, i+m)
     var i2 = 0
-    while (i2 <= n - m && best < 100.0) { consider(i2, i2 + m); i2 += 1 }
+    while (i2 <= n - m && best < stopAt) { consider(i2, i2 + m); i2 += 1 }
     // partial windows hanging off the end: l[n-j, n), j < m
     j = 1
-    while (j < m && best < 100.0) { consider(n - j, n); j += 1 }
+    while (j < m && best < stopAt) { consider(n - j, n); j += 1 }
     best
   }
 
-  private def partialRatioGeneric(s: String, l: String): Double = {
+  private def partialRatioGeneric(s: String, l: String, stopAt: Double = 100.0): Double = {
     val m = s.length
     val n = l.length
     var best = 0.0
     var j = 1
-    while (j < m && best < 100.0) {
+    while (j < m && best < stopAt) {
       best = math.max(best, ratioDouble(s, l.subSequence(0, j)))
       j += 1
     }
     var i = 0
-    while (i <= n - m && best < 100.0) {
+    while (i <= n - m && best < stopAt) {
       best = math.max(best, ratioDouble(s, l.subSequence(i, i + m)))
       i += 1
     }
     j = 1
-    while (j < m && best < 100.0) {
+    while (j < m && best < stopAt) {
       best = math.max(best, ratioDouble(s, l.subSequence(n - j, n)))
       j += 1
     }
@@ -197,5 +206,18 @@ object Fuzz extends Serializable {
     if (a == null || b == null) return 0
     val d = partialRatioDouble(pyLower(a), pyLower(b))
     if (d >= cutoff) math.round(d).toInt else 0
+  }
+
+  /** Predicate form of the cutoff scorer: true iff
+    * `partialRatioCutoff(a, b, cutoff) > 0` (equivalently `>= cutoff`,
+    * since the cutoff zeroes every lower score). Unlike the scorer it
+    * EARLY-EXITS the sliding-window scan the moment any window clears
+    * the cutoff — the optimizer rewrites filter-only comparisons to this
+    * (FoldPartialRatioCutoffPredicate), so a WHERE clause never pays for
+    * the exact maximum it immediately discards.
+    */
+  def partialRatioAtLeast(a: String, b: String, cutoff: Int): Boolean = {
+    if (a == null || b == null) return false
+    partialRatioDoubleBounded(pyLower(a), pyLower(b), cutoff.toDouble) >= cutoff
   }
 }

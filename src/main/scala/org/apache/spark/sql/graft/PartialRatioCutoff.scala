@@ -9,8 +9,10 @@ package org.apache.spark.sql.graft
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, DataType, IntegerType, StringType}
+import org.apache.spark.sql.types.{AbstractDataType, BooleanType, DataType, IntegerType, StringType}
 import org.apache.spark.sql.{Column, SparkSessionExtensions}
 import org.apache.spark.unsafe.types.UTF8String
 import graft.functions.Fuzz
@@ -48,6 +50,64 @@ case class PartialRatioCutoff(first: Expression, second: Expression, third: Expr
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** Boolean predicate form of the cutoff scorer: semantically
+  * `partial_ratio_cutoff(a, b, c) > 0`, but the underlying scan
+  * early-exits the moment any alignment window clears the cutoff
+  * (Fuzz.partialRatioAtLeast) instead of computing the exact maximum a
+  * filter would immediately discard. Installed by the optimizer rule
+  * below — user code writes the natural comparison and gets this.
+  */
+case class PartialRatioAtLeast(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType, IntegerType)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "partial_ratio_at_least"
+
+  override protected def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    Fuzz.partialRatioAtLeast(
+      a.asInstanceOf[UTF8String].toString,
+      b.asInstanceOf[UTF8String].toString,
+      c.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) =>
+      s"graft.functions.Fuzz.partialRatioAtLeast($a.toString(), $b.toString(), $c)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): PartialRatioAtLeast =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** Optimizer rule: a threshold comparison on the cutoff scorer is a pure
+  * predicate — the exact score is discarded — so rewrite it to the
+  * early-exit boolean expression. Sound because the scorer's output is
+  * either 0 or a rounded score >= cutoff (nothing in between):
+  * `prc(a,b,c) > k` for any 0 <= k < c, and `prc(a,b,c) >= k` for any
+  * 1 <= k <= c, are both exactly "some window clears c". Comparisons
+  * that keep the score (projections, argmax orderings) never match the
+  * pattern and are untouched.
+  */
+object FoldPartialRatioCutoffPredicate extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case GreaterThan(PartialRatioCutoff(a, b, c @ Literal(cv: Int, IntegerType)),
+          Literal(k: Int, IntegerType)) if cv >= 1 && k >= 0 && k < cv =>
+      PartialRatioAtLeast(a, b, c)
+    case GreaterThanOrEqual(PartialRatioCutoff(a, b, c @ Literal(cv: Int, IntegerType)),
+          Literal(k: Int, IntegerType)) if k >= 1 && k <= cv =>
+      PartialRatioAtLeast(a, b, c)
+    case LessThan(Literal(k: Int, IntegerType),
+          PartialRatioCutoff(a, b, c @ Literal(cv: Int, IntegerType)))
+        if cv >= 1 && k >= 0 && k < cv =>
+      PartialRatioAtLeast(a, b, c)
+    case LessThanOrEqual(Literal(k: Int, IntegerType),
+          PartialRatioCutoff(a, b, c @ Literal(cv: Int, IntegerType)))
+        if k >= 1 && k <= cv =>
+      PartialRatioAtLeast(a, b, c)
+  }
+}
+
 /** Column-level entry points for the custom expressions (usable without
   * any session registration).
   */
@@ -65,8 +125,10 @@ object GraftFunctions {
   * does) or `spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.registration)
+    ext.injectOptimizerRule(_ => FoldPartialRatioCutoffPredicate)
+  }
 }
 
 object GraftExtensions {
@@ -88,5 +150,11 @@ object GraftExtensions {
     val (id, info, builder) = registration
     if (!spark.sessionState.functionRegistry.functionExists(id))
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    // the predicate-folding rule, for sessions built without
+    // .withExtensions (experimental.extraOptimizations is the public
+    // per-session hook for exactly this)
+    if (!spark.experimental.extraOptimizations.contains(FoldPartialRatioCutoffPredicate))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ FoldPartialRatioCutoffPredicate
   }
 }
