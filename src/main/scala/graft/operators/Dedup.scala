@@ -15,8 +15,11 @@ import graft.functions.TextFunctions
   *     candidate pairs come from an equi-join on (band, band key) — only
   *     rows sharing a band bucket ever meet, so the O(n^2) all-pairs
   *     compare never materializes. Jaccard verify runs only on candidates.
-  *   - all hashes are md5-derived so a DuckDB oracle can reproduce results
-  *     bit-for-bit (no engine-private hash functions).
+  *   - hashes whose VALUES shape the result (minhash/LSH candidate
+  *     buckets, simhash bits, exact-dup group keys) are md5-derived so a
+  *     DuckDB oracle reproduces them bit-for-bit; operators whose output
+  *     is hash-independent (the exact prefix-filtered Jaccard join) use
+  *     Spark's cheaper codegen'd xxhash64 instead.
   */
 object Dedup {
 
@@ -209,15 +212,21 @@ object Dedup {
       threshold: Double
   ): DataFrame = {
     require(threshold > 0, "prefix filtering requires a positive threshold")
-    // 60-bit md5 shingle hashes: every downstream shuffle/intersect runs
-    // on longs instead of strings (collision odds ~2^-60 per shingle
-    // pair), and a DuckDB oracle reproduces the hashes bit-for-bit.
+    // xxhash64 shingle hashes: every downstream shuffle/intersect runs
+    // on longs instead of strings. Unlike the LSH path (whose CANDIDATE
+    // set depends on the hash values, so the oracle must reproduce them
+    // via md5), the prefix filter is exact — it finds every pair with
+    // jacc >= t regardless of hash function — and the output columns
+    // (id_a, id_b, jacc) only depend on set sizes, which any
+    // collision-free hash preserves. That frees this operator to use the
+    // cheapest codegen'd hash Spark has instead of md5+hex+conv (~4x
+    // less per-shingle CPU, the dominant cost here).
     // value-sorted for the merge-scan intersect at verify time (the
     // rare-first ordering the prefix stage needs is built separately)
     // lazily checkpointed: `hashed` is referenced FOUR times in the DAG
     // (document-frequency count, rare-first reorder, and both verify-side
     // array re-joins) — without the checkpoint every branch would redo
-    // the md5-per-shingle hashing, the dominant CPU cost. Lazy (not
+    // the per-shingle hashing, the dominant CPU cost. Lazy (not
     // eager) so building the plan stays action-free; the first action
     // materializes it once into the block manager.
     val hashed = docs
@@ -225,10 +234,7 @@ object Dedup {
         col(idCol),
         array_sort(
           array_distinct(
-            transform(
-              shingleSet(col(textCol), shingleN),
-              g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")
-            )
+            transform(shingleSet(col(textCol), shingleN), g => xxhash64(g))
           )
         ).as("hs")
       )
