@@ -1173,6 +1173,70 @@ object SparkEntry {
           |ORDER BY p_partkey""".stripMargin)
     }),
 
+    // pillar text-analysis: Gopher-style repetition filters — duplicate
+    // word fraction + top-bigram dominance per doc (catches degenerate
+    // repeated-phrase text that token-level quality metrics miss)
+    "q87_repetition_signals" -> ((s, dir) =>
+      TextAnalysis.repetitionSignals(
+          spread(s, rd(s, dir, "documents")), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // relational: event-time rolling window — per-user trailing-1h count
+    // and exact decimal sum via RANGE frame on the microsecond timestamp
+    // (the time-based sliding aggregate a rate-limiter/feature pipeline
+    // needs; ROWS frames can't express "last hour")
+    "q88_rolling_window" -> ((s, dir) => {
+      val ev = rd(s, dir, "events")
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("tsn"), col("value"))
+      val w = Window.partitionBy("user_id").orderBy(col("tsn"))
+        .rangeBetween(-3600000000L, Window.currentRow)
+      ev
+        .withColumn("roll_n", count(lit(1)).over(w))
+        .withColumn("roll_sum", sum(col("value").cast("decimal(18,4)")).over(w).cast("double"))
+        .select("event_id", "user_id", "tsn", "roll_n", "roll_sum")
+        .orderBy("event_id")
+    }),
+
+    // relational/warehouse: SCD2 dimension history — per-customer order
+    // status change feed collapsed into versioned validity intervals
+    // (one shuffle on the key; see operators.Scd2)
+    "q89_scd2_history" -> ((s, dir) =>
+      graft.operators.Scd2.buildHistory(
+          rd(s, dir, "orders")
+            .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_orderstatus")),
+          keyCol = "o_custkey", tsCol = "o_orderdate", tieCol = "o_orderkey",
+          attrCol = "o_orderstatus")
+        .orderBy("o_custkey", "version")),
+
+    // streaming: stream-static join — event stream enriched with the
+    // broadcast customer dim (stateless join), then the watermarked
+    // hourly aggregate keyed by market segment; memory-sink result
+    // hash-matched against the batch join+agg oracle
+    "q90_stream_static_join" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val stage = Staging.dir("q90-")
+      java.nio.file.Files.createSymbolicLink(
+        stage.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val dim = rd(s, dir, "customer")
+      val sinkTable = "q90_stream_static_join_sink"
+      if (s.catalog.tableExists(sinkTable)) s.catalog.dropTempView(sinkTable)
+      val q = graft.streaming.EventStream
+        .enrichedHourlyStream(s, stage.toString, dim, "c_custkey", "c_mktsegment")
+        .writeStream
+        .format("memory")
+        .queryName(sinkTable)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException("q90 stream did not finish within 300s")
+      }
+      Staging.discard(stage)
+      s.table(sinkTable).orderBy("hour_epoch", "c_mktsegment")
+    }),
+
     // custom typed UDAF (Aggregator surface): quantity-weighted mean
     // price per return flag — integer-cents buffer, map-side combinable,
     // one double division at finish (order-independent, oracle-exact)
@@ -2002,6 +2066,59 @@ object SparkEntry {
       s"""WITH named AS (SELECT p_partkey, p_name, 'gadget' AS probe FROM part),
          |${scorerCtes("named", "p_name", "probe", 65)}
          |SELECT p_partkey, p_name FROM scored WHERE score > 0 ORDER BY p_partkey""".stripMargin,
+
+    "q87_repetition_signals" ->
+      s"""WITH d AS (SELECT doc_id,
+         |  CASE WHEN trim(text) = '' THEN []::VARCHAR[] ELSE $tokensLowerSql END AS toks
+         |  FROM documents),
+         |s AS (SELECT doc_id, len(toks)::BIGINT AS n_words,
+         |             len(list_distinct(toks))::BIGINT AS n_distinct FROM d),
+         |b AS (SELECT doc_id,
+         |  unnest(list_transform(range(1, len(toks)), i -> toks[i::INT] || ' ' || toks[(i::INT)+1])) AS ng
+         |  FROM d),
+         |c AS (SELECT doc_id, ng, count(*) AS cnt FROM b GROUP BY doc_id, ng),
+         |r AS (SELECT doc_id, ng, cnt,
+         |        row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, ng ASC) AS rn FROM c)
+         |SELECT s.doc_id, s.n_words,
+         |       CASE WHEN s.n_words = 0 THEN 0.0
+         |            ELSE (s.n_words - s.n_distinct)::DOUBLE / s.n_words END AS dup_word_frac,
+         |       coalesce(r.ng, '') AS top_bigram,
+         |       CASE WHEN s.n_words < 2 THEN 0.0
+         |            ELSE r.cnt::DOUBLE / (s.n_words - 1) END AS top_bigram_frac
+         |FROM s LEFT JOIN (SELECT * FROM r WHERE rn = 1) r USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q88_rolling_window" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS tsn,
+        |       (count(*) OVER w)::BIGINT AS roll_n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS roll_sum
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "q89_scd2_history" ->
+      """WITH l AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
+        |         lag(o_orderstatus) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders),
+        |ch AS (SELECT * FROM l WHERE prev IS NULL OR o_orderstatus <> prev)
+        |SELECT o_custkey,
+        |       row_number() OVER w AS version,
+        |       o_orderstatus,
+        |       epoch(o_orderdate)::BIGINT AS valid_from,
+        |       epoch(lead(o_orderdate) OVER w)::BIGINT AS valid_to,
+        |       (lead(o_orderdate) OVER w) IS NULL AS is_current
+        |FROM ch
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, version""".stripMargin,
+
+    "q90_stream_static_join" ->
+      """SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch, c_mktsegment,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2 ORDER BY hour_epoch, c_mktsegment""".stripMargin,
 
     "q85_decontaminate" ->
       s"""WITH sh AS (SELECT doc_id,

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 
@@ -85,6 +86,55 @@ object TextAnalysis {
     when(size(toks) === 0, lit(0.0)).otherwise(
       aggregate(toks, lit(0L), (acc, t) => acc + octet_length(t)).cast("double") / size(toks)
     )
+  }
+
+  /** Gopher-style repetition signals per document: duplicate-word
+    * fraction and the most-frequent word bigram's share of all bigrams —
+    * the published filters for catching degenerate/boilerplate text that
+    * per-token quality metrics miss (a doc can have fine token lengths
+    * and stopword ratios while repeating one phrase forever).
+    *
+    * Scale shape: the per-doc stats are a narrow projection; the top
+    * bigram is one groupBy keyed by (doc, bigram) + a per-doc
+    * WindowGroupLimit (rn = 1 truncates inside partitions before any
+    * sort), and the final join is keyed by doc id — everything partitions
+    * by document, nothing is global. Ties on bigram count break to the
+    * lexicographically-smallest bigram so results are deterministic.
+    */
+  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = TextFunctions.whitespaceTokens(lower(col(textCol)))
+    val d = docs.select(col(idCol), toks.as("toks"))
+    // narrow per-doc stats — computed before the join so token arrays
+    // never travel through a shuffle
+    val stats = d.select(
+      col(idCol),
+      size(col("toks")).cast("long").as("n_words"),
+      size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
+    val bigrams = d
+      .select(col(idCol),
+        explode(when(size(col("toks")) >= 2,
+          transform(sequence(lit(1), size(col("toks")) - 1),
+            i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1))))
+          .otherwise(array().cast("array<string>"))).as("ng"))
+      .groupBy(col(idCol), col("ng"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(idCol).orderBy(col("cnt").desc, col("ng").asc)
+    val top = bigrams
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("ng"), col("cnt"))
+    stats
+      .join(top, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        col("n_words"),
+        when(col("n_words") === 0, lit(0.0))
+          .otherwise((col("n_words") - col("n_distinct")).cast("double") / col("n_words"))
+          .as("dup_word_frac"),
+        coalesce(col("ng"), lit("")).as("top_bigram"),
+        when(col("n_words") < 2, lit(0.0))
+          .otherwise(col("cnt").cast("double") / (col("n_words") - 1))
+          .as("top_bigram_frac"))
   }
 
   /** Document fingerprint: the `k` lexicographically-smallest md5 hashes of

@@ -60,6 +60,35 @@ object EventStream {
   def hourlyStream(spark: SparkSession, dir: String): DataFrame =
     hourlyAggregate(readEventStream(spark, dir), watermark = Some("2 hours"))
 
+  /** Stream-static join + windowed aggregate: enrich the event stream
+    * with a static dimension (broadcast — stream-static equi-joins are
+    * STATELESS in Structured Streaming; each micro-batch joins against
+    * the dim snapshot, no join state accumulates), then the watermarked
+    * hourly aggregate keyed by the dimension attribute. The standard
+    * "events x user/customer dim" enrichment every pipeline runs; state
+    * is bounded by (hours in watermark horizon) x (dim attribute
+    * cardinality), independent of event volume or dim size.
+    */
+  def enrichedHourlyStream(
+      spark: SparkSession,
+      dir: String,
+      dim: DataFrame,
+      dimKey: String,
+      dimAttr: String
+  ): DataFrame =
+    withEventTime(readEventStream(spark, dir))
+      .withWatermark("event_time", "2 hours")
+      .join(broadcast(dim.select(col(dimKey), col(dimAttr))), col("user_id") === col(dimKey))
+      .groupBy(window(col("event_time"), "1 hour"), col(dimAttr))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value")
+      )
+      .select(
+        unix_timestamp(col("window.start")).as("hour_epoch"),
+        col(dimAttr), col("n_events"), col("sum_value")
+      )
+
   /** foreachBatch sink reusing an arbitrary batch transform — the bridge
     * that lets every batch operator in this engine (dedup, match, ...)
     * run over a stream without a streaming rewrite.

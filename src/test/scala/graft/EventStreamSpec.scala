@@ -146,4 +146,38 @@ class EventStreamSpec extends SparkSpec {
     assert(got == expected, s"expected $expected deduped events, got $got")
     assert(gotDistinct == expected)
   }
+
+  test("enrichedHourlyStream: stream-static join matches the batch join+agg") {
+    val dir = stageEventsDir()
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dim = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    val q = EventStream
+      .enrichedHourlyStream(spark, dir, dim, "c_custkey", "c_mktsegment")
+      .writeStream
+      .format("memory")
+      .queryName("enriched_stream_test")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val ev = EventStream.withEventTime(spark.read.parquet(s"$dir/events.parquet"))
+    val batch = ev
+      .join(dim.select(col("c_custkey"), col("c_mktsegment")), col("user_id") === col("c_custkey"))
+      .groupBy(
+        org.apache.spark.sql.functions.window(col("event_time"), "1 hour"),
+        col("c_mktsegment"))
+      .agg(
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n_events"),
+        org.apache.spark.sql.functions.sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .select(
+        org.apache.spark.sql.functions.unix_timestamp(col("window.start")).as("hour_epoch"),
+        col("c_mktsegment"), col("n_events"), col("sum_value"))
+      .orderBy("hour_epoch", "c_mktsegment")
+      .collect().toSeq
+    val streamed = spark.table("enriched_stream_test")
+      .orderBy("hour_epoch", "c_mktsegment").collect().toSeq
+    assert(batch.nonEmpty)
+    assert(streamed == batch)
+  }
 }

@@ -70,4 +70,24 @@ class TextAnalysisSpec extends SparkSpec {
     val (sa, sb) = (a.split(",").toSet, b.split(",").toSet)
     assert(sa != sb && (sa intersect sb).nonEmpty)
   }
+
+  test("repetitionSignals: dup fraction, dominant bigram, edge docs") {
+    val docs = Seq(
+      (1L, "spam spam spam spam"),   // 4 words, 1 distinct; bigram "spam spam" x3 of 3
+      (2L, "a b c d"),               // no dups; 3 bigrams each once -> tie -> "a b"
+      (3L, "solo"),                  // 1 word: no bigrams
+      (4L, "")                       // empty doc
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) == 4)
+    assert(out(0).getDouble(2) == 3.0 / 4)       // dup_word_frac
+    assert(out(0).getString(3) == "spam spam")
+    assert(out(0).getDouble(4) == 1.0)           // all 3 bigrams identical
+    assert(out(1).getDouble(2) == 0.0)
+    assert(out(1).getString(3) == "a b")         // count tie -> lexicographic
+    assert(math.abs(out(1).getDouble(4) - 1.0 / 3) < 1e-15)
+    assert(out(2).getLong(1) == 1 && out(2).getString(3) == "" && out(2).getDouble(4) == 0.0)
+    assert(out(3).getLong(1) == 0 && out(3).getDouble(2) == 0.0 && out(3).getString(3) == "")
+  }
 }
