@@ -1237,6 +1237,50 @@ object SparkEntry {
       s.table(sinkTable).orderBy("hour_epoch", "c_mktsegment")
     }),
 
+    // pillar dedup: quality-aware group resolution — near-dup groups keep
+    // their LONGEST member (n_chars desc, id asc) instead of the min-id
+    // survivor; the keep-one choice a real pipeline makes
+    "q91_dedup_keep_best" -> ((s, dir) => {
+      val docs = spread(s, rd(s, dir, "documents"))
+      val pairs = Dedup.nearDuplicates(docs, "doc_id", "text",
+        shingleN = 4, numHashes = 8, rowsPerBand = 4, threshold = 0.4)
+      Dedup.keepBest(docs, "doc_id", pairs, "n_chars").orderBy("doc_id")
+    }),
+
+    // pipeline: per-language token-budget sampling — data-mixing step
+    // that takes the highest-value docs (longest first) per language
+    // until each language's token budget is exhausted; running-sum
+    // window per lang partition, no global state
+    "q92_token_budget" -> ((s, dir) => {
+      val toks = TextFunctions.whitespaceTokens(lower(col("text")))
+      val t = spread(s, rd(s, dir, "documents"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          size(toks).cast("long").as("n_tokens"))
+      val w = Window.partitionBy("lang")
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .filter(col("cum_tokens") <= TokenBudgetPerLang)
+        .select("doc_id", "lang", "n_tokens", "cum_tokens")
+        .orderBy("doc_id")
+    }),
+
+    // sources: ORC round-trip — events written as ORC (Spark's bundled
+    // columnar alternative), read back and aggregated; proves the
+    // format path against the parquet-based oracle
+    "q93_orc_roundtrip" -> ((s, dir) => {
+      val tmp = Staging.dir("orc-").toString
+      rd(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+        .write.mode("overwrite").orc(s"$tmp/events")
+      s.read.orc(s"$tmp/events")
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     // custom typed UDAF (Aggregator surface): quantity-weighted mean
     // price per return flag — integer-cents buffer, map-side combinable,
     // one double division at finish (order-independent, oracle-exact)
@@ -1259,6 +1303,11 @@ object SparkEntry {
     * shared between the q74 Spark query and its generated oracle SQL).
     */
   private val BoilerplateDfPct = 78L
+
+  /** Per-language token budget for the q92 data-mixing sample (shared
+    * between the Spark query and its generated oracle SQL).
+    */
+  private val TokenBudgetPerLang = 2500L
 
   /** Signed-random-projection hyperplanes: 16 planes x 64 dims of
     * Rademacher +-1 entries derived from md5 parity, so the Spark query
@@ -2066,6 +2115,42 @@ object SparkEntry {
       s"""WITH named AS (SELECT p_partkey, p_name, 'gadget' AS probe FROM part),
          |${scorerCtes("named", "p_name", "probe", 65)}
          |SELECT p_partkey, p_name FROM scored WHERE score > 0 ORDER BY p_partkey""".stripMargin,
+
+    // keep-best: q52's transitive-closure groups, then argmax by
+    // (n_chars desc, doc_id asc) within each group
+    "q91_dedup_keep_best" ->
+      s"""WITH RECURSIVE $lshPairsCtes,
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM nd_pairs
+         |  UNION ALL
+         |  SELECT id_b AS src, id_a AS dst FROM nd_pairs),
+         |reach(id, r) AS (
+         |  SELECT doc_id::BIGINT, doc_id::BIGINT FROM documents
+         |  UNION
+         |  SELECT e.dst, w.r FROM reach w JOIN edges e ON e.src = w.id),
+         |g AS (SELECT id AS doc_id, min(r) AS group_id FROM reach GROUP BY id),
+         |j AS (SELECT g.doc_id, g.group_id, d.n_chars FROM g JOIN documents d USING (doc_id)),
+         |b AS (SELECT doc_id, group_id,
+         |        row_number() OVER (PARTITION BY group_id ORDER BY n_chars DESC, doc_id ASC) AS rk
+         |      FROM j),
+         |best AS (SELECT group_id, doc_id AS best_id FROM b WHERE rk = 1)
+         |SELECT j.doc_id, j.group_id, best.best_id, j.doc_id = best.best_id AS kept
+         |FROM j JOIN best USING (group_id) ORDER BY doc_id""".stripMargin,
+
+    "q92_token_budget" ->
+      s"""WITH t AS (SELECT doc_id, lang, n_chars,
+         |  len(CASE WHEN trim(text) = '' THEN []::VARCHAR[] ELSE $tokensLowerSql END)::BIGINT AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT *, (sum(n_tokens) OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum_tokens
+         |      FROM t)
+         |SELECT doc_id, lang, n_tokens, cum_tokens FROM c
+         |WHERE cum_tokens <= $TokenBudgetPerLang ORDER BY doc_id""".stripMargin,
+
+    "q93_orc_roundtrip" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q87_repetition_signals" ->
       s"""WITH d AS (SELECT doc_id,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 
@@ -377,6 +378,35 @@ object Dedup {
       .select(col(idCol).cast("long").as("id"))
       .join(labels, Seq("id"), "left")
       .select(col("id").as(idCol), coalesce(col("keep_id"), col("id")).as("keep_id"))
+  }
+
+  /** Quality-aware dedup resolution: collapse near-dup pairs into groups
+    * (resolveGroups) and keep the BEST document of each group by
+    * `qualityCol` (ties -> smallest id) instead of the arbitrary min-id
+    * survivor — what a training-data pipeline actually wants ("of these
+    * near-identical pages, keep the longest/highest-quality one").
+    *
+    * Output: one row per doc — (id, group_id, best_id, kept). The argmax
+    * is a per-group WindowGroupLimit (rank-1 rows truncate inside each
+    * partition); both joins are keyed by doc/group id. No global state.
+    */
+  def keepBest(
+      docs: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      qualityCol: String
+  ): DataFrame = {
+    val groups = resolveGroups(docs, idCol, pairs)
+      .select(col(idCol), col("keep_id").as("group_id"))
+    val j = groups.join(docs.select(col(idCol), col(qualityCol)), Seq(idCol))
+    val w = Window.partitionBy("group_id").orderBy(col(qualityCol).desc, col(idCol).asc)
+    val best = j
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("group_id"), col(idCol).as("best_id"))
+    j.join(best, Seq("group_id"))
+      .select(col(idCol), col("group_id"), col("best_id"),
+        (col(idCol) === col("best_id")).as("kept"))
   }
 
   /** SimHash near-dup candidate pairs via multi-index hamming banding:

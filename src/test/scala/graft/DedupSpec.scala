@@ -146,6 +146,22 @@ class DedupSpec extends SparkSpec {
     assert(groups.size == n.toInt && groups.values.forall(_ == 0L))
   }
 
+  test("keepBest: highest-quality group member survives, ties break to smallest id") {
+    import spark.implicits._
+    // group {1,2,3} (chain), singleton {4}; quality: 2 is best in group;
+    // 1 and 3 tie below — group/best assignment must be deterministic
+    val docs = Seq((1L, 10L), (2L, 50L), (3L, 10L), (4L, 7L)).toDF("doc_id", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.keepBest(docs, "doc_id", pairs, "quality")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 2L, false),
+      (2L, 1L, 2L, true),
+      (3L, 1L, 2L, false),
+      (4L, 4L, 4L, true)))
+  }
+
   test("simhashCandidates: pigeonhole holds across the full hamming<=2 ball (property)") {
     import spark.implicits._
     // signatures that differ from a base in 0, 1, 2, and 3 bit positions:
