@@ -55,4 +55,36 @@ class PlanAuditSpec extends SparkSpec {
       )
     }
   }
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  private def countOf(hay: String, needle: String): Int =
+    hay.sliding(needle.length).count(_ == needle)
+
+  test("q89 SCD2: one key shuffle feeds both window passes (sort reused)") {
+    // change detection (lag) and interval assembly (row_number/lead)
+    // share partitioning and sort order — the build must plan exactly one
+    // hash exchange; the only other exchange is the final orderBy's range
+    // partitioning
+    val p = plan("q89_scd2_history")
+    assert(countOf(p, "Exchange hashpartitioning") == 1, p)
+  }
+
+  test("q88 rolling window: one shuffle, RANGE frame (no self-join rewrite)") {
+    val p = plan("q88_rolling_window")
+    assert(countOf(p, "Exchange hashpartitioning") == 1, p)
+    assert(p.contains("RangeFrame"), p)
+    assert(!p.contains("Join"), s"time-window rolling agg degraded to a join:\n$p")
+  }
+
+  test("q87 repetition signals: top-bigram argmax uses WindowGroupLimit pushdown") {
+    val p = plan("q87_repetition_signals")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q91 keep-best: per-group argmax uses WindowGroupLimit pushdown") {
+    val p = plan("q91_dedup_keep_best")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
 }
