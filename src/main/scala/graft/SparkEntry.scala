@@ -1281,6 +1281,40 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // streaming: the ARBITRARY-STATE surface (mapGroupsWithState) —
+    // running per-user totals carried across micro-batches; the final
+    // state must equal the batch per-user counts. Totals are monotone,
+    // so max() over the update-mode sink is the final value regardless
+    // of how the source split into batches.
+    "q94_stream_user_totals" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val stage = Staging.dir("q94-")
+      java.nio.file.Files.createSymbolicLink(
+        stage.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val sinkTable = "q94_stream_user_totals_sink"
+      if (s.catalog.tableExists(sinkTable)) s.catalog.dropTempView(sinkTable)
+      val q = graft.streaming.EventStream
+        .runningUserCounts(s,
+          graft.streaming.EventStream.readEventStream(s, stage.toString))
+        .toDF()
+        .writeStream
+        .format("memory")
+        .queryName(sinkTable)
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException("q94 stream did not finish within 300s")
+      }
+      Staging.discard(stage)
+      s.table(sinkTable)
+        .groupBy("user_id")
+        .agg(max(col("n_events")).as("n_events"))
+        .orderBy("user_id")
+    }),
+
     // custom typed UDAF (Aggregator surface): quantity-weighted mean
     // price per return flag — integer-cents buffer, map-side combinable,
     // one double division at finish (order-independent, oracle-exact)
@@ -2151,6 +2185,10 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n,
         |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q94_stream_user_totals" ->
+      """SELECT user_id, count(*) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q87_repetition_signals" ->
       s"""WITH d AS (SELECT doc_id,
