@@ -116,6 +116,15 @@ object TextFunctions {
   /** Signature from pre-computed base hashes (array<long>, already mod p) —
     * lets callers hash each shingle exactly once and reuse the longs for
     * both banding and Jaccard verify.
+    *
+    * Deliberately numHashes separate `array_min(transform(...))` passes,
+    * NOT one aggregate fold carrying an array of running minima: HOFs run
+    * interpreted, and the fold's per-element accumulator-array allocation
+    * + struct param extraction measured ~40% SLOWER end-to-end than
+    * numHashes cheap long-math walks (bench r4: q31 7.4s -> 11.5s with
+    * the single-fold variant). The simhash single-pass lesson does NOT
+    * transfer: simhash's 16 folds re-walked a TOKEN list each pass with
+    * per-token hashing; here the bases are already-materialized longs.
     */
   def minhashSignatureFromBases(bases: Column, numHashes: Int): Column =
     when(size(bases) === 0, lit(null).cast("array<bigint>")).otherwise(

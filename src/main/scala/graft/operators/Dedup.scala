@@ -126,9 +126,17 @@ object Dedup {
     // Jaccard verify runs inline on the join output before the distinct,
     // so only (id_a, id_b, jacc) rows ever shuffle afterwards.
     val sig = TextFunctions.minhashSignatureFromBases(col("hs"), numHashes)
-    val banded = withH
+    // lazily checkpointed: the band projection below references
+    // `sig` once per signature slot and `hs` rides into both join sides —
+    // without a materialization barrier CollapseProject inlines the
+    // md5-per-shingle hashing (HOFs never codegen, so no subexpression
+    // elimination) into every one of those references. One small
+    // (id, hs, sig) row per doc materializes instead.
+    val hashedSig = withH
       .select(col(idCol), col("hs"), sig.as("sig"))
       .filter(col("sig").isNotNull)
+      .localCheckpoint(false)
+    val banded = hashedSig
       .select(
         col(idCol), col("hs"),
         posexplode(
