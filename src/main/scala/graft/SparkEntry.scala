@@ -1315,6 +1315,38 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // streaming: stream-STREAM join — clicks joined to the same user's
+    // trailing-hour views with watermarks on both sides bounding join
+    // state; raw pairs land in an append-mode sink and aggregate to
+    // per-click prior-view counts, hash-matched against the q49 batch
+    // range-join oracle
+    "q95_stream_stream_join" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val stage = Staging.dir("q95-")
+      java.nio.file.Files.createSymbolicLink(
+        stage.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val sinkTable = "q95_stream_stream_join_sink"
+      if (s.catalog.tableExists(sinkTable)) s.catalog.dropTempView(sinkTable)
+      val q = graft.streaming.EventStream
+        .clickPriorViewsStream(s, stage.toString)
+        .writeStream
+        .format("memory")
+        .queryName(sinkTable)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException("q95 stream did not finish within 300s")
+      }
+      Staging.discard(stage)
+      s.table(sinkTable)
+        .groupBy(col("event_id"), col("c_user").as("user_id"))
+        .agg(count(lit(1)).as("n_prior_views"))
+        .orderBy("event_id")
+    }),
+
     // custom typed UDAF (Aggregator surface): quantity-weighted mean
     // price per return flag — integer-cents buffer, map-side combinable,
     // one double division at finish (order-independent, oracle-exact)
@@ -2189,6 +2221,17 @@ object SparkEntry {
     "q94_stream_user_totals" ->
       """SELECT user_id, count(*) AS n_events
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // same semantics as the q49 batch range join
+    "q95_stream_stream_join" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS c_tsn FROM events WHERE event_type = 'click'),
+        |views AS (
+        |  SELECT user_id, epoch_us(ts) AS v_tsn FROM events WHERE event_type = 'view')
+        |SELECT c.event_id, c.user_id, count(*) AS n_prior_views
+        |FROM clicks c JOIN views v
+        |  ON c.user_id = v.user_id AND v.v_tsn >= c.c_tsn - 3600000000 AND v.v_tsn <= c.c_tsn
+        |GROUP BY c.event_id, c.user_id ORDER BY c.event_id""".stripMargin,
 
     "q87_repetition_signals" ->
       s"""WITH d AS (SELECT doc_id,

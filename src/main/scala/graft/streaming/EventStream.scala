@@ -89,6 +89,31 @@ object EventStream {
         col(dimAttr), col("n_events"), col("sum_value")
       )
 
+  /** Stream-STREAM inner join with an event-time range constraint:
+    * every click joined to the same user's views from the trailing hour.
+    * Both sides carry watermarks and the join condition bounds v_time
+    * relative to c_time, so Spark can size the join state exactly —
+    * buffered rows evict as soon as the watermark proves they can never
+    * match a future row (state ~ arrival rate x (watermark + range),
+    * independent of stream length). Emits raw matched pairs (append
+    * mode); aggregate downstream.
+    */
+  def clickPriorViewsStream(spark: SparkSession, dir: String): DataFrame = {
+    val clicks = withEventTime(readEventStream(spark, dir))
+      .filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id").as("c_user"), col("event_time").as("c_time"))
+      .withWatermark("c_time", "2 hours")
+    val views = withEventTime(readEventStream(spark, dir))
+      .filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_time").as("v_time"))
+      .withWatermark("v_time", "2 hours")
+    clicks.join(
+      views,
+      col("c_user") === col("v_user") &&
+        col("v_time") >= col("c_time") - expr("INTERVAL 1 HOUR") &&
+        col("v_time") <= col("c_time"))
+  }
+
   /** foreachBatch sink reusing an arbitrary batch transform — the bridge
     * that lets every batch operator in this engine (dedup, match, ...)
     * run over a stream without a streaming rewrite.

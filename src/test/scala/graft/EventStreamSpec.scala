@@ -147,6 +147,40 @@ class EventStreamSpec extends SparkSpec {
     assert(gotDistinct == expected)
   }
 
+  test("clickPriorViewsStream: stream-stream range join matches the batch join") {
+    val dir = stageEventsDir()
+    val q = EventStream
+      .clickPriorViewsStream(spark, dir)
+      .writeStream
+      .format("memory")
+      .queryName("ss_join_test")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = EventStream.withEventTime(spark.read.parquet(s"$dir/events.parquet"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("event_time").as("c_time"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_time").as("v_time"))
+    val batch = clicks
+      .join(views,
+        col("user_id") === col("v_user") &&
+          col("v_time") >= col("c_time") - org.apache.spark.sql.functions.expr("INTERVAL 1 HOUR") &&
+          col("v_time") <= col("c_time"))
+      .groupBy("event_id")
+      .count()
+      .orderBy("event_id")
+      .collect().toSeq
+    val streamed = spark.table("ss_join_test")
+      .groupBy("event_id").count().orderBy("event_id")
+      .collect().toSeq
+    assert(batch.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("enrichedHourlyStream: stream-static join matches the batch join+agg") {
     val dir = stageEventsDir()
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
