@@ -1395,6 +1395,38 @@ object SparkEntry {
         .orderBy("c_mktsegment")
     }),
 
+    // relational: LEFT SEMI join — "customers who ordered this year"
+    // without duplicating per-order rows (the EXISTS/IN shape; q24 is
+    // its anti-join complement). Semi joins stop probing at first match
+    // and never widen the row.
+    "q98_semi_join" -> ((s, dir) => {
+      val recent = rd(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+      rd(s, dir, "customer")
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy("c_custkey")
+    }),
+
+    // sources: CSV round-trip with an explicit schema + header — the
+    // remaining mainstream interchange format (TSV is the CLI sink,
+    // JSONL q68, ORC q93, partitioned/bucketed parquet q69/q77)
+    "q99_csv_roundtrip" -> ((s, dir) => {
+      val tmp = Staging.dir("csv-").toString
+      rd(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+        .write.mode("overwrite").option("header", "true").csv(s"$tmp/events")
+      s.read
+        .schema("event_id BIGINT, event_type STRING, value DOUBLE")
+        .option("header", "true")
+        .csv(s"$tmp/events")
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     // custom typed UDAF (Aggregator surface): quantity-weighted mean
     // price per return flag — integer-cents buffer, map-side combinable,
     // one double division at finish (order-independent, oracle-exact)
@@ -2275,6 +2307,18 @@ object SparkEntry {
     "q94_stream_user_totals" ->
       """SELECT user_id, count(*) AS n_events
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q98_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE c_custkey IN (
+        |  SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q99_csv_roundtrip" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q96_date_spine" ->
       """WITH d AS (SELECT date_trunc('day', o_orderdate) AS day, count(*) AS n FROM orders GROUP BY 1),
