@@ -1427,6 +1427,27 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // similarity: edit-distance threshold self-join via length-banded
+    // blocking — |lev(a,b)| <= t implies |len(a)-len(b)| <= t, so one
+    // side explodes candidate length keys [len-t, len+t] and the join is
+    // a plain equi-join on length (the banded range-join shape applied
+    // to strings); levenshtein verifies only within bands. No cartesian.
+    "q100_edit_distance_join" -> ((s, dir) => {
+      val t = 3
+      val n = rd(s, dir, "part")
+        .groupBy(col("p_name").as("name"))
+        .agg(min(col("p_partkey")).as("id"))
+        .withColumn("len", length(col("name")))
+      val probes = n.withColumn("lb", explode(sequence(col("len") - t, col("len") + t)))
+      probes.alias("a")
+        .join(n.alias("b"), col("a.lb") === col("b.len") && col("a.id") < col("b.id"))
+        .withColumn("dist", levenshtein(col("a.name"), col("b.name")).cast("long"))
+        .filter(col("dist") <= t)
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          col("a.name").as("name_a"), col("b.name").as("name_b"), col("dist"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // custom typed UDAF (Aggregator surface): quantity-weighted mean
     // price per return flag — integer-cents buffer, map-side combinable,
     // one double division at finish (order-independent, oracle-exact)
@@ -2314,6 +2335,14 @@ object SparkEntry {
         |WHERE c_custkey IN (
         |  SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01')
         |ORDER BY c_custkey""".stripMargin,
+
+    "q100_edit_distance_join" ->
+      """WITH n AS (SELECT p_name AS name, min(p_partkey) AS id FROM part GROUP BY p_name)
+        |SELECT a.id AS id_a, b.id AS id_b, a.name AS name_a, b.name AS name_b,
+        |       levenshtein(a.name, b.name) AS dist
+        |FROM n a JOIN n b ON a.id < b.id
+        |WHERE abs(strlen(a.name) - strlen(b.name)) <= 3 AND levenshtein(a.name, b.name) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q99_csv_roundtrip" ->
       """SELECT event_type, count(*) AS n,

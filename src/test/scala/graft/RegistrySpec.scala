@@ -11,7 +11,7 @@ class RegistrySpec extends SparkSpec {
   }
 
   test("query names follow the qNN_snake convention") {
-    assert(SparkEntry.queries.keys.forall(_.matches("q\\d{2}_[a-z0-9_]+")))
+    assert(SparkEntry.queries.keys.forall(_.matches("q\\d{2,3}_[a-z0-9_]+")))
   }
 
   test("pushdown audit: q20 scan carries pushed filters and a pruned schema") {
