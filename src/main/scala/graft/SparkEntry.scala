@@ -1005,7 +1005,7 @@ object SparkEntry {
       // (bucket once at ingest, join shuffle-free every query after), and
       // letting the min-of-2 bench measure the co-located join rather
       // than the one-time layout write
-      if (bucketedStagedFor.get() != dir) {
+      if (bucketedStagedFor.get() != dir || !s.catalog.tableExists("graft_li_bkt")) {
         val tmp = Staging.dir("bucketed-").toString
         s.sql("DROP TABLE IF EXISTS graft_li_bkt")
         s.sql("DROP TABLE IF EXISTS graft_ord_bkt")

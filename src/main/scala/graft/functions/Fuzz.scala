@@ -218,6 +218,12 @@ object Fuzz extends Serializable {
     */
   def partialRatioAtLeast(a: String, b: String, cutoff: Int): Boolean = {
     if (a == null || b == null) return false
+    // cutoff <= 0 degenerates: the bounded scan's stop-at bar is already
+    // met at best = 0.0, yet `partialRatioCutoff > 0` still means
+    // "rounded score >= 1" — fall back to the exact scorer there so the
+    // documented equivalence holds for ALL cutoffs, not just the ones
+    // the optimizer rule's guards produce
+    if (cutoff <= 0) return partialRatioCutoff(a, b, cutoff) > 0
     partialRatioDoubleBounded(pyLower(a), pyLower(b), cutoff.toDouble) >= cutoff
   }
 }

@@ -27,6 +27,10 @@ object Scd2 {
     *
     * Timestamps are emitted as epoch seconds (long) — engine-neutral and
     * exactly comparable.
+    *
+    * Contract: `attrCol` must be non-null — a null attribute makes the
+    * change predicate (`attr =!= prev`) null and the row would silently
+    * drop; feed `coalesce(attr, sentinel)` if nulls are meaningful.
     */
   def buildHistory(
       feed: DataFrame,

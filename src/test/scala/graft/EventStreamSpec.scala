@@ -30,7 +30,7 @@ class EventStreamSpec extends SparkSpec {
       .outputMode("complete")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not finish within 120s")
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val batch = EventStream
@@ -56,7 +56,7 @@ class EventStreamSpec extends SparkSpec {
         (batch, _) => seen.addAndGet(batch.count())
       }
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not finish within 120s")
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val expected = spark.read.parquet(s"$dir/events.parquet")
@@ -77,7 +77,7 @@ class EventStreamSpec extends SparkSpec {
       .outputMode("complete")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not finish within 120s")
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val batch = EventStream
@@ -105,7 +105,7 @@ class EventStreamSpec extends SparkSpec {
       .outputMode("update")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not finish within 120s")
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val expected = spark.read.parquet(s"$dir/events.parquet")
@@ -136,7 +136,7 @@ class EventStreamSpec extends SparkSpec {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not finish within 120s")
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val expected = spark.read.parquet(s"$dir/a.parquet").count()
@@ -157,7 +157,7 @@ class EventStreamSpec extends SparkSpec {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not finish within 120s")
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = EventStream.withEventTime(spark.read.parquet(s"$dir/events.parquet"))
@@ -193,7 +193,7 @@ class EventStreamSpec extends SparkSpec {
       .outputMode("complete")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not finish within 120s")
 
     val ev = EventStream.withEventTime(spark.read.parquet(s"$dir/events.parquet"))
     val batch = ev
