@@ -72,4 +72,21 @@ object AsofJoin {
       ) { (df, vc) => df.withColumn(vc, col(s"__last.$vc")) }
       .drop("__side", "__rv", "__last")
   }
+
+  /** Same semantics via the NATIVE physical operator (custom LogicalPlan
+    * + SparkStrategy + BinaryExecNode, org.apache.spark.sql.graft
+    * .AsofJoinNative): one hash exchange + sort per side declared as
+    * distribution/ordering requirements, then a single merge pass per
+    * partition holding ONE candidate right row — no union row inflation,
+    * no window state. Column order differs from `asofBackward` (the
+    * asof_<tsCol> column precedes the values); select explicitly.
+    */
+  def asofBackwardNative(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCols: Seq[String]
+  ): DataFrame =
+    org.apache.spark.sql.graft.AsofJoinNative.join(left, right, keyCol, tsCol, valueCols)
 }

@@ -128,6 +128,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.registration)
     ext.injectOptimizerRule(_ => FoldPartialRatioCutoffPredicate)
+    ext.injectPlannerStrategy(_ => AsofJoinStrategy)
   }
 }
 
@@ -156,5 +157,9 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(FoldPartialRatioCutoffPredicate))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ FoldPartialRatioCutoffPredicate
+    // the as-of planner strategy, same public per-session hook
+    if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsofJoinStrategy
   }
 }
