@@ -22,6 +22,7 @@ import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Dist
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.classic
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.LongType
 
 /** Logical backward as-of join: for every left row, the most recent
   * right row with the same key and ts <= left ts (ties at equal ts
@@ -92,8 +93,6 @@ case class AsofJoinExec(
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending))
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
-    val tsOrd = TypeUtils.getInterpretedOrdering(leftTs.dataType)
     val lKey = BindReferences.bindReference(leftKey: Expression, left.output)
     val lTs = BindReferences.bindReference(leftTs: Expression, left.output)
     val rKey = BindReferences.bindReference(rightKey: Expression, right.output)
@@ -101,6 +100,12 @@ case class AsofJoinExec(
     val rightSide: Seq[Expression] = (rightTs +: rightValues)
       .map(a => BindReferences.bindReference(a: Expression, right.output))
     val outAttrs = output
+    // primitive fast path for the overwhelmingly common case (long keys,
+    // epoch-micros timestamps): ordinal getLong, no boxing per row
+    val primitive = leftKey.dataType == LongType && leftTs.dataType == LongType &&
+      rightKey.dataType == LongType && rightTs.dataType == LongType &&
+      lKey.isInstanceOf[BoundReference] && lTs.isInstanceOf[BoundReference] &&
+      rKey.isInstanceOf[BoundReference] && rTs.isInstanceOf[BoundReference]
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       // (ts, values*) of the held candidate — copied because Unsafe rows
@@ -110,49 +115,99 @@ case class AsofJoinExec(
       val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
       val joined = new JoinedRow
 
-      new Iterator[InternalRow] {
-        private var rRow: InternalRow = _
-        private var rKeyVal: Any = _
-        private var rTsVal: Any = _
-        private var rValid = advanceRight()
-        private var held: InternalRow = _
-        private var heldKey: Any = _
+      if (primitive) {
+        val lkOrd = lKey.asInstanceOf[BoundReference].ordinal
+        val ltOrd = lTs.asInstanceOf[BoundReference].ordinal
+        val rkOrd = rKey.asInstanceOf[BoundReference].ordinal
+        val rtOrd = rTs.asInstanceOf[BoundReference].ordinal
+        new Iterator[InternalRow] {
+          private var rRow: InternalRow = _
+          private var rk = 0L
+          private var rt = 0L
+          private var rValid = advanceRight()
+          private var held: InternalRow = _
+          private var heldKey = 0L
 
-        private def advanceRight(): Boolean = {
-          while (rIter.hasNext) {
-            rRow = rIter.next()
-            rKeyVal = rKey.eval(rRow)
-            rTsVal = rTs.eval(rRow)
-            if (rKeyVal != null && rTsVal != null) return true
-          }
-          rRow = null
-          false
-        }
-
-        override def hasNext: Boolean = lIter.hasNext
-
-        override def next(): InternalRow = {
-          val lRow = lIter.next()
-          val lk = lKey.eval(lRow)
-          val lt = lTs.eval(lRow)
-          if (lk != null && lt != null) {
-            // consume right rows that are at or before (lk, lt); the
-            // LAST consumed row with key == lk is the backward match
-            var continue = rValid
-            while (continue) {
-              val kc = keyOrd.compare(rKeyVal, lk)
-              if (kc < 0 || (kc == 0 && tsOrd.compare(rTsVal, lt) <= 0)) {
-                held = rightProj(rRow).copy()
-                heldKey = rKeyVal
-                rValid = advanceRight()
-                continue = rValid
-              } else continue = false
+          private def advanceRight(): Boolean = {
+            while (rIter.hasNext) {
+              rRow = rIter.next()
+              if (!rRow.isNullAt(rkOrd) && !rRow.isNullAt(rtOrd)) {
+                rk = rRow.getLong(rkOrd)
+                rt = rRow.getLong(rtOrd)
+                return true
+              }
             }
+            rRow = null
+            false
           }
-          val matched =
-            lk != null && held != null && keyOrd.compare(heldKey, lk) == 0
-          joined(lRow, if (matched) held else nullRight)
-          resultProj(joined)
+
+          override def hasNext: Boolean = lIter.hasNext
+
+          override def next(): InternalRow = {
+            val lRow = lIter.next()
+            val lNull = lRow.isNullAt(lkOrd) || lRow.isNullAt(ltOrd)
+            var matched = false
+            if (!lNull) {
+              val lk = lRow.getLong(lkOrd)
+              val lt = lRow.getLong(ltOrd)
+              while (rValid && (rk < lk || (rk == lk && rt <= lt))) {
+                held = rightProj(rRow).copy()
+                heldKey = rk
+                rValid = advanceRight()
+              }
+              matched = held != null && heldKey == lk
+            }
+            joined(lRow, if (matched) held else nullRight)
+            resultProj(joined)
+          }
+        }
+      } else {
+        val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
+        val tsOrd = TypeUtils.getInterpretedOrdering(leftTs.dataType)
+        new Iterator[InternalRow] {
+          private var rRow: InternalRow = _
+          private var rKeyVal: Any = _
+          private var rTsVal: Any = _
+          private var rValid = advanceRight()
+          private var held: InternalRow = _
+          private var heldKey: Any = _
+
+          private def advanceRight(): Boolean = {
+            while (rIter.hasNext) {
+              rRow = rIter.next()
+              rKeyVal = rKey.eval(rRow)
+              rTsVal = rTs.eval(rRow)
+              if (rKeyVal != null && rTsVal != null) return true
+            }
+            rRow = null
+            false
+          }
+
+          override def hasNext: Boolean = lIter.hasNext
+
+          override def next(): InternalRow = {
+            val lRow = lIter.next()
+            val lk = lKey.eval(lRow)
+            val lt = lTs.eval(lRow)
+            if (lk != null && lt != null) {
+              // consume right rows that are at or before (lk, lt); the
+              // LAST consumed row with key == lk is the backward match
+              var continue = rValid
+              while (continue) {
+                val kc = keyOrd.compare(rKeyVal, lk)
+                if (kc < 0 || (kc == 0 && tsOrd.compare(rTsVal, lt) <= 0)) {
+                  held = rightProj(rRow).copy()
+                  heldKey = rKeyVal
+                  rValid = advanceRight()
+                  continue = rValid
+                } else continue = false
+              }
+            }
+            val matched =
+              lk != null && held != null && keyOrd.compare(heldKey, lk) == 0
+            joined(lRow, if (matched) held else nullRight)
+            resultProj(joined)
+          }
         }
       }
     }
