@@ -1465,6 +1465,22 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // pillar text-analysis: ROLLING-hash document fingerprint — the 8
+    // smallest Karp-Rabin 8-gram hashes per doc, from a codegen'd O(n)
+    // custom expression (RollingKgramHashes; the oracle recomputes every
+    // window naively in SQL — same values, O(n*k))
+    "q102_rolling_fingerprint" -> ((s, dir) =>
+      spread(s, rd(s, dir, "documents"))
+        .withColumn("hs",
+          org.apache.spark.sql.graft.GraftFunctions.rollingKgramHashes(lower(col("text")), 8))
+        .select(
+          col("doc_id"),
+          array_join(
+            transform(slice(array_sort(array_distinct(col("hs"))), 1, 8), _.cast("string")),
+            ",").as("fp"),
+          size(col("hs")).cast("long").as("n_grams"))
+        .orderBy("doc_id")),
+
     // custom typed UDAF (Aggregator surface): quantity-weighted mean
     // price per return flag — integer-cents buffer, map-side combinable,
     // one double division at finish (order-independent, oracle-exact)
@@ -2377,6 +2393,19 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n,
         |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // naive O(n*k) recompute of the O(n) rolling hash — same values
+    "q102_rolling_fingerprint" ->
+      """WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+        |h AS (SELECT doc_id,
+        |  list_transform(range(1, greatest(strlen(t) - 6, 1)), i ->
+        |    list_reduce(list_transform(range(i, i + 8), j -> unicode(substr(t, j::INT, 1))::BIGINT),
+        |      (a, b) -> (a * 131 + b) % 1000000007)) AS hs
+        |  FROM d)
+        |SELECT doc_id,
+        |  array_to_string(list_transform(list_slice(list_sort(list_distinct(hs)), 1, 8), x -> x::VARCHAR), ',') AS fp,
+        |  len(hs)::BIGINT AS n_grams
+        |FROM h ORDER BY doc_id""".stripMargin,
 
     "q96_date_spine" ->
       """WITH d AS (SELECT date_trunc('day', o_orderdate) AS day, count(*) AS n FROM orders GROUP BY 1),

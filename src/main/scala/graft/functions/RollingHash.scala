@@ -1,0 +1,47 @@
+package graft.functions
+
+/** Karp-Rabin rolling k-gram hashes: polynomial hash of every k-length
+  * character window, computed in O(n) — each position updates the
+  * previous hash in O(1) (subtract the outgoing char's term, shift by
+  * the base, add the incoming char) instead of rehashing k chars.
+  *
+  * h_i = (sum_j code(c_{i+j}) * B^{k-1-j}) mod P with B = 131 and
+  * P = 1e9+7: h < 2^30, so every intermediate (h*B + c, c*B^{k-1})
+  * stays far below 2^63 — no overflow, and a DuckDB oracle reproduces
+  * the values with plain integer SQL (recomputing each window naively;
+  * same values, different complexity).
+  *
+  * Operates on UTF-16 code units (Java chars) — identical to codepoints
+  * for ASCII/BMP text, which is the engine's documented scorer contract
+  * too (SURVEY §1.4).
+  */
+object RollingHash extends Serializable {
+
+  val Base: Long = 131L
+  val Mod: Long = 1000000007L
+
+  /** All rolling k-gram hashes of `s`, in position order; empty array
+    * when the text is shorter than k.
+    */
+  def hashes(s: String, k: Int): Array[Long] = {
+    if (s == null) return null
+    val n = s.length
+    if (k <= 0 || n < k) return Array.empty[Long]
+    val out = new Array[Long](n - k + 1)
+    // B^(k-1) mod P, for removing the outgoing char's contribution
+    var bk = 1L
+    var i = 1
+    while (i < k) { bk = bk * Base % Mod; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < k) { h = (h * Base + s.charAt(i)) % Mod; i += 1 }
+    out(0) = h
+    i = k
+    while (i < n) {
+      h = ((h + Mod - s.charAt(i - k) * bk % Mod) % Mod * Base + s.charAt(i)) % Mod
+      out(i - k + 1) = h
+      i += 1
+    }
+    out
+  }
+}

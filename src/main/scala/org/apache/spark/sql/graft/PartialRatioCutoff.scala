@@ -12,7 +12,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, BooleanType, DataType, IntegerType, StringType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, BooleanType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.sql.{Column, SparkSessionExtensions}
 import org.apache.spark.unsafe.types.UTF8String
 import graft.functions.Fuzz
@@ -108,6 +108,41 @@ object FoldPartialRatioCutoffPredicate extends Rule[LogicalPlan] {
   }
 }
 
+/** Karp-Rabin rolling k-gram hashes as a codegen'd unary expression:
+  * array<long> of the polynomial hash of every k-length char window,
+  * computed in O(n) (O(1) per position — see graft.functions.RollingHash
+  * for the recurrence and modulus choice). The SQL-expressible naive
+  * recompute (fold per window) is O(n*k); this is the fingerprinting
+  * primitive a 100 TB corpus pass wants codegen'd and linear.
+  */
+case class RollingKgramHashes(child: Expression, k: Int)
+    extends UnaryExpression
+    with ExpectsInputTypes {
+
+  require(k >= 1, s"k-gram width must be >= 1, got $k")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "rolling_kgram_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    RollingKgramHashes.compute(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.RollingKgramHashes.compute($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingKgramHashes =
+    copy(child = newChild)
+}
+
+object RollingKgramHashes {
+  /** Static bridge shared by interpreted eval and generated code. */
+  def compute(s: UTF8String, k: Int): org.apache.spark.sql.catalyst.util.ArrayData =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(graft.functions.RollingHash.hashes(s.toString, k))
+}
+
 /** Column-level entry points for the custom expressions (usable without
   * any session registration).
   */
@@ -118,6 +153,9 @@ object GraftFunctions {
         ExpressionUtils.expression(a),
         ExpressionUtils.expression(b),
         Literal(cutoff)))
+
+  def rollingKgramHashes(text: Column, k: Int): Column =
+    ExpressionUtils.column(RollingKgramHashes(ExpressionUtils.expression(text), k))
 }
 
 /** SparkSessionExtensions wiring: exposes `partial_ratio_cutoff(a, b, c)`

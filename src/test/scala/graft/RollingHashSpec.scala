@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.GraftFunctions
+import graft.functions.RollingHash
+
+/** Karp-Rabin rolling hashes: O(1)-update values must equal the naive
+  * per-window recompute, through both the Scala kernel and the codegen'd
+  * Catalyst expression.
+  */
+class RollingHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def naive(s: String, k: Int): Array[Long] =
+    (0 to s.length - k).map { i =>
+      s.substring(i, i + k).foldLeft(0L)((h, c) => (h * RollingHash.Base + c) % RollingHash.Mod)
+    }.toArray
+
+  test("rolling recurrence equals the naive per-window hash") {
+    val rng = new scala.util.Random(11)
+    for (_ <- 1 to 50) {
+      val s = (0 until rng.nextInt(60)).map(_ => ('a' + rng.nextInt(26)).toChar).mkString
+      for (k <- Seq(1, 2, 4, 8)) {
+        val expected = if (s.length < k) Array.empty[Long] else naive(s, k)
+        assert(RollingHash.hashes(s, k).toSeq == expected.toSeq, s"s='$s' k=$k")
+      }
+    }
+  }
+
+  test("catalyst expression: codegen matches the kernel; null and short inputs") {
+    val rows = Seq(Some("the quick brown fox"), Some("short"), Some(""), None)
+      .toDF("t")
+      .select(GraftFunctions.rollingKgramHashes(col("t"), 8).as("hs"))
+      .collect()
+    assert(rows(0).getSeq[Long](0) == RollingHash.hashes("the quick brown fox", 8).toSeq)
+    assert(rows(1).getSeq[Long](0).isEmpty)  // shorter than k
+    assert(rows(2).getSeq[Long](0).isEmpty)  // empty string
+    assert(rows(3).isNullAt(0))              // null in -> null out
+  }
+
+  test("identical windows hash identically, different windows (almost surely) differ") {
+    val hs = RollingHash.hashes("abcabcabc", 3).toSeq
+    assert(hs(0) == hs(3) && hs(3) == hs(6)) // "abc" thrice
+    assert(hs(0) != hs(1))                   // "abc" vs "bca"
+  }
+}
