@@ -119,6 +119,39 @@ object SparkEntry {
     * large side, streamed). Exercises the full reference pipeline on the
     * biggest text table the harness ships.
     */
+  /** Shared streaming-gate harness: stage the events parquet into a
+    * fresh directory (file-stream sources monitor directories), run the
+    * caller's stream into a memory sink, fail LOUDLY on timeout (a
+    * partial sink would be a nondeterministic wrong answer, not an
+    * error), discard the staging once drained, return the sink table.
+    */
+  private def runStreamGate(
+      s: SparkSession,
+      dir: String,
+      sinkTable: String,
+      outputMode: String
+  )(mkStream: String => DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val stage = Staging.dir(sinkTable.takeWhile(_ != '_') + "-")
+    java.nio.file.Files.createSymbolicLink(
+      stage.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    if (s.catalog.tableExists(sinkTable)) s.catalog.dropTempView(sinkTable)
+    val q = mkStream(stage.toString)
+      .writeStream
+      .format("memory")
+      .queryName(sinkTable)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    if (!q.awaitTermination(300000)) {
+      q.stop()
+      throw new IllegalStateException(s"$sinkTable stream did not finish within 300s")
+    }
+    Staging.discard(stage)
+    s.table(sinkTable)
+  }
+
   private def matchDocs(s: SparkSession, dir: String, inverted: Boolean): DataFrame = {
     // query ids: natural key (min partkey per distinct lowered name) — no
     // single-partition global window; see `entry`
@@ -511,33 +544,10 @@ object SparkEntry {
     // window, memory sink, AvailableNow trigger run to completion. The
     // q40-equivalent oracle makes the streaming engine itself (not a
     // batch re-derivation) pass the correctness gate.
-    "q53_events_hourly_stream" -> ((s, dir) => {
-      import org.apache.spark.sql.streaming.Trigger
-      // the file-stream source monitors a DIRECTORY (its contract); stage
-      // the events file into one via symlink
-      val stage = Staging.dir("q53-")
-      java.nio.file.Files.createSymbolicLink(
-        stage.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
-      val sinkTable = "q53_events_hourly_stream_sink"
-      if (s.catalog.tableExists(sinkTable)) s.catalog.dropTempView(sinkTable)
-      val q = graft.streaming.EventStream
-        .hourlyStream(s, stage.toString)
-        .writeStream
-        .format("memory")
-        .queryName(sinkTable)
-        .outputMode("complete")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      // a timed-out stream would leave a PARTIAL memory sink — fail loudly
-      // instead of silently returning a nondeterministic prefix
-      if (!q.awaitTermination(300000)) {
-        q.stop()
-        throw new IllegalStateException("q53 stream did not finish within 300s")
-      }
-      Staging.discard(stage) // source fully drained; memory sink is resident
-      s.table(sinkTable).orderBy("hour_epoch", "event_type")
-    }),
+    "q53_events_hourly_stream" -> ((s, dir) =>
+      runStreamGate(s, dir, "q53_events_hourly_stream_sink", "complete") { stage =>
+        graft.streaming.EventStream.hourlyStream(s, stage)
+      }.orderBy("hour_epoch", "event_type")),
 
     // events: backward as-of join — each click matched to the user's most
     // recent view at or before it (oracle = DuckDB's native ASOF JOIN)
@@ -1221,28 +1231,11 @@ object SparkEntry {
     // hourly aggregate keyed by market segment; memory-sink result
     // hash-matched against the batch join+agg oracle
     "q90_stream_static_join" -> ((s, dir) => {
-      import org.apache.spark.sql.streaming.Trigger
-      val stage = Staging.dir("q90-")
-      java.nio.file.Files.createSymbolicLink(
-        stage.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
       val dim = rd(s, dir, "customer")
-      val sinkTable = "q90_stream_static_join_sink"
-      if (s.catalog.tableExists(sinkTable)) s.catalog.dropTempView(sinkTable)
-      val q = graft.streaming.EventStream
-        .enrichedHourlyStream(s, stage.toString, dim, "c_custkey", "c_mktsegment")
-        .writeStream
-        .format("memory")
-        .queryName(sinkTable)
-        .outputMode("complete")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      if (!q.awaitTermination(300000)) {
-        q.stop()
-        throw new IllegalStateException("q90 stream did not finish within 300s")
-      }
-      Staging.discard(stage)
-      s.table(sinkTable).orderBy("hour_epoch", "c_mktsegment")
+      runStreamGate(s, dir, "q90_stream_static_join_sink", "complete") { stage =>
+        graft.streaming.EventStream
+          .enrichedHourlyStream(s, stage, dim, "c_custkey", "c_mktsegment")
+      }.orderBy("hour_epoch", "c_mktsegment")
     }),
 
     // pillar dedup: quality-aware group resolution — near-dup groups keep
@@ -1294,66 +1287,28 @@ object SparkEntry {
     // state must equal the batch per-user counts. Totals are monotone,
     // so max() over the update-mode sink is the final value regardless
     // of how the source split into batches.
-    "q94_stream_user_totals" -> ((s, dir) => {
-      import org.apache.spark.sql.streaming.Trigger
-      val stage = Staging.dir("q94-")
-      java.nio.file.Files.createSymbolicLink(
-        stage.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
-      val sinkTable = "q94_stream_user_totals_sink"
-      if (s.catalog.tableExists(sinkTable)) s.catalog.dropTempView(sinkTable)
-      val q = graft.streaming.EventStream
-        .runningUserCounts(s,
-          graft.streaming.EventStream.readEventStream(s, stage.toString))
-        .toDF()
-        .writeStream
-        .format("memory")
-        .queryName(sinkTable)
-        .outputMode("update")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      if (!q.awaitTermination(300000)) {
-        q.stop()
-        throw new IllegalStateException("q94 stream did not finish within 300s")
+    "q94_stream_user_totals" -> ((s, dir) =>
+      runStreamGate(s, dir, "q94_stream_user_totals_sink", "update") { stage =>
+        graft.streaming.EventStream
+          .runningUserCounts(s, graft.streaming.EventStream.readEventStream(s, stage))
+          .toDF()
       }
-      Staging.discard(stage)
-      s.table(sinkTable)
         .groupBy("user_id")
         .agg(max(col("n_events")).as("n_events"))
-        .orderBy("user_id")
-    }),
+        .orderBy("user_id")),
 
     // streaming: stream-STREAM join — clicks joined to the same user's
     // trailing-hour views with watermarks on both sides bounding join
     // state; raw pairs land in an append-mode sink and aggregate to
     // per-click prior-view counts, hash-matched against the q49 batch
     // range-join oracle
-    "q95_stream_stream_join" -> ((s, dir) => {
-      import org.apache.spark.sql.streaming.Trigger
-      val stage = Staging.dir("q95-")
-      java.nio.file.Files.createSymbolicLink(
-        stage.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
-      val sinkTable = "q95_stream_stream_join_sink"
-      if (s.catalog.tableExists(sinkTable)) s.catalog.dropTempView(sinkTable)
-      val q = graft.streaming.EventStream
-        .clickPriorViewsStream(s, stage.toString)
-        .writeStream
-        .format("memory")
-        .queryName(sinkTable)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      if (!q.awaitTermination(300000)) {
-        q.stop()
-        throw new IllegalStateException("q95 stream did not finish within 300s")
+    "q95_stream_stream_join" -> ((s, dir) =>
+      runStreamGate(s, dir, "q95_stream_stream_join_sink", "append") { stage =>
+        graft.streaming.EventStream.clickPriorViewsStream(s, stage)
       }
-      Staging.discard(stage)
-      s.table(sinkTable)
         .groupBy(col("event_id"), col("c_user").as("user_id"))
         .agg(count(lit(1)).as("n_prior_views"))
-        .orderBy("event_id")
-    }),
+        .orderBy("event_id")),
 
     // relational: date-spine densification — every calendar day between
     // the first and last order, INCLUDING zero-order days (reports and

@@ -92,6 +92,12 @@ case class AsofJoinExec(
   override def outputOrdering: Seq[SortOrder] =
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending))
 
+  // every output row is a left row (possibly extended) — the left child's
+  // hash partitioning survives, so a downstream groupBy/join on the key
+  // reuses the exchange instead of re-shuffling (the SMJ convention)
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    left.outputPartitioning
+
   override protected def doExecute(): RDD[InternalRow] = {
     val lKey = BindReferences.bindReference(leftKey: Expression, left.output)
     val lTs = BindReferences.bindReference(leftTs: Expression, left.output)
@@ -197,7 +203,10 @@ case class AsofJoinExec(
                 val kc = keyOrd.compare(rKeyVal, lk)
                 if (kc < 0 || (kc == 0 && tsOrd.compare(rTsVal, lt) <= 0)) {
                   held = rightProj(rRow).copy()
-                  heldKey = rKeyVal
+                  // copyValue: a buffer-backed key (UTF8String, binary)
+                  // must not alias the sorter's reused row — the next
+                  // advanceRight() would overwrite it
+                  heldKey = InternalRow.copyValue(rKeyVal)
                   rValid = advanceRight()
                   continue = rValid
                 } else continue = false
