@@ -1436,6 +1436,31 @@ object SparkEntry {
           size(col("hs")).cast("long").as("n_grams"))
         .orderBy("doc_id")),
 
+    // pillar multimodal: frame sampling + resize planning — up to 4
+    // evenly-spaced frame indices per asset (explode of an arithmetic
+    // sequence; the decode itself stays behind the documented stub) and
+    // the aspect-preserving integer fit into a 256-box; per-frame
+    // signature is md5-derived so the oracle reproduces it bit-for-bit
+    "q103_frames_resize" -> ((s, dir) => {
+      val h = md5(col("text"))
+      spread(s, rd(s, dir, "documents"))
+        .select(
+          col("doc_id"), col("text"),
+          (conv(substring(h, 1, 4), 16, 10).cast("long") % 1024).as("width"),
+          (conv(substring(h, 5, 4), 16, 10).cast("long") % 1024).as("height"),
+          (conv(substring(h, 9, 2), 16, 10).cast("long") % 16 + 1).as("n_frames"))
+        .withColumn("step", expr("greatest((n_frames + 3) div 4, 1)"))
+        .select(col("doc_id"), col("text"), col("width"), col("height"),
+          explode(sequence(lit(0L), col("n_frames") - 1, col("step"))).as("frame_idx"))
+        .select(
+          col("doc_id"), col("frame_idx"), col("width"), col("height"),
+          expr("width * 256 div greatest(greatest(width, height), 1)").as("out_w"),
+          expr("height * 256 div greatest(greatest(width, height), 1)").as("out_h"),
+          (conv(substring(md5(concat(col("text"), lit(":"), col("frame_idx"))), 1, 4), 16, 10)
+            .cast("long") % 256).as("frame_sig"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     // custom typed UDAF (Aggregator surface): quantity-weighted mean
     // price per return flag — integer-cents buffer, map-side combinable,
     // one double division at finish (order-independent, oracle-exact)
@@ -2348,6 +2373,20 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n,
         |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q103_frames_resize" ->
+      """WITH m AS (SELECT doc_id, text,
+        |  ('0x' || substr(md5(text), 1, 4))::BIGINT % 1024 AS width,
+        |  ('0x' || substr(md5(text), 5, 4))::BIGINT % 1024 AS height,
+        |  ('0x' || substr(md5(text), 9, 2))::BIGINT % 16 + 1 AS n_frames
+        |  FROM documents),
+        |f AS (SELECT *, greatest((n_frames + 3) // 4, 1) AS step FROM m),
+        |e AS (SELECT doc_id, text, width, height, unnest(range(0, n_frames, step)) AS frame_idx FROM f)
+        |SELECT doc_id, frame_idx, width, height,
+        |  width * 256 // greatest(greatest(width, height), 1) AS out_w,
+        |  height * 256 // greatest(greatest(width, height), 1) AS out_h,
+        |  ('0x' || substr(md5(text || ':' || frame_idx), 1, 4))::BIGINT % 256 AS frame_sig
+        |FROM e ORDER BY doc_id, frame_idx""".stripMargin,
 
     // naive O(n*k) recompute of the O(n) rolling hash — same values
     "q102_rolling_fingerprint" ->

@@ -165,6 +165,7 @@ object GraftFunctions {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.registration)
+    ext.injectFunction(GraftExtensions.rollingRegistration)
     ext.injectOptimizerRule(_ => FoldPartialRatioCutoffPredicate)
     ext.injectPlannerStrategy(_ => AsofJoinStrategy)
   }
@@ -181,14 +182,32 @@ object GraftExtensions {
       PartialRatioCutoff(children(0), children(1), children(2))
     })
 
+  /** `rolling_kgram_hashes(text, k)` for SQL callers — k must be an
+    * integer literal (it parameterizes the generated code).
+    */
+  val rollingRegistration: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("rolling_kgram_hashes"),
+    new ExpressionInfo(classOf[RollingKgramHashes].getName, "rolling_kgram_hashes"),
+    (children: Seq[Expression]) => {
+      if (children.length != 2)
+        throw new IllegalArgumentException(
+          s"rolling_kgram_hashes requires 2 arguments (text, k); got ${children.length}")
+      val k = children(1) match {
+        case Literal(i: Int, org.apache.spark.sql.types.IntegerType) => i
+        case other => throw new IllegalArgumentException(
+          s"rolling_kgram_hashes k must be an integer literal; got $other")
+      }
+      RollingKgramHashes(children(0), k)
+    })
+
   /** Imperative per-session registration for sessions that were built
     * WITHOUT `.withExtensions` (e.g. a host application's session):
-    * idempotently installs the same function the extension injects.
+    * idempotently installs the same functions the extension injects.
     */
   def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val (id, info, builder) = registration
-    if (!spark.sessionState.functionRegistry.functionExists(id))
-      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    for ((id, info, builder) <- Seq(registration, rollingRegistration))
+      if (!spark.sessionState.functionRegistry.functionExists(id))
+        spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     // the predicate-folding rule, for sessions built without
     // .withExtensions (experimental.extraOptimizations is the public
     // per-session hook for exactly this)

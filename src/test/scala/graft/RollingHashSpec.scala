@@ -38,6 +38,12 @@ class RollingHashSpec extends SparkSpec {
     assert(rows(3).isNullAt(0))              // null in -> null out
   }
 
+  test("SQL surface: rolling_kgram_hashes registered via extensions") {
+    val r = spark.sql("SELECT rolling_kgram_hashes('the quick brown fox', 8) AS hs")
+      .collect()(0).getSeq[Long](0)
+    assert(r == RollingHash.hashes("the quick brown fox", 8).toSeq)
+  }
+
   test("identical windows hash identically, different windows (almost surely) differ") {
     val hs = RollingHash.hashes("abcabcabc", 3).toSeq
     assert(hs(0) == hs(3) && hs(3) == hs(6)) // "abc" thrice
