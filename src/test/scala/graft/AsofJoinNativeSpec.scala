@@ -68,6 +68,20 @@ class AsofJoinNativeSpec extends SparkSpec {
       .count(_ == "Exchange hashpartitioning") == 3, plan)
   }
 
+  test("outputPartitioning propagates: downstream groupBy on the key adds no exchange") {
+    val clicks = events.filter(col("event_type") === "click").drop("event_type")
+    val views = events.filter(col("event_type") === "view")
+      .groupBy("user_id", "tsn").agg(max(col("event_id")).as("v_event_id"))
+    val plan = AsofJoin.asofBackwardNative(clicks, views, "user_id", "tsn", Seq("v_event_id"))
+      .groupBy("user_id").count()
+      .queryExecution.executedPlan.toString
+    // 2 join-input exchanges + 1 aggregate exchange on (user_id, tsn) from
+    // the views pre-aggregation; the post-join groupBy(user_id) must NOT
+    // add a fourth — the join's left-side partitioning satisfies it
+    assert(plan.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") == 3, plan)
+  }
+
   test("null keys and timestamps never match") {
     val left = Seq((1L, Option(5L), Option(10L)), (2L, None, Option(10L)), (3L, Option(5L), None))
       .toDF("id", "k", "t")
