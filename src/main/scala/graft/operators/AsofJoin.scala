@@ -49,7 +49,13 @@ object AsofJoin {
     require(clash.isEmpty, s"right value columns clash with left columns: $clash")
 
     val l = left.withColumn("__side", lit(1))
+    // ASOF semantics (DuckDB, and the native operator): a NULL key or NULL
+    // timestamp never matches. Drop null right rows up front — otherwise
+    // the window's partitionBy would group NULL keys together and join
+    // them to each other (SQL window partitioning, unlike join equality,
+    // treats NULLs as equal).
     val r = right
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
       .select(
         col(keyCol), col(tsCol), lit(0).as("__side"),
         struct((tsCol +: valueCols).map(col): _*).as("__rv")
@@ -63,7 +69,12 @@ object AsofJoin {
       .orderBy(col(tsCol).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val filled = unioned.withColumn("__last", last(col("__rv"), ignoreNulls = true).over(w))
+    // mask left rows with a NULL key or ts explicitly rather than relying
+    // on NULLS FIRST sort order to keep them ahead of every right row
+    val filled = unioned.withColumn(
+      "__last",
+      when(col(keyCol).isNotNull && col(tsCol).isNotNull,
+        last(col("__rv"), ignoreNulls = true).over(w)))
     valueCols
       .foldLeft(
         filled

@@ -212,8 +212,11 @@ case class AsofJoinExec(
                 } else continue = false
               }
             }
+            // lt != null mirrors the primitive path's !lNull guard: a NULL
+            // timestamp never matches (DuckDB ASOF semantics), even when a
+            // candidate for the same key is already held
             val matched =
-              lk != null && held != null && keyOrd.compare(heldKey, lk) == 0
+              lk != null && lt != null && held != null && keyOrd.compare(heldKey, lk) == 0
             joined(lRow, if (matched) held else nullRight)
             resultProj(joined)
           }
@@ -253,8 +256,10 @@ object AsofJoinNative {
       tsCol: String,
       valueCols: Seq[String]
   ): DataFrame = {
-    val clash = valueCols.toSet.intersect(left.columns.toSet)
-    require(clash.isEmpty, s"right value columns clash with left columns: $clash")
+    val clash = (valueCols.toSet + s"asof_$tsCol").intersect(left.columns.toSet)
+    require(clash.isEmpty,
+      s"output columns clash with left columns: $clash " +
+        s"(right value columns and the generated asof_$tsCol must be fresh)")
     val spark = left.sparkSession.asInstanceOf[classic.SparkSession]
     GraftExtensions.ensureRegistered(spark)
 

@@ -93,4 +93,39 @@ class AsofJoinNativeSpec extends SparkSpec {
     assert(out(1).isNullAt(1))         // null key -> no match
     assert(out(2).isNullAt(1))         // null ts -> no match
   }
+
+  test("null keys and timestamps never match on the interpreted path (string key)") {
+    // string key -> non-primitive merge path; the null-ts row shares its
+    // key with a matched row so a held candidate exists for that key
+    val left = Seq(
+      ("m1", Option("a"), Option(10L)),
+      ("m2", Option("a"), Option.empty[Long]),  // null ts, key has a held candidate
+      ("m3", Option.empty[String], Option(10L)),
+      ("m4", Option("b"), Option(20L)))
+      .toDF("id", "k", "t")
+    val right = Seq(
+      (Option("a"), Option(5L), 99L),
+      (Option("b"), Option(7L), 88L),
+      (Option.empty[String], Option(1L), 77L))
+      .toDF("k", "t", "v")
+    val out = AsofJoin.asofBackwardNative(left, right, "k", "t", Seq("v"))
+      .select("id", "v").orderBy("id").collect()
+    assert(out(0).getLong(1) == 99L)   // ('a', 10) matches ('a', 5)
+    assert(out(1).isNullAt(1))         // null ts -> no match, even with a held 'a' candidate
+    assert(out(2).isNullAt(1))         // null key -> no match
+    assert(out(3).getLong(1) == 88L)   // ('b', 20) matches ('b', 7)
+    // composed operator agrees on the same input
+    val composed = AsofJoin.asofBackward(left, right, "k", "t", Seq("v"))
+      .select("id", "v").orderBy("id").collect()
+    assert(out.toSeq.map(_.toSeq) == composed.toSeq.map(_.toSeq))
+  }
+
+  test("join rejects a left column that clashes with the generated asof_<ts> name") {
+    val left = Seq((1L, 2L, 3L)).toDF("k", "t", "asof_t")
+    val right = Seq((1L, 1L, 9L)).toDF("k", "t", "v")
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin.asofBackwardNative(left, right, "k", "t", Seq("v"))
+    }
+    assert(e.getMessage.contains("asof_t"))
+  }
 }
