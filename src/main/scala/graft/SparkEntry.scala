@@ -1382,24 +1382,100 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
-    // similarity: edit-distance threshold self-join via length-banded
-    // blocking — |lev(a,b)| <= t implies |len(a)-len(b)| <= t, so one
-    // side explodes candidate length keys [len-t, len+t] and the join is
-    // a plain equi-join on length (the banded range-join shape applied
-    // to strings); levenshtein verifies only within bands. No cartesian.
+    // similarity: edit-distance threshold self-join via SEGMENT-SIGNATURE
+    // blocking (PassJoin, Li et al. VLDB'12 family). Pigeonhole: lev(a,b)
+    // <= t means at least one of b's t+1 contiguous segments is edit-free,
+    // so it occurs VERBATIM in a at a start shifted by x with
+    // |x| + |(len(a)-len(b)) - x| <= t (edits before the segment produce
+    // the shift, edits after produce the rest of the length delta). The
+    // index side explodes each string into its t+1 segments; the probe
+    // side generates only the admissible substrings; the join key is
+    // (indexed_len, segment_idx, segment_text) — selective CONTENT, not
+    // length (length-only blocking keeps whole same-length classes and
+    // goes quadratic at scale). Strings too short to partition
+    // (len <= t, a bounded set: <= |alphabet|^t distinct names) pair
+    // through a residual length-band branch. levenshtein verifies only
+    // the deduplicated candidates.
     "q100_edit_distance_join" -> ((s, dir) => {
       val t = 3
       val n = rd(s, dir, "part")
         .groupBy(col("p_name").as("name"))
         .agg(min(col("p_partkey")).as("id"))
         .withColumn("len", length(col("name")))
-      val probes = n.withColumn("lb", explode(sequence(col("len") - t, col("len") + t)))
-      probes.alias("a")
-        .join(n.alias("b"), col("a.lb") === col("b.len") && col("a.id") < col("b.id"))
-        .withColumn("dist", levenshtein(col("a.name"), col("b.name")).cast("long"))
+
+      // index side: t+1 contiguous segments, seg i = [i*l/(t+1), (i+1)*l/(t+1))
+      val segs = n
+        .filter(col("len") >= t + 1) // every segment non-empty
+        .select(col("id"), col("name"), col("len"),
+          expr(
+            s"""explode(transform(sequence(0, $t), i -> struct(
+               |  i AS seg_idx,
+               |  substring(name, cast(i * len div ${t + 1} AS int) + 1,
+               |            cast((i+1) * len div ${t + 1} AS int)
+               |              - cast(i * len div ${t + 1} AS int)) AS seg)))""".stripMargin)
+            .as("sg"))
+        .select(col("id"), col("name"), col("len"),
+          col("sg.seg_idx").as("seg_idx"), col("sg.seg").as("seg"))
+
+      // probe side: for every indexed length l in [len-t, len+t] (l > t)
+      // and segment i, the substrings of this string whose start q obeys
+      // the shift bound; qpos is 0-based, p = segment start in a length-l
+      // string
+      val probes = n
+        .filter(col("len") >= 1)
+        .select(col("id"), col("name"), col("len"),
+          expr(
+            s"""explode(flatten(transform(
+               |  filter(sequence(${t + 1}, len + $t), l -> l >= len - $t), l ->
+               |    flatten(transform(sequence(0, $t), i ->
+               |      filter(
+               |        transform(
+               |          sequence(cast(i * l div ${t + 1} AS int) - $t,
+               |                   cast(i * l div ${t + 1} AS int) + $t),
+               |          q -> struct(
+               |            l AS blen, i AS seg_idx, q AS qpos,
+               |            cast(i * l div ${t + 1} AS int) AS p,
+               |            cast((i+1) * l div ${t + 1} AS int)
+               |              - cast(i * l div ${t + 1} AS int) AS slen)),
+               |        c -> c.qpos >= 0 AND c.qpos + c.slen <= len
+               |          AND abs(c.qpos - c.p)
+               |            + abs((len - c.blen) - (c.qpos - c.p)) <= $t))))))""".stripMargin)
+            .as("c"))
+        .select(col("id"), col("name"),
+          col("c.blen").as("blen"), col("c.seg_idx").as("seg_idx"),
+          expr("substring(name, c.qpos + 1, c.slen)").as("seg"))
+
+      val segCands = probes.alias("a")
+        .join(segs.alias("b"),
+          col("a.blen") === col("b.len") && col("a.seg_idx") === col("b.seg_idx") &&
+            col("a.seg") === col("b.seg") && col("a.id") =!= col("b.id"))
+
+      // residual: strings with len <= t can't donate t+1 non-empty
+      // segments; pair them among themselves by length band (both sides
+      // bounded — n holds DISTINCT names, so at most |alphabet|^t rows).
+      // Mixed short/long pairs are already covered above (the probe side
+      // is unrestricted; only the INDEXED side needs len > t).
+      val shortN = n.filter(col("len") <= t)
+      val shortCands = shortN
+        .withColumn("lb", explode(sequence(col("len") - t, col("len") + t)))
+        .alias("a")
+        .join(shortN.alias("b"),
+          col("a.lb") === col("b.len") && col("a.id") =!= col("b.id"))
+
+      def normalize(j: DataFrame): DataFrame = j.select(
+        when(col("a.id") < col("b.id"),
+          struct(col("a.id").as("id_a"), col("b.id").as("id_b"),
+            col("a.name").as("name_a"), col("b.name").as("name_b")))
+          .otherwise(
+            struct(col("b.id").as("id_a"), col("a.id").as("id_b"),
+              col("b.name").as("name_a"), col("a.name").as("name_b")))
+          .as("p"))
+        .select(col("p.*"))
+
+      normalize(segCands).unionByName(normalize(shortCands))
+        .distinct() // one pair can be found through several segments
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
         .filter(col("dist") <= t)
-        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-          col("a.name").as("name_a"), col("b.name").as("name_b"), col("dist"))
         .orderBy("id_a", "id_b")
     }),
 

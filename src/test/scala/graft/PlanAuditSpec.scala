@@ -89,4 +89,14 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("q91_dedup_keep_best")
     assert(p.contains("WindowGroupLimit"), p)
   }
+
+  test("q100 edit-distance join: candidates keyed on segment CONTENT, not length alone") {
+    val p = plan("q100_edit_distance_join")
+    // the main candidate join must carry the segment text in its keys —
+    // a join keyed on length alone keeps whole same-length classes as
+    // candidates and goes quadratic at scale
+    val segKeyed = """(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)[^\n]*seg#""".r
+    assert(segKeyed.findFirstIn(p).nonEmpty,
+      s"no equi-join keyed on segment content in q100:\n$p")
+  }
 }
