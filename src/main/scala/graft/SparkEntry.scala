@@ -431,10 +431,16 @@ object SparkEntry {
     }),
 
     // pillar dedup: embedding-cosine near-dup — IVF bucket equality as the
-    // sub-quadratic prefilter (same-bucket pairs only), exact cosine verify
+    // sub-quadratic prefilter (same-bucket pairs only), exact cosine verify.
+    // The centroid count SCALES with the corpus: k = ceil(sqrt(N)) keeps
+    // the expected bucket size ~sqrt(N), so total within-bucket pair work
+    // is O(N^1.5) instead of O(N^2/k) under a fixed k. N arrives as a
+    // broadcast 1-row aggregate (the q74/q97 pattern) — no driver action.
     "q46_dedup_embed_cosine" -> ((s, dir) => {
       val e = rd(s, dir, "embeddings")
-      val buckets = Similarity.assignToCentroids(e, e.filter(col("vec_id") < 8), "vec_id", "embedding")
+      val kRow = e.agg(ceil(sqrt(count(lit(1)))).cast("long").as("k"))
+      val cents = e.crossJoin(broadcast(kRow)).filter(col("vec_id") < col("k")).drop("k")
+      val buckets = Similarity.assignToCentroids(e, cents, "vec_id", "embedding")
         .select(col("id").as("vec_id"), col("centroid_id"))
       val v = e.select(col("vec_id"), Similarity.asDouble(col("embedding")).as("dv"))
         .withColumn("nrm", Similarity.l2Norm(col("dv")))
@@ -1919,7 +1925,8 @@ object SparkEntry {
         |             list_transform(embedding, x -> floor(x::DOUBLE * 1000)::BIGINT) AS qv,
         |             list_transform(embedding, x -> x::DOUBLE) AS dv
         |           FROM embeddings),
-        |c AS (SELECT vec_id AS centroid_id, qv AS cv FROM v WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS centroid_id, qv AS cv FROM v
+        |      WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)),
         |score AS (
         |  SELECT v.vec_id AS id, c.centroid_id,
         |         CAST(list_sum(list_transform(range(1, 65), i -> v.qv[i::INT] * c.cv[i::INT])) AS BIGINT) AS sc
