@@ -133,23 +133,27 @@ object SparkEntry {
   )(mkStream: String => DataFrame): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val stage = Staging.dir(sinkTable.takeWhile(_ != '_') + "-")
-    java.nio.file.Files.createSymbolicLink(
-      stage.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$dir/events.parquet"))
-    if (s.catalog.tableExists(sinkTable)) s.catalog.dropTempView(sinkTable)
-    val q = mkStream(stage.toString)
-      .writeStream
-      .format("memory")
-      .queryName(sinkTable)
-      .outputMode(outputMode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    if (!q.awaitTermination(300000)) {
-      q.stop()
-      throw new IllegalStateException(s"$sinkTable stream did not finish within 300s")
-    }
-    Staging.discard(stage)
-    s.table(sinkTable)
+    // staging is discarded on EVERY exit path (timeout, stream failure,
+    // analysis error) — a failed gate must not leak scratch dirs or a
+    // half-filled sink until JVM shutdown
+    try {
+      java.nio.file.Files.createSymbolicLink(
+        stage.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      if (s.catalog.tableExists(sinkTable)) s.catalog.dropTempView(sinkTable)
+      val q = mkStream(stage.toString)
+        .writeStream
+        .format("memory")
+        .queryName(sinkTable)
+        .outputMode(outputMode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try {
+        if (!q.awaitTermination(300000))
+          throw new IllegalStateException(s"$sinkTable stream did not finish within 300s")
+      } finally if (q.isActive) q.stop()
+      s.table(sinkTable)
+    } finally Staging.discard(stage)
   }
 
   private def matchDocs(s: SparkSession, dir: String, inverted: Boolean): DataFrame = {
@@ -880,32 +884,20 @@ object SparkEntry {
     // dropDuplicatesWithinWatermark over the file-source stream, memory
     // sink, gated against a batch DISTINCT oracle (the projection to key
     // columns makes "keeps ONE arbitrary row per key" deterministic)
-    "q71_stream_dedup" -> ((s, dir) => {
-      import org.apache.spark.sql.streaming.Trigger
-      val stage = Staging.dir("q71-")
-      java.nio.file.Files.createSymbolicLink(
-        stage.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
-      val sinkTable = "q71_stream_dedup_sink"
-      if (s.catalog.tableExists(sinkTable)) s.catalog.dropTempView(sinkTable)
-      val deduped = graft.streaming.EventStream
-        .dedupStream(
-          graft.streaming.EventStream.readEventStream(s, stage.toString),
-          Seq("user_id", "event_type"), "24 hours")
-        .select("user_id", "event_type")
-      val q = deduped.writeStream
-        .format("memory")
-        .queryName(sinkTable)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      if (!q.awaitTermination(300000)) {
-        q.stop()
-        throw new IllegalStateException("q71 stream did not finish within 300s")
-      }
-      Staging.discard(stage)
-      s.table(sinkTable).orderBy("user_id", "event_type")
-    }),
+    "q71_stream_dedup" -> ((s, dir) =>
+      // the gate compares against a batch DISTINCT oracle, so the
+      // watermark horizon is deliberately LONGER than any replayed
+      // history ("3650 days"): the stream then drops every recurrence
+      // regardless of how the file source splits micro-batches. A finite
+      // horizon (the production setting) is only batching-independent
+      // when no key recurs beyond it.
+      runStreamGate(s, dir, "q71_stream_dedup_sink", "append") { stage =>
+        graft.streaming.EventStream
+          .dedupStream(
+            graft.streaming.EventStream.readEventStream(s, stage),
+            Seq("user_id", "event_type"), "3650 days")
+          .select("user_id", "event_type")
+      }.orderBy("user_id", "event_type")),
 
     // pillar similarity: signed-random-projection signatures (SimHash for
     // embeddings) — each of the 16 Rademacher hyperplanes contributes the
@@ -1130,31 +1122,12 @@ object SparkEntry {
     // streaming engine (complete mode, AvailableNow), gated against a
     // batch lag/flag/running-sum sessionization oracle — same 4h gap as
     // q54; window.start = first event, window.end = last event + gap
-    "q84_stream_sessions" -> ((s, dir) => {
-      import org.apache.spark.sql.streaming.Trigger
-      val stage = Staging.dir("q84-")
-      java.nio.file.Files.createSymbolicLink(
-        stage.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
-      val sinkTable = "q84_stream_sessions_sink"
-      if (s.catalog.tableExists(sinkTable)) s.catalog.dropTempView(sinkTable)
-      val q = graft.streaming.EventStream
-        .sessionAggregate(
-          graft.streaming.EventStream.readEventStream(s, stage.toString),
+    "q84_stream_sessions" -> ((s, dir) =>
+      runStreamGate(s, dir, "q84_stream_sessions_sink", "complete") { stage =>
+        graft.streaming.EventStream.sessionAggregate(
+          graft.streaming.EventStream.readEventStream(s, stage),
           gap = "4 hours", watermark = Some("8 hours"))
-        .writeStream
-        .format("memory")
-        .queryName(sinkTable)
-        .outputMode("complete")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      if (!q.awaitTermination(300000)) {
-        q.stop()
-        throw new IllegalStateException("q84 stream did not finish within 300s")
-      }
-      Staging.discard(stage)
-      s.table(sinkTable).orderBy("user_id", "session_start")
-    }),
+      }.orderBy("user_id", "session_start")),
 
     // pipeline: benchmark decontamination — drop every training doc that
     // shares ANY 8-gram shingle with the (deterministic) held-out set:
@@ -1541,6 +1514,51 @@ object SparkEntry {
           (conv(substring(md5(concat(col("text"), lit(":"), col("frame_idx"))), 1, 4), 16, 10)
             .cast("long") % 256).as("frame_sig"))
         .orderBy("doc_id", "frame_idx")
+    }),
+
+    // streaming bridge gate: foreachBatch runs the BATCH keep-latest
+    // operator over every micro-batch (two batches forced via a doubled
+    // staged file + maxFilesPerTrigger=1), appending each batch's winners
+    // to a parquet staging sink; a final batch keep-latest over the
+    // appended union yields the same snapshot for ANY micro-batch split
+    // (keep-latest is an idempotent per-key reduction, and the duplicate
+    // rows from the doubled file collapse to identical winners) —
+    // hash-matched against the q81-shape batch oracle. This is the
+    // surface that lets every batch operator in the engine run over a
+    // stream without a streaming rewrite.
+    "q104_stream_foreach_dedup" -> ((s, dir) => {
+      val stage = Staging.dir("q104-")
+      try {
+        val inDir = stage.resolve("in")
+        java.nio.file.Files.createDirectories(inDir)
+        java.nio.file.Files.createSymbolicLink(
+          inDir.resolve("events.parquet"),
+          java.nio.file.Paths.get(s"$dir/events.parquet"))
+        java.nio.file.Files.createSymbolicLink(
+          inDir.resolve("events2.parquet"),
+          java.nio.file.Paths.get(s"$dir/events.parquet"))
+        val outDir = stage.resolve("out").toString
+
+        def keepLatest(df: DataFrame): DataFrame = {
+          val w = Window.partitionBy("user_id", "event_type")
+            .orderBy(col("tsn").desc, col("event_id").desc)
+          df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+        }
+        val q = graft.streaming.EventStream.foreachBatchSink(
+          graft.streaming.EventStream.readEventStream(s, inDir.toString, maxFilesPerTrigger = Some(1)),
+          batch => keepLatest(batch.select(
+            col("event_id"), col("user_id"), col("event_type"),
+            expr("ts div 1000").as("tsn"), col("value")))
+        ) { (winners, _) => winners.write.mode("append").parquet(outDir) }
+          .start()
+        try {
+          if (!q.awaitTermination(300000))
+            throw new IllegalStateException("q104 stream did not finish within 300s")
+        } finally if (q.isActive) q.stop()
+        // materialize off the staging files before they are discarded
+        keepLatest(s.read.parquet(outDir)).localCheckpoint(true)
+          .orderBy("user_id", "event_type")
+      } finally Staging.discard(stage)
     }),
 
     // custom typed UDAF (Aggregator surface): quantity-weighted mean
@@ -2354,6 +2372,16 @@ object SparkEntry {
         |ORDER BY o_orderkey""".stripMargin,
 
     "q81_dedup_latest" ->
+      """SELECT event_id, user_id, event_type, tsn, value FROM (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS tsn, value,
+        |         row_number() OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    // same semantics as q81: the foreachBatch bridge must reproduce the
+    // batch keep-latest snapshot regardless of micro-batch splits
+    "q104_stream_foreach_dedup" ->
       """SELECT event_id, user_id, event_type, tsn, value FROM (
         |  SELECT event_id, user_id, event_type, epoch_us(ts) AS tsn, value,
         |         row_number() OVER (PARTITION BY user_id, event_type

@@ -50,10 +50,18 @@ object EventStream {
       )
   }
 
-  /** File-source stream over a directory of event parquet files. */
-  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+  /** File-source stream over a directory of event parquet files.
+    * `maxFilesPerTrigger` caps files per micro-batch — the knob gates use
+    * to force a genuine multi-batch run over staged input.
+    */
+  def readEventStream(
+      spark: SparkSession,
+      dir: String,
+      maxFilesPerTrigger: Option[Int] = None
+  ): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(eventsSchemaDdl).parquet(dir)
+    val r = spark.readStream.schema(eventsSchemaDdl)
+    maxFilesPerTrigger.fold(r)(n => r.option("maxFilesPerTrigger", n)).parquet(dir)
   }
 
   /** Streaming hourly aggregate with a 2-hour watermark, update mode. */

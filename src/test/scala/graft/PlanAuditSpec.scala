@@ -43,7 +43,7 @@ class PlanAuditSpec extends SparkSpec {
   // BucketedJoinSpec).
   private val skipped = Set(
     "q52_dedup_groups", "q53_events_hourly_stream", "q71_stream_dedup",
-    "q77_bucketed_join", "q84_stream_sessions")
+    "q77_bucketed_join", "q84_stream_sessions", "q104_stream_foreach_dedup")
 
   private val dir = "/root/testdata/sf0.001"
 
