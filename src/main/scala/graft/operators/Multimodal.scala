@@ -18,9 +18,12 @@ case class MediaFeatures(
 
 /** Multimodal column plumbing (builder-brief pillar): images/audio/video
   * ride through the engine as opaque `binary` columns plus typed metadata.
-  * The decode step is a clearly-marked deterministic STUB (no image/audio
-  * libraries in this container) — everything around it (schema, batch
-  * iteration shape, partitioning) is real and tested.
+  * Two decoders share one injection point (`decodeFeaturesWith`): a REAL
+  * pure-JVM `javax.imageio` image decoder (`imageDecode`, gated on
+  * generated PNG/BMP fixtures) and a deterministic stub (`stubDecode`)
+  * for the parquet testdata path, whose stand-in content bytes are not
+  * images. The plumbing (schema, batch iteration shape, partitioning) is
+  * identical either way.
   *
   * Scale design: decode/feature-extract runs inside mapPartitions so a
   * real codec would amortize per-partition setup (model load, codec init)
@@ -96,5 +99,42 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, content) => decoder(id, content) })
       .toDF()
+  }
+
+  /** REAL decoder through the same injection point: pure-JVM
+    * `javax.imageio` decode (PNG/BMP/GIF/JPEG readers ship with the JDK —
+    * no external codec needed). Emits the image's ACTUAL dimensions and
+    * deterministic pixel statistics as the feature vector: per-channel
+    * means and luma, computed with integer sums so the floats are
+    * bit-reproducible across JVMs and partitionings (mean/256 with an
+    * integer mean is exactly representable in float32). n_frames = 1 —
+    * still images; a multi-frame reader (animated GIF, video container)
+    * plugs in through `decodeFeaturesWith` the same way.
+    *
+    * The parquet testdata path keeps `stubDecode` (its text-bytes stand-in
+    * content is not an image); this decoder is gated by MultimodalSpec on
+    * generated PNG/BMP fixtures.
+    */
+  def imageDecode(id: Long, content: Array[Byte]): MediaFeatures = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+    require(img != null, s"id=$id: bytes are not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    var r = 0L; var g = 0L; var b = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    val features = Array(
+      (r / n) / 256.0f, (g / n) / 256.0f, (b / n) / 256.0f,
+      ((r + g + b) / (3 * n)) / 256.0f)
+    MediaFeatures(id, w, h, 1, features)
   }
 }

@@ -53,4 +53,70 @@ class MultimodalSpec extends SparkSpec {
     val rows = out.orderBy("id").collect()
     assert(rows.map(_.getInt(1)).toSeq == Seq(11, 0, 20)) // widths = byte lengths
   }
+
+  /** Encode a solid-color image of the given size/format to bytes. */
+  private def solidImage(w: Int, h: Int, rgb: Int, format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, format, out), s"no JDK writer for $format")
+    out.toByteArray
+  }
+
+  /** Horizontal gradient image: red channel = x * 255 / (w-1). */
+  private def gradientImage(w: Int, h: Int, format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, (x * 255 / (w - 1)) << 16); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, format, out), s"no JDK writer for $format")
+    out.toByteArray
+  }
+
+  test("imageDecode: REAL bytes (PNG and BMP) flow through the injection point") {
+    // PNG and BMP are both lossless, so the decoded raster is exactly the
+    // raster we wrote and every expected statistic is exact arithmetic
+    val fixtures = Seq(
+      (0L, solidImage(17, 9, 0xc86432, "png")),  // r=200 g=100 b=50
+      (1L, solidImage(4, 4, 0x000000, "bmp")),   // black
+      (2L, solidImage(300, 2, 0xffffff, "png")), // white
+      (3L, gradientImage(33, 5, "png"))          // non-uniform raster
+    )
+    val src = fixtures.toDF("doc_id", "content")
+    val rows = Multimodal.decodeFeaturesWith(spark, src, "doc_id")(Multimodal.imageDecode)
+      .orderBy("id").collect()
+
+    // dimensions are the REAL decoded ones
+    assert(rows.map(r => (r.getInt(1), r.getInt(2))).toSeq ==
+      Seq((17, 9), (4, 4), (300, 2), (33, 5)))
+
+    def feats(i: Int): Seq[Float] = rows(i).getSeq[Float](4)
+    assert(feats(0) == Seq(200 / 256.0f, 100 / 256.0f, 50 / 256.0f, (350 / 3) / 256.0f))
+    assert(feats(1) == Seq(0f, 0f, 0f, 0f))
+    assert(feats(2) == Seq(255 / 256.0f, 255 / 256.0f, 255 / 256.0f, 255 / 256.0f))
+    // gradient: expected red mean from the same integer arithmetic
+    val rSum = (0 until 33).map(x => x * 255 / 32).sum.toLong * 5
+    val n = 33L * 5
+    assert(feats(3) == Seq((rSum / n) / 256.0f, 0f, 0f, (rSum / (3 * n)) / 256.0f))
+
+    // partitioning-independent: same bytes, different split, same rows
+    val again = Multimodal.decodeFeaturesWith(
+      spark, src.repartition(3), "doc_id")(Multimodal.imageDecode)
+      .orderBy("id").collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("imageDecode: undecodable bytes fail loudly, not silently") {
+    val bad = Seq((7L, Array[Byte](1, 2, 3))).toDF("doc_id", "content")
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeFeaturesWith(spark, bad, "doc_id")(Multimodal.imageDecode).collect()
+    }
+    assert(e.getMessage.contains("decodable") ||
+      Option(e.getCause).exists(_.getMessage.contains("decodable")))
+  }
 }
