@@ -74,6 +74,43 @@ class SimilaritySpec extends SparkSpec {
     assert(res2.head.getLong(1) == 2L) // (1,1,0) is the true nearest
   }
 
+  test("ivfTopK recall@k vs brute force on the real embeddings (the ANN acceptance gate)") {
+    // the standard acceptance test an ANN deployment runs: recall@k of
+    // the approximate index against exhaustive search on the same
+    // queries. Context for the floors: the synthetic embeddings are
+    // near-uniform in 64-d (no cluster structure — the ANN worst case)
+    // and the centroids are untrained seed vectors, so absolute recall
+    // is modest by construction; the gate pins (a) measured floors so
+    // quality regressions fail loudly and (b) that the nprobe knob buys
+    // recall monotonically, which is the property the design claims.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = e.filter(col("vec_id") < 50)
+    val k = 5
+    val exact = Similarity.cosineTopK(queries, e, "vec_id", "embedding", k)
+      .select("q_id", "r_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    def recallAt(nprobe: Int): Double = {
+      val approx = Similarity.ivfTopK(
+          queries, e, e.filter(col("vec_id") < 23), "vec_id", "embedding",
+          k = k, nprobe = nprobe)
+        .select("q_id", "r_id").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val recalls = exact.map { case (q, truth) =>
+        approx.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+      }
+      assert(recalls.size == 50)
+      recalls.sum / recalls.size
+    }
+    val r4 = recallAt(4)
+    val r10 = recallAt(10)
+    info(f"ivf recall@$k: nprobe=4 -> $r4%.3f, nprobe=10 -> $r10%.3f (23 centroids, 50 queries)")
+    // measured 0.632 / 0.796 on this fixture; floors leave noise margin
+    assert(r4 >= 0.55, f"IVF recall@$k at nprobe=4 degraded: $r4%.3f < 0.55")
+    assert(r10 >= 0.75, f"IVF recall@$k at nprobe=10 degraded: $r10%.3f < 0.75")
+    assert(r10 > r4, f"probing more buckets must not lose recall: $r10%.3f <= $r4%.3f")
+  }
+
   test("assignToCentroids: picks argmax dot with lowest-id tie-break") {
     val cents = vecs.filter(col("vec_id") < 2) // (1,0,0) and (0,1,0)
     val assign = Similarity.assignToCentroids(vecs, cents, "vec_id", "embedding")
