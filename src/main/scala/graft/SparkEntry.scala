@@ -715,19 +715,22 @@ object SparkEntry {
         .orderBy("doc_id")),
 
     // pillar text analysis: corpus-level top-50 token bigrams — the
-    // word-count shape (explode -> hash agg -> TakeOrdered top-k)
-    "q56_top_ngrams" -> ((s, dir) => {
-      val toks = TextFunctions.whitespaceTokens(lower(col("text")))
+    // word-count shape (explode -> hash agg -> TakeOrdered top-k).
+    // The regex tokenization lands in its OWN projection: `toks` is
+    // referenced four times downstream, and CollapseProject would not
+    // inline a non-cheap alias — this pins the split to one evaluation
+    // per document instead of four.
+    "q56_top_ngrams" -> ((s, dir) =>
       spread(s, rd(s, dir, "documents"))
-        .select(explode(when(size(toks) >= 2,
-          transform(sequence(lit(1), size(toks) - 1),
-            i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+        .select(TextFunctions.whitespaceTokens(lower(col("text"))).as("toks"))
+        .select(explode(when(size(col("toks")) >= 2,
+          transform(sequence(lit(1), size(col("toks")) - 1),
+            i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1))))
           .otherwise(array().cast("array<string>"))).as("ng"))
         .groupBy("ng")
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("ng").asc)
-        .limit(50)
-    }),
+        .limit(50)),
 
     // relational/pipeline: per-source corpus stats (partition-style audit
     // a data pipeline runs before training)
