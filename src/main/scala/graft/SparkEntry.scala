@@ -750,7 +750,10 @@ object SparkEntry {
     // idf would hinge on libm ulp agreement across engines.
     "q58_tfidf_top_terms" -> ((s, dir) => {
       val docs = spread(s, rd(s, dir, "documents"))
-      val n = rd(s, dir, "documents").count()
+      // corpus size joins in as a broadcast 1-row aggregate (q74/q97
+      // pattern) — building this frame triggers ZERO jobs, unlike a
+      // driver-side count() at plan-build time
+      val nRow = rd(s, dir, "documents").agg(count(lit(1)).as("n_corpus"))
       val toks = docs.select(
         col("doc_id"),
         explode(TextFunctions.whitespaceTokens(lower(col("text")))).as("term"))
@@ -758,7 +761,8 @@ object SparkEntry {
       val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
       tf.join(dfreq, Seq("term"))
-        .withColumn("score", col("tf").cast("double") * lit(n) / col("df"))
+        .crossJoin(broadcast(nRow))
+        .withColumn("score", col("tf").cast("double") * col("n_corpus") / col("df"))
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 5)
         .select("doc_id", "term", "tf", "df", "score", "rank")

@@ -27,13 +27,16 @@ class PlanAuditSpec extends SparkSpec {
     *     a 1-row nested-loop broadcast, not an all-pairs plan.
     *   - q97: same 1-row-broadcast-total shape as q74 (percent-of-total
     *     against the aggregated segment frame).
+    *   - q58: same 1-row-broadcast-total shape (corpus size for the
+    *     tf*N/df score, replacing a driver-side count()).
     */
   private val allowlist = Set(
     "q05_pair_coverage", "q07_pair_topk", "q09_fuzzy_score",
     "q10_fuzzy_match", "q11_map_ratio", "q50_match_cross_5k",
     "q34_embed_cosine_topk", "q35_embed_ivf_assign", "q43_embed_ivf_topk",
     "q46_dedup_embed_cosine", "q51_match_inverted_5k",
-    "q60_embed_centroid_update", "q74_boilerplate_strip", "q97_revenue_share"
+    "q60_embed_centroid_update", "q74_boilerplate_strip", "q97_revenue_share",
+    "q58_tfidf_top_terms"
   )
 
   // q52 runs its propagation loop eagerly (actions inside the builder),
