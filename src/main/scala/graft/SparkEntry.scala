@@ -1568,6 +1568,27 @@ object SparkEntry {
       } finally Staging.discard(stage)
     }),
 
+    // scorer LONG-NEEDLE gate: needles of 63-126 chars force the Spark
+    // scorer off the 64-bit Allison-Dix fast path onto the generic
+    // DP/window path (Fuzz.lcsDp + partialRatioGeneric), which the other
+    // scorer gates never reach (testdata names max at 40 chars). The
+    // oracle re-derives every score with a HUGEINT (128-bit) bit vector —
+    // same published algorithm, wide enough for the long needles — so the
+    // DP path is hash-exact-gated, not just unit-tested.
+    "q105_scorer_long_needle" -> ((s, dir) => {
+      org.apache.spark.sql.graft.GraftExtensions.ensureRegistered(s)
+      rd(s, dir, "documents").createOrReplaceTempView("graft_docs_v")
+      s.sql(
+        """SELECT q.q_id, r.r_id,
+          |       CAST(partial_ratio_cutoff(q.needle, r.text, 55) AS BIGINT) AS score
+          |FROM (SELECT doc_id AS q_id,
+          |             substr(text, 1, CAST(63 + doc_id % 64 AS INT)) AS needle
+          |      FROM graft_docs_v WHERE doc_id < 40 AND length(text) >= 130) q
+          |CROSS JOIN (SELECT doc_id AS r_id, text FROM graft_docs_v
+          |            WHERE doc_id >= 40 AND doc_id < 50 AND length(text) >= 130) r
+          |ORDER BY q_id, r_id""".stripMargin)
+    }),
+
     // custom typed UDAF (Aggregator surface): quantity-weighted mean
     // price per return flag — integer-cents buffer, map-side combinable,
     // one double division at finish (order-independent, oracle-exact)
@@ -1680,21 +1701,25 @@ object SparkEntry {
     * LCS the Spark scorer uses (functions/Fuzz.scala:41-68), evaluated
     * over every RapidFuzz partial_ratio window through SQL lambdas. Ends
     * in CTE `scored` = src.* + `score` BIGINT. Cross-validated against a
-    * port of the Spark scorer on 400+ random and edge-case pairs
-    * (tools/proto_partial_ratio.py). Needle must fit a BIGINT bit vector
-    * (< 63 chars; the testdata maximum is 40).
+    * port of the Spark scorer on 600+ random and edge-case pairs
+    * (tools/proto_partial_ratio.py). The needle must fit the chosen bit
+    * vector: < 63 chars with BIGINT (the default; testdata names max at
+    * 40), < 127 with HUGEINT (the long-needle gate q105 uses — it pins
+    * the Spark scorer's >64-char DP path, which BIGINT cannot reach).
     */
-  private def scorerCtes(src: String, aCol: String, bCol: String, cutoff: Int): String =
+  private def scorerCtes(
+      src: String, aCol: String, bCol: String, cutoff: Int,
+      intType: String = "BIGINT"): String =
     s"""pr1 AS (SELECT *,
        |  CASE WHEN strlen($aCol) <= strlen($bCol) THEN lower($aCol) ELSE lower($bCol) END AS pr_s,
        |  CASE WHEN strlen($aCol) <= strlen($bCol) THEN lower($bCol) ELSE lower($aCol) END AS pr_l
        |  FROM $src),
        |pr2 AS (SELECT *, strlen(pr_s) AS pr_m, strlen(pr_l) AS pr_n FROM pr1),
        |pr3 AS (SELECT *,
-       |  CASE WHEN pr_m = 0 THEN 0 ELSE (1::BIGINT << pr_m) - 1 END AS pr_full,
+       |  CASE WHEN pr_m = 0 THEN 0::$intType ELSE (1::$intType << pr_m) - 1::$intType END AS pr_full,
        |  list_transform(string_split(pr_l, ''), ch ->
        |    list_sum(list_transform(range(1, pr_m + 1),
-       |      i -> CASE WHEN substr(pr_s, i::INT, 1) = ch THEN (1::BIGINT << (i::INT - 1)) ELSE 0::BIGINT END))::BIGINT) AS pr_ml
+       |      i -> CASE WHEN substr(pr_s, i::INT, 1) = ch THEN (1::$intType << (i::INT - 1)) ELSE 0::$intType END))::$intType) AS pr_ml
        |  FROM pr2),
        |pr4 AS (SELECT *,
        |  list_concat(list_concat(
@@ -2255,6 +2280,15 @@ object SparkEntry {
       s"""WITH named AS (SELECT p_partkey, p_name, 'gadget' AS probe FROM part),
          |${scorerCtes("named", "p_name", "probe", 50)}
          |SELECT p_partkey, score FROM scored ORDER BY p_partkey""".stripMargin,
+
+    "q105_scorer_long_needle" ->
+      s"""WITH q AS (SELECT doc_id AS q_id, substr(text, 1, (63 + doc_id % 64)::INT) AS needle
+         |           FROM documents WHERE doc_id < 40 AND strlen(text) >= 130),
+         |r AS (SELECT doc_id AS r_id, text FROM documents
+         |      WHERE doc_id >= 40 AND doc_id < 50 AND strlen(text) >= 130),
+         |named AS (SELECT q_id, r_id, needle, text FROM q CROSS JOIN r),
+         |${scorerCtes("named", "needle", "text", 55, "HUGEINT")}
+         |SELECT q_id, r_id, score FROM scored ORDER BY q_id, r_id""".stripMargin,
 
     "q59_train_split" ->
       """SELECT doc_id,

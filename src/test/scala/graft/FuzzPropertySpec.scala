@@ -54,6 +54,47 @@ object FuzzPropertySpec extends Properties("Fuzz") {
       }
     }
 
+  /** Textbook full-table LCS written independently of Fuzz's two
+    * implementations — the reference both must agree with.
+    */
+  private def naiveLcs(a: String, b: String): Int = {
+    val t = Array.ofDim[Int](a.length + 1, b.length + 1)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      t(i)(j) =
+        if (a(i - 1) == b(j - 1)) t(i - 1)(j - 1) + 1
+        else math.max(t(i - 1)(j), t(i)(j - 1))
+    t(a.length)(b.length)
+  }
+
+  // a small alphabet makes long common subsequences likely, so the DP
+  // recurrence's max-branch (not just the match-branch) gets exercised
+  private val smallAlphaStr = (max: Int) =>
+    Gen.choose(0, max).flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', ' ')).map(_.mkString))
+
+  property("lcsLength agrees with an independent naive DP across the 64-char seam") =
+    Prop.forAll(smallAlphaStr(100), smallAlphaStr(150)) { (a, b) =>
+      // lengths 0-100 x 0-150: covers bit-parallel (min side <= 64) AND
+      // the two-row DP path (min side > 64) against one reference
+      Fuzz.lcsLength(a, b) == naiveLcs(a, b)
+    }
+
+  property("long-needle partial_ratio equals the brute-force window max (DP path)") =
+    Prop.forAll(smallAlphaStr(110), smallAlphaStr(160)) { (a, b) =>
+      val (s, l) = if (a.length <= b.length) (a, b) else (b, a)
+      val m = s.length
+      val n = l.length
+      if (m == 0) true
+      else {
+        val windows =
+          (1 until m).map(j => l.substring(0, j)) ++
+            (0 to n - m).map(i => l.substring(i, i + m)) ++
+            (1 until m).map(j => l.substring(n - j))
+        val brute = (windows.map(w =>
+          200.0 * naiveLcs(s, w) / (m + w.length)) :+ 0.0).max
+        math.abs(Fuzz.partialRatioDouble(a, b) - brute) < 1e-9
+      }
+    }
+
   property("bit-parallel LCS agrees with DP: appending chars absent from b keeps LCS") =
     Prop.forAll(Gen.resize(30, asciiStr), Gen.resize(120, asciiStr)) { (a, b) =>
       // a+pad crosses the 64-char bit-parallel boundary; '\u00a7' (section sign) never

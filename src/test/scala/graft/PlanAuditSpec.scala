@@ -29,6 +29,9 @@ class PlanAuditSpec extends SparkSpec {
     *     against the aggregated segment frame).
     *   - q58: same 1-row-broadcast-total shape (corpus size for the
     *     tf*N/df score, replacing a driver-side count()).
+    *   - q105: deliberate pair generation (40 long needles x 9 docs)
+    *     whose POINT is scoring every pair through the DP path — the
+    *     operator under test, same class as q05/q09.
     */
   private val allowlist = Set(
     "q05_pair_coverage", "q07_pair_topk", "q09_fuzzy_score",
@@ -36,7 +39,7 @@ class PlanAuditSpec extends SparkSpec {
     "q34_embed_cosine_topk", "q35_embed_ivf_assign", "q43_embed_ivf_topk",
     "q46_dedup_embed_cosine", "q51_match_inverted_5k",
     "q60_embed_centroid_update", "q74_boilerplate_strip", "q97_revenue_share",
-    "q58_tfidf_top_terms"
+    "q58_tfidf_top_terms", "q105_scorer_long_needle"
   )
 
   // q52 runs its propagation loop eagerly (actions inside the builder),

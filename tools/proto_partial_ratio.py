@@ -103,23 +103,38 @@ def main():
         b = "".join(rng.choice(alpha) for _ in range(lb))
         cases.append((a, b))
 
+    # long-needle set for the HUGEINT (128-bit) variant: 63-126 chars,
+    # past the BIGINT bit vector AND past the Spark scorer's 64-bit
+    # Allison-Dix fast path (these exercise the DP path, q105's subject)
+    long_cases = [("a" * 126, "a" * 200), ("ab" * 63, "ba" * 100)]
+    for _ in range(200):
+        la = rng.randint(63, 126)
+        lb = rng.randint(1, 200)
+        a = "".join(rng.choice(alpha) for _ in range(la))
+        b = "".join(rng.choice(alpha) for _ in range(lb))
+        long_cases.append((a, b))
+
     con = duckdb.connect()
-    for cutoff in (0, 60, 90):
-        con.execute("CREATE OR REPLACE TABLE pairs AS SELECT * FROM (VALUES "
-                    + ",".join(f"({i}, ?, ?)" for i in range(len(cases)))
-                    + ") t(i, a, b)",
-                    [x for c in cases for x in c])
-        rows = con.execute(SCORER_SQL.replace("{cutoff}", str(cutoff))).fetchall()
-        bad = 0
-        for (i, got) in rows:
-            want = partial_ratio_cutoff(cases[i][0], cases[i][1], cutoff)
-            if got != want:
-                bad += 1
-                if bad <= 5:
-                    print(f"MISMATCH cutoff={cutoff} a={cases[i][0]!r} b={cases[i][1]!r}: sql={got} py={want}")
-        print(f"cutoff={cutoff}: {len(rows) - bad}/{len(rows)} match")
-        if bad:
-            raise SystemExit(1)
+    for label, cs, sql in (
+        ("BIGINT", cases, SCORER_SQL),
+        ("HUGEINT", long_cases, SCORER_SQL.replace("BIGINT", "HUGEINT")),
+    ):
+        for cutoff in (0, 60, 90):
+            con.execute("CREATE OR REPLACE TABLE pairs AS SELECT * FROM (VALUES "
+                        + ",".join(f"({i}, ?, ?)" for i in range(len(cs)))
+                        + ") t(i, a, b)",
+                        [x for c in cs for x in c])
+            rows = con.execute(sql.replace("{cutoff}", str(cutoff))).fetchall()
+            bad = 0
+            for (i, got) in rows:
+                want = partial_ratio_cutoff(cs[i][0], cs[i][1], cutoff)
+                if got != want:
+                    bad += 1
+                    if bad <= 5:
+                        print(f"MISMATCH {label} cutoff={cutoff} a={cs[i][0]!r} b={cs[i][1]!r}: sql={got} py={want}")
+            print(f"{label} cutoff={cutoff}: {len(rows) - bad}/{len(rows)} match")
+            if bad:
+                raise SystemExit(1)
     print("ALL MATCH")
 
 
