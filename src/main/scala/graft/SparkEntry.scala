@@ -1589,6 +1589,72 @@ object SparkEntry {
           |ORDER BY q_id, r_id""".stripMargin)
     }),
 
+    // pipeline: PII redaction — emails and phone-shaped digit runs are
+    // replaced with type tokens and counted (the scrub step every
+    // training-data pipeline runs before text ships). The testdata text
+    // carries no PII, so the gate INJECTS deterministic synthetic PII
+    // (doc_id-derived email + phone) before redacting — proving the
+    // patterns fire, not just that clean text passes through. Pure
+    // codegen'd projection; patterns are RE2/Java-compatible so the
+    // oracle runs the identical regexes.
+    "q106_pii_redact" -> ((s, dir) => {
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phoneRe = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+      val dirty = concat(
+        col("text"), lit(" contact user"), col("doc_id"),
+        lit("@example.com or +1-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      spread(s, rd(s, dir, "documents"))
+        .select(col("doc_id"), dirty.as("dirty"))
+        .select(
+          col("doc_id"),
+          regexp_replace(regexp_replace(col("dirty"), emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>").as("clean"),
+          regexp_count(col("dirty"), lit(emailRe)).cast("long").as("n_emails"),
+          regexp_count(col("dirty"), lit(phoneRe)).cast("long").as("n_phones"))
+        .orderBy("doc_id")
+    }),
+
+    // pillar similarity/dedup: SRP-BANDED embedding near-dup pairs — the
+    // scale path for embedding dedup (the q72 signatures put to work, as
+    // the q46 IVF prefilter's banding alternative): the 16-bit signature
+    // splits into two 8-bit bands, same-(band, key) vectors become
+    // candidates through a plain equi-join (pigeonhole: signature
+    // hamming <= 1 guarantees a shared band), and exact cosine verifies.
+    // Candidate generation is NARROW (ids + band keys); vectors re-join
+    // only for the verify. Deterministic end-to-end: the md5-derived
+    // planes are shared with the oracle, which re-derives the same
+    // bands, the same candidate set, and the same IEEE cosines.
+    "q107_embed_srp_pairs" -> ((s, dir) => {
+      val v = transform(col("embedding"), x => x.cast("double"))
+      val sig = SrpPlanes.zipWithIndex.map { case (p, b) =>
+        val plane = array(p.map(lit(_)): _*)
+        val dot = aggregate(
+          zip_with(v, plane, (x, w) => x * w), lit(0.0), (acc, x) => acc + x)
+        when(dot > 0.0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val e = rd(s, dir, "embeddings")
+        .select(col("vec_id"), sig.as("srp_sig"), v.as("dv"))
+        .withColumn("nrm", Similarity.l2Norm(col("dv")))
+      val vecs = e.select(col("vec_id"), col("dv"), col("nrm"))
+      val banded = e.select(col("vec_id"),
+          explode(array(
+            struct(lit(0).as("band"), col("srp_sig").bitwiseAND(lit(255L)).as("key")),
+            struct(lit(1).as("band"), shiftright(col("srp_sig"), 8).as("key")))).as("bk"))
+        .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      banded.alias("a")
+        .join(banded.alias("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+        .distinct() // a pair can collide in both bands
+        .join(vecs.select(col("vec_id").as("id_a"), col("dv").as("dv_a"), col("nrm").as("nrm_a")), Seq("id_a"))
+        .join(vecs.select(col("vec_id").as("id_b"), col("dv").as("dv_b"), col("nrm").as("nrm_b")), Seq("id_b"))
+        .withColumn("cos_sim", Similarity.dot(col("dv_a"), col("dv_b")) / (col("nrm_a") * col("nrm_b")))
+        .filter(col("cos_sim") >= 0.3)
+        .select("id_a", "id_b", "cos_sim")
+        .orderBy("id_a", "id_b")
+    }),
+
     // custom typed UDAF (Aggregator surface): quantity-weighted mean
     // price per return flag — integer-cents buffer, map-side combinable,
     // one double division at finish (order-independent, oracle-exact)
@@ -2289,6 +2355,40 @@ object SparkEntry {
          |named AS (SELECT q_id, r_id, needle, text FROM q CROSS JOIN r),
          |${scorerCtes("named", "needle", "text", 55, "HUGEINT")}
          |SELECT q_id, r_id, score FROM scored ORDER BY q_id, r_id""".stripMargin,
+
+    "q106_pii_redact" ->
+      """WITH d AS (SELECT doc_id,
+        |  text || ' contact user' || doc_id || '@example.com or +1-555-'
+        |       || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS dirty
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS clean,
+        |  len(regexp_extract_all(dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+        |  len(regexp_extract_all(dirty, '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}'))::BIGINT AS n_phones
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q107_embed_srp_pairs" -> {
+      val planeSum = SrpPlanes.zipWithIndex.map { case (p, b) =>
+        val lst = p.mkString("[", ", ", "]")
+        s"CASE WHEN list_sum(list_transform(range(1, 65), i -> v[i::INT] * ($lst)[i::INT])) > 0 THEN ${1L << b} ELSE 0 END"
+      }.mkString("(", " + ", ")")
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         |s AS (SELECT vec_id, $planeSum::BIGINT AS srp_sig FROM e),
+         |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+         |banded AS (
+         |  SELECT vec_id, 0 AS band, srp_sig % 256 AS key FROM s
+         |  UNION ALL
+         |  SELECT vec_id, 1 AS band, srp_sig // 256 AS key FROM s),
+         |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |         FROM banded a JOIN banded b
+         |         ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+         |scored AS (SELECT c.id_a, c.id_b,
+         |    list_sum(list_transform(range(1, 65), i -> na.v[i::INT] * nb.v[i::INT])) / (na.nrm * nb.nrm) AS cos_sim
+         |  FROM cand c JOIN n na ON na.vec_id = c.id_a JOIN n nb ON nb.vec_id = c.id_b)
+         |SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.3 ORDER BY id_a, id_b""".stripMargin
+    },
 
     "q59_train_split" ->
       """SELECT doc_id,
