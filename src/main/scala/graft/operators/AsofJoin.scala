@@ -45,7 +45,10 @@ object AsofJoin {
       tsCol: String,
       valueCols: Seq[String]
   ): DataFrame = {
-    val clash = valueCols.toSet.intersect(left.columns.toSet)
+    // same clash rule as the native path (AsofJoinNative.join): the value
+    // columns AND the generated asof_<tsCol> column must not collide with
+    // left's columns — withColumn would otherwise silently replace them
+    val clash = (valueCols.toSet + s"asof_$tsCol").intersect(left.columns.toSet)
     require(clash.isEmpty, s"right value columns clash with left columns: $clash")
 
     val l = left.withColumn("__side", lit(1))

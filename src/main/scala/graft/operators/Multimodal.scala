@@ -105,11 +105,15 @@ object Multimodal {
     * `javax.imageio` decode (PNG/BMP/GIF/JPEG readers ship with the JDK —
     * no external codec needed). Emits the image's ACTUAL dimensions and
     * deterministic pixel statistics as the feature vector: per-channel
-    * means and luma, computed with integer sums so the floats are
-    * bit-reproducible across JVMs and partitionings (mean/256 with an
-    * integer mean is exactly representable in float32). n_frames = 1 —
-    * still images; a multi-frame reader (animated GIF, video container)
-    * plugs in through `decodeFeaturesWith` the same way.
+    * means and luma, computed with integer sums. For LOSSLESS formats
+    * (PNG, BMP, GIF) the decoded pixels — and therefore the features —
+    * are bit-reproducible across JVMs and partitionings (mean/256 with an
+    * integer mean is exactly representable in float32). JPEG also decodes
+    * through this path, but JPEG IDCT output is only required to be
+    * approximately correct (JVM-vendor/version dependent), so treat JPEG
+    * features as approximate, not gate-able. n_frames = 1 — still images;
+    * a multi-frame reader (animated GIF, video container) plugs in
+    * through `decodeFeaturesWith` the same way.
     *
     * The parquet testdata path keeps `stubDecode` (its text-bytes stand-in
     * content is not an image); this decoder is gated by MultimodalSpec on

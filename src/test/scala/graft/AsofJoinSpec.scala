@@ -59,4 +59,12 @@ class AsofJoinSpec extends SparkSpec {
         .withColumnRenamed("tsn2", "event_id"), "user", "tsn", Seq("event_id"))
     }
   }
+
+  test("a left column named asof_<ts> is rejected (same rule as the native path)") {
+    val l = left.withColumn("asof_tsn", lit(0L))
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin.asofBackward(l, right, "user", "tsn", Seq("val"))
+    }
+    assert(e.getMessage.contains("asof_tsn"))
+  }
 }
