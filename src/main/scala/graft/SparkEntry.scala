@@ -114,6 +114,27 @@ object SparkEntry {
   private val tokensLowerSql =
     "string_split_regex(trim(lower(text)), '\\s+')"
 
+  /** Shared WITH-prefix for the product-quantization oracles (q109/q110):
+    * quantized vectors, their 8 per-subspace slices, and the codebook
+    * slices (codebook = the vec_id < 8 vectors, mirroring the Spark
+    * side). DuckDB list slicing is 1-based and end-inclusive.
+    */
+  private val pqDistsSql =
+    """WITH v AS (SELECT vec_id,
+      |            list_transform(embedding, x -> floor(x::DOUBLE * 1000)::BIGINT) AS qv
+      |          FROM embeddings),
+      |subs AS (SELECT vec_id, r.range AS sub_id,
+      |                qv[(r.range * 8 + 1)::INT:(r.range * 8 + 8)::INT] AS sv
+      |         FROM v, range(0, 8) r),
+      |cents AS (SELECT vec_id AS code, sub_id, sv AS cv FROM subs WHERE vec_id < 8)""".stripMargin
+
+  /** Integer squared-L2 between a subs-row slice `s.sv` and a cents-row
+    * slice `c.cv` (exact; matches Similarity.sqDistQ).
+    */
+  private val pqSqDistSql =
+    "CAST(list_sum(list_transform(range(1, 9), " +
+      "i -> (s.sv[i::INT] - c.cv[i::INT]) * (s.sv[i::INT] - c.cv[i::INT]))) AS BIGINT)"
+
   /** Fuzzy-match workload at testdata scale: queries = the distinct part
     * names (small side, broadcast), refs = 40-char document prefixes (the
     * large side, streamed). Exercises the full reference pipeline on the
@@ -1655,6 +1676,83 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // pillar dedup: repeated-span statistics (exact-substring dedup
+    // signal, Lee et al. ACL'22) — per doc, how many of its distinct
+    // 12-char spans occur verbatim in another document. Explode ->
+    // span groupBy -> left-semi back: two map-side-combined shuffles,
+    // no pairwise product (see Dedup.dupSpanStats scaladoc).
+    "q108_dup_span_stats" -> ((s, dir) =>
+      Dedup.dupSpanStats(spread(s, rd(s, dir, "documents")), "doc_id", "text", DupSpanN)
+        .orderBy("doc_id")),
+
+    // pillar similarity: product-quantization encode — each 64-dim vector
+    // compresses to 8 codeword ids (8 subspaces x 8 codewords, codebook =
+    // the vec_id < 8 slices). Integer squared-L2 throughout, so the codes
+    // are oracle-exact; the argmin folds into one partial aggregate.
+    "q109_pq_encode" -> ((s, dir) => {
+      val e = rd(s, dir, "embeddings")
+      Similarity.pqEncode(spread(s, e), e.filter(col("vec_id") < 8), "vec_id", "embedding", m = 8)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id", "sub_id")
+    }),
+
+    // pillar similarity: ADC top-10 over the PQ codes — the query stays
+    // full-precision, corpus distances come from a broadcast
+    // query x subspace x codeword lookup table joined onto the CODES
+    // table (the raw corpus vectors are never touched in the scan).
+    "q110_pq_adc_topk" -> ((s, dir) => {
+      val e = rd(s, dir, "embeddings")
+      Similarity.pqAdcTopK(
+        e.filter(col("vec_id") < 3), spread(s, e), e.filter(col("vec_id") < 8),
+        "vec_id", "embedding", m = 8, k = 10)
+        .orderBy("q_id", "rank")
+    }),
+
+    // pillar text analysis: rare-token score — per doc, the fraction of
+    // token occurrences whose corpus-wide frequency is <= RareMaxFreq,
+    // plus the mean corpus frequency of its tokens (a cheap exact stand-in
+    // for LM perplexity: high rare-ratio = OOV-heavy/noisy, high
+    // mean-freq = boilerplate). Integer sums + one IEEE divide, so the
+    // doubles are oracle-exact. Two map-side-combined shuffles.
+    "q111_rare_token_score" -> ((s, dir) => {
+      val toks = spread(s, rd(s, dir, "documents"))
+        .select(col("doc_id"),
+          explode(TextFunctions.whitespaceTokens(lower(col("text")))).as("term"))
+      val cnts = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+      toks.join(cnts, Seq("term"))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          sum(when(col("cnt") <= RareMaxFreq, 1L).otherwise(0L)).as("n_rare"),
+          sum(col("cnt")).as("sum_freq"))
+        .withColumn("rare_ratio", col("n_rare").cast("double") / col("n_tokens"))
+        .withColumn("mean_freq", col("sum_freq").cast("double") / col("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // pipeline: temperature-based source mixing (tau = 0.5 domain
+    // reweighting, the LLM data-mixing move): per-source quota =
+    // min(n, floor(sqrt(n) * MixSqrtScale)) — sqrt is IEEE
+    // correctly-rounded in both engines, so quotas are exact — with a
+    // content-stable md5 order picking WHICH rows fill the quota
+    // (reproducible under re-sharding; the q75 trick). One broadcast of
+    // the 1-row-per-source quota table; ranking windows are per-source.
+    "q112_source_mix_sample" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val quotas = docs.groupBy("source").agg(count(lit(1)).as("n_src"))
+        .withColumn("quota",
+          least(col("n_src"), floor(sqrt(col("n_src").cast("double")) * MixSqrtScale).cast("long")))
+        .select("source", "quota")
+      val w = Window.partitionBy("source")
+        .orderBy(md5(concat(lit("mix-"), col("doc_id"))), col("doc_id"))
+      docs.select("doc_id", "source")
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .join(broadcast(quotas), Seq("source"))
+        .filter(col("rk") <= col("quota"))
+        .select("source", "doc_id", "rk")
+        .orderBy("source", "rk")
+    }),
+
     // custom typed UDAF (Aggregator surface): quantity-weighted mean
     // price per return flag — integer-cents buffer, map-side combinable,
     // one double division at finish (order-independent, oracle-exact)
@@ -1677,6 +1775,21 @@ object SparkEntry {
     * shared between the q74 Spark query and its generated oracle SQL).
     */
   private val BoilerplateDfPct = 78L
+
+  /** Span length (chars) for the q108 repeated-span dedup signal (shared
+    * with its generated oracle SQL).
+    */
+  private val DupSpanN = 12
+
+  /** Corpus-frequency cutoff under which a token counts as rare (q111;
+    * shared with its generated oracle SQL).
+    */
+  private val RareMaxFreq = 2L
+
+  /** Temperature-mixing quota multiplier: per-source quota =
+    * min(n, floor(sqrt(n) * this)) (q112; shared with its oracle SQL).
+    */
+  private val MixSqrtScale = 4L
 
   /** Per-language token budget for the q92 data-mixing sample (shared
     * between the Spark query and its generated oracle SQL).
@@ -2389,6 +2502,73 @@ object SparkEntry {
          |  FROM cand c JOIN n na ON na.vec_id = c.id_a JOIN n nb ON nb.vec_id = c.id_b)
          |SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.3 ORDER BY id_a, id_b""".stripMargin
     },
+
+    "q108_dup_span_stats" ->
+      s"""WITH d AS (SELECT doc_id, ${docShinglesSql(DupSpanN)} AS shs FROM documents),
+         |ex AS (SELECT doc_id, unnest(shs) AS sh FROM d),
+         |dup AS (SELECT sh FROM ex GROUP BY sh HAVING count(*) >= 2),
+         |pd AS (SELECT doc_id, count(*)::BIGINT AS n_dup
+         |       FROM ex JOIN dup USING (sh) GROUP BY doc_id)
+         |SELECT d.doc_id, len(shs)::BIGINT AS n_shingles,
+         |       coalesce(pd.n_dup, 0)::BIGINT AS n_dup,
+         |       CASE WHEN len(shs) = 0 THEN 0.0
+         |            ELSE coalesce(pd.n_dup, 0)::DOUBLE / len(shs) END AS dup_ratio
+         |FROM d LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q109_pq_encode" ->
+      s"""$pqDistsSql
+         |SELECT vec_id, sub_id, code, dist_q FROM (
+         |  SELECT s.vec_id, s.sub_id, c.code, $pqSqDistSql AS dist_q,
+         |         row_number() OVER (PARTITION BY s.vec_id, s.sub_id
+         |                            ORDER BY $pqSqDistSql, c.code) AS rn
+         |  FROM subs s JOIN cents c USING (sub_id))
+         |WHERE rn = 1 ORDER BY vec_id, sub_id""".stripMargin,
+
+    "q110_pq_adc_topk" ->
+      s"""$pqDistsSql,
+         |codes AS (
+         |  SELECT vec_id AS r_id, sub_id, code FROM (
+         |    SELECT s.vec_id, s.sub_id, c.code,
+         |           row_number() OVER (PARTITION BY s.vec_id, s.sub_id
+         |                              ORDER BY $pqSqDistSql, c.code) AS rn
+         |    FROM subs s JOIN cents c USING (sub_id))
+         |  WHERE rn = 1),
+         |lut AS (
+         |  SELECT s.vec_id AS q_id, s.sub_id, c.code, $pqSqDistSql AS dq
+         |  FROM subs s JOIN cents c USING (sub_id) WHERE s.vec_id < 3),
+         |adc AS (
+         |  SELECT q_id, r_id, CAST(sum(dq) AS BIGINT) AS adc_dist
+         |  FROM codes JOIN lut USING (sub_id, code)
+         |  WHERE q_id <> r_id GROUP BY q_id, r_id)
+         |SELECT q_id, r_id, adc_dist, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, r_id) AS rank
+         |  FROM adc)
+         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
+    "q111_rare_token_score" ->
+      s"""WITH t AS (SELECT doc_id, unnest($tokensLowerSql) AS term FROM documents),
+         |c AS (SELECT term, count(*) AS cnt FROM t GROUP BY term)
+         |SELECT doc_id,
+         |       count(*)::BIGINT AS n_tokens,
+         |       sum(CASE WHEN cnt <= $RareMaxFreq THEN 1 ELSE 0 END)::BIGINT AS n_rare,
+         |       sum(cnt)::BIGINT AS sum_freq,
+         |       (sum(CASE WHEN cnt <= $RareMaxFreq THEN 1 ELSE 0 END)::BIGINT)::DOUBLE
+         |         / count(*) AS rare_ratio,
+         |       (sum(cnt)::BIGINT)::DOUBLE / count(*) AS mean_freq
+         |FROM t JOIN c USING (term) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q112_source_mix_sample" ->
+      s"""WITH q AS (
+         |  SELECT source,
+         |         least(count(*), floor(sqrt(count(*)::DOUBLE) * $MixSqrtScale)::BIGINT) AS quota
+         |  FROM documents GROUP BY source),
+         |r AS (
+         |  SELECT source, doc_id,
+         |         row_number() OVER (PARTITION BY source
+         |                            ORDER BY md5('mix-' || doc_id), doc_id) AS rk
+         |  FROM documents)
+         |SELECT r.source, doc_id, rk::BIGINT AS rk
+         |FROM r JOIN q USING (source) WHERE rk <= quota ORDER BY source, rk""".stripMargin,
 
     "q59_train_split" ->
       """SELECT doc_id,

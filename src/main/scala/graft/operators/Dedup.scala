@@ -36,6 +36,40 @@ object Dedup {
       .groupBy(md5(col(textCol)).as("h"))
       .agg(count(lit(1)).as("cnt"), min(col(idCol)).as("keep_id"))
 
+  /** Repeated-span statistics (the signal behind exact-substring dedup,
+    * Lee et al. "Deduplicating Training Data Makes Language Models
+    * Better", ACL'22: spans appearing verbatim in more than one document
+    * are memorization fuel and get cut). Per document: how many of its
+    * distinct `n`-char spans also occur in ANOTHER document, and the
+    * duplicated fraction.
+    *
+    * Returns (doc id, n_shingles, n_dup, dup_ratio), one row per input
+    * document (docs shorter than `n` chars report 0 / 0 / 0.0).
+    *
+    * Scale shape: explode distinct spans (narrow) -> one hash groupBy on
+    * the span counting DISTINCT docs -> left-semi back onto the exploded
+    * spans -> per-doc count. Two shuffles, both map-side combined; no
+    * pairwise product anywhere (the suffix-array approach the paper uses
+    * single-node becomes this shuffle shape distributed). At 100 TB the
+    * span join key would be xxhash64(span) to cut shuffle width — kept as
+    * the raw string here so the DuckDB oracle shares join semantics
+    * (a 64-bit hash collision could perturb counts).
+    */
+  def dupSpanStats(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val spans = docs.select(col(idCol).as("doc_id"), shingleSet(col(textCol), n).as("shs"))
+    val ex = spans.select(col("doc_id"), explode(col("shs")).as("sh"))
+    // distinct-per-doc spans, so count(*) per span == #docs containing it
+    val dup = ex.groupBy("sh").agg(count(lit(1)).as("nd")).filter(col("nd") >= 2).select("sh")
+    val perDoc = ex.join(dup, Seq("sh"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+    spans.select(col("doc_id"), size(col("shs")).cast("long").as("n_shingles"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("n_dup", coalesce(col("n_dup"), lit(0L)))
+      .withColumn("dup_ratio",
+        when(col("n_shingles") === 0, lit(0.0))
+          .otherwise(col("n_dup").cast("double") / col("n_shingles")))
+  }
+
   /** MinHash-LSH candidate pairs: signature of `numHashes` md5 minhashes,
     * banded `rowsPerBand` hashes per band; pairs sharing any band bucket.
     * Returns distinct (id_a, id_b) with id_a < id_b.

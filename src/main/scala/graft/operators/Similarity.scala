@@ -112,6 +112,101 @@ object Similarity {
       scale: Int = 1000
   ): DataFrame = centroidRanks(vectors, centroids, idCol, vecCol, nprobe = 1, scale)
 
+  /** Per-subspace slices of a quantized vector: m rows (sub_id, slice) per
+    * input row. Slice width derives from the vector's own length so the
+    * same helper serves any dimensionality.
+    */
+  private def subVectors(
+      df: DataFrame, idCol: String, vecCol: String, m: Int, scale: Int,
+      idOut: String): DataFrame =
+    df.select(col(idCol).as(idOut), quantize(col(vecCol), scale).as("__qv"))
+      .withColumn("__d", size(col("__qv")) / m)
+      .select(
+        col(idOut),
+        explode(sequence(lit(0), lit(m - 1))).as("sub_id"),
+        col("__qv"), col("__d"))
+      .withColumn("sv", slice(col("__qv"), col("sub_id") * col("__d") + 1, col("__d")))
+      .select(col(idOut), col("sub_id").cast("long").as("sub_id"), col("sv"))
+
+  /** Integer squared L2 distance between two quantized slices (exact). */
+  private def sqDistQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+
+  /** Product-quantization encode (the PQ half of IVF-PQ, Jégou et al.
+    * TPAMI'11 shape): each vector splits into `m` contiguous subvectors;
+    * each subvector maps to the id of its nearest per-subspace codeword
+    * (integer squared-L2 on quantized components — exact, so the DuckDB
+    * oracle reproduces codes bit-for-bit; ties break on ascending
+    * codeword id via the struct min). Returns (id, sub_id, code, dist_q):
+    * m small codes replace the full float vector.
+    *
+    * Scale shape: the codebook is tiny and broadcast; encode is a narrow
+    * per-row map plus a per-(id, sub_id) argmin folded into ONE partial
+    * aggregate (no window, no extra shuffle beyond the agg). The codes
+    * table is what a 100 TB ANN index actually stores — m bytes per
+    * vector instead of 4·dim.
+    */
+  def pqEncode(
+      vectors: DataFrame,
+      codebook: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      scale: Int = 1000
+  ): DataFrame = {
+    val v = subVectors(vectors, idCol, vecCol, m, scale, "id")
+    val c = subVectors(codebook, idCol, vecCol, m, scale, "code")
+      .select(col("sub_id"), col("code"), col("sv").as("cv"))
+    v.join(broadcast(c), Seq("sub_id"))
+      .withColumn("dist_q", sqDistQ(col("sv"), col("cv")))
+      .groupBy("id", "sub_id")
+      .agg(min(struct(col("dist_q"), col("code"))).as("best"))
+      .select(
+        col("id"), col("sub_id"),
+        col("best.code").as("code"), col("best.dist_q").as("dist_q"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: the query stays
+    * full-precision; each corpus vector's distance is approximated by the
+    * sum over subspaces of the (query subvector -> assigned codeword)
+    * distance, read from a per-query lookup table. Exact integer
+    * arithmetic end-to-end, so the approximation itself is
+    * oracle-reproducible. Returns (q_id, r_id, adc_dist, rank), rank by
+    * ascending distance, ties on ascending r_id.
+    *
+    * Scale shape: the LUT is |queries|·m·k rows — tiny, broadcast. The
+    * corpus side touches only the CODES table (never the raw vectors):
+    * one equi-join on (sub_id, code), one partial-aggregated sum per
+    * (q_id, r_id), one top-k window on rows already reduced to one per
+    * pair. This is the bandwidth win PQ exists for.
+    */
+  def pqAdcTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      codebook: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      k: Int,
+      scale: Int = 1000
+  ): DataFrame = {
+    val codes = pqEncode(corpus, codebook, idCol, vecCol, m, scale)
+      .select(col("id").as("r_id"), col("sub_id"), col("code"))
+    val qs = subVectors(queries, idCol, vecCol, m, scale, "q_id")
+    val cs = subVectors(codebook, idCol, vecCol, m, scale, "code")
+      .select(col("sub_id"), col("code"), col("sv").as("cv"))
+    val lut = qs.join(cs, Seq("sub_id"))
+      .select(col("q_id"), col("sub_id"), col("code"), sqDistQ(col("sv"), col("cv")).as("dq"))
+    val w = Window.partitionBy("q_id").orderBy(col("adc_dist").asc, col("r_id").asc)
+    codes.join(broadcast(lut), Seq("sub_id", "code"))
+      .groupBy("q_id", "r_id")
+      .agg(sum(col("dq")).as("adc_dist"))
+      .where(col("q_id") =!= col("r_id"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "r_id", "adc_dist", "rank")
+  }
+
   /** IVF probe-and-refine ANN search: corpus vectors live in their nearest
     * centroid's bucket; each query probes its `nprobe` nearest buckets and
     * refines with EXACT cosine over only those buckets' members.

@@ -179,4 +179,22 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((0L, 2L)))
     assert(!pairs.contains((0L, 3L)))
   }
+
+  test("dupSpanStats: spans shared across docs count; unique and too-short docs report zero") {
+    val d = Seq(
+      (1L, "abcdefgh"),    // 5 distinct 4-spans, all inside doc 2 -> ratio 1.0
+      (2L, "xxabcdefgh"),  // 7 distinct 4-spans, 5 shared with doc 1
+      (3L, "qrstuv"),      // unique content -> 0 dup
+      (4L, "ab"),          // shorter than the span width -> 0 shingles, 0.0 ratio
+      (5L, "ZZZZabcd")     // lowercased spans: zzzz unique, abcd shared
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupSpanStats(d, "doc_id", "text", n = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((5L, 5L, 1.0)))
+    assert(out(2L) == ((7L, 5L, 5.0 / 7)))
+    assert(out(3L) == ((3L, 0L, 0.0)))
+    assert(out(4L) == ((0L, 0L, 0.0)), "doc shorter than n still reports a row")
+    // "zzzzabcd" -> {zzzz, zzza, zzab, zabc, abcd}: only abcd is shared
+    assert(out(5L) == ((5L, 1L, 1.0 / 5)))
+  }
 }

@@ -111,6 +111,42 @@ class SimilaritySpec extends SparkSpec {
     assert(r10 > r4, f"probing more buckets must not lose recall: $r10%.3f <= $r4%.3f")
   }
 
+  test("pqEncode: nearest per-subspace codeword, lowest-id tie-break, m rows per vector") {
+    val book = Seq(
+      (0L, Array(0.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 1.0f, 1.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val vs = Seq(
+      (10L, Array(0.9f, 0.9f, 0.1f, 0.1f)), // sub0 -> code 1, sub1 -> code 0
+      (11L, Array(0.5f, 0.5f, 0.5f, 0.5f))  // equidistant everywhere -> code 0 (tie)
+    ).toDF("vec_id", "embedding")
+    val codes = Similarity.pqEncode(vs, book, "vec_id", "embedding", m = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(codes.size == 4, "m rows per vector")
+    assert(codes((10L, 0L)) == 1L)
+    assert(codes((10L, 1L)) == 0L)
+    assert(codes((11L, 0L)) == 0L, "exact tie must break to the lowest codeword id")
+    assert(codes((11L, 1L)) == 0L)
+  }
+
+  test("pqAdcTopK: distance is the sum of per-subspace LUT entries; rank ascends") {
+    val book = Seq(
+      (0L, Array(0.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 1.0f, 1.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (20L, Array(0.0f, 0.0f, 0.0f, 0.0f)), // codes (0,0)
+      (21L, Array(1.0f, 1.0f, 1.0f, 1.0f)), // codes (1,1)
+      (22L, Array(0.9f, 0.9f, 0.1f, 0.1f))  // codes (1,0)
+    ).toDF("vec_id", "embedding")
+    val q = Seq((5L, Array(1.0f, 1.0f, 1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val rows = Similarity.pqAdcTopK(q, corpus, book, "vec_id", "embedding", m = 2, k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq
+    // q sub-dists: to c0 = 2*1000^2 = 2e6 per subspace, to c1 = 0
+    assert(rows == Seq((21L, 0L), (22L, 2000000L), (20L, 4000000L)))
+  }
+
   test("assignToCentroids: picks argmax dot with lowest-id tie-break") {
     val cents = vecs.filter(col("vec_id") < 2) // (1,0,0) and (0,1,0)
     val assign = Similarity.assignToCentroids(vecs, cents, "vec_id", "embedding")
