@@ -50,13 +50,17 @@ object Dedup {
     * the span counting DISTINCT docs -> left-semi back onto the exploded
     * spans -> per-doc count. Two shuffles, both map-side combined; no
     * pairwise product anywhere (the suffix-array approach the paper uses
-    * single-node becomes this shuffle shape distributed). At 100 TB the
-    * span join key would be xxhash64(span) to cut shuffle width — kept as
-    * the raw string here so the DuckDB oracle shares join semantics
-    * (a 64-bit hash collision could perturb counts).
+    * single-node becomes this shuffle shape distributed). Spans travel as
+    * xxhash64 keys — 8 bytes through the shuffles instead of an n-char
+    * string (the q33/ngramJaccardPairs convention: the output carries no
+    * hash values, and a 64-bit collision is negligible next to the
+    * 3x-smaller exchange). The span arrays checkpoint once so the
+    * explode's two consumers don't recompute the shingling.
     */
   def dupSpanStats(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val spans = docs.select(col(idCol).as("doc_id"), shingleSet(col(textCol), n).as("shs"))
+    val spans = docs.select(col(idCol).as("doc_id"),
+        transform(shingleSet(col(textCol), n), g => xxhash64(g)).as("shs"))
+      .localCheckpoint(false)
     val ex = spans.select(col("doc_id"), explode(col("shs")).as("sh"))
     // distinct-per-doc spans, so count(*) per span == #docs containing it
     val dup = ex.groupBy("sh").agg(count(lit(1)).as("nd")).filter(col("nd") >= 2).select("sh")
