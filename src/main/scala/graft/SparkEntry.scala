@@ -43,7 +43,12 @@ object SparkEntry {
     */
   private def spread(s: SparkSession, df: DataFrame): DataFrame = {
     val target = s.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // file count (already cached in the relation's FileIndex — no job, no
+    // RDD lineage materialization) stands in for the scan's partition
+    // count: the shim only needs to catch the one-file local-testdata
+    // case. Non-file sources report no files and are left alone.
+    val nFiles = df.inputFiles.length
+    if (nFiles > 0 && nFiles < target) df.repartition(target) else df
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

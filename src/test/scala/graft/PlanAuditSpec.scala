@@ -96,6 +96,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q109 PQ encode: argmin folds into the aggregate (no window), codebook broadcast") {
+    val p = plan("q109_pq_encode")
+    assert(!p.contains("WindowExec") && !p.contains(" Window "),
+      s"PQ argmin degraded to a window:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"codebook join not broadcast:\n$p")
+  }
+
+  test("q110 PQ ADC: LUT joins broadcast; top-k uses WindowGroupLimit pushdown") {
+    val p = plan("q110_pq_adc_topk")
+    assert(p.contains("BroadcastHashJoin"), s"LUT join not broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q112 source mix: the per-source quota table joins broadcast") {
+    val p = plan("q112_source_mix_sample")
+    assert(p.contains("BroadcastHashJoin"), s"quota join not broadcast:\n$p")
+  }
+
   test("q100 edit-distance join: candidates keyed on segment CONTENT, not length alone") {
     val p = plan("q100_edit_distance_join")
     // the main candidate join must carry the segment text in its keys —

@@ -147,6 +147,50 @@ class SimilaritySpec extends SparkSpec {
     assert(rows == Seq((21L, 0L), (22L, 2000000L), (20L, 4000000L)))
   }
 
+  test("pqAdcTopK recall@k vs exact search on the real embeddings (the PQ acceptance gate)") {
+    // same acceptance shape as the IVF gate above: ADC's approximation
+    // quality measured against exhaustive search in the SAME quantized
+    // integer metric (so the gate isolates codebook distortion, the one
+    // error source PQ introduces). Codebook = 8 untrained seed vectors
+    // on near-uniform 64-d data — the PQ worst case — so absolute
+    // recall is modest by construction; the gate pins measured floors
+    // and the property that finer subspaces (larger m) do not hurt.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = e.filter(col("vec_id") < 50)
+    val book = e.filter(col("vec_id") < 8)
+    val k = 5
+    val q = queries.select(col("vec_id").as("q_id"), Similarity.quantize(col("embedding")).as("qv"))
+    val c = e.select(col("vec_id").as("r_id"), Similarity.quantize(col("embedding")).as("rv"))
+    val d = aggregate(zip_with(col("qv"), col("rv"), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("d").asc, col("r_id").asc)
+    val exact = c.crossJoin(broadcast(q)).where(col("q_id") =!= col("r_id"))
+      .withColumn("d", d)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "r_id").collect()
+      .groupBy(_.getLong(0)).map { case (qq, rs) => qq -> rs.map(_.getLong(1)).toSet }
+    def recallAt(m: Int): Double = {
+      val approx = Similarity.pqAdcTopK(queries, e, book, "vec_id", "embedding", m = m, k = k)
+        .select("q_id", "r_id").collect()
+        .groupBy(_.getLong(0)).map { case (qq, rs) => qq -> rs.map(_.getLong(1)).toSet }
+      val recalls = exact.map { case (qq, truth) =>
+        approx.getOrElse(qq, Set.empty).intersect(truth).size.toDouble / truth.size
+      }
+      assert(recalls.size == 50)
+      recalls.sum / recalls.size
+    }
+    val r8 = recallAt(8)
+    val r16 = recallAt(16)
+    info(f"pq adc recall@$k: m=8 -> $r8%.3f, m=16 -> $r16%.3f (8 codewords, 50 queries)")
+    // measured 0.096 / 0.216 on this fixture; floors leave noise margin
+    assert(r8 >= 0.05, f"PQ recall@$k at m=8 degraded: $r8%.3f")
+    assert(r16 >= 0.15, f"PQ recall@$k at m=16 degraded: $r16%.3f")
+    assert(r16 > r8, f"finer subspaces must buy recall on this fixture: $r16%.3f <= $r8%.3f")
+  }
+
   test("assignToCentroids: picks argmax dot with lowest-id tie-break") {
     val cents = vecs.filter(col("vec_id") < 2) // (1,0,0) and (0,1,0)
     val assign = Similarity.assignToCentroids(vecs, cents, "vec_id", "embedding")
