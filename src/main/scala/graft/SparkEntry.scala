@@ -942,9 +942,10 @@ object SparkEntry {
     "q72_embed_srp" -> ((s, dir) => {
       val v = transform(col("embedding"), x => x.cast("double"))
       val sig = SrpPlanes.zipWithIndex.map { case (p, b) =>
-        val plane = array(p.map(lit(_)): _*)
-        val dot = aggregate(
-          zip_with(v, plane, (x, w) => x * w), lit(0.0), (acc, x) => acc + x)
+        val plane = array(p.map(lit(_)): _*).cast("array<double>")
+        // codegen'd sequential dot (same accumulation order as the HOF
+        // fold it replaced — bit-equal to the oracle's list_sum)
+        val dot = org.apache.spark.sql.graft.ArrayDot.doubleDot(v, plane)
         when(dot > 0.0, lit(1L << b)).otherwise(lit(0L))
       }.reduce(_ + _)
       rd(s, dir, "embeddings")
@@ -1653,9 +1654,10 @@ object SparkEntry {
     "q107_embed_srp_pairs" -> ((s, dir) => {
       val v = transform(col("embedding"), x => x.cast("double"))
       val sig = SrpPlanes.zipWithIndex.map { case (p, b) =>
-        val plane = array(p.map(lit(_)): _*)
-        val dot = aggregate(
-          zip_with(v, plane, (x, w) => x * w), lit(0.0), (acc, x) => acc + x)
+        val plane = array(p.map(lit(_)): _*).cast("array<double>")
+        // codegen'd sequential dot (same accumulation order as the HOF
+        // fold it replaced — bit-equal to the oracle's list_sum)
+        val dot = org.apache.spark.sql.graft.ArrayDot.doubleDot(v, plane)
         when(dot > 0.0, lit(1L << b)).otherwise(lit(0L))
       }.reduce(_ + _)
       val e = rd(s, dir, "embeddings")

@@ -26,13 +26,18 @@ object Similarity {
   def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
   /** Sequential (left-to-right) dot product of two double arrays —
-    * deterministic across partitionings and engines.
+    * deterministic across partitionings and engines. Codegen'd custom
+    * expression (org.apache.spark.sql.graft.DoubleArrayDot) with the
+    * SAME accumulation order as the HOF `aggregate(zip_with(...))` form
+    * it replaced, so scores stay bit-equal to the DuckDB oracles.
     */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    org.apache.spark.sql.graft.ArrayDot.doubleDot(a, b)
 
-  /** L2 norm, sequential sum. */
-  def l2Norm(v: Column): Column = sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
+  /** L2 norm, sequential sum (same kernel: dot(v, v) accumulates
+    * acc + v(i)*v(i) in index order, exactly as the HOF fold did).
+    */
+  def l2Norm(v: Column): Column = sqrt(dot(v, v))
 
   /** Cosine similarity of two double arrays. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
@@ -74,9 +79,9 @@ object Similarity {
   def quantize(v: Column, scale: Int = 1000): Column =
     transform(v, x => floor(x.cast("double") * scale).cast("long"))
 
-  /** Integer dot product of two quantized vectors (exact). */
+  /** Integer dot product of two quantized vectors (exact; codegen'd). */
   def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    org.apache.spark.sql.graft.ArrayDot.longDot(a, b)
 
   /** IVF-style coarse assignment: top-`nprobe` centroids by quantized dot
     * product (ties -> lowest centroid id). `centroids` is small and
