@@ -1760,6 +1760,50 @@ object SparkEntry {
         .orderBy("source", "rk")
     }),
 
+    // THE composite: the full training-data prep chain as ONE declarative
+    // plan — quality gate (q55 predicate) -> exact-dedup keep-one
+    // (md5 window, q91 shape) -> decontamination vs the held-out slice
+    // (q85 shingle anti-join) -> per-language token budget (q92 window).
+    // What a real user runs nightly; composing the stages costs no
+    // driver round-trips (one job end to end), every intermediate stays
+    // distributed, and each stage's operator is independently gated by
+    // its own query.
+    "q113_prep_pipeline" -> ((s, dir) => {
+      val docs = spread(s, rd(s, dir, "documents"))
+      val kept = docs.select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.meanTokenLength(col("text")).as("mtl"),
+          TextAnalysis.punctRatio(col("text")).as("pr"),
+          TextAnalysis.stopwordRatio(col("text")).as("es"))
+        .filter(col("n_tokens") >= QfMinTokens &&
+          col("mtl") >= QfMinMeanTokLen && col("mtl") <= QfMaxMeanTokLen &&
+          col("pr") <= QfMaxPunctRatio && col("es") >= QfMinStopwordRatio)
+      val dd = kept
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(md5(col("text"))).orderBy(col("doc_id").asc)))
+        .filter(col("rn") === 1)
+      // contamination = sharing a VERBATIM DecontamSpanN-char span with
+      // the held-out slice (q85's shape at 8 chars prunes this
+      // low-vocabulary corpus to zero; 20-char spans are the realistic
+      // long-verbatim-leak criterion and keep the pipeline non-trivial)
+      val shingles = docs.select(col("doc_id"),
+        explode(array_distinct(transform(
+          TextFunctions.charShingles(lower(col("text")), DecontamSpanN),
+          g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")))).as("h"))
+      val bench = shingles.filter(col("doc_id") % 50 === 0)
+        .select(col("h").as("bh")).distinct()
+      val contaminated = shingles.join(broadcast(bench), col("h") === col("bh"))
+        .select(col("doc_id").as("cid")).distinct()
+      val clean = dd.join(contaminated, col("doc_id") === col("cid"), "left_anti")
+      val w = Window.partitionBy("lang")
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clean.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .filter(col("cum_tokens") <= TokenBudgetPerLang)
+        .select("doc_id", "lang", "n_tokens", "cum_tokens")
+        .orderBy("doc_id")
+    }),
+
     // custom typed UDAF (Aggregator surface): quantity-weighted mean
     // price per return flag — integer-cents buffer, map-side combinable,
     // one double division at finish (order-independent, oracle-exact)
@@ -1787,6 +1831,12 @@ object SparkEntry {
     * with its generated oracle SQL).
     */
   private val DupSpanN = 12
+
+  /** Span length for q113's decontamination stage — long enough that
+    * "contaminated" means a verbatim 20-char leak, not this corpus's
+    * pervasive short-phrase reuse (shared with the oracle SQL).
+    */
+  private val DecontamSpanN = 20
 
   /** Corpus-frequency cutoff under which a token counts as rare (q111;
     * shared with its generated oracle SQL).
@@ -2576,6 +2626,42 @@ object SparkEntry {
          |  FROM documents)
          |SELECT r.source, doc_id, rk::BIGINT AS rk
          |FROM r JOIN q USING (source) WHERE rk <= quota ORDER BY source, rk""".stripMargin,
+
+    "q113_prep_pipeline" -> {
+      val sw = TextAnalysis.EnglishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH m AS (SELECT doc_id,
+         |  CASE WHEN trim(text) = '' THEN 0 ELSE len($tokensSql) END AS n_tokens,
+         |  CASE WHEN trim(text) = '' THEN 0.0
+         |       ELSE list_sum(list_transform($tokensSql, t -> strlen(t)))::DOUBLE / len($tokensSql) END AS mean_tok_len,
+         |  CASE WHEN strlen(text) = 0 THEN 0.0
+         |       ELSE len(regexp_extract_all(text, '[!-/:-@\\[-`{-~]'))::DOUBLE / strlen(text) END AS punct_ratio,
+         |  CASE WHEN len($tokensLowerSql) = 0 THEN 0.0
+         |       ELSE len(list_filter($tokensLowerSql, t -> list_contains($sw, t)))::DOUBLE
+         |            / len($tokensLowerSql) END AS en_score
+         |  FROM documents),
+         |kept AS (SELECT doc_id, n_tokens FROM m
+         |  WHERE n_tokens >= $QfMinTokens AND mean_tok_len >= $QfMinMeanTokLen
+         |    AND mean_tok_len <= $QfMaxMeanTokLen AND punct_ratio <= $QfMaxPunctRatio
+         |    AND en_score >= $QfMinStopwordRatio),
+         |dd AS (SELECT doc_id, n_tokens FROM (
+         |  SELECT k.doc_id, k.n_tokens,
+         |         row_number() OVER (PARTITION BY md5(d.text) ORDER BY k.doc_id) AS rn
+         |  FROM kept k JOIN documents d USING (doc_id)) WHERE rn = 1),
+         |sh AS (SELECT doc_id,
+         |  unnest(list_distinct(list_transform(${docShinglesSql(DecontamSpanN)},
+         |    g -> ('0x' || substr(md5(g), 1, 15))::BIGINT))) AS h
+         |  FROM documents),
+         |bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 50 = 0),
+         |contaminated AS (SELECT DISTINCT doc_id FROM sh JOIN bench USING (h)),
+         |clean AS (SELECT doc_id, n_tokens FROM dd
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         |c AS (SELECT d.doc_id, d.lang, cl.n_tokens,
+         |        (sum(cl.n_tokens) OVER (PARTITION BY d.lang ORDER BY d.n_chars DESC, d.doc_id ASC
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum_tokens
+         |      FROM clean cl JOIN documents d USING (doc_id))
+         |SELECT doc_id, lang, n_tokens, cum_tokens FROM c
+         |WHERE cum_tokens <= $TokenBudgetPerLang ORDER BY doc_id""".stripMargin
+    },
 
     "q59_train_split" ->
       """SELECT doc_id,
