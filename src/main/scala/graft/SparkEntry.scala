@@ -1804,6 +1804,44 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // pillar text analysis: bigram-LM quality scoring (the KenLM-style
+    // perplexity filter, exactly): train conditional bigram counts on
+    // the corpus itself, then score each doc by its rare-bigram count
+    // and minimum conditional probability. Everything oracle-exact
+    // without libm: rarity tests cross-multiply in integers
+    // (100*c12 < c1 <=> P < 0.01), and min() over exact IEEE divides is
+    // order-independent — no float SUM ever happens.
+    "q114_bigram_lm_score" -> ((s, dir) => {
+      val toks = spread(s, rd(s, dir, "documents"))
+        .select(col("doc_id"), TextFunctions.whitespaceTokens(lower(col("text"))).as("toks"))
+      val bi = toks.filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(transform(sequence(lit(1), size(col("toks")) - 1),
+          i => struct(element_at(col("toks"), i).as("w1"),
+            element_at(col("toks"), i + 1).as("w2")))).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val uni = toks.select(explode(col("toks")).as("w1"))
+        .groupBy("w1").agg(count(lit(1)).as("c1"))
+      val big = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      bi.join(big, Seq("w1", "w2")).join(uni, Seq("w1"))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_bigrams"),
+          sum(when(col("c12") * 100 < col("c1"), 1L).otherwise(0L)).as("n_rare"),
+          min(col("c12").cast("double") / col("c1")).as("min_prob"))
+        .orderBy("doc_id")
+    }),
+
+    // pillar dedup: TRUE winnowing fingerprints (Schleimer SIGMOD'03 /
+    // MOSS) — the bounded-density fingerprint set whose equality is the
+    // equi-join key for web-scale verbatim-overlap detection. Narrow
+    // codegen'd projection per doc; see TextAnalysis scaladoc for the
+    // w+k-1 shared-substring guarantee.
+    "q115_winnowing_fingerprints" -> ((s, dir) =>
+      spread(s, rd(s, dir, "documents"))
+        .select(col("doc_id"),
+          explode(TextAnalysis.winnowingFingerprints(col("text"))).as("fp"))
+        .orderBy("doc_id", "fp")),
+
     // custom typed UDAF (Aggregator surface): quantity-weighted mean
     // price per return flag — integer-cents buffer, map-side combinable,
     // one double division at finish (order-independent, oracle-exact)
@@ -2662,6 +2700,36 @@ object SparkEntry {
          |SELECT doc_id, lang, n_tokens, cum_tokens FROM c
          |WHERE cum_tokens <= $TokenBudgetPerLang ORDER BY doc_id""".stripMargin
     },
+
+    "q114_bigram_lm_score" ->
+      s"""WITH t AS (SELECT doc_id, $tokensLowerSql AS toks FROM documents WHERE trim(text) <> ''),
+         |bb AS (SELECT doc_id,
+         |         unnest(list_transform(range(1, len(toks)),
+         |           i -> {'w1': toks[i::INT], 'w2': toks[(i::INT)+1]})) AS b
+         |       FROM t WHERE len(toks) >= 2),
+         |bi AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bb),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM (SELECT unnest(toks) AS w1 FROM t) GROUP BY w1),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2)
+         |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+         |       sum(CASE WHEN c12.c12 * 100 < c1.c1 THEN 1 ELSE 0 END)::BIGINT AS n_rare,
+         |       min(c12.c12::DOUBLE / c1.c1) AS min_prob
+         |FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q115_winnowing_fingerprints" ->
+      """WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+        |h AS (SELECT doc_id,
+        |  list_transform(range(1, greatest(strlen(t) - 6, 1)), i ->
+        |    list_reduce(list_transform(range(i, i + 8), j -> unicode(substr(t, j::INT, 1))::BIGINT),
+        |      (a, b) -> (a * 131 + b) % 1000000007)) AS hs
+        |  FROM d),
+        |f AS (SELECT doc_id,
+        |        CASE WHEN len(hs) = 0 THEN []::BIGINT[]
+        |             WHEN len(hs) < 8 THEN [list_min(hs)]
+        |             ELSE list_distinct(list_transform(range(1, len(hs) - 6),
+        |                    i -> list_min(hs[i::INT:(i::INT)+7]))) END AS fps
+        |      FROM h)
+        |SELECT doc_id, unnest(fps) AS fp FROM f ORDER BY doc_id, fp""".stripMargin,
 
     "q59_train_split" ->
       """SELECT doc_id,

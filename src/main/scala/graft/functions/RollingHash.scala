@@ -20,6 +20,41 @@ object RollingHash extends Serializable {
   val Base: Long = 131L
   val Mod: Long = 1000000007L
 
+  /** Distinct winnowing fingerprints (Schleimer et al., SIGMOD'03): the
+    * minimum rolling k-gram hash of every w-length position window,
+    * deduplicated, in first-occurrence order. ONE O(n) pass — the
+    * rolling hashes stream through a monotonic deque (amortized O(1)
+    * per position), so no per-window rescan and no intermediate
+    * n-element slice allocations. Texts shorter than the window emit
+    * their single global minimum; texts shorter than k emit an empty
+    * array.
+    */
+  def winnow(s: String, k: Int, w: Int): Array[Long] = {
+    if (s == null) return null
+    val hs = hashes(s, k)
+    val n = hs.length
+    if (n == 0) return hs
+    if (n < w) return Array(hs.min)
+    val idx = new Array[Int](n) // deque of candidate indices, hashes increasing
+    var head = 0
+    var tail = 0 // window is [head, tail)
+    val out = new scala.collection.mutable.ArrayBuffer[Long]
+    val seen = new java.util.HashSet[java.lang.Long]
+    var i = 0
+    while (i < n) {
+      while (tail > head && hs(idx(tail - 1)) >= hs(i)) tail -= 1
+      idx(tail) = i
+      tail += 1
+      if (idx(head) <= i - w) head += 1
+      if (i >= w - 1) {
+        val m = hs(idx(head))
+        if (seen.add(m)) out += m
+      }
+      i += 1
+    }
+    out.toArray
+  }
+
   /** All rolling k-gram hashes of `s`, in position order; empty array
     * when the text is shorter than k.
     */

@@ -149,4 +149,26 @@ object TextAnalysis {
       array_join(slice(array_sort(transform(sh, g => md5(g))), 1, k), ",")
     )
   }
+
+  /** TRUE winnowing fingerprints (Schleimer et al., SIGMOD'03 — the MOSS
+    * scheme): the Karp-Rabin rolling hash of the k-gram at EVERY
+    * position, then the minimum hash of each w-length window; the
+    * distinct minima are the document's fingerprint set. The winnowing
+    * guarantee: any verbatim overlap of length >= w + k - 1 between two
+    * documents yields at least one SHARED fingerprint, at an expected
+    * density of only 2/(w+1) hashes per position — the sub-sampling that
+    * lets web-scale near-dup keep a bounded, joinable number of keys per
+    * document (fingerprint equality is then a plain equi-join, exactly
+    * like the LSH band join). Docs shorter than the window emit their
+    * single global minimum; docs shorter than k emit an empty array.
+    *
+    * ONE codegen'd O(n) pass (custom expression, RollingHash.winnow —
+    * rolling hashes into a monotonic deque): the declarative
+    * transform/slice/array_min composition measured 142 s at sf0.1 vs
+    * ~2 s for this expression. The oracle reproduces the values with a
+    * naive per-window integer recompute (q102's hash, list_min per
+    * window).
+    */
+  def winnowingFingerprints(text: Column, k: Int = 8, w: Int = 8): Column =
+    org.apache.spark.sql.graft.GraftFunctions.winnowingFingerprints(lower(text), k, w)
 }

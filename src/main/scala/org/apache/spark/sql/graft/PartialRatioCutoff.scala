@@ -143,6 +143,43 @@ object RollingKgramHashes {
       .fromPrimitiveArray(graft.functions.RollingHash.hashes(s.toString, k))
 }
 
+/** Distinct winnowing fingerprints of the rolling k-gram hashes (the
+  * MOSS document-fingerprint set; graft.functions.RollingHash.winnow):
+  * one O(n) pass with a monotonic deque. The declarative alternative —
+  * `transform(sequence(...), i -> array_min(slice(hs, i, w)))` — is
+  * O(n·w) of interpreted HOF lambdas plus a w-element array allocation
+  * PER POSITION, measured 142 s vs ~2 s at sf0.1. Same winnowing
+  * guarantee documented on the Scala function; values reproduced by the
+  * oracle's naive per-window list_min recompute.
+  */
+case class WinnowingFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression
+    with ExpectsInputTypes {
+
+  require(k >= 1 && w >= 1, s"k-gram width and window must be >= 1, got k=$k w=$w")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnowing_fingerprints"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WinnowingFingerprints.compute(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.WinnowingFingerprints.compute($c, $k, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowingFingerprints =
+    copy(child = newChild)
+}
+
+object WinnowingFingerprints {
+  /** Static bridge shared by interpreted eval and generated code. */
+  def compute(s: UTF8String, k: Int, w: Int): org.apache.spark.sql.catalyst.util.ArrayData =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(graft.functions.RollingHash.winnow(s.toString, k, w))
+}
+
 /** Column-level entry points for the custom expressions (usable without
   * any session registration).
   */
@@ -156,6 +193,9 @@ object GraftFunctions {
 
   def rollingKgramHashes(text: Column, k: Int): Column =
     ExpressionUtils.column(RollingKgramHashes(ExpressionUtils.expression(text), k))
+
+  def winnowingFingerprints(text: Column, k: Int, w: Int): Column =
+    ExpressionUtils.column(WinnowingFingerprints(ExpressionUtils.expression(text), k, w))
 }
 
 /** SparkSessionExtensions wiring: exposes `partial_ratio_cutoff(a, b, c)`

@@ -49,4 +49,30 @@ class RollingHashSpec extends SparkSpec {
     assert(hs(0) == hs(3) && hs(3) == hs(6)) // "abc" thrice
     assert(hs(0) != hs(1))                   // "abc" vs "bca"
   }
+
+  test("winnow == brute-force per-window minima (property, random strings)") {
+    val rng = new scala.util.Random(7)
+    def brute(s: String, k: Int, w: Int): Seq[Long] = {
+      val hs = RollingHash.hashes(s, k)
+      if (hs.isEmpty) Seq.empty
+      else if (hs.length < w) Seq(hs.min)
+      else hs.toSeq.sliding(w).map(_.min).toSeq.distinct
+    }
+    for (_ <- 1 to 200) {
+      val n = rng.nextInt(40)
+      val s = Seq.fill(n)(('a' + rng.nextInt(3)).toChar).mkString // tiny alphabet forces ties
+      val k = 1 + rng.nextInt(4)
+      val w = 1 + rng.nextInt(5)
+      assert(RollingHash.winnow(s, k, w).toSeq.sorted == brute(s, k, w).sorted,
+        s"mismatch for s='$s' k=$k w=$w")
+    }
+  }
+
+  test("winnow deque handles the monotone-decreasing worst case") {
+    // strictly decreasing hash sequence keeps the deque at size 1 per pop
+    val s = "zyxwvutsrqponmlkjihgfedcba"
+    val hs = RollingHash.hashes(s, 1)
+    val minima = hs.toSeq.sliding(4).map(_.min).toSeq.distinct
+    assert(RollingHash.winnow(s, 1, 4).toSeq.sorted == minima.sorted)
+  }
 }

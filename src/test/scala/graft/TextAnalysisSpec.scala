@@ -90,4 +90,45 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2).getLong(1) == 1 && out(2).getString(3) == "" && out(2).getDouble(4) == 0.0)
     assert(out(3).getLong(1) == 0 && out(3).getDouble(2) == 0.0 && out(3).getString(3) == "")
   }
+
+  test("winnowing: shared substring of length >= w+k-1 guarantees a shared fingerprint") {
+    // k=8, w=8: any verbatim overlap of >= 15 chars must yield at least
+    // one common fingerprint (Schleimer et al. SIGMOD'03, Thm 1-adjacent
+    // guarantee) — the property the whole scheme exists for
+    val shared = "this exact span is shared verbatim"
+    val docs = Seq(
+      (1L, s"prefix one $shared and then tail a"),
+      (2L, s"completely different lead-in $shared closing words"),
+      (3L, "no overlap with the others at all here")
+    ).toDF("doc_id", "text")
+    val fps = docs.select(col("doc_id"),
+        explode(TextAnalysis.winnowingFingerprints(col("text"))).as("fp"))
+      .collect().groupBy(_.getLong(0)).map { case (d, rs) => d -> rs.map(_.getLong(1)).toSet }
+    assert(fps(1L).intersect(fps(2L)).nonEmpty, "shared 34-char span must share a fingerprint")
+    assert(fps(1L).intersect(fps(3L)).isEmpty, "unrelated docs should not collide on this fixture")
+  }
+
+  test("winnowing: short docs emit one global-min fingerprint; sub-k docs emit none") {
+    val docs = Seq(
+      (1L, "abcdefghij"), // 3 k-grams (< w=8 windows) -> single global min
+      (2L, "abcd")        // shorter than k=8 -> no fingerprints
+    ).toDF("doc_id", "text")
+    val rows = docs.select(col("doc_id"),
+        explode(TextAnalysis.winnowingFingerprints(col("text"))).as("fp"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(rows == Seq(1L), "one fingerprint for doc 1, none for doc 2")
+  }
+
+  test("winnowing: fingerprint density is bounded (distinct minima << positions)") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val stats = docs.select(
+        size(TextAnalysis.winnowingFingerprints(col("text"))).cast("double").as("n_fp"),
+        greatest(length(col("text")) - 7, lit(1)).cast("double").as("n_pos"))
+      .agg(sum("n_fp").as("fp"), sum("n_pos").as("pos")).head()
+    val density = stats.getDouble(0) / stats.getDouble(1)
+    // expected 2/(w+1) = 0.22 for random hashes; allow generous slack
+    assert(density < 0.4, f"winnowing density $density%.3f should be well below 1")
+    assert(density > 0.05, f"winnowing density $density%.3f implausibly low")
+  }
 }
