@@ -1842,6 +1842,31 @@ object SparkEntry {
           explode(TextAnalysis.winnowingFingerprints(col("text"))).as("fp"))
         .orderBy("doc_id", "fp")),
 
+    // pillar dedup: the join the q115 fingerprints exist for — MOSS-style
+    // near-dup candidates = doc pairs sharing >= WinnowMinShared
+    // winnowing fingerprints, after a stop-fingerprint filter
+    // (df <= WinnowMaxDf) drops boilerplate minima exactly the way
+    // AllPairs drops stop-shingles. Pure equi-join on the fingerprint
+    // value + one pair-count aggregate: sub-quadratic by the 2/(w+1)
+    // density bound, with per-fingerprint fan-out capped by the df
+    // filter — no pairwise product anywhere.
+    "q116_winnowing_pairs" -> ((s, dir) => {
+      val fps = spread(s, rd(s, dir, "documents"))
+        .select(col("doc_id"),
+          explode(TextAnalysis.winnowingFingerprints(col("text"))).as("fp"))
+        .localCheckpoint(false) // feeds the df count AND both join sides
+      val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= WinnowMaxDf).select("fp")
+      val kept = fps.join(rare, Seq("fp"), "left_semi")
+      kept.alias("a")
+        .join(kept.alias("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= WinnowMinShared)
+        .orderBy("id_a", "id_b")
+    }),
+
     // custom typed UDAF (Aggregator surface): quantity-weighted mean
     // price per return flag — integer-cents buffer, map-side combinable,
     // one double division at finish (order-independent, oracle-exact)
@@ -1885,6 +1910,13 @@ object SparkEntry {
     * min(n, floor(sqrt(n) * this)) (q112; shared with its oracle SQL).
     */
   private val MixSqrtScale = 4L
+
+  /** Stop-fingerprint document-frequency cap and minimum shared-
+    * fingerprint count for the q116 winnowing near-dup join (shared with
+    * its oracle SQL).
+    */
+  private val WinnowMaxDf = 16L
+  private val WinnowMinShared = 8L
 
   /** Per-language token budget for the q92 data-mixing sample (shared
     * between the Spark query and its generated oracle SQL).
@@ -2730,6 +2762,27 @@ object SparkEntry {
         |                    i -> list_min(hs[i::INT:(i::INT)+7]))) END AS fps
         |      FROM h)
         |SELECT doc_id, unnest(fps) AS fp FROM f ORDER BY doc_id, fp""".stripMargin,
+
+    "q116_winnowing_pairs" ->
+      s"""WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+         |h AS (SELECT doc_id,
+         |  list_transform(range(1, greatest(strlen(t) - 6, 1)), i ->
+         |    list_reduce(list_transform(range(i, i + 8), j -> unicode(substr(t, j::INT, 1))::BIGINT),
+         |      (a, b) -> (a * 131 + b) % 1000000007)) AS hs
+         |  FROM d),
+         |f AS (SELECT doc_id,
+         |        CASE WHEN len(hs) = 0 THEN []::BIGINT[]
+         |             WHEN len(hs) < 8 THEN [list_min(hs)]
+         |             ELSE list_distinct(list_transform(range(1, len(hs) - 6),
+         |                    i -> list_min(hs[i::INT:(i::INT)+7]))) END AS fps
+         |      FROM h),
+         |fp AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+         |rare AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= $WinnowMaxDf),
+         |k AS (SELECT doc_id, fp FROM fp JOIN rare USING (fp))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared
+         |FROM k a JOIN k b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "q59_train_split" ->
       """SELECT doc_id,

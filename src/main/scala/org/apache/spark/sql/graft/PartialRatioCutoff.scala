@@ -206,6 +206,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.registration)
     ext.injectFunction(GraftExtensions.rollingRegistration)
+    ext.injectFunction(GraftExtensions.winnowRegistration)
     ext.injectOptimizerRule(_ => FoldPartialRatioCutoffPredicate)
     ext.injectPlannerStrategy(_ => AsofJoinStrategy)
   }
@@ -240,12 +241,27 @@ object GraftExtensions {
       RollingKgramHashes(children(0), k)
     })
 
+  val winnowRegistration: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("winnowing_fingerprints"),
+    new ExpressionInfo(classOf[WinnowingFingerprints].getName, "winnowing_fingerprints"),
+    (children: Seq[Expression]) => {
+      if (children.length != 3)
+        throw new IllegalArgumentException(
+          s"winnowing_fingerprints requires 3 arguments (text, k, w); got ${children.length}")
+      def intLit(e: Expression, name: String): Int = e match {
+        case Literal(i: Int, org.apache.spark.sql.types.IntegerType) => i
+        case other => throw new IllegalArgumentException(
+          s"winnowing_fingerprints $name must be an integer literal; got $other")
+      }
+      WinnowingFingerprints(children(0), intLit(children(1), "k"), intLit(children(2), "w"))
+    })
+
   /** Imperative per-session registration for sessions that were built
     * WITHOUT `.withExtensions` (e.g. a host application's session):
     * idempotently installs the same functions the extension injects.
     */
   def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
-    for ((id, info, builder) <- Seq(registration, rollingRegistration))
+    for ((id, info, builder) <- Seq(registration, rollingRegistration, winnowRegistration))
       if (!spark.sessionState.functionRegistry.functionExists(id))
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     // the predicate-folding rule, for sessions built without

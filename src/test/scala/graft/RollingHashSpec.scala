@@ -44,6 +44,12 @@ class RollingHashSpec extends SparkSpec {
     assert(r == RollingHash.hashes("the quick brown fox", 8).toSeq)
   }
 
+  test("SQL surface: winnowing_fingerprints registered via extensions") {
+    val r = spark.sql("SELECT winnowing_fingerprints('the quick brown fox jumps', 8, 8) AS fp")
+      .collect()(0).getSeq[Long](0)
+    assert(r == RollingHash.winnow("the quick brown fox jumps", 8, 8).toSeq)
+  }
+
   test("identical windows hash identically, different windows (almost surely) differ") {
     val hs = RollingHash.hashes("abcabcabc", 3).toSeq
     assert(hs(0) == hs(3) && hs(3) == hs(6)) // "abc" thrice
