@@ -1725,6 +1725,7 @@ object SparkEntry {
       val toks = spread(s, rd(s, dir, "documents"))
         .select(col("doc_id"),
           explode(TextFunctions.whitespaceTokens(lower(col("text")))).as("term"))
+        .localCheckpoint(false) // feeds the corpus count AND the re-join
       val cnts = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
       toks.join(cnts, Seq("term"))
         .groupBy("doc_id")
@@ -1814,6 +1815,7 @@ object SparkEntry {
     "q114_bigram_lm_score" -> ((s, dir) => {
       val toks = spread(s, rd(s, dir, "documents"))
         .select(col("doc_id"), TextFunctions.whitespaceTokens(lower(col("text"))).as("toks"))
+        .localCheckpoint(false) // tokenization feeds both the bigram and unigram branches
       val bi = toks.filter(size(col("toks")) >= 2)
         .select(col("doc_id"), explode(transform(sequence(lit(1), size(col("toks")) - 1),
           i => struct(element_at(col("toks"), i).as("w1"),
