@@ -182,6 +182,33 @@ object SparkEntry {
     } finally Staging.discard(stage)
   }
 
+  /** Corpus-scaled embedding clustering shared by q46/q117/q122: the
+    * assignment frame (vec_id, centroid_id, dv, nrm) — lazily
+    * checkpointed, since it feeds both pair sides plus the flag/group
+    * joins, and the quantized assignment argmax must not re-run per
+    * reference — and the within-cluster cosine pairs at >= SemDedupTau.
+    * k = ceil(sqrt(N)) keeps within-bucket pair work O(N^1.5); N arrives
+    * as a broadcast 1-row aggregate (no driver action).
+    */
+  private def embClusterPairs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val e = rd(s, dir, "embeddings")
+    val kRow = e.agg(ceil(sqrt(count(lit(1)))).cast("long").as("k"))
+    val cents = e.crossJoin(broadcast(kRow)).filter(col("vec_id") < col("k")).drop("k")
+    val buckets = Similarity.assignToCentroids(e, cents, "vec_id", "embedding")
+      .select(col("id").as("vec_id"), col("centroid_id"))
+    val v = e.select(col("vec_id"), Similarity.asDouble(col("embedding")).as("dv"))
+      .withColumn("nrm", Similarity.l2Norm(col("dv")))
+    val withB = buckets.join(v, Seq("vec_id")).localCheckpoint(false)
+    val pairs = withB
+      .select(col("centroid_id"), col("vec_id").as("id_a"), col("dv").as("dv_a"), col("nrm").as("nrm_a"))
+      .join(withB.select(col("centroid_id"), col("vec_id").as("id_b"), col("dv").as("dv_b"), col("nrm").as("nrm_b")),
+        Seq("centroid_id"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", Similarity.dot(col("dv_a"), col("dv_b")) / (col("nrm_a") * col("nrm_b")))
+      .filter(col("cos_sim") >= SemDedupTau)
+    (withB, pairs)
+  }
+
   private def matchDocs(s: SparkSession, dir: String, inverted: Boolean): DataFrame = {
     // query ids: natural key (min partkey per distinct lowered name) — no
     // single-partition global window; see `entry`
@@ -466,23 +493,10 @@ object SparkEntry {
     // the expected bucket size ~sqrt(N), so total within-bucket pair work
     // is O(N^1.5) instead of O(N^2/k) under a fixed k. N arrives as a
     // broadcast 1-row aggregate (the q74/q97 pattern) — no driver action.
-    "q46_dedup_embed_cosine" -> ((s, dir) => {
-      val e = rd(s, dir, "embeddings")
-      val kRow = e.agg(ceil(sqrt(count(lit(1)))).cast("long").as("k"))
-      val cents = e.crossJoin(broadcast(kRow)).filter(col("vec_id") < col("k")).drop("k")
-      val buckets = Similarity.assignToCentroids(e, cents, "vec_id", "embedding")
-        .select(col("id").as("vec_id"), col("centroid_id"))
-      val v = e.select(col("vec_id"), Similarity.asDouble(col("embedding")).as("dv"))
-        .withColumn("nrm", Similarity.l2Norm(col("dv")))
-      val withB = buckets.join(v, Seq("vec_id"))
-      withB.select(col("centroid_id"), col("vec_id").as("id_a"), col("dv").as("dv_a"), col("nrm").as("nrm_a"))
-        .join(withB.select(col("centroid_id"), col("vec_id").as("id_b"), col("dv").as("dv_b"), col("nrm").as("nrm_b")), Seq("centroid_id"))
-        .where(col("id_a") < col("id_b"))
-        .withColumn("cos_sim", Similarity.dot(col("dv_a"), col("dv_b")) / (col("nrm_a") * col("nrm_b")))
-        .filter(col("cos_sim") >= 0.3)
+    "q46_dedup_embed_cosine" -> ((s, dir) =>
+      embClusterPairs(s, dir)._2
         .select("id_a", "id_b", "cos_sim")
-        .orderBy("id_a", "id_b")
-    }),
+        .orderBy("id_a", "id_b")),
 
     // pillar dedup: SimHash hamming-distance candidate pairs via
     // multi-index banding (pigeonhole equi-join — no cross join; same
@@ -1869,6 +1883,121 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // pillar dedup/similarity: SemDeDup (Abbas et al. 2023) — SEMANTIC
+    // dedup over embeddings: cluster first (corpus-scaled k, the q46
+    // prefilter), then inside each cluster flag every vector that has a
+    // lower-id neighbor above the cosine threshold. keep-one-per-
+    // semantic-group falls out: is_dup=0 rows are the representatives
+    // (lowest id of each within-cluster dup clique chain). Within-bucket
+    // pair work is O(N^1.5) under k = ceil(sqrt(N)); the flag join adds
+    // one broadcast-size distinct. No cross join anywhere.
+    "q117_semdedup" -> ((s, dir) => {
+      val (withB, pairs) = embClusterPairs(s, dir)
+      val dups = pairs.select(col("id_b").as("vec_id")).distinct()
+        .withColumn("d", lit(1L))
+      withB.select("vec_id", "centroid_id")
+        .join(dups, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("centroid_id"), coalesce(col("d"), lit(0L)).as("is_dup"))
+        .orderBy("vec_id")
+    }),
+
+    // pillar dedup: INCREMENTAL near-dup — a new crawl batch
+    // (doc_id % 5 = 4) screened against the existing corpus (the rest),
+    // the production shape where dedup runs per-snapshot against a
+    // persisted signature table instead of all-pairs over history.
+    // Asymmetric LSH band join + exact Jaccard verify; every incoming doc
+    // reports its verified corpus-dup count and a kept flag.
+    "q118_incremental_dedup" -> ((s, dir) => {
+      val docs = spread(s, rd(s, dir, "documents"))
+      val incoming = docs.filter(col("doc_id") % IncrementalMod === IncrementalMod - 1)
+      val corpus = docs.filter(col("doc_id") % IncrementalMod =!= IncrementalMod - 1)
+      Dedup.incrementalNearDupFilter(incoming, corpus, "doc_id", "text",
+          shingleN = 4, numHashes = 8, rowsPerBand = 4, threshold = 0.4)
+        .orderBy("doc_id")
+    }),
+
+    // pillar text analysis: GRADED benchmark contamination — q85/q113
+    // decide a boolean (any shared span); real decontamination triages by
+    // the overlap FRACTION (n-gram overlap ratio, the GPT-3/PaLM
+    // contamination metric). Per non-benchmark doc: distinct
+    // DecontamSpanN-char spans, how many appear anywhere in the benchmark
+    // slice, and the ratio. Benchmark span set rides a broadcast (it is
+    // the small side by construction); spans travel as 60-bit md5 longs.
+    "q119_contamination_overlap" -> ((s, dir) => {
+      val docs = spread(s, rd(s, dir, "documents"))
+      val spans = docs.select(col("doc_id"),
+        explode(array_distinct(transform(
+          TextFunctions.charShingles(lower(col("text")), DecontamSpanN),
+          g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")))).as("h"))
+      val bench = spans.filter(col("doc_id") % ContamBenchMod === 0)
+        .select(col("h").as("bh")).distinct()
+      spans.filter(col("doc_id") % ContamBenchMod =!= 0)
+        .join(broadcast(bench), col("h") === col("bh"), "left")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_spans"),
+          sum(when(col("bh").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+        .withColumn("overlap_ratio", col("n_hit").cast("double") / col("n_spans"))
+        .orderBy("doc_id")
+    }),
+
+    // pillar dedup: minhash ESTIMATE vs exact Jaccard per near-dup pair —
+    // the estimator-quality surface that decides whether the exact verify
+    // (the expensive half of LSH dedup at scale: shingle arrays ride the
+    // candidate shuffle) can be replaced by signature agreement alone.
+    "q120_minhash_estimate" -> ((s, dir) =>
+      Dedup.nearDuplicatesWithEstimate(spread(s, rd(s, dir, "documents")), "doc_id", "text",
+          shingleN = 4, numHashes = 8, rowsPerBand = 4, threshold = EstPairThreshold)
+        .orderBy("id_a", "id_b")),
+
+    // pillar dedup + streaming: incremental dedup ON ARRIVAL — the q118
+    // operator driven from the foreachBatch bridge: the incoming batch
+    // arrives as a file stream, each micro-batch runs
+    // incrementalNearDupFilter against the static (persisted) corpus and
+    // appends its verdicts. THE production ingest-dedup shape: batch
+    // operators reused verbatim on streams, corpus state external to the
+    // stream (same oracle as q118 — the bridge must not change answers).
+    "q121_stream_incremental_dedup" -> ((s, dir) => {
+      val stage = Staging.dir("q121-")
+      try {
+        val inDir = stage.resolve("in")
+        java.nio.file.Files.createDirectories(inDir)
+        java.nio.file.Files.createSymbolicLink(
+          inDir.resolve("documents.parquet"),
+          java.nio.file.Paths.get(s"$dir/documents.parquet"))
+        val outDir = stage.resolve("out").toString
+        val corpus = rd(s, dir, "documents")
+          .filter(col("doc_id") % IncrementalMod =!= IncrementalMod - 1)
+        val schema = rd(s, dir, "documents").schema
+        val incomingStream = s.readStream.schema(schema).parquet(inDir.toString)
+          .filter(col("doc_id") % IncrementalMod === IncrementalMod - 1)
+        val q = graft.streaming.EventStream.foreachBatchSink(incomingStream, identity) {
+          (batch, _) =>
+            Dedup.incrementalNearDupFilter(batch, corpus, "doc_id", "text",
+                shingleN = 4, numHashes = 8, rowsPerBand = 4, threshold = 0.4)
+              .write.mode("append").parquet(outDir)
+        }.start()
+        try {
+          if (!q.awaitTermination(300000))
+            throw new IllegalStateException("q121 stream did not finish within 300s")
+        } finally if (q.isActive) q.stop()
+        // materialize off the staging files before they are discarded
+        s.read.parquet(outDir).orderBy("doc_id").localCheckpoint(true)
+      } finally Staging.discard(stage)
+    }),
+
+    // pillar dedup/similarity: SEMANTIC group resolution — the q52
+    // connected-components operator over the embedding-cosine pair graph
+    // instead of the MinHash one: (vec_id, keep_id) with keep_id = the
+    // minimum id of each transitive semantic-dup component (q117 flags
+    // direct lower-id neighbors; this collapses CHAINS a > b > c where
+    // only adjacent pairs clear the threshold).
+    "q122_semdedup_groups" -> ((s, dir) => {
+      val pairs = embClusterPairs(s, dir)._2.select("id_a", "id_b")
+      Dedup.resolveGroups(rd(s, dir, "embeddings"), "vec_id", pairs)
+        .orderBy("vec_id")
+    }),
+
     // custom typed UDAF (Aggregator surface): quantity-weighted mean
     // price per return flag — integer-cents buffer, map-side combinable,
     // one double division at finish (order-independent, oracle-exact)
@@ -1925,6 +2054,27 @@ object SparkEntry {
     */
   private val TokenBudgetPerLang = 2500L
 
+  /** SemDeDup within-cluster cosine threshold (q117; same value as the
+    * q46 near-dup cutoff so the two embedding-dedup surfaces agree).
+    */
+  private val SemDedupTau = 0.3
+
+  /** Incoming-batch selector for the q118 incremental dedup: docs with
+    * doc_id % this == this-1 play the "new crawl snapshot" role.
+    */
+  private val IncrementalMod = 5L
+
+  /** Benchmark-slice selector for the contamination queries (q113/q119):
+    * docs with doc_id % this == 0 play the held-out benchmark role.
+    */
+  private val ContamBenchMod = 50L
+
+  /** Exact-Jaccard floor for the q120 estimator-vs-exact pairs — lower
+    * than q31's 0.4 so the gate also covers pairs where the 8-slot
+    * estimate is most biased (band-collision survivors near the floor).
+    */
+  private val EstPairThreshold = 0.3
+
   /** Source dir whose bucketed q77 staging tables are currently live in
     * this JVM's catalog (null until first write).
     */
@@ -1966,7 +2116,11 @@ object SparkEntry {
     * from the SAME constants Spark uses (TextFunctions.MinhashParams/
     * MinhashP) so the two sides cannot drift.
     */
-  private lazy val lshPairsCtes: String = {
+  /** Shared CTE prefix for every MinHash oracle: per-doc shingle hashes
+    * (`ok(doc_id, hb)`), signature columns (`sig(doc_id, m0..m7)`), and
+    * the exploded band table (`band(doc_id, band, key)`).
+    */
+  private lazy val lshBandCtes: String = {
     val p = TextFunctions.MinhashP
     val sigCols = TextFunctions.MinhashParams.zipWithIndex
       .map { case ((a, b), i) =>
@@ -1992,17 +2146,51 @@ object SparkEntry {
        |  $sigCols
        |  FROM ok),
        |band AS (
-       |  $bandSelects),
+       |  $bandSelects)""".stripMargin
+  }
+
+  /** Shared CTE chain for the corpus-scaled-k embedding clustering +
+    * within-cluster cosine pairs (q46 + q117), ending in
+    * `assign(vec_id, centroid_id)` and `pairs(id_a, id_b, cos_sim)`
+    * (pairs unfiltered — callers apply their own threshold).
+    */
+  private val embCosPairsCtes: String =
+    """v AS (SELECT vec_id,
+      |             list_transform(embedding, x -> floor(x::DOUBLE * 1000)::BIGINT) AS qv,
+      |             list_transform(embedding, x -> x::DOUBLE) AS dv
+      |           FROM embeddings),
+      |c AS (SELECT vec_id AS centroid_id, qv AS cv FROM v
+      |      WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)),
+      |score AS (
+      |  SELECT v.vec_id AS id, c.centroid_id,
+      |         CAST(list_sum(list_transform(range(1, 65), i -> v.qv[i::INT] * c.cv[i::INT])) AS BIGINT) AS sc
+      |  FROM v CROSS JOIN c),
+      |assign AS (
+      |  SELECT id AS vec_id, centroid_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY sc DESC, centroid_id ASC) AS rk FROM score)
+      |  WHERE rk = 1),
+      |n AS (SELECT vec_id, dv, sqrt(list_sum(list_transform(dv, x -> x * x))) AS nrm FROM v),
+      |pairs AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |         list_sum(list_transform(range(1, 65), i -> na.dv[i::INT] * nb.dv[i::INT])) / (na.nrm * nb.nrm) AS cos_sim
+      |  FROM assign a JOIN assign b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+      |  JOIN n na ON na.vec_id = a.vec_id JOIN n nb ON nb.vec_id = b.vec_id)""".stripMargin
+
+  /** Exact-Jaccard expression between the `ok` rows aliased da/db. */
+  private val lshJaccSql =
+    """len(list_intersect(da.hb, db.hb))::DOUBLE
+      |           / (len(da.hb) + len(db.hb) - len(list_intersect(da.hb, db.hb)))""".stripMargin
+
+  private lazy val lshPairsCtes: String =
+    s"""$lshBandCtes,
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
        |  FROM band x JOIN band y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
        |verified AS (
        |  SELECT c.id_a, c.id_b,
-       |         len(list_intersect(da.hb, db.hb))::DOUBLE
-       |           / (len(da.hb) + len(db.hb) - len(list_intersect(da.hb, db.hb))) AS jacc
+       |         $lshJaccSql AS jacc
        |  FROM cand c JOIN ok da ON da.doc_id = c.id_a JOIN ok db ON db.doc_id = c.id_b),
        |nd_pairs AS (SELECT id_a, id_b, jacc FROM verified WHERE jacc >= 0.4)""".stripMargin
-  }
 
   /** DuckDB CTE chain scoring Fuzz.partialRatioCutoff(aCol, bCol, cutoff)
     * for every row of `src` — the same published bit-parallel Allison–Dix
@@ -2279,27 +2467,8 @@ object SparkEntry {
          |SELECT id_a, id_b, jacc FROM pairs WHERE jacc >= 0.8 ORDER BY id_a, id_b""".stripMargin,
 
     "q46_dedup_embed_cosine" ->
-      """WITH v AS (SELECT vec_id,
-        |             list_transform(embedding, x -> floor(x::DOUBLE * 1000)::BIGINT) AS qv,
-        |             list_transform(embedding, x -> x::DOUBLE) AS dv
-        |           FROM embeddings),
-        |c AS (SELECT vec_id AS centroid_id, qv AS cv FROM v
-        |      WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)),
-        |score AS (
-        |  SELECT v.vec_id AS id, c.centroid_id,
-        |         CAST(list_sum(list_transform(range(1, 65), i -> v.qv[i::INT] * c.cv[i::INT])) AS BIGINT) AS sc
-        |  FROM v CROSS JOIN c),
-        |assign AS (
-        |  SELECT id AS vec_id, centroid_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY sc DESC, centroid_id ASC) AS rk FROM score)
-        |  WHERE rk = 1),
-        |n AS (SELECT vec_id, dv, sqrt(list_sum(list_transform(dv, x -> x * x))) AS nrm FROM v),
-        |pairs AS (
-        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |         list_sum(list_transform(range(1, 65), i -> na.dv[i::INT] * nb.dv[i::INT])) / (na.nrm * nb.nrm) AS cos_sim
-        |  FROM assign a JOIN assign b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
-        |  JOIN n na ON na.vec_id = a.vec_id JOIN n nb ON nb.vec_id = b.vec_id)
-        |SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.3 ORDER BY id_a, id_b""".stripMargin,
+      s"""WITH $embCosPairsCtes
+         |SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= $SemDedupTau ORDER BY id_a, id_b""".stripMargin,
 
     "q47_dedup_simhash_pairs" -> {
       val bitSums = (0 until 16).map(b => s"sum(((hv >> $b) & 1) * 2 - 1) AS s$b").mkString(",\n  ")
@@ -2785,6 +2954,103 @@ object SparkEntry {
          |FROM k a JOIN k b ON a.fp = b.fp AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q117_semdedup" ->
+      s"""WITH $embCosPairsCtes,
+         |dup AS (SELECT DISTINCT id_b AS vec_id FROM pairs WHERE cos_sim >= $SemDedupTau)
+         |SELECT a.vec_id, a.centroid_id,
+         |       (CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END)::BIGINT AS is_dup
+         |FROM assign a LEFT JOIN dup d ON d.vec_id = a.vec_id
+         |ORDER BY a.vec_id""".stripMargin,
+
+    "q118_incremental_dedup" ->
+      s"""WITH $lshBandCtes,
+         |inc AS (SELECT * FROM band WHERE doc_id % $IncrementalMod = ${IncrementalMod - 1}),
+         |corp AS (SELECT * FROM band WHERE doc_id % $IncrementalMod <> ${IncrementalMod - 1}),
+         |cand AS (
+         |  SELECT DISTINCT i.doc_id AS in_id, c.doc_id AS corp_id
+         |  FROM inc i JOIN corp c ON i.band = c.band AND i.key = c.key),
+         |ver AS (
+         |  SELECT c.in_id, c.corp_id
+         |  FROM cand c JOIN ok da ON da.doc_id = c.in_id JOIN ok db ON db.doc_id = c.corp_id
+         |  WHERE $lshJaccSql >= 0.4),
+         |cnt AS (SELECT in_id, count(*) AS n_dups FROM ver GROUP BY in_id)
+         |SELECT d.doc_id, coalesce(c.n_dups, 0)::BIGINT AS n_dups,
+         |       (CASE WHEN coalesce(c.n_dups, 0) = 0 THEN 1 ELSE 0 END)::BIGINT AS kept
+         |FROM documents d LEFT JOIN cnt c ON c.in_id = d.doc_id
+         |WHERE d.doc_id % $IncrementalMod = ${IncrementalMod - 1}
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "q119_contamination_overlap" ->
+      s"""WITH sh AS (SELECT doc_id,
+         |  unnest(list_distinct(list_transform(${docShinglesSql(DecontamSpanN)},
+         |    g -> ('0x' || substr(md5(g), 1, 15))::BIGINT))) AS h
+         |  FROM documents),
+         |bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % $ContamBenchMod = 0),
+         |scored AS (
+         |  SELECT s.doc_id, count(*) AS n_spans,
+         |         sum(CASE WHEN b.h IS NULL THEN 0 ELSE 1 END) AS n_hit
+         |  FROM sh s LEFT JOIN bench b ON b.h = s.h
+         |  WHERE s.doc_id % $ContamBenchMod <> 0
+         |  GROUP BY s.doc_id)
+         |SELECT doc_id, n_spans::BIGINT AS n_spans, n_hit::BIGINT AS n_hit,
+         |       n_hit::DOUBLE / n_spans AS overlap_ratio
+         |FROM scored ORDER BY doc_id""".stripMargin,
+
+    "q120_minhash_estimate" -> {
+      val agree = (0 until TextFunctions.MinhashParams.length)
+        .map(i => s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $lshBandCtes,
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM band x JOIN band y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+         |est AS (
+         |  SELECT c.id_a, c.id_b,
+         |         ($agree)::DOUBLE / ${TextFunctions.MinhashParams.length} AS est_jacc
+         |  FROM cand c JOIN sig sa ON sa.doc_id = c.id_a JOIN sig sb ON sb.doc_id = c.id_b),
+         |ver AS (
+         |  SELECT e.id_a, e.id_b, e.est_jacc,
+         |         $lshJaccSql AS jacc
+         |  FROM est e JOIN ok da ON da.doc_id = e.id_a JOIN ok db ON db.doc_id = e.id_b)
+         |SELECT id_a, id_b, est_jacc, jacc FROM ver WHERE jacc >= $EstPairThreshold
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    // the foreachBatch bridge must not change answers: q121 shares q118's
+    // oracle verbatim (incremental dedup through the stream == batch)
+    "q121_stream_incremental_dedup" ->
+      s"""WITH $lshBandCtes,
+         |inc AS (SELECT * FROM band WHERE doc_id % $IncrementalMod = ${IncrementalMod - 1}),
+         |corp AS (SELECT * FROM band WHERE doc_id % $IncrementalMod <> ${IncrementalMod - 1}),
+         |cand AS (
+         |  SELECT DISTINCT i.doc_id AS in_id, c.doc_id AS corp_id
+         |  FROM inc i JOIN corp c ON i.band = c.band AND i.key = c.key),
+         |ver AS (
+         |  SELECT c.in_id, c.corp_id
+         |  FROM cand c JOIN ok da ON da.doc_id = c.in_id JOIN ok db ON db.doc_id = c.corp_id
+         |  WHERE $lshJaccSql >= 0.4),
+         |cnt AS (SELECT in_id, count(*) AS n_dups FROM ver GROUP BY in_id)
+         |SELECT d.doc_id, coalesce(c.n_dups, 0)::BIGINT AS n_dups,
+         |       (CASE WHEN coalesce(c.n_dups, 0) = 0 THEN 1 ELSE 0 END)::BIGINT AS kept
+         |FROM documents d LEFT JOIN cnt c ON c.in_id = d.doc_id
+         |WHERE d.doc_id % $IncrementalMod = ${IncrementalMod - 1}
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // transitive closure over the within-cluster cosine pair graph
+    // (q52's recursive-CTE shape on the q46/q117 embedding CTEs)
+    "q122_semdedup_groups" ->
+      s"""WITH RECURSIVE $embCosPairsCtes,
+         |nd AS (SELECT id_a, id_b FROM pairs WHERE cos_sim >= $SemDedupTau),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM nd
+         |  UNION ALL
+         |  SELECT id_b AS src, id_a AS dst FROM nd),
+         |reach(id, r) AS (
+         |  SELECT vec_id::BIGINT, vec_id::BIGINT FROM embeddings
+         |  UNION
+         |  SELECT e.dst, w.r FROM reach w JOIN edges e ON e.src = w.id)
+         |SELECT id AS vec_id, min(r) AS keep_id FROM reach GROUP BY id ORDER BY vec_id""".stripMargin,
 
     "q59_train_split" ->
       """SELECT doc_id,

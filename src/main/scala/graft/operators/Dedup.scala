@@ -145,45 +145,8 @@ object Dedup {
       threshold: Double = 0.4
   ): DataFrame = {
     val numBands = numHashes / rowsPerBand
-    // sorted ascending so the verify can use the merge-scan intersect
-    // expression (no per-row hash sets); minhash below is order-blind
-    val withH = docs.select(
-      col(idCol),
-      array_sort(
-        array_distinct(
-          transform(
-            TextFunctions.charShingles(lower(col(textCol)), shingleN),
-            g => TextFunctions.shingleBaseHash(g)
-          )
-        )
-      ).as("hs")
-    )
-    // Carry the hash arrays through the band join: the shingle hashing is
-    // computed once per join side instead of re-derived by separate
-    // candidate + two dimension joins (a 3x recompute diamond), and the
-    // Jaccard verify runs inline on the join output before the distinct,
-    // so only (id_a, id_b, jacc) rows ever shuffle afterwards.
-    val sig = TextFunctions.minhashSignatureFromBases(col("hs"), numHashes)
-    // lazily checkpointed: the band projection below references
-    // `sig` once per signature slot and `hs` rides into both join sides —
-    // without a materialization barrier CollapseProject inlines the
-    // md5-per-shingle hashing (HOFs never codegen, so no subexpression
-    // elimination) into every one of those references. One small
-    // (id, hs, sig) row per doc materializes instead.
-    val hashedSig = withH
-      .select(col(idCol), col("hs"), sig.as("sig"))
-      .filter(col("sig").isNotNull)
-      .localCheckpoint(false)
-    val banded = hashedSig
-      .select(
-        col(idCol), col("hs"),
-        posexplode(
-          array((0 until numBands).map(b =>
-            concat_ws("|", (0 until rowsPerBand).map(r =>
-              col("sig")(b * rowsPerBand + r).cast("string")): _*)
-          ): _*)
-        ).as(Seq("band", "key"))
-      )
+    val hashedSig = hashedSignatures(docs, idCol, textCol, shingleN, numHashes)
+    val banded = bandExplode(hashedSig, idCol, numBands, rowsPerBand)
     // true self-join with the rename AFTER the join: both sides canonicalize
     // to the identical plan, so ReuseExchange materializes the banded
     // shuffle ONCE instead of recomputing shingles+hashes per side
@@ -200,6 +163,164 @@ object Dedup {
       .withColumn("jacc", inter / (size(col("hs_a")) + size(col("hs_b")) - inter))
       .filter(col("jacc") >= threshold)
       .select("id_a", "id_b", "jacc")
+      .distinct()
+  }
+
+  /** Per-doc (id, sorted distinct shingle hashes, minhash signature),
+    * checkpointed — the shared first stage of every MinHash operator.
+    *
+    * Shingle hashes are sorted ascending so verifies can use the
+    * merge-scan intersect expression (no per-row hash sets); minhash is
+    * order-blind. Lazily checkpointed: band projections reference `sig`
+    * once per signature slot and `hs` rides into join sides — without a
+    * materialization barrier CollapseProject inlines the md5-per-shingle
+    * hashing (HOFs never codegen, so no subexpression elimination) into
+    * every reference. One small (id, hs, sig) row per doc materializes
+    * instead. Rows with an empty shingle set drop out (null signature) —
+    * they cannot be near-dups of anything.
+    */
+  private def hashedSignatures(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int,
+      numHashes: Int
+  ): DataFrame = {
+    val hs = array_sort(
+      array_distinct(
+        transform(
+          TextFunctions.charShingles(lower(col(textCol)), shingleN),
+          g => TextFunctions.shingleBaseHash(g)
+        )
+      )
+    )
+    docs
+      .select(col(idCol), hs.as("hs"))
+      .select(col(idCol), col("hs"),
+        TextFunctions.minhashSignatureFromBases(col("hs"), numHashes).as("sig"))
+      .filter(col("sig").isNotNull)
+      .localCheckpoint(false)
+  }
+
+  /** Explode a signature frame into one (id, carried cols, band, key) row
+    * per band; the (band, key) pair is the LSH equi-join key.
+    */
+  private def bandExplode(
+      hashedSig: DataFrame,
+      idCol: String,
+      numBands: Int,
+      rowsPerBand: Int,
+      carry: Seq[String] = Seq("hs")
+  ): DataFrame =
+    hashedSig.select(
+      col(idCol) +: carry.map(col) :+
+        posexplode(
+          array((0 until numBands).map(b =>
+            concat_ws("|", (0 until rowsPerBand).map(r =>
+              col("sig")(b * rowsPerBand + r).cast("string")): _*)
+          ): _*)
+        ).as(Seq("band", "key")): _*
+    )
+
+  /** Incremental near-dup filter: an INCOMING batch screened against an
+    * EXISTING corpus (the production shape of web-crawl dedup — each new
+    * crawl snapshot is deduplicated against everything already kept, not
+    * against itself). Returns one row per incoming doc:
+    * (id, n_dups = count of corpus docs with Jaccard >= threshold among
+    * LSH candidates, kept = 1 if n_dups = 0 else 0).
+    *
+    * Scale shape: both sides reduce to (id, hs, sig) signature rows; the
+    * candidate stage is an equi-join on (band, key) between the incoming
+    * bands and the corpus bands — the incoming side is a new batch (small
+    * relative to the corpus), so the shuffle is dominated by the corpus
+    * band table, which at 100 TB would be a PERSISTED signature table
+    * maintained across snapshots rather than recomputed (the operator
+    * takes DataFrames, so callers feed the stored table directly; this
+    * convenience overload derives it from raw text). Verify runs inline
+    * on the join output, so only (in_id, corp_id) survivor pairs shuffle
+    * into the per-doc count. No self-join, no cross join.
+    */
+  def incrementalNearDupFilter(
+      incoming: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 4,
+      numHashes: Int = 8,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.4
+  ): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val inBands = bandExplode(
+      hashedSignatures(incoming, idCol, textCol, shingleN, numHashes),
+      idCol, numBands, rowsPerBand)
+    val corpBands = bandExplode(
+      hashedSignatures(corpus, idCol, textCol, shingleN, numHashes),
+      idCol, numBands, rowsPerBand)
+    val inter = org.apache.spark.sql.graft.LongArrayIntersectSize
+      .column(col("hs_a"), col("hs_b")).cast("double")
+    val dupCounts = inBands.alias("a")
+      .join(corpBands.alias("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key"))
+      .select(
+        col(s"a.$idCol").as("in_id"), col("a.hs").as("hs_a"),
+        col(s"b.$idCol").as("corp_id"), col("b.hs").as("hs_b"))
+      .withColumn("jacc", inter / (size(col("hs_a")) + size(col("hs_b")) - inter))
+      .filter(col("jacc") >= threshold)
+      // a pair can collide in several bands — count each corpus doc once
+      .select("in_id", "corp_id")
+      .distinct()
+      .groupBy("in_id")
+      .agg(count(lit(1)).as("n_dups"))
+    incoming.select(col(idCol))
+      .join(dupCounts, col(idCol) === col("in_id"), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"))
+      .withColumn("kept", when(col("n_dups") === 0, 1L).otherwise(0L))
+  }
+
+  /** As `nearDuplicates`, but each pair also carries the MINHASH ESTIMATE
+    * of its Jaccard (fraction of agreeing signature slots) next to the
+    * exact value — the estimator-quality surface: at 100 TB the verify
+    * step is the expensive half of LSH dedup, and whether the signature
+    * estimate can REPLACE the exact intersect (skipping the shingle-array
+    * shuffle entirely) is decided by exactly this pair of columns.
+    * Returns distinct (id_a, id_b, est_jacc, jacc) for candidate pairs
+    * with exact Jaccard >= threshold.
+    */
+  def nearDuplicatesWithEstimate(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 4,
+      numHashes: Int = 8,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.4
+  ): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val hashedSig = hashedSignatures(docs, idCol, textCol, shingleN, numHashes)
+    // carry the full signature through the join alongside the shingle
+    // hashes: agreement count is a zip over two 8-slot arrays — cheap next
+    // to the merge-scan intersect it rides with
+    val banded = bandExplode(hashedSig, idCol, numBands, rowsPerBand, carry = Seq("hs", "sig"))
+    val inter = org.apache.spark.sql.graft.LongArrayIntersectSize
+      .column(col("hs_a"), col("hs_b")).cast("double")
+    val agree = aggregate(
+      zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1L).otherwise(0L)),
+      lit(0L), (acc, x) => acc + x)
+    banded.alias("a")
+      .join(
+        banded.alias("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(
+        col(s"a.$idCol").as("id_a"), col("a.hs").as("hs_a"), col("a.sig").as("sig_a"),
+        col(s"b.$idCol").as("id_b"), col("b.hs").as("hs_b"), col("b.sig").as("sig_b"))
+      .withColumn("est_jacc", agree.cast("double") / numHashes)
+      .withColumn("jacc", inter / (size(col("hs_a")) + size(col("hs_b")) - inter))
+      .filter(col("jacc") >= threshold)
+      .select("id_a", "id_b", "est_jacc", "jacc")
       .distinct()
   }
 

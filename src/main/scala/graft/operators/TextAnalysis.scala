@@ -103,7 +103,10 @@ object TextAnalysis {
     */
   def repetitionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = TextFunctions.whitespaceTokens(lower(col(textCol)))
-    val d = docs.select(col(idCol), toks.as("toks"))
+    // checkpointed: the token arrays feed BOTH the per-doc stats and the
+    // bigram explode — without the barrier the regex tokenization (the
+    // dominant per-row cost) runs twice (the q114 tokenize-diamond fix)
+    val d = docs.select(col(idCol), toks.as("toks")).localCheckpoint(false)
     // narrow per-doc stats — computed before the join so token arrays
     // never travel through a shuffle
     val stats = d.select(

@@ -44,6 +44,39 @@ class DedupSpec extends SparkSpec {
     assert(nd.filter(col("id_a") === 4 || col("id_b") === 4).count() == 0)
   }
 
+  test("incrementalNearDupFilter: dup counts match the symmetric join restricted to cross-side pairs") {
+    val incoming = docs.filter(col("doc_id").isin(1L, 2L, 4L))
+    val corpus = docs.filter(col("doc_id").isin(0L, 3L))
+    val inc = Dedup.incrementalNearDupFilter(incoming, corpus, "doc_id", "text",
+      shingleN = 4, numHashes = 8, rowsPerBand = 4, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList.sortBy(_._1)
+    // every incoming doc reports exactly once, including the too-short one
+    assert(inc.map(_._1) == List(1L, 2L, 4L))
+    // cross-side ground truth from the symmetric operator over all docs
+    val all = Dedup.nearDuplicates(docs, "doc_id", "text",
+        shingleN = 4, numHashes = 8, rowsPerBand = 4, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val corpusIds = Set(0L, 3L)
+    for ((id, nDups, kept) <- inc) {
+      val expected = corpusIds.count(c => all.contains((math.min(id, c), math.max(id, c))))
+      assert(nDups == expected, s"doc $id: n_dups $nDups != symmetric-join $expected")
+      assert(kept == (if (nDups == 0) 1L else 0L))
+    }
+    // doc 4 is too short for a signature: never a candidate, always kept
+    assert(inc.find(_._1 == 4L).get._3 == 1L)
+  }
+
+  test("nearDuplicatesWithEstimate: same pairs/jacc as nearDuplicates; exact dup estimates 1.0") {
+    val plain = Dedup.nearDuplicates(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val est = Dedup.nearDuplicatesWithEstimate(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(est.map(t => (t._1, t._2, t._4)).toSet == plain)
+    assert(est.forall(t => t._3 >= 0.0 && t._3 <= 1.0))
+    // identical docs agree in every signature slot
+    assert(est.find(t => t._1 == 0L && t._2 == 1L).get._3 == 1.0)
+  }
+
   test("lshCandidates: band collision requires identical minhash band") {
     val withSh = docs.select(col("doc_id"), Dedup.shingleSet(col("text"), 4).as("sh"))
     val cands = Dedup.lshCandidates(withSh, "doc_id", "sh", 8, 4)

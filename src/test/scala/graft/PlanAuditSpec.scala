@@ -39,7 +39,10 @@ class PlanAuditSpec extends SparkSpec {
     "q34_embed_cosine_topk", "q35_embed_ivf_assign", "q43_embed_ivf_topk",
     "q46_dedup_embed_cosine", "q51_match_inverted_5k",
     "q60_embed_centroid_update", "q74_boilerplate_strip", "q97_revenue_share",
-    "q58_tfidf_top_terms", "q105_scorer_long_needle"
+    "q58_tfidf_top_terms", "q105_scorer_long_needle",
+    // q117: same corpus-scaled IVF coarse phase as q46 (every vector vs
+    // the broadcast centroid set + the 1-row broadcast k total)
+    "q117_semdedup"
   )
 
   // q52 runs its propagation loop eagerly (actions inside the builder),
@@ -49,7 +52,10 @@ class PlanAuditSpec extends SparkSpec {
   // BucketedJoinSpec).
   private val skipped = Set(
     "q52_dedup_groups", "q53_events_hourly_stream", "q71_stream_dedup",
-    "q77_bucketed_join", "q84_stream_sessions", "q104_stream_foreach_dedup")
+    "q77_bucketed_join", "q84_stream_sessions", "q104_stream_foreach_dedup",
+    // q121 runs a stream, q122 runs the q52-style propagation loop —
+    // both execute work inside the builder
+    "q121_stream_incremental_dedup", "q122_semdedup_groups")
 
   private val dir = "/root/testdata/sf0.001"
 

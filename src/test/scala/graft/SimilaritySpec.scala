@@ -191,6 +191,24 @@ class SimilaritySpec extends SparkSpec {
     assert(r16 > r8, f"finer subspaces must buy recall on this fixture: $r16%.3f <= $r8%.3f")
   }
 
+  test("q117 semdedup: cluster minima are representatives; every dup has a lower-id neighbor") {
+    // keep-one semantics: is_dup=0 rows are the representatives, so the
+    // lowest vec_id of every cluster can never be flagged (no lower id
+    // exists to absorb it), and the flagged set is exactly the id_b side
+    // of the within-cluster >=tau pair set (q46's output at the same tau).
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("q117_semdedup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val minPerCluster = out.groupBy(_._2).values.map(_.map(_._1).min).toSet
+    assert(out.filter(t => minPerCluster.contains(t._1)).forall(_._3 == 0L),
+      "a cluster-minimum vector was flagged as a duplicate")
+    val flagged = out.filter(_._3 == 1L).map(_._1).toSet
+    val pairDupSide = SparkEntry.queries("q46_dedup_embed_cosine")(spark, dir)
+      .select("id_b").collect().map(_.getLong(0)).toSet
+    assert(flagged == pairDupSide,
+      s"flag set ${flagged.size} != pair dup side ${pairDupSide.size}")
+  }
+
   test("assignToCentroids: picks argmax dot with lowest-id tie-break") {
     val cents = vecs.filter(col("vec_id") < 2) // (1,0,0) and (0,1,0)
     val assign = Similarity.assignToCentroids(vecs, cents, "vec_id", "embedding")
