@@ -1966,14 +1966,17 @@ object SparkEntry {
           inDir.resolve("documents.parquet"),
           java.nio.file.Paths.get(s"$dir/documents.parquet"))
         val outDir = stage.resolve("out").toString
-        val corpus = rd(s, dir, "documents")
+        // spread both sides: the staged snapshot is ONE parquet file, so
+        // without it the per-doc md5 signature hashing (the dominant
+        // cost) runs single-core on both the corpus and each micro-batch
+        val corpus = spread(s, rd(s, dir, "documents"))
           .filter(col("doc_id") % IncrementalMod =!= IncrementalMod - 1)
         val schema = rd(s, dir, "documents").schema
         val incomingStream = s.readStream.schema(schema).parquet(inDir.toString)
           .filter(col("doc_id") % IncrementalMod === IncrementalMod - 1)
         val q = graft.streaming.EventStream.foreachBatchSink(incomingStream, identity) {
           (batch, _) =>
-            Dedup.incrementalNearDupFilter(batch, corpus, "doc_id", "text",
+            Dedup.incrementalNearDupFilter(spread(s, batch), corpus, "doc_id", "text",
                 shingleN = 4, numHashes = 8, rowsPerBand = 4, threshold = 0.4)
               .write.mode("append").parquet(outDir)
         }.start()
