@@ -48,6 +48,14 @@ object Bench {
       .foreach { case (name, fn) =>
       try {
         val samples = (1 to runs).map { _ =>
+          // drop the previous run's localCheckpoint blocks + cached plans
+          // BEFORE timing: 100+ queries each checkpointing a diamond left
+          // gigabytes pinned in the block manager, and the resulting
+          // eviction pressure made later queries drift slower round over
+          // round as the registry grew (r4→r6: q31 6.0→9.5s, q52
+          // 8.7→11.9s with no code change)
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
           System.gc()
           val t0 = System.nanoTime()
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()

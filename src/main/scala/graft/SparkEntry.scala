@@ -165,7 +165,7 @@ object SparkEntry {
     try {
       java.nio.file.Files.createSymbolicLink(
         stage.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
+        java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath.normalize())
       if (s.catalog.tableExists(sinkTable)) s.catalog.dropTempView(sinkTable)
       val q = mkStream(stage.toString)
         .writeStream
@@ -1581,10 +1581,10 @@ object SparkEntry {
         java.nio.file.Files.createDirectories(inDir)
         java.nio.file.Files.createSymbolicLink(
           inDir.resolve("events.parquet"),
-          java.nio.file.Paths.get(s"$dir/events.parquet"))
+          java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath.normalize())
         java.nio.file.Files.createSymbolicLink(
           inDir.resolve("events2.parquet"),
-          java.nio.file.Paths.get(s"$dir/events.parquet"))
+          java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath.normalize())
         val outDir = stage.resolve("out").toString
 
         def keepLatest(df: DataFrame): DataFrame = {
@@ -1805,6 +1805,7 @@ object SparkEntry {
         explode(array_distinct(transform(
           TextFunctions.charShingles(lower(col("text")), DecontamSpanN),
           g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")))).as("h"))
+        .localCheckpoint(false) // span hashing feeds the bench AND contamination-probe branches
       val bench = shingles.filter(col("doc_id") % 50 === 0)
         .select(col("h").as("bh")).distinct()
       val contaminated = shingles.join(broadcast(bench), col("h") === col("bh"))
@@ -1929,6 +1930,7 @@ object SparkEntry {
         explode(array_distinct(transform(
           TextFunctions.charShingles(lower(col("text")), DecontamSpanN),
           g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")))).as("h"))
+        .localCheckpoint(false) // the md5 span hashing feeds the bench AND probe branches
       val bench = spans.filter(col("doc_id") % ContamBenchMod === 0)
         .select(col("h").as("bh")).distinct()
       spans.filter(col("doc_id") % ContamBenchMod =!= 0)
@@ -1964,7 +1966,7 @@ object SparkEntry {
         java.nio.file.Files.createDirectories(inDir)
         java.nio.file.Files.createSymbolicLink(
           inDir.resolve("documents.parquet"),
-          java.nio.file.Paths.get(s"$dir/documents.parquet"))
+          java.nio.file.Paths.get(s"$dir/documents.parquet").toAbsolutePath.normalize())
         val outDir = stage.resolve("out").toString
         // spread both sides: the staged snapshot is ONE parquet file, so
         // without it the per-doc md5 signature hashing (the dominant
@@ -1975,17 +1977,22 @@ object SparkEntry {
         val incomingStream = s.readStream.schema(schema).parquet(inDir.toString)
           .filter(col("doc_id") % IncrementalMod === IncrementalMod - 1)
         val q = graft.streaming.EventStream.foreachBatchSink(incomingStream, identity) {
-          (batch, _) =>
+          (batch, batchId) =>
+            // foreachBatch is at-least-once: keying the output path by
+            // batchId + overwrite makes a retried micro-batch replace its
+            // own partial output instead of appending duplicates
             Dedup.incrementalNearDupFilter(spread(s, batch), corpus, "doc_id", "text",
                 shingleN = 4, numHashes = 8, rowsPerBand = 4, threshold = 0.4)
-              .write.mode("append").parquet(outDir)
+              .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
         }.start()
         try {
           if (!q.awaitTermination(300000))
             throw new IllegalStateException("q121 stream did not finish within 300s")
         } finally if (q.isActive) q.stop()
         // materialize off the staging files before they are discarded
-        s.read.parquet(outDir).orderBy("doc_id").localCheckpoint(true)
+        // (drop the batch=<id> partition-discovery column — it is a sink
+        // idempotency key, not part of the operator's answer)
+        s.read.parquet(outDir).drop("batch").orderBy("doc_id").localCheckpoint(true)
       } finally Staging.discard(stage)
     }),
 
