@@ -120,18 +120,22 @@ object SparkEntry {
     "string_split_regex(trim(lower(text)), '\\s+')"
 
   /** Shared WITH-prefix for the product-quantization oracles (q109/q110):
-    * quantized vectors, their 8 per-subspace slices, and the codebook
-    * slices (codebook = the vec_id < 8 vectors, mirroring the Spark
-    * side). DuckDB list slicing is 1-based and end-inclusive.
+    * quantized vectors, their 8 per-subspace slices, and the TRAINED
+    * codebook — one independent k-means per subspace (grp = sub_id),
+    * seeded from the vec_id < 8 slices, mirroring the Spark side's
+    * trainPqCodebooks. DuckDB list slicing is 1-based and end-inclusive.
     */
-  private val pqDistsSql =
-    """WITH v AS (SELECT vec_id,
+  private lazy val pqDistsSql =
+    s"""WITH v AS (SELECT vec_id,
       |            list_transform(embedding, x -> floor(x::DOUBLE * 1000)::BIGINT) AS qv
       |          FROM embeddings),
       |subs AS (SELECT vec_id, r.range AS sub_id,
       |                qv[(r.range * 8 + 1)::INT:(r.range * 8 + 8)::INT] AS sv
       |         FROM v, range(0, 8) r),
-      |cents AS (SELECT vec_id AS code, sub_id, sv AS cv FROM subs WHERE vec_id < 8)""".stripMargin
+      |ksub AS (SELECT sub_id, vec_id, sv AS qv FROM subs),
+      |kinit AS (SELECT sub_id, vec_id AS centroid_id, qv AS cv FROM ksub WHERE vec_id < 8),
+      |${lloydCtesSql("ksub", "kinit", 8, KmeansIters, Seq("sub_id"), "kcents")},
+      |cents AS (SELECT centroid_id AS code, sub_id, cv FROM kcents)""".stripMargin
 
   /** Integer squared-L2 between a subs-row slice `s.sv` and a cents-row
     * slice `c.cv` (exact; matches Similarity.sqDistQ).
@@ -193,8 +197,9 @@ object SparkEntry {
   private def embClusterPairs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val e = rd(s, dir, "embeddings")
     val kRow = e.agg(ceil(sqrt(count(lit(1)))).cast("long").as("k"))
-    val cents = e.crossJoin(broadcast(kRow)).filter(col("vec_id") < col("k")).drop("k")
-    val buckets = Similarity.assignToCentroids(e, cents, "vec_id", "embedding")
+    val initIds = e.crossJoin(broadcast(kRow)).filter(col("vec_id") < col("k")).select("vec_id")
+    val cents = Similarity.trainCentroids(e, "vec_id", "embedding", initIds, KmeansIters)
+    val buckets = Similarity.assignToCentroidsQ(e, cents, "vec_id", "embedding")
       .select(col("id").as("vec_id"), col("centroid_id"))
     val v = e.select(col("vec_id"), Similarity.asDouble(col("embedding")).as("dv"))
       .withColumn("nrm", Similarity.l2Norm(col("dv")))
@@ -515,18 +520,25 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
-    // pillar similarity: IVF-style quantized centroid assignment
+    // pillar similarity: IVF-style quantized centroid assignment — the
+    // coarse quantizer is TRAINED (Lloyd's from the vec_id < 8 seed),
+    // not the raw seed vectors
     "q35_embed_ivf_assign" -> ((s, dir) => {
       val e = rd(s, dir, "embeddings")
-      Similarity.assignToCentroids(e, e.filter(col("vec_id") < 8), "vec_id", "embedding")
+      val cents = Similarity.trainCentroids(e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 8).select("vec_id"), KmeansIters)
+      Similarity.assignToCentroidsQ(e, cents, "vec_id", "embedding")
         .orderBy("id")
     }),
 
-    // pillar similarity: full IVF probe-and-refine ANN search
+    // pillar similarity: full IVF probe-and-refine ANN search over the
+    // trained coarse quantizer
     "q43_embed_ivf_topk" -> ((s, dir) => {
       val e = rd(s, dir, "embeddings")
-      Similarity.ivfTopK(
-          e.filter(col("vec_id") < 10), e, e.filter(col("vec_id") < 8),
+      val cents = Similarity.trainCentroids(e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 8).select("vec_id"), KmeansIters)
+      Similarity.ivfTopKQ(
+          e.filter(col("vec_id") < 10), e, cents,
           "vec_id", "embedding", k = 3, nprobe = 2)
         .orderBy("q_id", "rank")
     }),
@@ -1708,11 +1720,15 @@ object SparkEntry {
 
     // pillar similarity: product-quantization encode — each 64-dim vector
     // compresses to 8 codeword ids (8 subspaces x 8 codewords, codebook =
-    // the vec_id < 8 slices). Integer squared-L2 throughout, so the codes
-    // are oracle-exact; the argmin folds into one partial aggregate.
+    // per-subspace k-means TRAINED from the vec_id < 8 slices — Jégou et
+    // al.'s PQ trains one quantizer per subspace, it does not sample
+    // rows). Integer squared-L2 throughout, so the codes are
+    // oracle-exact; the argmin folds into one partial aggregate.
     "q109_pq_encode" -> ((s, dir) => {
       val e = rd(s, dir, "embeddings")
-      Similarity.pqEncode(spread(s, e), e.filter(col("vec_id") < 8), "vec_id", "embedding", m = 8)
+      val cb = Similarity.trainPqCodebooks(e, "vec_id", "embedding", m = 8,
+        e.filter(col("vec_id") < 8).select("vec_id"), KmeansIters)
+      Similarity.pqEncodeQ(spread(s, e), cb, "vec_id", "embedding", m = 8)
         .withColumnRenamed("id", "vec_id")
         .orderBy("vec_id", "sub_id")
     }),
@@ -1723,8 +1739,10 @@ object SparkEntry {
     // table (the raw corpus vectors are never touched in the scan).
     "q110_pq_adc_topk" -> ((s, dir) => {
       val e = rd(s, dir, "embeddings")
-      Similarity.pqAdcTopK(
-        e.filter(col("vec_id") < 3), spread(s, e), e.filter(col("vec_id") < 8),
+      val cb = Similarity.trainPqCodebooks(e, "vec_id", "embedding", m = 8,
+        e.filter(col("vec_id") < 8).select("vec_id"), KmeansIters)
+      Similarity.pqAdcTopKQ(
+        e.filter(col("vec_id") < 3), spread(s, e), cb,
         "vec_id", "embedding", m = 8, k = 10)
         .orderBy("q_id", "rank")
     }),
@@ -2008,6 +2026,22 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // pillar similarity: k-means TRAINING itself as a gradeable surface —
+    // the trained coarse-quantizer centroids (Lloyd's, KmeansIters steps
+    // from the vec_id < 8 seed) in long form (centroid_id, dim, cval),
+    // hash-matched against the oracle re-running the same iterations in
+    // SQL. This is the frame q35/q43 assign against; exposing it directly
+    // pins the training math, not just its downstream effects.
+    "q123_kmeans_train" -> ((s, dir) => {
+      val e = rd(s, dir, "embeddings")
+      Similarity.trainCentroids(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 8).select("vec_id"), KmeansIters)
+        .select(col("centroid_id"),
+          posexplode(col("cv")).as(Seq("dim", "cval")))
+        .select(col("centroid_id"), col("dim").cast("long").as("dim"), col("cval"))
+        .orderBy("centroid_id", "dim")
+    }),
+
     // custom typed UDAF (Aggregator surface): quantity-weighted mean
     // price per return flag — integer-cents buffer, map-side combinable,
     // one double division at finish (order-independent, oracle-exact)
@@ -2041,6 +2075,14 @@ object SparkEntry {
     * pervasive short-phrase reuse (shared with the oracle SQL).
     */
   private val DecontamSpanN = 20
+
+  /** Lloyd iteration count for every trained-centroid/codebook surface
+    * (q35/q43/q46/q109/q110/q117/q122/q123; shared with the generated
+    * oracle CTE chain). 3 steps from a deterministic seed is where this
+    * corpus's assignments stop moving; more iterations only lengthen the
+    * oracle SQL.
+    */
+  private val KmeansIters = 3
 
   /** Corpus-frequency cutoff under which a token counts as rare (q111;
     * shared with its generated oracle SQL).
@@ -2159,18 +2201,63 @@ object SparkEntry {
        |  $bandSelects)""".stripMargin
   }
 
+  /** Generated CTE chain for `iters` Lloyd k-means steps — the oracle
+    * twin of Similarity.lloydIterate, emitted once per trained-centroid
+    * oracle so the SQL trains the SAME centroids the Spark side does.
+    * `vCte` must expose (grpCols..., vec_id, qv: BIGINT[]); `initCte`
+    * (grpCols..., centroid_id, cv). Ends in `outCte` =
+    * (grpCols..., centroid_id, cv). Assignment: integer squared-L2
+    * argmin, ties -> lowest centroid_id; update: per-dimension
+    * floor(mean) (exact long sum, one IEEE divide) — empty clusters
+    * drop out. Every operation is exact or identically-rounded on both
+    * engines, so the chain is hash-stable.
+    */
+  private def lloydCtesSql(
+      vCte: String, initCte: String, dims: Int, iters: Int,
+      grpCols: Seq[String], outCte: String): String = {
+    val grp = grpCols.mkString(", ")
+    val grpSel = if (grpCols.isEmpty) "" else grp + ", "
+    val grpSelV = if (grpCols.isEmpty) "" else grpCols.map("v." + _).mkString(", ") + ", "
+    val grpSelA = if (grpCols.isEmpty) "" else grpCols.map("a." + _).mkString(", ") + ", "
+    val joinCents = if (grpCols.isEmpty) "ON TRUE" else s"USING ($grp)"
+    val joinBack = "a.vec_id = v.vec_id" +
+      grpCols.map(g => s" AND a.$g = v.$g").mkString
+    val steps = (1 to iters).map { t =>
+      val prev = if (t == 1) initCte else s"kc${t - 1}"
+      s"""kd$t AS (
+         |  SELECT ${grpSelV}v.vec_id, c.centroid_id,
+         |         CAST(list_sum(list_transform(range(1, ${dims + 1}),
+         |           i -> (v.qv[i::INT] - c.cv[i::INT]) * (v.qv[i::INT] - c.cv[i::INT]))) AS BIGINT) AS d
+         |  FROM $vCte v JOIN $prev c $joinCents),
+         |ka$t AS (
+         |  SELECT ${grpSel}vec_id, centroid_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY ${grpSel}vec_id ORDER BY d ASC, centroid_id ASC) AS rk
+         |    FROM kd$t)
+         |  WHERE rk = 1),
+         |km$t AS (
+         |  SELECT ${grpSel}centroid_id, pos,
+         |         CAST(floor(CAST(sum(val) AS DOUBLE) / count(*)) AS BIGINT) AS cval
+         |  FROM (SELECT ${grpSelA}a.centroid_id, unnest(v.qv) AS val, unnest(range(0, $dims)) AS pos
+         |        FROM ka$t a JOIN $vCte v ON $joinBack)
+         |  GROUP BY ALL),
+         |kc$t AS (SELECT ${grpSel}centroid_id, list(cval ORDER BY pos) AS cv FROM km$t GROUP BY ALL)""".stripMargin
+    }
+    steps.mkString(",\n") + s",\n$outCte AS (SELECT * FROM kc$iters)"
+  }
+
   /** Shared CTE chain for the corpus-scaled-k embedding clustering +
     * within-cluster cosine pairs (q46 + q117), ending in
     * `assign(vec_id, centroid_id)` and `pairs(id_a, id_b, cos_sim)`
     * (pairs unfiltered — callers apply their own threshold).
     */
   private val embCosPairsCtes: String =
-    """v AS (SELECT vec_id,
+    s"""v AS (SELECT vec_id,
       |             list_transform(embedding, x -> floor(x::DOUBLE * 1000)::BIGINT) AS qv,
       |             list_transform(embedding, x -> x::DOUBLE) AS dv
       |           FROM embeddings),
-      |c AS (SELECT vec_id AS centroid_id, qv AS cv FROM v
+      |kinit AS (SELECT vec_id AS centroid_id, qv AS cv FROM v
       |      WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)),
+      |${lloydCtesSql("v", "kinit", 64, KmeansIters, Seq.empty, "c")},
       |score AS (
       |  SELECT v.vec_id AS id, c.centroid_id,
       |         CAST(list_sum(list_transform(range(1, 65), i -> v.qv[i::INT] * c.cv[i::INT])) AS BIGINT) AS sc
@@ -2506,8 +2593,9 @@ object SparkEntry {
         |SELECT q_id, r_id, cos_sim, rank FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
 
     "q35_embed_ivf_assign" ->
-      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> floor(x::DOUBLE * 1000)::BIGINT) AS qv FROM embeddings),
-        |c AS (SELECT vec_id AS centroid_id, qv AS cv FROM v WHERE vec_id < 8),
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> floor(x::DOUBLE * 1000)::BIGINT) AS qv FROM embeddings),
+        |kinit AS (SELECT vec_id AS centroid_id, qv AS cv FROM v WHERE vec_id < 8),
+        |${lloydCtesSql("v", "kinit", 64, KmeansIters, Seq.empty, "c")},
         |s AS (
         |  SELECT v.vec_id AS id, c.centroid_id,
         |         CAST(list_sum(list_transform(range(1, 65), i -> v.qv[i::INT] * c.cv[i::INT])) AS BIGINT) AS score
@@ -2516,11 +2604,12 @@ object SparkEntry {
         |SELECT id, centroid_id, score FROM r WHERE rk = 1 ORDER BY id""".stripMargin,
 
     "q43_embed_ivf_topk" ->
-      """WITH v AS (SELECT vec_id,
+      s"""WITH v AS (SELECT vec_id,
         |             list_transform(embedding, x -> floor(x::DOUBLE * 1000)::BIGINT) AS qv,
         |             list_transform(embedding, x -> x::DOUBLE) AS dv
         |           FROM embeddings),
-        |c AS (SELECT vec_id AS centroid_id, qv AS cv FROM v WHERE vec_id < 8),
+        |kinit AS (SELECT vec_id AS centroid_id, qv AS cv FROM v WHERE vec_id < 8),
+        |${lloydCtesSql("v", "kinit", 64, KmeansIters, Seq.empty, "c")},
         |score AS (
         |  SELECT v.vec_id AS id, c.centroid_id,
         |         CAST(list_sum(list_transform(range(1, 65), i -> v.qv[i::INT] * c.cv[i::INT])) AS BIGINT) AS sc
@@ -3061,6 +3150,13 @@ object SparkEntry {
          |  UNION
          |  SELECT e.dst, w.r FROM reach w JOIN edges e ON e.src = w.id)
          |SELECT id AS vec_id, min(r) AS keep_id FROM reach GROUP BY id ORDER BY vec_id""".stripMargin,
+
+    "q123_kmeans_train" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> floor(x::DOUBLE * 1000)::BIGINT) AS qv FROM embeddings),
+         |kinit AS (SELECT vec_id AS centroid_id, qv AS cv FROM v WHERE vec_id < 8),
+         |${lloydCtesSql("v", "kinit", 64, KmeansIters, Seq.empty, "c")}
+         |SELECT centroid_id, unnest(range(0, 64)) AS dim, unnest(cv) AS cval
+         |FROM c ORDER BY centroid_id, dim""".stripMargin,
 
     "q59_train_split" ->
       """SELECT doc_id,

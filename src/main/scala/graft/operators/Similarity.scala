@@ -95,11 +95,27 @@ object Similarity {
       vecCol: String,
       nprobe: Int,
       scale: Int = 1000
+  ): DataFrame = centroidRanksQ(
+    vectors,
+    centroids.select(col(idCol).as("centroid_id"), quantize(col(vecCol), scale).as("cv")),
+    idCol, vecCol, nprobe, scale)
+
+  /** centroidRanks against ALREADY-QUANTIZED centroids (centroid_id,
+    * cv: array<long>) — the form trainCentroids produces. Trained
+    * centroids are integer means, so re-quantizing a float view would
+    * lose exactness; this entry point skips that round-trip.
+    */
+  def centroidRanksQ(
+      vectors: DataFrame,
+      qcentroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nprobe: Int,
+      scale: Int = 1000
   ): DataFrame = {
     val v = vectors.select(col(idCol).as("id"), quantize(col(vecCol), scale).as("qv"))
-    val c = centroids.select(col(idCol).as("centroid_id"), quantize(col(vecCol), scale).as("cv"))
     val scored = v
-      .crossJoin(broadcast(c))
+      .crossJoin(broadcast(qcentroids.select(col("centroid_id"), col("cv"))))
       .withColumn("score", dotQ(col("qv"), col("cv")))
     val w = Window.partitionBy("id").orderBy(col("score").desc, col("centroid_id").asc)
     scored
@@ -116,6 +132,15 @@ object Similarity {
       vecCol: String,
       scale: Int = 1000
   ): DataFrame = centroidRanks(vectors, centroids, idCol, vecCol, nprobe = 1, scale)
+
+  /** Single-bucket assignment against trained (quantized) centroids. */
+  def assignToCentroidsQ(
+      vectors: DataFrame,
+      qcentroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      scale: Int = 1000
+  ): DataFrame = centroidRanksQ(vectors, qcentroids, idCol, vecCol, nprobe = 1, scale)
 
   /** Per-subspace slices of a quantized vector: m rows (sub_id, slice) per
     * input row. Slice width derives from the vector's own length so the
@@ -134,8 +159,102 @@ object Similarity {
       .select(col(idOut), col("sub_id").cast("long").as("sub_id"), col("sv"))
 
   /** Integer squared L2 distance between two quantized slices (exact). */
-  private def sqDistQ(a: Column, b: Column): Column =
+  def sqDistQ(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+
+  /** Lloyd's k-means iterations over quantized vectors — the training
+    * half the reference-free ANN/SemDeDup family needs (init alone is
+    * not a clustering). Runs any number of INDEPENDENT k-means problems
+    * at once keyed by `grp` (one per PQ subspace, or a single lit(0)
+    * group for whole-vector training).
+    *
+    * Exact arithmetic end-to-end so a SQL oracle reproduces the trained
+    * centroids bit-for-bit on any engine:
+    *   - assignment: integer squared-L2 argmin, ties -> lowest
+    *     centroid_id (a map-side-combinable min(struct) aggregate, no
+    *     window);
+    *   - update: per-dimension floor(mean) of the members' quantized
+    *     coords — an exact long sum then ONE IEEE double divide + floor,
+    *     identical on every engine (never a float running sum). Empty
+    *     clusters drop out (both engines agree).
+    *
+    * Scale shape: centroids are k·dims longs — always broadcast; each
+    * iteration is one narrow map over the corpus + two partial-aggregated
+    * shuffles (argmin, then per-(centroid,dim) mean). The corpus frame is
+    * lazily checkpointed once (it feeds every iteration), and each
+    * iteration's centroids are checkpointed so iteration i's plan does
+    * not re-run iterations 1..i-1 (the classic iterative-lineage trap).
+    *
+    * @param vectors (grp, id, qv: array<long>)
+    * @param init    (grp, centroid_id, cv: array<long>)
+    * @return        (grp, centroid_id, cv) after `iters` Lloyd steps
+    */
+  def lloydIterate(vectors: DataFrame, init: DataFrame, iters: Int): DataFrame = {
+    val v = vectors.localCheckpoint(false)
+    var cents = init
+    for (_ <- 1 to iters) {
+      val assigned = v.join(broadcast(cents), Seq("grp"))
+        .withColumn("d", sqDistQ(col("qv"), col("cv")))
+        .groupBy("grp", "id")
+        .agg(min(struct(col("d"), col("centroid_id"))).as("best"))
+        .select(col("grp"), col("id"), col("best.centroid_id").as("centroid_id"))
+      cents = assigned.join(v, Seq("grp", "id"))
+        .select(col("grp"), col("centroid_id"), posexplode(col("qv")).as(Seq("pos", "val")))
+        .groupBy("grp", "centroid_id", "pos")
+        .agg(sum(col("val")).as("s"), count(lit(1)).as("n"))
+        .withColumn("c", floor(col("s").cast("double") / col("n")).cast("long"))
+        .groupBy("grp", "centroid_id")
+        .agg(sort_array(collect_list(struct(col("pos"), col("c")))).as("pc"))
+        .select(col("grp"), col("centroid_id"),
+          transform(col("pc"), x => x.getField("c")).as("cv"))
+        .localCheckpoint(false)
+    }
+    cents
+  }
+
+  /** Whole-vector k-means training: quantize, seed from `initIds` (the
+    * id set whose vectors become iteration-0 centroids, keeping their
+    * ids as centroid ids), run `iters` Lloyd steps. Returns
+    * (centroid_id, cv) at the quantize() scale — feed to
+    * assignToCentroidsQ / centroidRanksQ.
+    */
+  def trainCentroids(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      initIds: DataFrame,
+      iters: Int,
+      scale: Int = 1000
+  ): DataFrame = {
+    val v = vectors.select(lit(0L).as("grp"), col(idCol).as("id"),
+      quantize(col(vecCol), scale).as("qv"))
+    val init = v.join(initIds.select(col(idCol).as("id")).distinct(), Seq("id"))
+      .select(col("grp"), col("id").as("centroid_id"), col("qv").as("cv"))
+    lloydIterate(v, init, iters).select("centroid_id", "cv")
+  }
+
+  /** Per-subspace PQ codebook training: one independent k-means per
+    * subspace (grp = sub_id), seeded from `initIds`' slices. Returns
+    * (sub_id, code, cv) — feed to pqEncodeQ / pqAdcTopKQ. This is the
+    * training half of Jégou et al.'s PQ (the codebook is per-subspace
+    * k-means, not a row sample).
+    */
+  def trainPqCodebooks(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      initIds: DataFrame,
+      iters: Int,
+      scale: Int = 1000
+  ): DataFrame = {
+    val v = subVectors(vectors, idCol, vecCol, m, scale, "id")
+      .select(col("sub_id").as("grp"), col("id"), col("sv").as("qv"))
+    val init = v.join(initIds.select(col(idCol).as("id")).distinct(), Seq("id"))
+      .select(col("grp"), col("id").as("centroid_id"), col("qv").as("cv"))
+    lloydIterate(v, init, iters)
+      .select(col("grp").as("sub_id"), col("centroid_id").as("code"), col("cv"))
+  }
 
   /** Product-quantization encode (the PQ half of IVF-PQ, Jégou et al.
     * TPAMI'11 shape): each vector splits into `m` contiguous subvectors;
@@ -158,10 +277,25 @@ object Similarity {
       vecCol: String,
       m: Int,
       scale: Int = 1000
+  ): DataFrame = pqEncodeQ(
+    vectors,
+    subVectors(codebook, idCol, vecCol, m, scale, "code")
+      .select(col("sub_id"), col("code"), col("sv").as("cv")),
+    idCol, vecCol, m, scale)
+
+  /** pqEncode against an ALREADY-TRAINED codebook (sub_id, code,
+    * cv: array<long>) — the form trainPqCodebooks produces.
+    */
+  def pqEncodeQ(
+      vectors: DataFrame,
+      codebookQ: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      scale: Int = 1000
   ): DataFrame = {
     val v = subVectors(vectors, idCol, vecCol, m, scale, "id")
-    val c = subVectors(codebook, idCol, vecCol, m, scale, "code")
-      .select(col("sub_id"), col("code"), col("sv").as("cv"))
+    val c = codebookQ.select(col("sub_id"), col("code"), col("cv"))
     v.join(broadcast(c), Seq("sub_id"))
       .withColumn("dist_q", sqDistQ(col("sv"), col("cv")))
       .groupBy("id", "sub_id")
@@ -194,12 +328,27 @@ object Similarity {
       m: Int,
       k: Int,
       scale: Int = 1000
+  ): DataFrame = pqAdcTopKQ(
+    queries, corpus,
+    subVectors(codebook, idCol, vecCol, m, scale, "code")
+      .select(col("sub_id"), col("code"), col("sv").as("cv")),
+    idCol, vecCol, m, k, scale)
+
+  /** pqAdcTopK against an already-trained codebook (sub_id, code, cv). */
+  def pqAdcTopKQ(
+      queries: DataFrame,
+      corpus: DataFrame,
+      codebookQ: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      k: Int,
+      scale: Int = 1000
   ): DataFrame = {
-    val codes = pqEncode(corpus, codebook, idCol, vecCol, m, scale)
+    val codes = pqEncodeQ(corpus, codebookQ, idCol, vecCol, m, scale)
       .select(col("id").as("r_id"), col("sub_id"), col("code"))
     val qs = subVectors(queries, idCol, vecCol, m, scale, "q_id")
-    val cs = subVectors(codebook, idCol, vecCol, m, scale, "code")
-      .select(col("sub_id"), col("code"), col("sv").as("cv"))
+    val cs = codebookQ.select(col("sub_id"), col("code"), col("cv"))
     val lut = qs.join(cs, Seq("sub_id"))
       .select(col("q_id"), col("sub_id"), col("code"), sqDistQ(col("sv"), col("cv")).as("dq"))
     val w = Window.partitionBy("q_id").orderBy(col("adc_dist").asc, col("r_id").asc)
@@ -233,10 +382,25 @@ object Similarity {
       k: Int,
       nprobe: Int,
       scale: Int = 1000
+  ): DataFrame = ivfTopKQ(
+    queries, corpus,
+    centroids.select(col(idCol).as("centroid_id"), quantize(col(vecCol), scale).as("cv")),
+    idCol, vecCol, k, nprobe, scale)
+
+  /** ivfTopK against trained (quantized) centroids (centroid_id, cv). */
+  def ivfTopKQ(
+      queries: DataFrame,
+      corpus: DataFrame,
+      qcentroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int,
+      scale: Int = 1000
   ): DataFrame = {
-    val buckets = assignToCentroids(corpus, centroids, idCol, vecCol, scale)
+    val buckets = assignToCentroidsQ(corpus, qcentroids, idCol, vecCol, scale)
       .select(col("id").as("r_id"), col("centroid_id"))
-    val probes = centroidRanks(queries, centroids, idCol, vecCol, nprobe, scale)
+    val probes = centroidRanksQ(queries, qcentroids, idCol, vecCol, nprobe, scale)
       .select(col("id").as("q_id"), col("centroid_id"))
     val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("q_vec"))
       .withColumn("q_nrm", l2Norm(col("q_vec")))

@@ -109,6 +109,62 @@ class SimilaritySpec extends SparkSpec {
     assert(r4 >= 0.55, f"IVF recall@$k at nprobe=4 degraded: $r4%.3f < 0.55")
     assert(r10 >= 0.75, f"IVF recall@$k at nprobe=10 degraded: $r10%.3f < 0.75")
     assert(r10 > r4, f"probing more buckets must not lose recall: $r10%.3f <= $r4%.3f")
+
+    // TRAINED coarse quantizer (3 Lloyd steps from the same 23 seeds —
+    // what the registry queries ship): training must hold the same
+    // floors, and the nprobe knob must still buy recall monotonically
+    def recallTrainedAt(nprobe: Int): Double = {
+      val cents = Similarity.trainCentroids(e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 23).select("vec_id"), iters = 3)
+      val approx = Similarity.ivfTopKQ(
+          queries, e, cents, "vec_id", "embedding", k = k, nprobe = nprobe)
+        .select("q_id", "r_id").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val recalls = exact.map { case (q, truth) =>
+        approx.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+      }
+      recalls.sum / recalls.size
+    }
+    val t4 = recallTrainedAt(4)
+    val t10 = recallTrainedAt(10)
+    info(f"ivf recall@$k TRAINED: nprobe=4 -> $t4%.3f, nprobe=10 -> $t10%.3f")
+    assert(t4 >= 0.55, f"trained-IVF recall@$k at nprobe=4 degraded: $t4%.3f < 0.55")
+    assert(t10 >= 0.75, f"trained-IVF recall@$k at nprobe=10 degraded: $t10%.3f < 0.75")
+    assert(t10 > t4, f"probing more buckets must not lose recall: $t10%.3f <= $t4%.3f")
+  }
+
+  test("trainCentroids: one Lloyd step moves centroids to the floor(mean) of their members") {
+    // two tight groups; seeds 0 and 2. quantized coords (scale 1000):
+    // 0=[0,0], 1=[2,0], 2=[1000,1000], 3=[998,1000]
+    val vs = Seq(
+      (0L, Array(0.0f, 0.0f)),
+      (1L, Array(0.002f, 0.0f)),
+      (2L, Array(1.0f, 1.0f)),
+      (3L, Array(0.998f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val cents = Similarity.trainCentroids(vs, "vec_id", "embedding",
+        vs.filter(col("vec_id") === 0L || col("vec_id") === 2L).select("vec_id"), iters = 1)
+      .orderBy("centroid_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1))
+    assert(cents.map(_._1).toSeq == Seq(0L, 2L), "centroids keep their seed ids")
+    assert(cents(0)._2 == Seq(1L, 0L), s"floor(mean([0,2], [0,0])): ${cents(0)._2}")
+    assert(cents(1)._2 == Seq(999L, 1000L), s"floor(mean([1000,998], [1000,1000])): ${cents(1)._2}")
+  }
+
+  test("trainCentroids: a centroid that attracts no members drops out (k shrinks)") {
+    // vectors 0 and 1 are identical; seeding BOTH makes every point tie
+    // to the lower centroid id, so centroid 1 goes memberless and drops
+    val vs = Seq(
+      (0L, Array(0.0f, 0.0f)),
+      (1L, Array(0.0f, 0.0f)),
+      (2L, Array(1.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val cents = Similarity.trainCentroids(vs, "vec_id", "embedding",
+        vs.filter(col("vec_id") < 2).select("vec_id"), iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
+    assert(cents.length == 1, s"expected the memberless centroid to drop: ${cents.toSeq}")
+    assert(cents.head._1 == 0L)
+    assert(cents.head._2 == Seq(333L, 333L), "floor(mean([0,0,1000]))")
   }
 
   test("pqEncode: nearest per-subspace codeword, lowest-id tie-break, m rows per vector") {
@@ -189,6 +245,28 @@ class SimilaritySpec extends SparkSpec {
     assert(r8 >= 0.05, f"PQ recall@$k at m=8 degraded: $r8%.3f")
     assert(r16 >= 0.15, f"PQ recall@$k at m=16 degraded: $r16%.3f")
     assert(r16 > r8, f"finer subspaces must buy recall on this fixture: $r16%.3f <= $r8%.3f")
+
+    // TRAINED codebook (per-subspace k-means, 3 Lloyd steps from the same
+    // 8 seeds — what q109/q110 ship): must hold the same floors, and on
+    // this fixture training the codewords toward the data should not
+    // lose recall vs the raw seed slices
+    def recallTrainedAt(m: Int): Double = {
+      val cb = Similarity.trainPqCodebooks(e, "vec_id", "embedding", m = m,
+        e.filter(col("vec_id") < 8).select("vec_id"), iters = 3)
+      val approx = Similarity.pqAdcTopKQ(queries, e, cb, "vec_id", "embedding", m = m, k = k)
+        .select("q_id", "r_id").collect()
+        .groupBy(_.getLong(0)).map { case (qq, rs) => qq -> rs.map(_.getLong(1)).toSet }
+      val recalls = exact.map { case (qq, truth) =>
+        approx.getOrElse(qq, Set.empty).intersect(truth).size.toDouble / truth.size
+      }
+      recalls.sum / recalls.size
+    }
+    val t8 = recallTrainedAt(8)
+    val t16 = recallTrainedAt(16)
+    info(f"pq adc recall@$k TRAINED: m=8 -> $t8%.3f, m=16 -> $t16%.3f")
+    assert(t8 >= 0.05, f"trained-PQ recall@$k at m=8 degraded: $t8%.3f")
+    assert(t16 >= 0.15, f"trained-PQ recall@$k at m=16 degraded: $t16%.3f")
+    assert(t8 >= r8, f"training the codebook must not lose recall at m=8: $t8%.3f < $r8%.3f")
   }
 
   test("q117 semdedup: cluster minima are representatives; every dup has a lower-id neighbor") {
