@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, HeurFuzz, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, HeurFuzz, Multimodal, Quota, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1296,11 +1296,16 @@ object SparkEntry {
       val t = spread(s, rd(s, dir, "documents"))
         .select(col("doc_id"), col("lang"), col("n_chars"),
           size(toks).cast("long").as("n_tokens"))
-      val w = Window.partitionBy("lang")
-        .orderBy(col("n_chars").desc, col("doc_id").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      t.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
-        .filter(col("cum_tokens") <= TokenBudgetPerLang)
+      // running-budget cutoff via Quota.weightedBudget, NOT a per-lang
+      // running-sum window (one task per language at scale). n_chars
+      // itself is the order-preserving bucket: distinct lengths spread
+      // the window into (lang, n_chars) partitions, and length tiers
+      // past the budget are dropped before any per-row work.
+      Quota.weightedBudget(t, "lang",
+          bucket = col("n_chars"), bucketAsc = false,
+          ordCols = Seq(col("n_chars").desc, col("doc_id").asc),
+          weightCol = "n_tokens", budget = TokenBudgetPerLang,
+          cumCol = "cum_tokens")
         .select("doc_id", "lang", "n_tokens", "cum_tokens")
         .orderBy("doc_id")
     }),
@@ -1783,12 +1788,19 @@ object SparkEntry {
         .withColumn("quota",
           least(col("n_src"), floor(sqrt(col("n_src").cast("double")) * MixSqrtScale).cast("long")))
         .select("source", "quota")
-      val w = Window.partitionBy("source")
-        .orderBy(md5(concat(lit("mix-"), col("doc_id"))), col("doc_id"))
-      docs.select("doc_id", "source")
-        .withColumn("rk", row_number().over(w).cast("long"))
-        .join(broadcast(quotas), Seq("source"))
-        .filter(col("rk") <= col("quota"))
+      // per-source ranking via Quota.rankedQuota, NOT a
+      // Window.partitionBy("source") — with a handful of sources that
+      // window drags each source's full corpus through ONE task. The
+      // md5 order key's first hex byte is the order-preserving bucket
+      // (256-way parallel), and exhausted buckets never rank at all.
+      val ord = md5(concat(lit("mix-"), col("doc_id")))
+      Quota.rankedQuota(
+          docs.select(col("doc_id"), col("source"), ord.as("ord")),
+          "source",
+          bucket = conv(substring(col("ord"), 1, 2), 16, 10).cast("long"),
+          bucketAsc = true,
+          ordCols = Seq(col("ord").asc, col("doc_id").asc),
+          quotas = quotas)
         .select("source", "doc_id", "rk")
         .orderBy("source", "rk")
     }),
@@ -1829,11 +1841,13 @@ object SparkEntry {
       val contaminated = shingles.join(broadcast(bench), col("h") === col("bh"))
         .select(col("doc_id").as("cid")).distinct()
       val clean = dd.join(contaminated, col("doc_id") === col("cid"), "left_anti")
-      val w = Window.partitionBy("lang")
-        .orderBy(col("n_chars").desc, col("doc_id").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      clean.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
-        .filter(col("cum_tokens") <= TokenBudgetPerLang)
+      // final stage shares q92's scalable budget cutoff (bucketed by
+      // n_chars) instead of a one-task-per-lang running-sum window
+      Quota.weightedBudget(clean, "lang",
+          bucket = col("n_chars"), bucketAsc = false,
+          ordCols = Seq(col("n_chars").desc, col("doc_id").asc),
+          weightCol = "n_tokens", budget = TokenBudgetPerLang,
+          cumCol = "cum_tokens")
         .select("doc_id", "lang", "n_tokens", "cum_tokens")
         .orderBy("doc_id")
     }),

@@ -120,6 +120,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"quota join not broadcast:\n$p")
   }
 
+  test("q112/q92: per-row window partitions on (group, bucket), never group alone") {
+    // the Quota rewrite's point: the corpus-wide rank/running-sum window
+    // must carry the order-preserving bucket in its partition spec —
+    // partitionBy(source|lang) alone serializes each group through one
+    // task. (The bucket-cutoff window partitions on the group alone by
+    // design, but it runs over the tiny per-bucket aggregate, whose
+    // input is an Aggregate node, not corpus rows.)
+    for (name <- Seq("q112_source_mix_sample", "q92_token_budget")) {
+      val p = plan(name)
+      val winSpecs = """windowspecdefinition\(([^)]*?), [^,)]*? (?:ASC|DESC)""".r
+        .findAllMatchIn(p).map(_.group(1)).toList
+      assert(winSpecs.nonEmpty, s"no window found in $name:\n$p")
+      val perRow = winSpecs.filter(s => s.contains("__bkt"))
+      assert(perRow.nonEmpty,
+        s"$name: no window partitioned on (group, __bkt) — per-row work is single-task-per-group:\n$p")
+    }
+  }
+
   test("q100 edit-distance join: candidates keyed on segment CONTENT, not length alone") {
     val p = plan("q100_edit_distance_join")
     // the main candidate join must carry the segment text in its keys —
