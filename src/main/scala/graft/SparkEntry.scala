@@ -196,9 +196,20 @@ object SparkEntry {
     */
   private def embClusterPairs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val e = rd(s, dir, "embeddings")
-    val kRow = e.agg(ceil(sqrt(count(lit(1)))).cast("long").as("k"))
-    val initIds = e.crossJoin(broadcast(kRow)).filter(col("vec_id") < col("k")).select("vec_id")
-    val cents = Similarity.trainCentroids(e, "vec_id", "embedding", initIds, KmeansIters)
+    // k = ceil(sqrt(N)) centroids, TRAINED (Lloyd's) on a deterministic
+    // 1-in-m sample with m = max(1, N div 40k): ~40 training points per
+    // centroid (the FAISS sizing guideline), so training stays O(sqrt(N)
+    // * k) = O(N) per iteration at any corpus size — nobody Lloyd-scans
+    // 100 TB per iteration; sampling the trainer is what SemDeDup/IVF
+    // deployments do. m = 1 at the oracle scales (sample = corpus);
+    // the ASSIGNMENT below always covers the full corpus.
+    val kRow = e.agg(count(lit(1)).as("n"))
+      .select(ceil(sqrt(col("n"))).cast("long").as("k"), col("n"))
+      .withColumn("m", greatest(lit(1L), expr("n div (40 * k)")))
+    val sample = e.crossJoin(broadcast(kRow)).filter(col("vec_id") % col("m") === 0)
+    val initIds = sample.filter(col("vec_id") < col("k") * col("m")).select("vec_id")
+    val cents = Similarity.trainCentroids(
+      sample.select("vec_id", "embedding"), "vec_id", "embedding", initIds, KmeansIters)
     val buckets = Similarity.assignToCentroidsQ(e, cents, "vec_id", "embedding")
       .select(col("id").as("vec_id"), col("centroid_id"))
     val v = e.select(col("vec_id"), Similarity.asDouble(col("embedding")).as("dv"))
@@ -2056,6 +2067,24 @@ object SparkEntry {
         .orderBy("centroid_id", "dim")
     }),
 
+    // pillar similarity: full IVF-PQ with RESIDUAL coding — the FAISS
+    // IndexIVFPQ shape end-to-end: trained coarse quantizer, residuals
+    // qv - cv (exact integer subtraction), per-subspace codebooks
+    // TRAINED ON THE RESIDUALS, per-(query, probed-cell) LUT search over
+    // the codes table. q110 approximates raw vectors; this is the
+    // variant a production ANN index actually ships, and the whole
+    // train->encode->probe->score pipeline stays oracle-exact.
+    "q124_ivfpq_residual_topk" -> ((s, dir) => {
+      val e = rd(s, dir, "embeddings")
+      val cents = Similarity.trainCentroids(e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 8).select("vec_id"), KmeansIters)
+      Similarity.ivfPqAdcTopK(
+          e.filter(col("vec_id") < 3), spread(s, e), cents,
+          e.filter(col("vec_id") < 8).select("vec_id"),
+          "vec_id", "embedding", m = 8, k = 10, nprobe = 2, iters = KmeansIters)
+        .orderBy("q_id", "rank")
+    }),
+
     // custom typed UDAF (Aggregator surface): quantity-weighted mean
     // price per return flag — integer-cents buffer, map-side combinable,
     // one double division at finish (order-independent, oracle-exact)
@@ -2228,7 +2257,7 @@ object SparkEntry {
     */
   private def lloydCtesSql(
       vCte: String, initCte: String, dims: Int, iters: Int,
-      grpCols: Seq[String], outCte: String): String = {
+      grpCols: Seq[String], outCte: String, prefix: String = "k"): String = {
     val grp = grpCols.mkString(", ")
     val grpSel = if (grpCols.isEmpty) "" else grp + ", "
     val grpSelV = if (grpCols.isEmpty) "" else grpCols.map("v." + _).mkString(", ") + ", "
@@ -2237,26 +2266,26 @@ object SparkEntry {
     val joinBack = "a.vec_id = v.vec_id" +
       grpCols.map(g => s" AND a.$g = v.$g").mkString
     val steps = (1 to iters).map { t =>
-      val prev = if (t == 1) initCte else s"kc${t - 1}"
-      s"""kd$t AS (
+      val prev = if (t == 1) initCte else s"${prefix}c${t - 1}"
+      s"""${prefix}d$t AS (
          |  SELECT ${grpSelV}v.vec_id, c.centroid_id,
          |         CAST(list_sum(list_transform(range(1, ${dims + 1}),
          |           i -> (v.qv[i::INT] - c.cv[i::INT]) * (v.qv[i::INT] - c.cv[i::INT]))) AS BIGINT) AS d
          |  FROM $vCte v JOIN $prev c $joinCents),
-         |ka$t AS (
+         |${prefix}a$t AS (
          |  SELECT ${grpSel}vec_id, centroid_id FROM (
          |    SELECT *, row_number() OVER (PARTITION BY ${grpSel}vec_id ORDER BY d ASC, centroid_id ASC) AS rk
-         |    FROM kd$t)
+         |    FROM ${prefix}d$t)
          |  WHERE rk = 1),
-         |km$t AS (
+         |${prefix}m$t AS (
          |  SELECT ${grpSel}centroid_id, pos,
          |         CAST(floor(CAST(sum(val) AS DOUBLE) / count(*)) AS BIGINT) AS cval
          |  FROM (SELECT ${grpSelA}a.centroid_id, unnest(v.qv) AS val, unnest(range(0, $dims)) AS pos
-         |        FROM ka$t a JOIN $vCte v ON $joinBack)
+         |        FROM ${prefix}a$t a JOIN $vCte v ON $joinBack)
          |  GROUP BY ALL),
-         |kc$t AS (SELECT ${grpSel}centroid_id, list(cval ORDER BY pos) AS cv FROM km$t GROUP BY ALL)""".stripMargin
+         |${prefix}c$t AS (SELECT ${grpSel}centroid_id, list(cval ORDER BY pos) AS cv FROM ${prefix}m$t GROUP BY ALL)""".stripMargin
     }
-    steps.mkString(",\n") + s",\n$outCte AS (SELECT * FROM kc$iters)"
+    steps.mkString(",\n") + s",\n$outCte AS (SELECT * FROM ${prefix}c$iters)"
   }
 
   /** Shared CTE chain for the corpus-scaled-k embedding clustering +
@@ -2269,9 +2298,12 @@ object SparkEntry {
       |             list_transform(embedding, x -> floor(x::DOUBLE * 1000)::BIGINT) AS qv,
       |             list_transform(embedding, x -> x::DOUBLE) AS dv
       |           FROM embeddings),
-      |kinit AS (SELECT vec_id AS centroid_id, qv AS cv FROM v
-      |      WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)),
-      |${lloydCtesSql("v", "kinit", 64, KmeansIters, Seq.empty, "c")},
+      |kp AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k,
+      |              greatest(1, count(*) // (40 * CAST(ceil(sqrt(count(*))) AS BIGINT))) AS m
+      |       FROM embeddings),
+      |tv AS (SELECT v.vec_id, v.qv FROM v, kp WHERE v.vec_id % kp.m = 0),
+      |kinit AS (SELECT vec_id AS centroid_id, qv AS cv FROM tv, kp WHERE vec_id < kp.k * kp.m),
+      |${lloydCtesSql("tv", "kinit", 64, KmeansIters, Seq.empty, "c")},
       |score AS (
       |  SELECT v.vec_id AS id, c.centroid_id,
       |         CAST(list_sum(list_transform(range(1, 65), i -> v.qv[i::INT] * c.cv[i::INT])) AS BIGINT) AS sc
@@ -3171,6 +3203,57 @@ object SparkEntry {
          |${lloydCtesSql("v", "kinit", 64, KmeansIters, Seq.empty, "c")}
          |SELECT centroid_id, unnest(range(0, 64)) AS dim, unnest(cv) AS cval
          |FROM c ORDER BY centroid_id, dim""".stripMargin,
+
+    "q124_ivfpq_residual_topk" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> floor(x::DOUBLE * 1000)::BIGINT) AS qv FROM embeddings),
+         |kinit AS (SELECT vec_id AS centroid_id, qv AS cv FROM v WHERE vec_id < 8),
+         |${lloydCtesSql("v", "kinit", 64, KmeansIters, Seq.empty, "c")},
+         |ad AS (
+         |  SELECT v.vec_id, c.centroid_id,
+         |         CAST(list_sum(list_transform(range(1, 65),
+         |           i -> (v.qv[i::INT] - c.cv[i::INT]) * (v.qv[i::INT] - c.cv[i::INT]))) AS BIGINT) AS d
+         |  FROM v JOIN c ON TRUE),
+         |ar AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, centroid_id ASC) AS rk FROM ad),
+         |assign AS (SELECT vec_id, centroid_id FROM ar WHERE rk = 1),
+         |res AS (
+         |  SELECT a.vec_id, a.centroid_id,
+         |         list_transform(range(1, 65), i -> v.qv[i::INT] - c.cv[i::INT]) AS rv
+         |  FROM assign a JOIN v USING (vec_id) JOIN c USING (centroid_id)),
+         |rsub AS (SELECT vec_id, centroid_id, r.range AS sub_id,
+         |                rv[(r.range * 8 + 1)::INT:(r.range * 8 + 8)::INT] AS sv
+         |         FROM res, range(0, 8) r),
+         |pv AS (SELECT sub_id, vec_id, sv AS qv FROM rsub),
+         |pinit AS (SELECT sub_id, vec_id AS centroid_id, qv AS cv FROM pv WHERE vec_id < 8),
+         |${lloydCtesSql("pv", "pinit", 8, KmeansIters, Seq("sub_id"), "pcb", prefix = "p")},
+         |cb AS (SELECT sub_id, centroid_id AS code, cv AS cbv FROM pcb),
+         |ed AS (
+         |  SELECT s.vec_id, s.centroid_id, s.sub_id, b.code,
+         |         CAST(list_sum(list_transform(range(1, 9),
+         |           i -> (s.sv[i::INT] - b.cbv[i::INT]) * (s.sv[i::INT] - b.cbv[i::INT]))) AS BIGINT) AS dq
+         |  FROM rsub s JOIN cb b USING (sub_id)),
+         |codes AS (SELECT vec_id AS r_id, centroid_id, sub_id, code FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub_id ORDER BY dq ASC, code ASC) AS rn FROM ed)
+         |  WHERE rn = 1),
+         |probes AS (SELECT vec_id AS q_id, centroid_id FROM ar WHERE vec_id < 3 AND rk <= 2),
+         |qres AS (
+         |  SELECT p.q_id, p.centroid_id,
+         |         list_transform(range(1, 65), i -> v.qv[i::INT] - c.cv[i::INT]) AS rv
+         |  FROM probes p JOIN v ON v.vec_id = p.q_id JOIN c USING (centroid_id)),
+         |qsub AS (SELECT q_id, centroid_id, r.range AS sub_id,
+         |                rv[(r.range * 8 + 1)::INT:(r.range * 8 + 8)::INT] AS sv
+         |         FROM qres, range(0, 8) r),
+         |lut AS (
+         |  SELECT q.q_id, q.centroid_id, q.sub_id, b.code,
+         |         CAST(list_sum(list_transform(range(1, 9),
+         |           i -> (q.sv[i::INT] - b.cbv[i::INT]) * (q.sv[i::INT] - b.cbv[i::INT]))) AS BIGINT) AS dq
+         |  FROM qsub q JOIN cb b USING (sub_id)),
+         |adc AS (
+         |  SELECT l.q_id, cd.r_id, CAST(sum(l.dq) AS BIGINT) AS adc_dist
+         |  FROM codes cd JOIN lut l USING (centroid_id, sub_id, code)
+         |  WHERE l.q_id <> cd.r_id GROUP BY l.q_id, cd.r_id)
+         |SELECT q_id, r_id, adc_dist, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, r_id) AS rank FROM adc)
+         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
 
     "q59_train_split" ->
       """SELECT doc_id,

@@ -158,9 +158,25 @@ object Similarity {
       .withColumn("sv", slice(col("__qv"), col("sub_id") * col("__d") + 1, col("__d")))
       .select(col(idOut), col("sub_id").cast("long").as("sub_id"), col("sv"))
 
-  /** Integer squared L2 distance between two quantized slices (exact). */
+  /** Per-subspace slices of an ALREADY-QUANTIZED long-array column,
+    * keeping `keep` passthrough columns: m rows (keep..., sub_id, sv)
+    * per input row.
+    */
+  private def slicesQ(df: DataFrame, keep: Seq[String], vecCol: String, m: Int): DataFrame =
+    df.withColumn("__d", size(col(vecCol)) / m)
+      .select(keep.map(col) :+ explode(sequence(lit(0), lit(m - 1))).as("sub_id")
+        :+ col(vecCol) :+ col("__d"): _*)
+      .withColumn("sv", slice(col(vecCol), col("sub_id") * col("__d") + 1, col("__d")))
+      .select(keep.map(col) :+ col("sub_id").cast("long").as("sub_id") :+ col("sv"): _*)
+
+  /** Integer squared L2 distance between two quantized slices (exact).
+    * Codegen'd custom expression with the SAME accumulation as the HOF
+    * `aggregate(zip_with(a, b, (x,y) => (x-y)*(x-y)), 0L, _+_)` it
+    * replaced — the k-means/PQ hot kernel (HOFs drop out of whole-stage
+    * codegen and allocate per element).
+    */
   def sqDistQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+    org.apache.spark.sql.graft.ArrayDot.longSqDist(a, b)
 
   /** Lloyd's k-means iterations over quantized vectors — the training
     * half the reference-free ANN/SemDeDup family needs (init alone is
@@ -207,6 +223,10 @@ object Similarity {
         .agg(sort_array(collect_list(struct(col("pos"), col("c")))).as("pc"))
         .select(col("grp"), col("centroid_id"),
           transform(col("pc"), x => x.getField("c")).as("cv"))
+        // k x dims longs: one block, not shuffle.partitions blocks — the
+        // per-iteration checkpoint barrier is otherwise pure scheduling
+        // overhead on a tiny frame
+        .coalesce(1)
         .localCheckpoint(false)
     }
     cents
@@ -418,5 +438,107 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("q_id", "r_id", "cos_sim", "rank")
+  }
+
+  /** L2 (squared-distance) ranks against trained centroids — the coarse
+    * quantizer IVF-PQ needs (residual magnitude is defined by the L2
+    * assignment, exactly the Lloyd assignment function). Returns
+    * (id, centroid_id, d) with `nprobe` rows per id, ties -> lowest
+    * centroid_id.
+    */
+  def centroidRanksL2Q(
+      vectors: DataFrame,
+      qcentroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nprobe: Int,
+      scale: Int = 1000
+  ): DataFrame = {
+    val v = vectors.select(col(idCol).as("id"), quantize(col(vecCol), scale).as("qv"))
+    val scored = v
+      .crossJoin(broadcast(qcentroids.select(col("centroid_id"), col("cv"))))
+      .withColumn("d", sqDistQ(col("qv"), col("cv")))
+    val w = Window.partitionBy("id").orderBy(col("d").asc, col("centroid_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= nprobe)
+      .select("id", "centroid_id", "d")
+  }
+
+  /** Full IVF-PQ with RESIDUAL coding (Jégou et al. TPAMI'11, the shape
+    * FAISS ships as IndexIVFPQ): corpus vectors L2-assign to a trained
+    * coarse centroid; the per-subspace codebooks are trained ON THE
+    * RESIDUALS qv - cv (integer subtraction — exact), which is what
+    * makes PQ distances sharp (residuals are small and centered, raw
+    * vectors are not); a query probes its `nprobe` nearest coarse cells
+    * and scores each member from a per-(query, probed-cell) LUT over the
+    * query's OWN residual in that cell. Everything is integer/floor
+    * arithmetic, so the full train->encode->search pipeline is
+    * oracle-reproducible bit-for-bit.
+    *
+    * Returns (q_id, r_id, adc_dist, rank), rank ascending by approximate
+    * distance, ties -> ascending r_id.
+    *
+    * Scale shape: coarse centroids and codebooks are tiny and broadcast;
+    * the corpus is touched once to assign+encode (narrow maps + one
+    * argmin aggregate); search joins the m-codes table against a
+    * broadcast LUT of |queries|*nprobe*m*k' rows on
+    * (centroid_id, sub_id, code) — bucket membership rides the coarse
+    * id in the join key, so only probed cells' members are scored.
+    */
+  def ivfPqAdcTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      qcentroids: DataFrame,
+      codebookInitIds: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      k: Int,
+      nprobe: Int,
+      iters: Int,
+      scale: Int = 1000
+  ): DataFrame = {
+    val cents = qcentroids.select(col("centroid_id"), col("cv"))
+    // corpus residuals from the L2-assigned cell
+    val res = centroidRanksL2Q(corpus, cents, idCol, vecCol, nprobe = 1, scale)
+      .join(broadcast(cents), Seq("centroid_id"))
+      .join(corpus.select(col(idCol).as("id"), quantize(col(vecCol), scale).as("qv")), Seq("id"))
+      .select(col("id"), col("centroid_id"),
+        zip_with(col("qv"), col("cv"), (x, c) => x - c).as("rv"))
+      .localCheckpoint(false) // feeds codebook training AND encoding
+    val rs = slicesQ(res, Seq("id", "centroid_id"), "rv", m)
+    // per-subspace codebooks trained on the residuals
+    val cb = lloydIterate(
+      rs.select(col("sub_id").as("grp"), col("id"), col("sv").as("qv")),
+      rs.join(codebookInitIds.select(col(idCol).as("id")).distinct(), Seq("id"))
+        .select(col("sub_id").as("grp"), col("id").as("centroid_id"), col("sv").as("cv")),
+      iters)
+      .select(col("grp").as("sub_id"), col("centroid_id").as("code"), col("cv").as("cbv"))
+    // encode: nearest residual codeword per (vector, subspace)
+    val codes = rs.join(broadcast(cb), Seq("sub_id"))
+      .withColumn("dq", sqDistQ(col("sv"), col("cbv")))
+      .groupBy("id", "centroid_id", "sub_id")
+      .agg(min(struct(col("dq"), col("code"))).as("best"))
+      .select(col("id").as("r_id"), col("centroid_id"), col("sub_id"),
+        col("best.code").as("code"))
+    // query-side: residual per PROBED cell -> LUT against the codebooks
+    val probes = centroidRanksL2Q(queries, cents, idCol, vecCol, nprobe, scale)
+      .join(broadcast(cents), Seq("centroid_id"))
+      .join(queries.select(col(idCol).as("id"), quantize(col(vecCol), scale).as("qv")), Seq("id"))
+      .select(col("id").as("q_id"), col("centroid_id"),
+        zip_with(col("qv"), col("cv"), (x, c) => x - c).as("rv"))
+    val lut = slicesQ(probes, Seq("q_id", "centroid_id"), "rv", m)
+      .join(cb, Seq("sub_id"))
+      .select(col("q_id"), col("centroid_id"), col("sub_id"), col("code"),
+        sqDistQ(col("sv"), col("cbv")).as("dq"))
+    val w = Window.partitionBy("q_id").orderBy(col("adc_dist").asc, col("r_id").asc)
+    codes.join(broadcast(lut), Seq("centroid_id", "sub_id", "code"))
+      .where(col("q_id") =!= col("r_id"))
+      .groupBy("q_id", "r_id")
+      .agg(sum(col("dq")).as("adc_dist"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "r_id", "adc_dist", "rank")
   }
 }

@@ -111,6 +111,56 @@ case class LongArrayDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Integer squared L2 distance Σ(a(i)-b(i))² of two long arrays — the
+  * k-means assignment / PQ encode kernel. Same accumulation order as
+  * `aggregate(zip_with(a, b, (x,y) => (x-y)*(x-y)), 0, _+_)` (exact
+  * integer arithmetic, so this is a plan upgrade, not a semantics
+  * change — oracles are unaffected).
+  */
+case class LongArraySqDist(left: Expression, right: Expression)
+    extends BinaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "long_array_sq_dist"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val d = x.getLong(i) - y.getLong(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $d = $a.getLong($i) - $b.getLong($i);
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LongArraySqDist =
+    copy(left = newLeft, right = newRight)
+}
+
 object ArrayDot {
   def doubleDot(a: Column, b: Column): Column =
     ExpressionUtils.column(
@@ -119,4 +169,8 @@ object ArrayDot {
   def longDot(a: Column, b: Column): Column =
     ExpressionUtils.column(
       LongArrayDot(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def longSqDist(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      LongArraySqDist(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }

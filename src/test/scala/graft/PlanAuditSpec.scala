@@ -37,6 +37,9 @@ class PlanAuditSpec extends SparkSpec {
     "q05_pair_coverage", "q07_pair_topk", "q09_fuzzy_score",
     "q10_fuzzy_match", "q11_map_ratio", "q50_match_cross_5k",
     "q34_embed_cosine_topk", "q35_embed_ivf_assign", "q43_embed_ivf_topk",
+    // q123/q124: k-means training + IVF-PQ scores every vector against
+    // the broadcast centroid set per Lloyd/assign step — same class
+    "q123_kmeans_train", "q124_ivfpq_residual_topk",
     "q46_dedup_embed_cosine", "q51_match_inverted_5k",
     "q60_embed_centroid_update", "q74_boilerplate_strip", "q97_revenue_share",
     "q58_tfidf_top_terms", "q105_scorer_long_needle",

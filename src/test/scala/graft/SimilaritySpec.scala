@@ -267,6 +267,28 @@ class SimilaritySpec extends SparkSpec {
     assert(t8 >= 0.05, f"trained-PQ recall@$k at m=8 degraded: $t8%.3f")
     assert(t16 >= 0.15, f"trained-PQ recall@$k at m=16 degraded: $t16%.3f")
     assert(t8 >= r8, f"training the codebook must not lose recall at m=8: $t8%.3f < $r8%.3f")
+
+    // RESIDUAL coding (full IVF-PQ, q124's operator): codes quantize
+    // qv - cv instead of qv. Residuals are small and centered, so the
+    // same m bits describe them more sharply — residual recall must
+    // beat raw-vector PQ at equal m. nprobe=8 of 8 cells makes the
+    // comparison pure PQ-quality (no coarse-filter loss).
+    def recallResidualAt(m: Int): Double = {
+      val cents = Similarity.trainCentroids(e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 8).select("vec_id"), iters = 3)
+      val approx = Similarity.ivfPqAdcTopK(queries, e, cents,
+          e.filter(col("vec_id") < 8).select("vec_id"),
+          "vec_id", "embedding", m = m, k = k, nprobe = 8, iters = 3)
+        .select("q_id", "r_id").collect()
+        .groupBy(_.getLong(0)).map { case (qq, rs) => qq -> rs.map(_.getLong(1)).toSet }
+      val recalls = exact.map { case (qq, truth) =>
+        approx.getOrElse(qq, Set.empty).intersect(truth).size.toDouble / truth.size
+      }
+      recalls.sum / recalls.size
+    }
+    val v8 = recallResidualAt(8)
+    info(f"ivfpq residual recall@$k: m=8, nprobe=8 -> $v8%.3f (raw-PQ trained: $t8%.3f)")
+    assert(v8 > t8, f"residual coding must beat raw-vector PQ at m=8: $v8%.3f <= $t8%.3f")
   }
 
   test("q117 semdedup: cluster minima are representatives; every dup has a lower-id neighbor") {
