@@ -2067,6 +2067,76 @@ object SparkEntry {
         .orderBy("centroid_id", "dim")
     }),
 
+    // pipeline: LEAKAGE-SAFE train/val split — q59's hash split plus the
+    // check every eval pipeline needs: a val doc whose NEAR-DUPLICATE
+    // (q31's MinHash-LSH pair set, same parameters) landed in train is
+    // contaminated eval data. Per doc: split, count of near-dup
+    // neighbors in train, and kept = train rows plus uncontaminated val
+    // rows. Composes the banded LSH join with the split — no new
+    // shuffle shape beyond q31's.
+    "q126_leakage_safe_split" -> ((s, dir) => {
+      val docs = spread(s, rd(s, dir, "documents"))
+      val split = docs.select(
+        col("doc_id"),
+        when(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long") % 100 < 90,
+          lit("train")).otherwise(lit("val")).as("split"))
+      val pairs = Dedup.nearDuplicates(docs, "doc_id", "text",
+          shingleN = 4, numHashes = 8, rowsPerBand = 4, threshold = 0.4)
+        .select("id_a", "id_b")
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      val trainIds = split.filter(col("split") === "train").select(col("doc_id").as("dst"))
+      val leak = edges.join(trainIds, Seq("dst"))
+        .groupBy("src").agg(count(lit(1)).as("n_train_neighbors"))
+      split.join(leak, col("doc_id") === col("src"), "left")
+        .select(col("doc_id"), col("split"),
+          coalesce(col("n_train_neighbors"), lit(0L)).as("n_train_neighbors"))
+        .withColumn("kept", col("split") === "train" || col("n_train_neighbors") === 0)
+        .orderBy("doc_id")
+    }),
+
+    // pipeline: temperature-based LANGUAGE UPSAMPLING with epochs — the
+    // other half of data mixing (q112 downsamples big sources; training
+    // mixes also REPEAT low-resource languages for multiple epochs, the
+    // alpha-smoothed multinomial of multilingual-LM training; lang is the
+    // grouping because the testdata sources are uniform). Per lang:
+    // integer weight w = floor(sqrt(n)*1000); target rows =
+    // ceil(N * w / sum_w) computed as (N div S)*w + ((N mod S)*w + S-1)
+    // div S — pure int64 (no float sum ever; the two-step split keeps
+    // every intermediate under 2^63 even at ~1e10 docs); epochs 1..f-1
+    // replicate every row (a narrow explode, no shuffle); the final
+    // partial epoch takes the target remainder in content-stable md5
+    // order through Quota.rankedQuota (bucketed — never a one-task-per-
+    // source window). Output (source, doc_id, epoch).
+    "q125_lang_upsample_epochs" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val perSrc = docs.groupBy("lang").agg(count(lit(1)).as("n_src"))
+        .withColumn("w", floor(sqrt(col("n_src").cast("double")) * 1000).cast("long"))
+      val tot = perSrc.agg(sum("n_src").as("n_tot"), sum("w").as("sum_w"))
+      val plan = perSrc.crossJoin(broadcast(tot))
+        .withColumn("target",
+          expr("(n_tot div sum_w) * w + ((n_tot % sum_w) * w + sum_w - 1) div sum_w"))
+        .withColumn("f", expr("(target + n_src - 1) div n_src"))
+        .withColumn("quota", col("target") - (col("f") - 1) * col("n_src"))
+        .select("lang", "f", "quota")
+      val ids = docs.select("doc_id", "lang")
+      val fullEpochs = ids.join(broadcast(plan), Seq("lang"))
+        .filter(col("f") >= 2)
+        .select(col("lang"), col("doc_id"),
+          explode(sequence(lit(1L), col("f") - 1)).as("epoch"))
+      val ord = md5(concat(lit("mix-"), col("doc_id")))
+      val partial = Quota.rankedQuota(
+          ids.withColumn("ord", ord),
+          "lang",
+          bucket = conv(substring(col("ord"), 1, 2), 16, 10).cast("long"),
+          bucketAsc = true,
+          ordCols = Seq(col("ord").asc, col("doc_id").asc),
+          quotas = plan.select("lang", "quota"))
+        .join(broadcast(plan), Seq("lang"))
+        .select(col("lang"), col("doc_id"), col("f").as("epoch"))
+      fullEpochs.union(partial).orderBy("lang", "epoch", "doc_id")
+    }),
+
     // pillar similarity: full IVF-PQ with RESIDUAL coding — the FAISS
     // IndexIVFPQ shape end-to-end: trained coarse quantizer, residuals
     // qv - cv (exact integer subtraction), per-subspace codebooks
@@ -3203,6 +3273,53 @@ object SparkEntry {
          |${lloydCtesSql("v", "kinit", 64, KmeansIters, Seq.empty, "c")}
          |SELECT centroid_id, unnest(range(0, 64)) AS dim, unnest(cv) AS cval
          |FROM c ORDER BY centroid_id, dim""".stripMargin,
+
+    "q126_leakage_safe_split" ->
+      s"""WITH $lshPairsCtes,
+         |sp AS (
+         |  SELECT doc_id,
+         |         CASE WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 < 90
+         |              THEN 'train' ELSE 'val' END AS split
+         |  FROM documents),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM nd_pairs
+         |  UNION ALL
+         |  SELECT id_b AS src, id_a AS dst FROM nd_pairs),
+         |leak AS (
+         |  SELECT e.src, count(*) AS n_train_neighbors
+         |  FROM edges e JOIN sp t ON t.doc_id = e.dst AND t.split = 'train'
+         |  GROUP BY e.src)
+         |SELECT sp.doc_id, sp.split,
+         |       coalesce(l.n_train_neighbors, 0)::BIGINT AS n_train_neighbors,
+         |       (sp.split = 'train' OR coalesce(l.n_train_neighbors, 0) = 0) AS kept
+         |FROM sp LEFT JOIN leak l ON l.src = sp.doc_id
+         |ORDER BY sp.doc_id""".stripMargin,
+
+    "q125_lang_upsample_epochs" ->
+      """WITH s AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n, CAST(floor(sqrt(n::DOUBLE) * 1000) AS BIGINT) AS w FROM s),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot, CAST(sum(w) AS BIGINT) AS sum_w FROM w),
+        |plan AS (
+        |  SELECT lang, n, w,
+        |         (n_tot // sum_w) * w + ((n_tot % sum_w) * w + sum_w - 1) // sum_w AS target
+        |  FROM w, t),
+        |plan2 AS (SELECT *, (target + n - 1) // n AS f,
+        |                 target - ((target + n - 1) // n - 1) * n AS quota
+        |          FROM plan),
+        |fulle AS (
+        |  SELECT d.lang, d.doc_id, unnest(range(1, p.f)) AS epoch
+        |  FROM documents d JOIN plan2 p USING (lang) WHERE p.f >= 2),
+        |ranked AS (
+        |  SELECT d.lang, d.doc_id,
+        |         row_number() OVER (PARTITION BY d.lang
+        |                            ORDER BY md5('mix-' || d.doc_id), d.doc_id) AS rk
+        |  FROM documents d),
+        |partial AS (
+        |  SELECT r.lang, r.doc_id, p.f AS epoch
+        |  FROM ranked r JOIN plan2 p USING (lang) WHERE r.rk <= p.quota)
+        |SELECT lang, doc_id, epoch
+        |FROM (SELECT * FROM fulle UNION ALL SELECT * FROM partial)
+        |ORDER BY lang, epoch, doc_id""".stripMargin,
 
     "q124_ivfpq_residual_topk" ->
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> floor(x::DOUBLE * 1000)::BIGINT) AS qv FROM embeddings),

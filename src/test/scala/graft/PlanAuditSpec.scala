@@ -40,6 +40,10 @@ class PlanAuditSpec extends SparkSpec {
     // q123/q124: k-means training + IVF-PQ scores every vector against
     // the broadcast centroid set per Lloyd/assign step — same class
     "q123_kmeans_train", "q124_ivfpq_residual_topk",
+    // q125: the per-lang plan table joins the broadcast ONE-ROW
+    // (n_tot, sum_w) aggregate — the q74/q97 1-row-broadcast-total
+    // shape, not an all-pairs plan
+    "q125_lang_upsample_epochs",
     "q46_dedup_embed_cosine", "q51_match_inverted_5k",
     "q60_embed_centroid_update", "q74_boilerplate_strip", "q97_revenue_share",
     "q58_tfidf_top_terms", "q105_scorer_long_needle",
