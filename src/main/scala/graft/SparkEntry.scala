@@ -132,9 +132,11 @@ object SparkEntry {
       |subs AS (SELECT vec_id, r.range AS sub_id,
       |                qv[(r.range * 8 + 1)::INT:(r.range * 8 + 8)::INT] AS sv
       |         FROM v, range(0, 8) r),
+      |kp AS (SELECT greatest(1, count(*) // 320) AS m FROM embeddings),
       |ksub AS (SELECT sub_id, vec_id, sv AS qv FROM subs),
-      |kinit AS (SELECT sub_id, vec_id AS centroid_id, qv AS cv FROM ksub WHERE vec_id < 8),
-      |${lloydCtesSql("ksub", "kinit", 8, KmeansIters, Seq("sub_id"), "kcents")},
+      |ktv AS (SELECT ksub.* FROM ksub, kp WHERE vec_id % kp.m = 0),
+      |kinit AS (SELECT sub_id, vec_id AS centroid_id, qv AS cv FROM ktv, kp WHERE vec_id < 8 * kp.m),
+      |${lloydCtesSql("ktv", "kinit", 8, KmeansIters, Seq("sub_id"), "kcents")},
       |cents AS (SELECT centroid_id AS code, sub_id, cv FROM kcents)""".stripMargin
 
   /** Integer squared-L2 between a subs-row slice `s.sv` and a cents-row
@@ -194,6 +196,32 @@ object SparkEntry {
     * k = ceil(sqrt(N)) keeps within-bucket pair work O(N^1.5); N arrives
     * as a broadcast 1-row aggregate (no driver action).
     */
+  /** Deterministic bounded training sample for every FIXED-k (k = 8)
+    * trained-quantizer surface (q35/q43/q109/q110/q123/q124): 1-in-m
+    * rows with m = max(1, N div 320) — ~40 training points per
+    * centroid/codeword (the FAISS sizing guideline), so Lloyd cost is
+    * O(1) in corpus size while assignment still covers everything.
+    * m = 1 at the oracle scales. Returns (sample, initIds); seeds are
+    * the first 8 SAMPLED ids (vec_id < 8m ∧ vec_id % m = 0), which
+    * degrades to vec_id < 8 when m = 1.
+    */
+  private def trainSample8(s: SparkSession, e: DataFrame): (DataFrame, DataFrame) = {
+    val kRow = e.agg(count(lit(1)).as("n"))
+      .select(greatest(lit(1L), expr("n div 320")).as("m"))
+    val sample = spread(s, e).crossJoin(broadcast(kRow))
+      .filter(col("vec_id") % col("m") === 0)
+    val initIds = sample.filter(col("vec_id") < lit(8L) * col("m")).select("vec_id")
+    (sample.select("vec_id", "embedding"), initIds)
+  }
+
+  /** The oracle twin of trainSample8: kp(m), tv = sampled v rows, kinit =
+    * first 8 sampled seeds. `vCte` must expose (vec_id, qv).
+    */
+  private def trainSampleCtesSql(vCte: String): String =
+    s"""kp AS (SELECT greatest(1, count(*) // 320) AS m FROM embeddings),
+       |tv AS (SELECT $vCte.* FROM $vCte, kp WHERE vec_id % kp.m = 0),
+       |kinit AS (SELECT vec_id AS centroid_id, qv AS cv FROM tv, kp WHERE vec_id < 8 * kp.m)""".stripMargin
+
   private def embClusterPairs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val e = rd(s, dir, "embeddings")
     // k = ceil(sqrt(N)) centroids, TRAINED (Lloyd's) on a deterministic
@@ -206,13 +234,13 @@ object SparkEntry {
     val kRow = e.agg(count(lit(1)).as("n"))
       .select(ceil(sqrt(col("n"))).cast("long").as("k"), col("n"))
       .withColumn("m", greatest(lit(1L), expr("n div (40 * k)")))
-    val sample = e.crossJoin(broadcast(kRow)).filter(col("vec_id") % col("m") === 0)
+    val sample = spread(s, e).crossJoin(broadcast(kRow)).filter(col("vec_id") % col("m") === 0)
     val initIds = sample.filter(col("vec_id") < col("k") * col("m")).select("vec_id")
     val cents = Similarity.trainCentroids(
       sample.select("vec_id", "embedding"), "vec_id", "embedding", initIds, KmeansIters)
-    val buckets = Similarity.assignToCentroidsQ(e, cents, "vec_id", "embedding")
+    val buckets = Similarity.assignToCentroidsQ(spread(s, e), cents, "vec_id", "embedding")
       .select(col("id").as("vec_id"), col("centroid_id"))
-    val v = e.select(col("vec_id"), Similarity.asDouble(col("embedding")).as("dv"))
+    val v = spread(s, e).select(col("vec_id"), Similarity.asDouble(col("embedding")).as("dv"))
       .withColumn("nrm", Similarity.l2Norm(col("dv")))
     val withB = buckets.join(v, Seq("vec_id")).localCheckpoint(false)
     val pairs = withB
@@ -536,9 +564,9 @@ object SparkEntry {
     // not the raw seed vectors
     "q35_embed_ivf_assign" -> ((s, dir) => {
       val e = rd(s, dir, "embeddings")
-      val cents = Similarity.trainCentroids(e, "vec_id", "embedding",
-        e.filter(col("vec_id") < 8).select("vec_id"), KmeansIters)
-      Similarity.assignToCentroidsQ(e, cents, "vec_id", "embedding")
+      val (tr35, init35) = trainSample8(s, e)
+      val cents = Similarity.trainCentroids(tr35, "vec_id", "embedding", init35, KmeansIters)
+      Similarity.assignToCentroidsQ(spread(s, e), cents, "vec_id", "embedding")
         .orderBy("id")
     }),
 
@@ -546,10 +574,10 @@ object SparkEntry {
     // trained coarse quantizer
     "q43_embed_ivf_topk" -> ((s, dir) => {
       val e = rd(s, dir, "embeddings")
-      val cents = Similarity.trainCentroids(e, "vec_id", "embedding",
-        e.filter(col("vec_id") < 8).select("vec_id"), KmeansIters)
+      val (tr43, init43) = trainSample8(s, e)
+      val cents = Similarity.trainCentroids(tr43, "vec_id", "embedding", init43, KmeansIters)
       Similarity.ivfTopKQ(
-          e.filter(col("vec_id") < 10), e, cents,
+          e.filter(col("vec_id") < 10), spread(s, e), cents,
           "vec_id", "embedding", k = 3, nprobe = 2)
         .orderBy("q_id", "rank")
     }),
@@ -1742,8 +1770,9 @@ object SparkEntry {
     // oracle-exact; the argmin folds into one partial aggregate.
     "q109_pq_encode" -> ((s, dir) => {
       val e = rd(s, dir, "embeddings")
-      val cb = Similarity.trainPqCodebooks(e, "vec_id", "embedding", m = 8,
-        e.filter(col("vec_id") < 8).select("vec_id"), KmeansIters)
+      val (tr109, init109) = trainSample8(s, e)
+      val cb = Similarity.trainPqCodebooks(tr109, "vec_id", "embedding", m = 8,
+        init109, KmeansIters)
       Similarity.pqEncodeQ(spread(s, e), cb, "vec_id", "embedding", m = 8)
         .withColumnRenamed("id", "vec_id")
         .orderBy("vec_id", "sub_id")
@@ -1755,8 +1784,9 @@ object SparkEntry {
     // table (the raw corpus vectors are never touched in the scan).
     "q110_pq_adc_topk" -> ((s, dir) => {
       val e = rd(s, dir, "embeddings")
-      val cb = Similarity.trainPqCodebooks(e, "vec_id", "embedding", m = 8,
-        e.filter(col("vec_id") < 8).select("vec_id"), KmeansIters)
+      val (tr110, init110) = trainSample8(s, e)
+      val cb = Similarity.trainPqCodebooks(tr110, "vec_id", "embedding", m = 8,
+        init110, KmeansIters)
       Similarity.pqAdcTopKQ(
         e.filter(col("vec_id") < 3), spread(s, e), cb,
         "vec_id", "embedding", m = 8, k = 10)
@@ -2059,12 +2089,54 @@ object SparkEntry {
     // pins the training math, not just its downstream effects.
     "q123_kmeans_train" -> ((s, dir) => {
       val e = rd(s, dir, "embeddings")
-      Similarity.trainCentroids(e, "vec_id", "embedding",
-          e.filter(col("vec_id") < 8).select("vec_id"), KmeansIters)
+      val (tr123, init123) = trainSample8(s, e)
+      Similarity.trainCentroids(tr123, "vec_id", "embedding", init123, KmeansIters)
         .select(col("centroid_id"),
           posexplode(col("cv")).as(Seq("dim", "cval")))
         .select(col("centroid_id"), col("dim").cast("long").as("dim"), col("cval"))
         .orderBy("centroid_id", "dim")
+    }),
+
+    // pillar text analysis: BPE TOKENIZER TRAINING (Sennrich ACL'16) —
+    // the iterated argmax pair-merge over the corpus word-frequency
+    // table, the algorithm behind every production subword vocabulary.
+    // Both engines' `replace` is left-to-right non-overlapping — exactly
+    // BPE's greedy merge application — and U+001F sentinels make a merge
+    // unable to match across symbol boundaries, so three full merge
+    // steps are oracle-exact. Output: (step, left, right, pair_count).
+    "q127_bpe_train_merges" -> ((s, dir) =>
+      TextAnalysis.bpeTopMerges(spread(s, rd(s, dir, "documents")), "text", steps = BpeSteps)
+        .orderBy("step")),
+
+    // pipeline: SEQUENCE PACKING — the last step before a GPT-style
+    // dataloader: lay all documents out in a deterministic global order
+    // (doc_id) and cut the token stream into fixed-length training
+    // sequences. Per doc: its exclusive global token offset, the first
+    // and last sequence it lands in, and how many sequences it crosses.
+    // The global prefix sum comes from Quota.globalCumSum (bucketed —
+    // the corpus never serializes through a partitionless window; the
+    // only serial stage is the ~256-row per-bucket cumulative, with the
+    // bucket width riding a broadcast 1-row aggregate so it stays ~256
+    // buckets at ANY corpus size).
+    "q128_sequence_packing" -> ((s, dir) => {
+      val t = spread(s, rd(s, dir, "documents"))
+        .select(col("doc_id"),
+          size(TextFunctions.whitespaceTokens(lower(col("text")))).cast("long").as("n_tokens"))
+      val nRow = t.agg(count(lit(1)).as("n"))
+        .select(greatest(lit(1L), expr("n div 256")).as("bw"))
+      val cum = Quota.globalCumSum(
+          t.crossJoin(broadcast(nRow)),
+          bucket = expr("doc_id div bw"),
+          ordCols = Seq(col("doc_id").asc),
+          weightCol = "n_tokens", cumCol = "cum_tokens")
+        .withColumn("offset", col("cum_tokens") - col("n_tokens"))
+      cum
+        .withColumn("first_seq", expr(s"offset div $PackSeqLen"))
+        .withColumn("last_seq",
+          expr(s"(offset + greatest(n_tokens, 1L) - 1L) div $PackSeqLen"))
+        .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1)
+        .select("doc_id", "n_tokens", "offset", "first_seq", "last_seq", "n_seqs")
+        .orderBy("doc_id")
     }),
 
     // pipeline: LEAKAGE-SAFE train/val split — q59's hash split plus the
@@ -2083,6 +2155,7 @@ object SparkEntry {
       val pairs = Dedup.nearDuplicates(docs, "doc_id", "text",
           shingleN = 4, numHashes = 8, rowsPerBand = 4, threshold = 0.4)
         .select("id_a", "id_b")
+        .localCheckpoint(false) // the FULL LSH pipeline feeds both edge directions
       val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
         .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       val trainIds = split.filter(col("split") === "train").select(col("doc_id").as("dst"))
@@ -2146,12 +2219,13 @@ object SparkEntry {
     // train->encode->probe->score pipeline stays oracle-exact.
     "q124_ivfpq_residual_topk" -> ((s, dir) => {
       val e = rd(s, dir, "embeddings")
-      val cents = Similarity.trainCentroids(e, "vec_id", "embedding",
-        e.filter(col("vec_id") < 8).select("vec_id"), KmeansIters)
+      val (tr124, init124) = trainSample8(s, e)
+      val cents = Similarity.trainCentroids(tr124, "vec_id", "embedding", init124, KmeansIters)
       Similarity.ivfPqAdcTopK(
           e.filter(col("vec_id") < 3), spread(s, e), cents,
-          e.filter(col("vec_id") < 8).select("vec_id"),
-          "vec_id", "embedding", m = 8, k = 10, nprobe = 2, iters = KmeansIters)
+          init124,
+          "vec_id", "embedding", m = 8, k = 10, nprobe = 2, iters = KmeansIters,
+          codebookTrainIds = Some(tr124.select("vec_id")))
         .orderBy("q_id", "rank")
     }),
 
@@ -2218,6 +2292,16 @@ object SparkEntry {
     * between the Spark query and its generated oracle SQL).
     */
   private val TokenBudgetPerLang = 2500L
+
+  /** Training-sequence length for q128's packing layout (shared with its
+    * oracle SQL).
+    */
+  private val PackSeqLen = 512L
+
+  /** BPE merge steps for q127 (each step is one generated oracle CTE
+    * round, so the SQL unrolls this many times).
+    */
+  private val BpeSteps = 3
 
   /** SemDeDup within-cluster cosine threshold (q117; same value as the
     * q46 near-dup cutoff so the two embedding-dedup surfaces agree).
@@ -2357,6 +2441,28 @@ object SparkEntry {
     }
     steps.mkString(",\n") + s",\n$outCte AS (SELECT * FROM ${prefix}c$iters)"
   }
+
+  /** Generated CTE chain for q127's BPE merge steps — the oracle twin of
+    * TextAnalysis.bpeTopMerges. bs0 must exist (word, freq, seq); emits
+    * bp{t}/bb{t}/bs{t} per step; bb{t} holds step t's winning merge.
+    */
+  private def bpeCtesSql(steps: Int): String =
+    (1 to steps).map { t =>
+      s"""bp$t AS (
+         |  SELECT a, b, CAST(sum(freq) AS BIGINT) AS pair_count
+         |  FROM (
+         |    SELECT freq,
+         |           unnest(string_split(seq, ' ')[1:len(string_split(seq, ' ')) - 1]) AS a,
+         |           unnest(string_split(seq, ' ')[2:len(string_split(seq, ' '))]) AS b
+         |    FROM bs${t - 1})
+         |  GROUP BY a, b),
+         |bb$t AS (SELECT a, b, pair_count FROM bp$t ORDER BY pair_count DESC, a, b LIMIT 1),
+         |bs$t AS (
+         |  SELECT word, freq,
+         |         replace(seq, x.a || ' ' || x.b,
+         |                 substr(x.a, 1, length(x.a) - 1) || substr(x.b, 2)) AS seq
+         |  FROM bs${t - 1}, bb$t x)""".stripMargin
+    }.mkString(",\n")
 
   /** Shared CTE chain for the corpus-scaled-k embedding clustering +
     * within-cluster cosine pairs (q46 + q117), ending in
@@ -2710,8 +2816,8 @@ object SparkEntry {
 
     "q35_embed_ivf_assign" ->
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> floor(x::DOUBLE * 1000)::BIGINT) AS qv FROM embeddings),
-        |kinit AS (SELECT vec_id AS centroid_id, qv AS cv FROM v WHERE vec_id < 8),
-        |${lloydCtesSql("v", "kinit", 64, KmeansIters, Seq.empty, "c")},
+        |${trainSampleCtesSql("v")},
+        |${lloydCtesSql("tv", "kinit", 64, KmeansIters, Seq.empty, "c")},
         |s AS (
         |  SELECT v.vec_id AS id, c.centroid_id,
         |         CAST(list_sum(list_transform(range(1, 65), i -> v.qv[i::INT] * c.cv[i::INT])) AS BIGINT) AS score
@@ -2724,8 +2830,8 @@ object SparkEntry {
         |             list_transform(embedding, x -> floor(x::DOUBLE * 1000)::BIGINT) AS qv,
         |             list_transform(embedding, x -> x::DOUBLE) AS dv
         |           FROM embeddings),
-        |kinit AS (SELECT vec_id AS centroid_id, qv AS cv FROM v WHERE vec_id < 8),
-        |${lloydCtesSql("v", "kinit", 64, KmeansIters, Seq.empty, "c")},
+        |${trainSampleCtesSql("v")},
+        |${lloydCtesSql("tv", "kinit", 64, KmeansIters, Seq.empty, "c")},
         |score AS (
         |  SELECT v.vec_id AS id, c.centroid_id,
         |         CAST(list_sum(list_transform(range(1, 65), i -> v.qv[i::INT] * c.cv[i::INT])) AS BIGINT) AS sc
@@ -3269,10 +3375,46 @@ object SparkEntry {
 
     "q123_kmeans_train" ->
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> floor(x::DOUBLE * 1000)::BIGINT) AS qv FROM embeddings),
-         |kinit AS (SELECT vec_id AS centroid_id, qv AS cv FROM v WHERE vec_id < 8),
-         |${lloydCtesSql("v", "kinit", 64, KmeansIters, Seq.empty, "c")}
+         |${trainSampleCtesSql("v")},
+         |${lloydCtesSql("tv", "kinit", 64, KmeansIters, Seq.empty, "c")}
          |SELECT centroid_id, unnest(range(0, 64)) AS dim, unnest(cv) AS cval
          |FROM c ORDER BY centroid_id, dim""".stripMargin,
+
+    "q127_bpe_train_merges" ->
+      s"""WITH bw AS (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest($tokensLowerSql) AS word FROM documents)
+         |  GROUP BY word),
+         |bs0 AS (
+         |  SELECT word, freq,
+         |         array_to_string(list_transform(regexp_extract_all(word, '.'),
+         |           c -> chr(31) || c || chr(31)), ' ') AS seq
+         |  FROM bw),
+         |${bpeCtesSql(BpeSteps)}
+         |SELECT * FROM (
+         |${(1 to BpeSteps).map(t =>
+             s"""  SELECT CAST($t AS BIGINT) AS step, replace(a, chr(31), '') AS "left",
+                |         replace(b, chr(31), '') AS "right", pair_count FROM bb$t""".stripMargin)
+             .mkString("\n  UNION ALL\n")}
+         |)
+         |ORDER BY step""".stripMargin,
+
+    "q128_sequence_packing" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         CASE WHEN trim(text) = '' THEN 0
+         |              ELSE len($tokensLowerSql) END::BIGINT AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, n_tokens,
+         |         CAST(sum(n_tokens) OVER (ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens AS "offset"
+         |  FROM t)
+         |SELECT doc_id, n_tokens, "offset",
+         |       "offset" // $PackSeqLen AS first_seq,
+         |       ("offset" + greatest(n_tokens, 1) - 1) // $PackSeqLen AS last_seq,
+         |       ("offset" + greatest(n_tokens, 1) - 1) // $PackSeqLen - "offset" // $PackSeqLen + 1 AS n_seqs
+         |FROM c ORDER BY doc_id""".stripMargin,
 
     "q126_leakage_safe_split" ->
       s"""WITH $lshPairsCtes,
@@ -3323,8 +3465,8 @@ object SparkEntry {
 
     "q124_ivfpq_residual_topk" ->
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> floor(x::DOUBLE * 1000)::BIGINT) AS qv FROM embeddings),
-         |kinit AS (SELECT vec_id AS centroid_id, qv AS cv FROM v WHERE vec_id < 8),
-         |${lloydCtesSql("v", "kinit", 64, KmeansIters, Seq.empty, "c")},
+         |${trainSampleCtesSql("v")},
+         |${lloydCtesSql("tv", "kinit", 64, KmeansIters, Seq.empty, "c")},
          |ad AS (
          |  SELECT v.vec_id, c.centroid_id,
          |         CAST(list_sum(list_transform(range(1, 65),
@@ -3340,8 +3482,9 @@ object SparkEntry {
          |                rv[(r.range * 8 + 1)::INT:(r.range * 8 + 8)::INT] AS sv
          |         FROM res, range(0, 8) r),
          |pv AS (SELECT sub_id, vec_id, sv AS qv FROM rsub),
-         |pinit AS (SELECT sub_id, vec_id AS centroid_id, qv AS cv FROM pv WHERE vec_id < 8),
-         |${lloydCtesSql("pv", "pinit", 8, KmeansIters, Seq("sub_id"), "pcb", prefix = "p")},
+         |ptv AS (SELECT pv.* FROM pv, kp WHERE vec_id % kp.m = 0),
+         |pinit AS (SELECT sub_id, vec_id AS centroid_id, qv AS cv FROM ptv, kp WHERE vec_id < 8 * kp.m),
+         |${lloydCtesSql("ptv", "pinit", 8, KmeansIters, Seq("sub_id"), "pcb", prefix = "p")},
          |cb AS (SELECT sub_id, centroid_id AS code, cv AS cbv FROM pcb),
          |ed AS (
          |  SELECT s.vec_id, s.centroid_id, s.sub_id, b.code,

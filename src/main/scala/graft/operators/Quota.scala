@@ -63,6 +63,36 @@ object Quota {
       .drop("__bkt", "__before", "quota")
   }
 
+  /** GLOBAL (no group) inclusive running sum of `weightCol` in
+    * (`bucket` asc, ordCols) order — the corpus-wide prefix sum behind
+    * sequence packing and similar "position in the global stream"
+    * operators, computed WITHOUT a partitionless window over the corpus
+    * (which would drag every row through one task). Same bucket
+    * contract as rankedQuota; the only serial stage is the cumulative
+    * over the per-bucket aggregate (#buckets rows — keep buckets
+    * ~sqrt(N) or a few hundred).
+    */
+  def globalCumSum(
+      df: DataFrame,
+      bucket: Column,
+      ordCols: Seq[Column],
+      weightCol: String,
+      cumCol: String
+  ): DataFrame = {
+    val base = df.withColumn("__bkt", bucket)
+    val wc = Window.orderBy(col("__bkt").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cuts = base.groupBy(col("__bkt"))
+      .agg(sum(col(weightCol)).as("__bw"))
+      .withColumn("__before", coalesce(sum(col("__bw")).over(wc), lit(0L)))
+      .select(col("__bkt"), col("__before"))
+    val wb = Window.partitionBy("__bkt").orderBy(ordCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(broadcast(cuts), Seq("__bkt"))
+      .withColumn(cumCol, col("__before") + sum(col(weightCol)).over(wb))
+      .drop("__bkt", "__before")
+  }
+
   /** Rows per group whose running `weightCol` total in (`bucket`,
     * ordCols) order stays within `budget` (cutoff INCLUSIVE of the
     * current row, matching `sum().over(unboundedPreceding..currentRow)

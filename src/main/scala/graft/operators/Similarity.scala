@@ -497,7 +497,8 @@ object Similarity {
       k: Int,
       nprobe: Int,
       iters: Int,
-      scale: Int = 1000
+      scale: Int = 1000,
+      codebookTrainIds: Option[DataFrame] = None
   ): DataFrame = {
     val cents = qcentroids.select(col("centroid_id"), col("cv"))
     // corpus residuals from the L2-assigned cell
@@ -508,10 +509,15 @@ object Similarity {
         zip_with(col("qv"), col("cv"), (x, c) => x - c).as("rv"))
       .localCheckpoint(false) // feeds codebook training AND encoding
     val rs = slicesQ(res, Seq("id", "centroid_id"), "rv", m)
-    // per-subspace codebooks trained on the residuals
+    // per-subspace codebooks trained on the residuals — of the bounded
+    // training sample when one is given (the assignment/encode below
+    // always covers the full corpus)
+    val trainRs = codebookTrainIds
+      .map(ids => rs.join(ids.select(col(idCol).as("id")).distinct(), Seq("id")))
+      .getOrElse(rs)
     val cb = lloydIterate(
-      rs.select(col("sub_id").as("grp"), col("id"), col("sv").as("qv")),
-      rs.join(codebookInitIds.select(col(idCol).as("id")).distinct(), Seq("id"))
+      trainRs.select(col("sub_id").as("grp"), col("id"), col("sv").as("qv")),
+      trainRs.join(codebookInitIds.select(col(idCol).as("id")).distinct(), Seq("id"))
         .select(col("sub_id").as("grp"), col("id").as("centroid_id"), col("sv").as("cv")),
       iters)
       .select(col("grp").as("sub_id"), col("centroid_id").as("code"), col("cv").as("cbv"))

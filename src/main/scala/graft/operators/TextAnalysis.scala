@@ -174,4 +174,68 @@ object TextAnalysis {
     */
   def winnowingFingerprints(text: Column, k: Int = 8, w: Int = 8): Column =
     org.apache.spark.sql.graft.GraftFunctions.winnowingFingerprints(lower(text), k, w)
+
+  /** The sentinel wrapping every BPE symbol in bpeTopMerges' working
+    * sequences (U+001F unit separator — absent from the corpus text by
+    * construction of the testdata; shared with the generated oracle SQL).
+    */
+  val BpeSep = ""
+
+  /** BPE tokenizer TRAINING on the corpus (Sennrich et al. ACL'16): the
+    * iterated half of byte-pair encoding — count adjacent symbol pairs
+    * over the word-frequency table, merge the most frequent pair
+    * everywhere, repeat. Exactly the greedy left-to-right non-overlap
+    * semantics real BPE uses, because both engines' `replace` IS
+    * left-to-right non-overlapping substitution; symbols are wrapped in
+    * U+001F sentinels so a merge can never match across a symbol
+    * boundary. Ties break on (pair count DESC, left ASC, right ASC) —
+    * binary string order in both engines.
+    *
+    * Returns one row per merge step: (step, left, right, pair_count)
+    * with human-readable (sentinel-stripped) symbols.
+    *
+    * Scale shape: the working state is the WORD-FREQUENCY table (vocab,
+    * not corpus) — the corpus is touched once to build it; each step is
+    * one narrow explode + one map-side-combined count + a 1-row argmax
+    * broadcast back onto the vocab. Each step's sequences are lazily
+    * checkpointed so step t does not replay steps 1..t-1.
+    */
+  def bpeTopMerges(
+      docs: DataFrame,
+      textCol: String,
+      steps: Int
+  ): DataFrame = {
+    val S = BpeSep
+    var words = docs
+      .select(explode(TextFunctions.whitespaceTokens(lower(col(textCol)))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("seq",
+        array_join(transform(expr("regexp_extract_all(word, '.', 0)"),
+          c => concat(lit(S), c, lit(S))), " "))
+      .localCheckpoint(false)
+    val merges = (1 to steps).map { step =>
+      val arr = split(col("seq"), " ")
+      val pairs = words
+        .select(col("freq"),
+          explode(arrays_zip(
+            slice(arr, lit(1), size(arr) - 1).as("a"),
+            slice(arr, lit(2), size(arr) - 1).as("b"))).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"), col("freq"))
+        .filter(col("b").isNotNull)
+      val best = pairs.groupBy("a", "b").agg(sum("freq").as("pair_count"))
+        .orderBy(col("pair_count").desc, col("a").asc, col("b").asc)
+        .limit(1)
+        .localCheckpoint(false)
+      words = words.crossJoin(broadcast(best))
+        .withColumn("seq",
+          expr("replace(seq, a || ' ' || b, substring(a, 1, length(a) - 1) || substring(b, 2))"))
+        .select("word", "freq", "seq")
+        .localCheckpoint(false)
+      best.select(lit(step.toLong).as("step"),
+        regexp_replace(col("a"), S, "").as("left"),
+        regexp_replace(col("b"), S, "").as("right"),
+        col("pair_count"))
+    }
+    merges.reduce(_.union(_))
+  }
 }

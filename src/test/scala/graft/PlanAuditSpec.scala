@@ -44,6 +44,8 @@ class PlanAuditSpec extends SparkSpec {
     // (n_tot, sum_w) aggregate — the q74/q97 1-row-broadcast-total
     // shape, not an all-pairs plan
     "q125_lang_upsample_epochs",
+    // q128: same 1-row-broadcast shape (the bucket-width aggregate)
+    "q128_sequence_packing",
     "q46_dedup_embed_cosine", "q51_match_inverted_5k",
     "q60_embed_centroid_update", "q74_boilerplate_strip", "q97_revenue_share",
     "q58_tfidf_top_terms", "q105_scorer_long_needle",
