@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
@@ -2097,6 +2097,42 @@ object SparkEntry {
         .orderBy("centroid_id", "dim")
     }),
 
+    // pillar text analysis: COUNT-MIN SKETCH heavy hitters — the
+    // fixed-memory frequency sketch (Cormode & Muthukrishnan '05): d=4
+    // md5-derived hash rows x w=256 buckets, built map-side-combined
+    // from the term dictionary; per-term estimate = min over rows of its
+    // bucket counter (>= exact count ALWAYS — the sketch's one-sided
+    // guarantee, which the output exposes as `over` = est - exact). At
+    // 100 TB the 4x256-long sketch replaces the unbounded exact term
+    // dictionary for frequency estimation; candidates here come from
+    // the dictionary so the oracle can check every estimate exactly.
+    // Integer end-to-end.
+    "q129_cms_heavy_hitters" -> ((s, dir) => {
+      val d = 4
+      val w = 256
+      val terms = spread(s, rd(s, dir, "documents"))
+        .select(explode(TextFunctions.whitespaceTokens(lower(col("text")))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(false) // feeds the sketch build AND the estimate probe
+      def bucket(j: Int): Column =
+        pmod(conv(substring(md5(concat(lit(s"$j:"), col("term"))), 1, 15), 16, 10)
+          .cast("long"), lit(w.toLong))
+      val rows = (0 until d).map(j =>
+        terms.select(lit(j.toLong).as("j"), bucket(j).as("bkt"), col("cnt")))
+      val sketch = rows.reduce(_.union(_))
+        .groupBy("j", "bkt").agg(sum("cnt").as("c"))
+      val probes = (0 until d).map(j =>
+        terms.select(col("term"), col("cnt"), lit(j.toLong).as("j"), bucket(j).as("bkt")))
+      val est = probes.reduce(_.union(_))
+        .join(broadcast(sketch), Seq("j", "bkt"))
+        .groupBy("term", "cnt").agg(min("c").as("est"))
+      est
+        .withColumn("over", col("est") - col("cnt"))
+        .orderBy(col("est").desc, col("term").asc)
+        .limit(20)
+        .select("term", "cnt", "est", "over")
+    }),
+
     // pillar text analysis: BPE TOKENIZER TRAINING (Sennrich ACL'16) —
     // the iterated argmax pair-merge over the corpus word-frequency
     // table, the algorithm behind every production subword vocabulary.
@@ -3379,6 +3415,28 @@ object SparkEntry {
          |${lloydCtesSql("tv", "kinit", 64, KmeansIters, Seq.empty, "c")}
          |SELECT centroid_id, unnest(range(0, 64)) AS dim, unnest(cv) AS cval
          |FROM c ORDER BY centroid_id, dim""".stripMargin,
+
+    "q129_cms_heavy_hitters" ->
+      s"""WITH terms AS (
+         |  SELECT word AS term, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest($tokensLowerSql) AS word FROM documents)
+         |  GROUP BY word),
+         |rows_ AS (
+         |  SELECT j.range AS j,
+         |         ('0x' || substr(md5(j.range || ':' || term), 1, 15))::BIGINT % 256 AS bkt,
+         |         cnt
+         |  FROM terms, range(0, 4) j),
+         |sketch AS (SELECT j, bkt, CAST(sum(cnt) AS BIGINT) AS c FROM rows_ GROUP BY j, bkt),
+         |est AS (
+         |  SELECT t.term, t.cnt, CAST(min(s.c) AS BIGINT) AS est
+         |  FROM (SELECT j.range AS j,
+         |               ('0x' || substr(md5(j.range || ':' || term), 1, 15))::BIGINT % 256 AS bkt,
+         |               term, cnt
+         |        FROM terms, range(0, 4) j) t
+         |  JOIN sketch s ON s.j = t.j AND s.bkt = t.bkt
+         |  GROUP BY t.term, t.cnt)
+         |SELECT term, cnt, est, est - cnt AS "over"
+         |FROM est ORDER BY est DESC, term ASC LIMIT 20""".stripMargin,
 
     "q127_bpe_train_merges" ->
       s"""WITH bw AS (
