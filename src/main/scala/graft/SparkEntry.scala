@@ -2069,6 +2069,41 @@ object SparkEntry {
       } finally Staging.discard(stage)
     }),
 
+    // pillar similarity + streaming: STREAMING QUANTIZER UPDATE — one
+    // Lloyd step per arriving micro-batch through the foreachBatch
+    // bridge (mini-batch k-means, the shape that keeps an ANN/SemDeDup
+    // quantizer current as a corpus streams in). The staged snapshot
+    // arrives as ONE file -> ONE batch, so the result provably equals
+    // the batch operator at iters = 1 (the q104/q121 bridge gate: same
+    // oracle, the streaming plumbing must not change answers).
+    "q130_stream_kmeans_update" -> ((s, dir) => {
+      val stage = Staging.dir("q130-")
+      try {
+        val inDir = stage.resolve("in")
+        java.nio.file.Files.createDirectories(inDir)
+        java.nio.file.Files.createSymbolicLink(
+          inDir.resolve("embeddings.parquet"),
+          java.nio.file.Paths.get(s"$dir/embeddings.parquet").toAbsolutePath.normalize())
+        val outDir = stage.resolve("out").toString
+        val schema = rd(s, dir, "embeddings").schema
+        val incoming = s.readStream.schema(schema).parquet(inDir.toString)
+        val q = graft.streaming.EventStream.foreachBatchSink(incoming, identity) {
+          (batch, batchId) =>
+            Similarity.trainCentroids(spread(s, batch), "vec_id", "embedding",
+                batch.filter(col("vec_id") < 8).select("vec_id"), iters = 1)
+              .select(col("centroid_id"), posexplode(col("cv")).as(Seq("dim", "cval")))
+              .select(col("centroid_id"), col("dim").cast("long").as("dim"), col("cval"))
+              .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        }.start()
+        try {
+          if (!q.awaitTermination(300000))
+            throw new IllegalStateException("q130 stream did not finish within 300s")
+        } finally if (q.isActive) q.stop()
+        s.read.parquet(outDir).drop("batch")
+          .orderBy("centroid_id", "dim").localCheckpoint(true)
+      } finally Staging.discard(stage)
+    }),
+
     // pillar dedup/similarity: SEMANTIC group resolution — the q52
     // connected-components operator over the embedding-cosine pair graph
     // instead of the MinHash one: (vec_id, keep_id) with keep_id = the
@@ -3413,6 +3448,13 @@ object SparkEntry {
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> floor(x::DOUBLE * 1000)::BIGINT) AS qv FROM embeddings),
          |${trainSampleCtesSql("v")},
          |${lloydCtesSql("tv", "kinit", 64, KmeansIters, Seq.empty, "c")}
+         |SELECT centroid_id, unnest(range(0, 64)) AS dim, unnest(cv) AS cval
+         |FROM c ORDER BY centroid_id, dim""".stripMargin,
+
+    "q130_stream_kmeans_update" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> floor(x::DOUBLE * 1000)::BIGINT) AS qv FROM embeddings),
+         |kinit AS (SELECT vec_id AS centroid_id, qv AS cv FROM v WHERE vec_id < 8),
+         |${lloydCtesSql("v", "kinit", 64, 1, Seq.empty, "c")}
          |SELECT centroid_id, unnest(range(0, 64)) AS dim, unnest(cv) AS cval
          |FROM c ORDER BY centroid_id, dim""".stripMargin,
 

@@ -62,9 +62,10 @@ class PlanAuditSpec extends SparkSpec {
   private val skipped = Set(
     "q52_dedup_groups", "q53_events_hourly_stream", "q71_stream_dedup",
     "q77_bucketed_join", "q84_stream_sessions", "q104_stream_foreach_dedup",
-    // q121 runs a stream, q122 runs the q52-style propagation loop —
-    // both execute work inside the builder
-    "q121_stream_incremental_dedup", "q122_semdedup_groups")
+    // q121/q130 run streams, q122 runs the q52-style propagation loop —
+    // all execute work inside the builder
+    "q121_stream_incremental_dedup", "q122_semdedup_groups",
+    "q130_stream_kmeans_update")
 
   private val dir = "/root/testdata/sf0.001"
 
