@@ -1990,6 +1990,36 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // pillar dedup + physical layout: PERSISTED SIGNATURE TABLE round
+    // trip — the 100 TB shape q118's scaladoc promises, actually
+    // exercised: the corpus's LSH band table is WRITTEN ONCE as a parquet
+    // table bucketed+sorted on the (band, key) join key (q77's amortized
+    // staging pattern), and the incremental dedup READS it back — the
+    // candidate equi-join runs with NO exchange on the (huge, persisted)
+    // corpus side (BucketedJoinSpec pins the plan); only the small
+    // incoming batch shuffles into the bucket layout. Same oracle as
+    // q118: the round trip provably changes nothing.
+    "q132_persisted_sig_dedup" -> ((s, dir) => {
+      val docs = spread(s, rd(s, dir, "documents"))
+      val incoming = docs.filter(col("doc_id") % IncrementalMod === IncrementalMod - 1)
+      if (sigStagedFor.get() != dir || !s.catalog.tableExists("graft_sig_bkt")) {
+        val tmp = Staging.dir("sigtable-").toString
+        s.sql("DROP TABLE IF EXISTS graft_sig_bkt")
+        val corpus = docs.filter(col("doc_id") % IncrementalMod =!= IncrementalMod - 1)
+        Dedup.signatureBands(corpus, "doc_id", "text",
+            shingleN = 4, numHashes = 8, rowsPerBand = 4)
+          .write.format("parquet")
+          .bucketBy(8, "band", "key").sortBy("band", "key")
+          .option("path", s"$tmp/sig").mode("overwrite")
+          .saveAsTable("graft_sig_bkt")
+        sigStagedFor.set(dir)
+      }
+      Dedup.incrementalNearDupFilterOnBands(incoming, s.table("graft_sig_bkt"),
+          "doc_id", "text", shingleN = 4, numHashes = 8, rowsPerBand = 4,
+          threshold = 0.4)
+        .orderBy("doc_id")
+    }),
+
     // pillar text analysis: GRADED benchmark contamination — q85/q113
     // decide a boolean (any shared span); real decontamination triages by
     // the overlap FRACTION (n-gram overlap ratio, the GPT-3/PaLM
@@ -2067,6 +2097,35 @@ object SparkEntry {
         // idempotency key, not part of the operator's answer)
         s.read.parquet(outDir).drop("batch").orderBy("doc_id").localCheckpoint(true)
       } finally Staging.discard(stage)
+    }),
+
+    // pillar similarity: ANN QUALITY REPORT — the recall@k / MRR audit
+    // an ANN deployment runs continuously, as a first-class query: the
+    // trained-IVF index (q43's exact configuration) joined against
+    // exhaustive cosine truth for the same queries; per query the hit
+    // count, recall@3, and the reciprocal rank the index gives the TRUE
+    // nearest neighbor (0.0 when it falls outside the probed cells).
+    // This operationalizes the spec-level recall gates as a monitorable
+    // data-pipeline surface.
+    "q131_ann_quality_report" -> ((s, dir) => {
+      val e = rd(s, dir, "embeddings")
+      val (tr, init) = trainSample8(s, e)
+      val cents = Similarity.trainCentroids(tr, "vec_id", "embedding", init, KmeansIters)
+      val queries = e.filter(col("vec_id") < 10)
+      val approx = Similarity.ivfTopKQ(queries, spread(s, e), cents,
+          "vec_id", "embedding", k = 3, nprobe = 2)
+        .select("q_id", "r_id", "rank")
+      val truth = Similarity.cosineTopK(queries, spread(s, e), "vec_id", "embedding", 3)
+        .select(col("q_id"), col("r_id"), col("rank").as("xrank"))
+      truth.join(approx, Seq("q_id", "r_id"), "left")
+        .groupBy("q_id")
+        .agg(
+          count(col("rank")).as("n_hits"),
+          min(when(col("xrank") === 1, col("rank"))).as("rot"))
+        .select(col("q_id"), col("n_hits"),
+          (col("n_hits").cast("double") / 3).as("recall_at_3"),
+          coalesce(lit(1.0) / col("rot"), lit(0.0)).as("rr_top1"))
+        .orderBy("q_id")
     }),
 
     // pillar similarity + streaming: STREAMING QUANTIZER UPDATE — one
@@ -2401,6 +2460,12 @@ object SparkEntry {
   private val bucketedStagedFor =
     new java.util.concurrent.atomic.AtomicReference[String](null)
 
+  /** Source dir whose persisted q132 signature table is currently live in
+    * this JVM's catalog (null until first write).
+    */
+  private val sigStagedFor =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
   /** Signed-random-projection hyperplanes: 16 planes x 64 dims of
     * Rademacher +-1 entries derived from md5 parity, so the Spark query
     * and the generated oracle SQL share one deterministic source of truth
@@ -2570,6 +2635,29 @@ object SparkEntry {
   private val lshJaccSql =
     """len(list_intersect(da.hb, db.hb))::DOUBLE
       |           / (len(da.hb) + len(db.hb) - len(list_intersect(da.hb, db.hb)))""".stripMargin
+
+  /** Full incremental-dedup oracle (q118's body), shared VERBATIM by
+    * q121 (the foreachBatch bridge) and q132 (the persisted-signature-
+    * table round trip): neither the streaming bridge nor the bucketed
+    * storage layout may change the operator's answers.
+    */
+  private lazy val incrementalDedupOracle: String =
+    s"""WITH $lshBandCtes,
+       |inc AS (SELECT * FROM band WHERE doc_id % $IncrementalMod = ${IncrementalMod - 1}),
+       |corp AS (SELECT * FROM band WHERE doc_id % $IncrementalMod <> ${IncrementalMod - 1}),
+       |cand AS (
+       |  SELECT DISTINCT i.doc_id AS in_id, c.doc_id AS corp_id
+       |  FROM inc i JOIN corp c ON i.band = c.band AND i.key = c.key),
+       |ver AS (
+       |  SELECT c.in_id, c.corp_id
+       |  FROM cand c JOIN ok da ON da.doc_id = c.in_id JOIN ok db ON db.doc_id = c.corp_id
+       |  WHERE $lshJaccSql >= 0.4),
+       |cnt AS (SELECT in_id, count(*) AS n_dups FROM ver GROUP BY in_id)
+       |SELECT d.doc_id, coalesce(c.n_dups, 0)::BIGINT AS n_dups,
+       |       (CASE WHEN coalesce(c.n_dups, 0) = 0 THEN 1 ELSE 0 END)::BIGINT AS kept
+       |FROM documents d LEFT JOIN cnt c ON c.in_id = d.doc_id
+       |WHERE d.doc_id % $IncrementalMod = ${IncrementalMod - 1}
+       |ORDER BY d.doc_id""".stripMargin
 
   private lazy val lshPairsCtes: String =
     s"""$lshBandCtes,
@@ -3355,23 +3443,7 @@ object SparkEntry {
          |FROM assign a LEFT JOIN dup d ON d.vec_id = a.vec_id
          |ORDER BY a.vec_id""".stripMargin,
 
-    "q118_incremental_dedup" ->
-      s"""WITH $lshBandCtes,
-         |inc AS (SELECT * FROM band WHERE doc_id % $IncrementalMod = ${IncrementalMod - 1}),
-         |corp AS (SELECT * FROM band WHERE doc_id % $IncrementalMod <> ${IncrementalMod - 1}),
-         |cand AS (
-         |  SELECT DISTINCT i.doc_id AS in_id, c.doc_id AS corp_id
-         |  FROM inc i JOIN corp c ON i.band = c.band AND i.key = c.key),
-         |ver AS (
-         |  SELECT c.in_id, c.corp_id
-         |  FROM cand c JOIN ok da ON da.doc_id = c.in_id JOIN ok db ON db.doc_id = c.corp_id
-         |  WHERE $lshJaccSql >= 0.4),
-         |cnt AS (SELECT in_id, count(*) AS n_dups FROM ver GROUP BY in_id)
-         |SELECT d.doc_id, coalesce(c.n_dups, 0)::BIGINT AS n_dups,
-         |       (CASE WHEN coalesce(c.n_dups, 0) = 0 THEN 1 ELSE 0 END)::BIGINT AS kept
-         |FROM documents d LEFT JOIN cnt c ON c.in_id = d.doc_id
-         |WHERE d.doc_id % $IncrementalMod = ${IncrementalMod - 1}
-         |ORDER BY d.doc_id""".stripMargin,
+    "q118_incremental_dedup" -> incrementalDedupOracle,
 
     "q119_contamination_overlap" ->
       s"""WITH sh AS (SELECT doc_id,
@@ -3411,23 +3483,12 @@ object SparkEntry {
 
     // the foreachBatch bridge must not change answers: q121 shares q118's
     // oracle verbatim (incremental dedup through the stream == batch)
-    "q121_stream_incremental_dedup" ->
-      s"""WITH $lshBandCtes,
-         |inc AS (SELECT * FROM band WHERE doc_id % $IncrementalMod = ${IncrementalMod - 1}),
-         |corp AS (SELECT * FROM band WHERE doc_id % $IncrementalMod <> ${IncrementalMod - 1}),
-         |cand AS (
-         |  SELECT DISTINCT i.doc_id AS in_id, c.doc_id AS corp_id
-         |  FROM inc i JOIN corp c ON i.band = c.band AND i.key = c.key),
-         |ver AS (
-         |  SELECT c.in_id, c.corp_id
-         |  FROM cand c JOIN ok da ON da.doc_id = c.in_id JOIN ok db ON db.doc_id = c.corp_id
-         |  WHERE $lshJaccSql >= 0.4),
-         |cnt AS (SELECT in_id, count(*) AS n_dups FROM ver GROUP BY in_id)
-         |SELECT d.doc_id, coalesce(c.n_dups, 0)::BIGINT AS n_dups,
-         |       (CASE WHEN coalesce(c.n_dups, 0) = 0 THEN 1 ELSE 0 END)::BIGINT AS kept
-         |FROM documents d LEFT JOIN cnt c ON c.in_id = d.doc_id
-         |WHERE d.doc_id % $IncrementalMod = ${IncrementalMod - 1}
-         |ORDER BY d.doc_id""".stripMargin,
+    "q121_stream_incremental_dedup" -> incrementalDedupOracle,
+
+    // the bucketed round trip must not change answers: q132 shares q118's
+    // oracle verbatim (dedup against the persisted signature table ==
+    // dedup against signatures derived in-plan)
+    "q132_persisted_sig_dedup" -> incrementalDedupOracle,
 
     // transitive closure over the within-cluster cosine pair graph
     // (q52's recursive-CTE shape on the q46/q117 embedding CTEs)
@@ -3457,6 +3518,51 @@ object SparkEntry {
          |${lloydCtesSql("v", "kinit", 64, 1, Seq.empty, "c")}
          |SELECT centroid_id, unnest(range(0, 64)) AS dim, unnest(cv) AS cval
          |FROM c ORDER BY centroid_id, dim""".stripMargin,
+
+    "q131_ann_quality_report" ->
+      s"""WITH v AS (SELECT vec_id,
+        |             list_transform(embedding, x -> floor(x::DOUBLE * 1000)::BIGINT) AS qv,
+        |             list_transform(embedding, x -> x::DOUBLE) AS dv
+        |           FROM embeddings),
+        |${trainSampleCtesSql("v")},
+        |${lloydCtesSql("tv", "kinit", 64, KmeansIters, Seq.empty, "c")},
+        |score AS (
+        |  SELECT v.vec_id AS id, c.centroid_id,
+        |         CAST(list_sum(list_transform(range(1, 65), i -> v.qv[i::INT] * c.cv[i::INT])) AS BIGINT) AS sc
+        |  FROM v CROSS JOIN c),
+        |assign AS (
+        |  SELECT id AS r_id, centroid_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY sc DESC, centroid_id ASC) AS rk FROM score)
+        |  WHERE rk = 1),
+        |probes AS (
+        |  SELECT id AS q_id, centroid_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY sc DESC, centroid_id ASC) AS rk
+        |    FROM score WHERE id < 10)
+        |  WHERE rk <= 2),
+        |n AS (SELECT vec_id, dv, sqrt(list_sum(list_transform(dv, x -> x * x))) AS nrm FROM v),
+        |cand AS (SELECT q_id, r_id FROM probes JOIN assign USING (centroid_id) WHERE q_id <> r_id),
+        |ref AS (
+        |  SELECT cand.q_id, cand.r_id,
+        |         list_sum(list_transform(range(1, 65), i -> qn.dv[i::INT] * rn.dv[i::INT])) / (qn.nrm * rn.nrm) AS cos_sim
+        |  FROM cand JOIN n qn ON qn.vec_id = cand.q_id JOIN n rn ON rn.vec_id = cand.r_id),
+        |approx AS (SELECT q_id, r_id, rank FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, r_id ASC) AS rank FROM ref)
+        |  WHERE rank <= 3),
+        |ex AS (
+        |  SELECT q.vec_id AS q_id, r.vec_id AS r_id,
+        |         list_sum(list_transform(range(1, 65), i -> q.dv[i::INT] * r.dv[i::INT])) / (q.nrm * r.nrm) AS cos_sim
+        |  FROM n q JOIN n r ON q.vec_id < 10 AND q.vec_id <> r.vec_id),
+        |truth AS (SELECT q_id, r_id, xrank FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, r_id ASC) AS xrank FROM ex)
+        |  WHERE xrank <= 3),
+        |hits AS (
+        |  SELECT t.q_id, CAST(count(a.rank) AS BIGINT) AS n_hits,
+        |         min(CASE WHEN t.xrank = 1 THEN a.rank END) AS rot
+        |  FROM truth t LEFT JOIN approx a ON a.q_id = t.q_id AND a.r_id = t.r_id
+        |  GROUP BY t.q_id)
+        |SELECT q_id, n_hits, n_hits::DOUBLE / 3 AS recall_at_3,
+        |       coalesce(1.0 / rot, 0.0) AS rr_top1
+        |FROM hits ORDER BY q_id""".stripMargin,
 
     "q129_cms_heavy_hitters" ->
       s"""WITH terms AS (

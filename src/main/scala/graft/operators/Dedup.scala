@@ -249,14 +249,51 @@ object Dedup {
       numHashes: Int = 8,
       rowsPerBand: Int = 4,
       threshold: Double = 0.4
+  ): DataFrame =
+    incrementalNearDupFilterOnBands(incoming,
+      signatureBands(corpus, idCol, textCol, shingleN, numHashes, rowsPerBand),
+      idCol, textCol, shingleN, numHashes, rowsPerBand, threshold)
+
+  /** The (id, hs, band, key) LSH band table of a document frame — the
+    * PERSISTABLE signature-index shape. At 100 TB this table is written
+    * ONCE per ingest, bucketed by the (band, key) join key, and every
+    * later snapshot's incremental dedup reads it back shuffle-free
+    * (q132 exercises the full round trip; BucketedJoinSpec pins the
+    * corpus-side no-exchange plan).
+    */
+  def signatureBands(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 4,
+      numHashes: Int = 8,
+      rowsPerBand: Int = 4
+  ): DataFrame =
+    bandExplode(hashedSignatures(docs, idCol, textCol, shingleN, numHashes),
+      idCol, numHashes / rowsPerBand, rowsPerBand)
+
+  /** As `incrementalNearDupFilter`, but the corpus side is a pre-built
+    * band table in `signatureBands` shape — the persisted-signature-table
+    * entry point: feed it `spark.table("sig_table")` where the table was
+    * written bucketed by (band, key) and the candidate equi-join runs with
+    * no exchange on the (huge) corpus side; only the incoming batch's
+    * bands shuffle into the bucket layout.
+    */
+  def incrementalNearDupFilterOnBands(
+      incoming: DataFrame,
+      corpusBands: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 4,
+      numHashes: Int = 8,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.4
   ): DataFrame = {
     val numBands = numHashes / rowsPerBand
     val inBands = bandExplode(
       hashedSignatures(incoming, idCol, textCol, shingleN, numHashes),
       idCol, numBands, rowsPerBand)
-    val corpBands = bandExplode(
-      hashedSignatures(corpus, idCol, textCol, shingleN, numHashes),
-      idCol, numBands, rowsPerBand)
+    val corpBands = corpusBands
     val inter = org.apache.spark.sql.graft.LongArrayIntersectSize
       .column(col("hs_a"), col("hs_b")).cast("double")
     val dupCounts = inBands.alias("a")

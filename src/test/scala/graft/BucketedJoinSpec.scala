@@ -24,4 +24,24 @@ class BucketedJoinSpec extends SparkSpec {
       assert(plan.contains("SelectedBucketsCount"), s"scan is not bucket-aware:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("q132: persisted signature table joins with no exchange on the corpus side") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // force the sort-merge path: at test scale Spark would broadcast the
+    // corpus bands and the no-exchange property would be vacuous
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("q132_persisted_sig_dedup")(spark, "/root/testdata/sf0.001")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join:\n$plan")
+      assert(plan.contains("SelectedBucketsCount"), s"corpus scan is not bucket-aware:\n$plan")
+      // exactly ONE (band, key) hash exchange: the incoming batch
+      // shuffling into the bucket layout; the persisted corpus side rides
+      // its bucketing with no exchange at all
+      val bandExchanges = "Exchange hashpartitioning\\(band#".r
+        .findAllMatchIn(plan).size
+      assert(bandExchanges == 1,
+        s"expected exactly one (band, key) exchange (incoming side only), got $bandExchanges:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }

@@ -40,6 +40,9 @@ class PlanAuditSpec extends SparkSpec {
     // q123/q124: k-means training + IVF-PQ scores every vector against
     // the broadcast centroid set per Lloyd/assign step — same class
     "q123_kmeans_train", "q124_ivfpq_residual_topk",
+    // q131: IVF index vs exhaustive-truth audit — runs BOTH the q43 and
+    // q34 scoring passes by definition
+    "q131_ann_quality_report",
     // q125: the per-lang plan table joins the broadcast ONE-ROW
     // (n_tot, sum_w) aggregate — the q74/q97 1-row-broadcast-total
     // shape, not an all-pairs plan
@@ -65,7 +68,9 @@ class PlanAuditSpec extends SparkSpec {
     // q121/q130 run streams, q122 runs the q52-style propagation loop —
     // all execute work inside the builder
     "q121_stream_incremental_dedup", "q122_semdedup_groups",
-    "q130_stream_kmeans_update")
+    // q132 writes the bucketed signature table inside the builder (q77's
+    // staging pattern); BucketedJoinSpec pins its no-corpus-exchange plan
+    "q130_stream_kmeans_update", "q132_persisted_sig_dedup")
 
   private val dir = "/root/testdata/sf0.001"
 
