@@ -486,6 +486,41 @@ object Similarity {
     * (centroid_id, sub_id, code) — bucket membership rides the coarse
     * id in the join key, so only probed cells' members are scored.
     */
+  /** The TRAIN half of ivfPqAdcTopK, split out so a model registry can
+    * persist the artifact: residuals of `trainVecs` from their L2-assigned
+    * coarse cell, then one independent k-means per subspace over those
+    * residuals. Returns (sub_id, code, cbv) — feed back through
+    * ivfPqAdcTopK's `codebook` parameter. Residuals are per-row against
+    * the broadcast centroid set, so training on a sample frame yields
+    * bit-identical codebooks to training on the sample within the full
+    * corpus.
+    */
+  def trainResidualCodebooks(
+      trainVecs: DataFrame,
+      qcentroids: DataFrame,
+      codebookInitIds: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      iters: Int,
+      scale: Int = 1000
+  ): DataFrame = {
+    val cents = qcentroids.select(col("centroid_id"), col("cv"))
+    val res = centroidRanksL2Q(trainVecs, cents, idCol, vecCol, nprobe = 1, scale)
+      .join(broadcast(cents), Seq("centroid_id"))
+      .join(trainVecs.select(col(idCol).as("id"), quantize(col(vecCol), scale).as("qv")), Seq("id"))
+      .select(col("id"), col("centroid_id"),
+        zip_with(col("qv"), col("cv"), (x, c) => x - c).as("rv"))
+    val rs = slicesQ(res, Seq("id", "centroid_id"), "rv", m)
+      .localCheckpoint(false) // feeds the seed join AND the iterate input
+    lloydIterate(
+      rs.select(col("sub_id").as("grp"), col("id"), col("sv").as("qv")),
+      rs.join(codebookInitIds.select(col(idCol).as("id")).distinct(), Seq("id"))
+        .select(col("sub_id").as("grp"), col("id").as("centroid_id"), col("sv").as("cv")),
+      iters)
+      .select(col("grp").as("sub_id"), col("centroid_id").as("code"), col("cv").as("cbv"))
+  }
+
   def ivfPqAdcTopK(
       queries: DataFrame,
       corpus: DataFrame,
@@ -498,29 +533,36 @@ object Similarity {
       nprobe: Int,
       iters: Int,
       scale: Int = 1000,
-      codebookTrainIds: Option[DataFrame] = None
+      codebookTrainIds: Option[DataFrame] = None,
+      codebook: Option[DataFrame] = None
   ): DataFrame = {
     val cents = qcentroids.select(col("centroid_id"), col("cv"))
-    // corpus residuals from the L2-assigned cell
-    val res = centroidRanksL2Q(corpus, cents, idCol, vecCol, nprobe = 1, scale)
+    // corpus residuals from the L2-assigned cell; with inline codebook
+    // training the frame feeds BOTH training and encoding, so it gets a
+    // materialization barrier — with a registry-supplied codebook it is
+    // consumed once and stays lazy
+    val res0 = centroidRanksL2Q(corpus, cents, idCol, vecCol, nprobe = 1, scale)
       .join(broadcast(cents), Seq("centroid_id"))
       .join(corpus.select(col(idCol).as("id"), quantize(col(vecCol), scale).as("qv")), Seq("id"))
       .select(col("id"), col("centroid_id"),
         zip_with(col("qv"), col("cv"), (x, c) => x - c).as("rv"))
-      .localCheckpoint(false) // feeds codebook training AND encoding
+    val res = if (codebook.isEmpty) res0.localCheckpoint(false) else res0
     val rs = slicesQ(res, Seq("id", "centroid_id"), "rv", m)
-    // per-subspace codebooks trained on the residuals — of the bounded
-    // training sample when one is given (the assignment/encode below
-    // always covers the full corpus)
-    val trainRs = codebookTrainIds
-      .map(ids => rs.join(ids.select(col(idCol).as("id")).distinct(), Seq("id")))
-      .getOrElse(rs)
-    val cb = lloydIterate(
-      trainRs.select(col("sub_id").as("grp"), col("id"), col("sv").as("qv")),
-      trainRs.join(codebookInitIds.select(col(idCol).as("id")).distinct(), Seq("id"))
-        .select(col("sub_id").as("grp"), col("id").as("centroid_id"), col("sv").as("cv")),
-      iters)
-      .select(col("grp").as("sub_id"), col("centroid_id").as("code"), col("cv").as("cbv"))
+    // per-subspace codebooks: a pre-trained registry artifact when given,
+    // else trained inline on the residuals — of the bounded training
+    // sample when one is given (the assignment/encode below always
+    // covers the full corpus)
+    val cb = codebook.map(_.select(col("sub_id"), col("code"), col("cbv"))).getOrElse {
+      val trainRs = codebookTrainIds
+        .map(ids => rs.join(ids.select(col(idCol).as("id")).distinct(), Seq("id")))
+        .getOrElse(rs)
+      lloydIterate(
+        trainRs.select(col("sub_id").as("grp"), col("id"), col("sv").as("qv")),
+        trainRs.join(codebookInitIds.select(col(idCol).as("id")).distinct(), Seq("id"))
+          .select(col("sub_id").as("grp"), col("id").as("centroid_id"), col("sv").as("cv")),
+        iters)
+        .select(col("grp").as("sub_id"), col("centroid_id").as("code"), col("cv").as("cbv"))
+    }
     // encode: nearest residual codeword per (vector, subspace)
     val codes = rs.join(broadcast(cb), Seq("sub_id"))
       .withColumn("dq", sqDistQ(col("sv"), col("cbv")))
