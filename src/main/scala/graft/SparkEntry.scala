@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, HeurFuzz, Multimodal, Quota, Similarity, TextAnalysis}
+import graft.operators.{Dedup, HeurFuzz, Multimodal, Quota, Similarity, Sketches, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -2030,6 +2030,32 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // pillar sketches: HLL APPROXIMATE DISTINCT COUNT — per-event-type
+    // distinct active user-days (the DAU-style metric) from a 64-register
+    // HyperLogLog: one map-side-combined max shuffle builds the register
+    // table, and registers are MERGEABLE (max is associative), so
+    // per-partition/per-day/per-source sketches union into a corpus
+    // sketch without re-touching raw data. Audited against the exact
+    // count(DISTINCT) in the same result (the exact side is the sf-scale
+    // audit; at 100 TB only the sketch runs). Integer shift-and-mask
+    // registers + one final IEEE division keep the estimate oracle-exact
+    // bit-for-bit.
+    "q133_hll_distinct" -> ((s, dir) => {
+      val ud = spread(s, rd(s, dir, "events"))
+        .select(col("event_type"),
+          concat(col("user_id").cast("string"), lit(":"),
+            expr("ts div 86400000000000").cast("string")).as("user_day"))
+        .localCheckpoint(false) // feeds the sketch AND the exact audit
+      val sk = Sketches.hllDistinct(ud, "event_type", "user_day")
+      val exact = ud.groupBy("event_type")
+        .agg(countDistinct(col("user_day")).as("n_exact"))
+      sk.join(exact, Seq("event_type"))
+        .select(col("event_type"), col("n_zero_regs"), col("hll_est"),
+          col("n_exact"),
+          ((col("hll_est") - col("n_exact")) / col("n_exact")).as("rel_err"))
+        .orderBy("event_type")
+    }),
+
     // pillar text analysis: GRADED benchmark contamination — q85/q113
     // decide a boolean (any shared span); real decontamination triages by
     // the overlap FRACTION (n-gram overlap ratio, the GPT-3/PaLM
@@ -3531,6 +3557,41 @@ object SparkEntry {
     // oracle verbatim (dedup against the persisted signature table ==
     // dedup against signatures derived in-plan)
     "q132_persisted_sig_dedup" -> incrementalDedupOracle,
+
+    // HLL re-derived register-by-register: same md5-derived hash, same
+    // shift/mask window, same integer contribution sum; the estimator
+    // numerator is the SAME Scala-computed double literal on both sides,
+    // so the one final division is IEEE-identical
+    "q133_hll_distinct" ->
+      s"""WITH ud AS (
+         |  SELECT event_type,
+         |         user_id || ':' || (epoch(date_trunc('day', ts))::BIGINT // 86400)::VARCHAR AS user_day
+         |  FROM events),
+         |h AS (
+         |  SELECT event_type,
+         |         ('0x' || substr(md5('hll:' || user_day), 1, 15))::BIGINT AS hv
+         |  FROM ud),
+         |reg AS (
+         |  SELECT event_type, hv % ${Sketches.HllM} AS j,
+         |         max(CASE WHEN (hv // ${Sketches.HllM}) % ${1L << Sketches.HllWindowBits} = 0
+         |                  THEN ${Sketches.HllWindowBits + 1}
+         |                  ELSE ${Sketches.HllWindowBits + 1} - length(bin((hv // ${Sketches.HllM}) % ${1L << Sketches.HllWindowBits}))
+         |             END) AS mj
+         |  FROM h GROUP BY event_type, hv % ${Sketches.HllM}),
+         |agg AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_present,
+         |         CAST(sum(1::BIGINT << (${Sketches.HllWindowBits + 1} - mj)) AS BIGINT) AS s_present
+         |  FROM reg GROUP BY event_type),
+         |ex AS (SELECT event_type, CAST(count(DISTINCT user_day) AS BIGINT) AS n_exact
+         |       FROM ud GROUP BY event_type),
+         |est AS (
+         |  SELECT a.event_type, CAST(${Sketches.HllM} - n_present AS BIGINT) AS n_zero_regs,
+         |         ${Sketches.HllNumerator} / (s_present + (${Sketches.HllM} - n_present) * ${1L << (Sketches.HllWindowBits + 1)})::DOUBLE AS hll_est,
+         |         n_exact
+         |  FROM agg a JOIN ex ON ex.event_type = a.event_type)
+         |SELECT event_type, n_zero_regs, hll_est, n_exact,
+         |       (hll_est - n_exact) / n_exact AS rel_err
+         |FROM est ORDER BY event_type""".stripMargin,
 
     // transitive closure over the within-cluster cosine pair graph
     // (q52's recursive-CTE shape on the q46/q117 embedding CTEs)
