@@ -2276,6 +2276,26 @@ object SparkEntry {
       TextAnalysis.bpeTopMerges(spread(s, rd(s, dir, "documents")), "text", steps = BpeSteps)
         .orderBy("step")),
 
+    // pipeline: BPE ENCODE — the serve half of q127: the trained vocab's
+    // final segmentation (vocab-sized, broadcast) joins against the
+    // corpus token stream to BPE-encode every document; per doc the word
+    // and subword-piece counts plus the fertility (pieces per word, the
+    // number a tokenizer team actually monitors). The corpus is touched
+    // once; all merge logic stays on the vocab table.
+    "q134_bpe_encode" -> ((s, dir) => {
+      val docs = spread(s, rd(s, dir, "documents"))
+      val vocab = TextAnalysis.bpeSegmentedVocab(docs, "text", steps = BpeSteps)
+        .select("word", "n_pieces")
+      docs.select(col("doc_id"),
+          explode(TextFunctions.whitespaceTokens(lower(col("text")))).as("word"))
+        .join(broadcast(vocab), Seq("word"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), sum(col("n_pieces")).as("n_pieces"))
+        .withColumn("pieces_per_word",
+          col("n_pieces").cast("double") / col("n_words"))
+        .orderBy("doc_id")
+    }),
+
     // pipeline: SEQUENCE PACKING — the last step before a GPT-style
     // dataloader: lay all documents out in a deterministic global order
     // (doc_id) and cut the token stream into fixed-length training
@@ -3707,6 +3727,29 @@ object SparkEntry {
              .mkString("\n  UNION ALL\n")}
          |)
          |ORDER BY step""".stripMargin,
+
+    // the encode half re-derives the same merge chain, then reads the
+    // per-word piece count off the FINAL segmentation state
+    "q134_bpe_encode" ->
+      s"""WITH bw AS (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest($tokensLowerSql) AS word FROM documents)
+         |  GROUP BY word),
+         |bs0 AS (
+         |  SELECT word, freq,
+         |         array_to_string(list_transform(regexp_extract_all(word, '.'),
+         |           c -> chr(31) || c || chr(31)), ' ') AS seq
+         |  FROM bw),
+         |${bpeCtesSql(BpeSteps)},
+         |vocab AS (
+         |  SELECT word, CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_pieces
+         |  FROM bs$BpeSteps),
+         |toks AS (SELECT doc_id, unnest($tokensLowerSql) AS word FROM documents)
+         |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |       CAST(sum(v.n_pieces) AS BIGINT) AS n_pieces,
+         |       CAST(sum(v.n_pieces) AS BIGINT)::DOUBLE / count(*) AS pieces_per_word
+         |FROM toks t JOIN vocab v USING (word)
+         |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
 
     "q128_sequence_packing" ->
       s"""WITH t AS (

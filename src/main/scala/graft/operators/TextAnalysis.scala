@@ -204,7 +204,30 @@ object TextAnalysis {
       docs: DataFrame,
       textCol: String,
       steps: Int
-  ): DataFrame = {
+  ): DataFrame = bpeIterate(docs, textCol, steps)._1
+
+  /** The ENCODE half of BPE: the vocab's final segmentation after
+    * `steps` trained merges — (word, freq, pieces, n_pieces). This is
+    * the table a tokenizer deployment ships: joining corpus tokens
+    * against it (vocab-sized, broadcastable) BPE-encodes the corpus
+    * without re-running any merge logic per document.
+    */
+  def bpeSegmentedVocab(
+      docs: DataFrame,
+      textCol: String,
+      steps: Int
+  ): DataFrame =
+    bpeIterate(docs, textCol, steps)._2
+      .select(col("word"), col("freq"),
+        transform(split(col("seq"), " "),
+          p => regexp_replace(p, BpeSep, "")).as("pieces"))
+      .withColumn("n_pieces", size(col("pieces")).cast("long"))
+
+  private def bpeIterate(
+      docs: DataFrame,
+      textCol: String,
+      steps: Int
+  ): (DataFrame, DataFrame) = {
     val S = BpeSep
     var words = docs
       .select(explode(TextFunctions.whitespaceTokens(lower(col(textCol)))).as("word"))
@@ -236,6 +259,6 @@ object TextAnalysis {
         regexp_replace(col("b"), S, "").as("right"),
         col("pair_count"))
     }
-    merges.reduce(_.union(_))
+    (merges.reduce(_.union(_)), words)
   }
 }
