@@ -1967,6 +1967,39 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // pillar dedup: MOSS MATCH EVIDENCE — q116's pairs extended with the
+    // overlapping region extent in EACH document: the position-packed
+    // fingerprints ((fp<<32)|first-occurrence offset, one O(n) codegen
+    // pass) ride the exact same df-capped equi-join, and min/max of the
+    // matched offsets per pair give [start, end) char spans — the triage
+    // answer ("WHERE do these two documents overlap"), analogous to the
+    // reference returning the matched string rather than just a score
+    // (src/heurFuzz.py:123-125). Same sub-quadratic shape as q116; the
+    // extents are four extra min/max aggregates on the shuffle already
+    // being paid.
+    "q135_winnowing_evidence" -> ((s, dir) => {
+      val fps = spread(s, rd(s, dir, "documents"))
+        .select(col("doc_id"),
+          explode(TextAnalysis.winnowingFingerprintPos(col("text"))).as("p"))
+        .select(col("doc_id"), shiftright(col("p"), 32).as("fp"),
+          col("p").bitwiseAND(lit(4294967295L)).as("pos"))
+        .localCheckpoint(false) // feeds the df count AND both join sides
+      val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= WinnowMaxDf).select("fp")
+      val kept = fps.join(rare, Seq("fp"), "left_semi")
+      kept.alias("a")
+        .join(kept.alias("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("n_shared"),
+          min(col("a.pos")).as("a_start"),
+          (max(col("a.pos")) + lit(8L)).as("a_end"),
+          min(col("b.pos")).as("b_start"),
+          (max(col("b.pos")) + lit(8L)).as("b_end"))
+        .filter(col("n_shared") >= WinnowMinShared)
+        .orderBy("id_a", "id_b")
+    }),
+
     // pillar dedup/similarity: SemDeDup (Abbas et al. 2023) — SEMANTIC
     // dedup over embeddings: cluster first (corpus-scaled k, the q46
     // prefilter), then inside each cluster flag every vector that has a
@@ -3519,6 +3552,35 @@ object SparkEntry {
          |rare AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= $WinnowMaxDf),
          |k AS (SELECT doc_id, fp FROM fp JOIN rare USING (fp))
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared
+         |FROM k a JOIN k b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // evidence spans: position = first index of the fingerprint value in
+    // the rolling-hash array (list_position), the same deterministic
+    // definition the packed expression uses; extents are min/max + k
+    "q135_winnowing_evidence" ->
+      s"""WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+         |h AS (SELECT doc_id,
+         |  list_transform(range(1, greatest(strlen(t) - 6, 1)), i ->
+         |    list_reduce(list_transform(range(i, i + 8), j -> unicode(substr(t, j::INT, 1))::BIGINT),
+         |      (a, b) -> (a * 131 + b) % 1000000007)) AS hs
+         |  FROM d),
+         |f AS (SELECT doc_id, hs,
+         |        CASE WHEN len(hs) = 0 THEN []::BIGINT[]
+         |             WHEN len(hs) < 8 THEN [list_min(hs)]
+         |             ELSE list_distinct(list_transform(range(1, len(hs) - 6),
+         |                    i -> list_min(hs[i::INT:(i::INT)+7]))) END AS fps
+         |      FROM h),
+         |fpp AS (SELECT doc_id, unnest(fps) AS fp, hs FROM f),
+         |pos AS (SELECT doc_id, fp,
+         |          (list_position(hs, fp) - 1)::BIGINT AS pos
+         |        FROM fpp),
+         |rare AS (SELECT fp FROM pos GROUP BY fp HAVING count(*) <= $WinnowMaxDf),
+         |k AS (SELECT doc_id, fp, pos FROM pos JOIN rare USING (fp))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared,
+         |       min(a.pos)::BIGINT AS a_start, (max(a.pos) + 8)::BIGINT AS a_end,
+         |       min(b.pos)::BIGINT AS b_start, (max(b.pos) + 8)::BIGINT AS b_end
          |FROM k a JOIN k b ON a.fp = b.fp AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared
          |ORDER BY id_a, id_b""".stripMargin,

@@ -55,6 +55,33 @@ object RollingHash extends Serializable {
     out.toArray
   }
 
+  /** Winnowing fingerprints packed with their match position:
+    * `(fp << 32) | firstIndex(hs, fp)` for each fingerprint `winnow`
+    * selects, in the same first-occurrence order. The position is the
+    * first index of the fingerprint's value in the rolling-hash array —
+    * i.e. the 0-based char offset where the matched k-gram starts —
+    * which is the deterministic definition an oracle can reproduce with
+    * `list_position`. fp < 2^30 (mod 1e9+7) so the pack fits in 62
+    * bits. Still one O(n) pass: the extra work is a set-membership scan
+    * over the hashes.
+    */
+  def winnowWithPos(s: String, k: Int, w: Int): Array[Long] = {
+    if (s == null) return null
+    val sel = winnow(s, k, w)
+    if (sel.isEmpty) return sel
+    val hs = hashes(s, k)
+    val want = new java.util.HashSet[java.lang.Long]
+    sel.foreach(want.add(_))
+    val firstIdx = new java.util.HashMap[java.lang.Long, Integer]
+    var i = 0
+    while (i < hs.length) {
+      if (want.contains(hs(i)) && !firstIdx.containsKey(hs(i)))
+        firstIdx.put(hs(i), i)
+      i += 1
+    }
+    sel.map(v => (v << 32) | firstIdx.get(v).toLong)
+  }
+
   /** All rolling k-gram hashes of `s`, in position order; empty array
     * when the text is shorter than k.
     */

@@ -175,6 +175,17 @@ object TextAnalysis {
   def winnowingFingerprints(text: Column, k: Int = 8, w: Int = 8): Column =
     org.apache.spark.sql.graft.GraftFunctions.winnowingFingerprints(lower(text), k, w)
 
+  /** Winnowing fingerprints packed with their first-occurrence char
+    * offset, `(fp << 32) | pos` — the evidence-carrying variant: the
+    * near-dup join can aggregate min/max positions per pair and report
+    * the overlapping region extent in each document (what the reference
+    * returns for its matches: the matched content, not just a score —
+    * /root/reference/src/heurFuzz.py:123-125). Unpack with
+    * `shiftright(x, 32)` / `x & 0xffffffff`.
+    */
+  def winnowingFingerprintPos(text: Column, k: Int = 8, w: Int = 8): Column =
+    org.apache.spark.sql.graft.GraftFunctions.winnowingFingerprintPos(lower(text), k, w)
+
   /** The sentinel wrapping every BPE symbol in bpeTopMerges' working
     * sequences (U+001F unit separator — absent from the corpus text by
     * construction of the testdata; shared with the generated oracle SQL).

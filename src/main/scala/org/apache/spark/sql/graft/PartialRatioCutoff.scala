@@ -180,6 +180,40 @@ object WinnowingFingerprints {
       .fromPrimitiveArray(graft.functions.RollingHash.winnow(s.toString, k, w))
 }
 
+/** Winnowing fingerprints packed with their first-occurrence position,
+  * `(fp << 32) | pos` (graft.functions.RollingHash.winnowWithPos) — the
+  * MOSS match-EVIDENCE variant: the position lets the near-dup join
+  * report the overlapping region extent in each document, not just a
+  * shared count. Same O(n) single pass as [[WinnowingFingerprints]].
+  */
+case class WinnowingFingerprintPos(child: Expression, k: Int, w: Int)
+    extends UnaryExpression
+    with ExpectsInputTypes {
+
+  require(k >= 1 && w >= 1, s"k-gram width and window must be >= 1, got k=$k w=$w")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnowing_fingerprint_pos"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WinnowingFingerprintPos.compute(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.WinnowingFingerprintPos.compute($c, $k, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowingFingerprintPos =
+    copy(child = newChild)
+}
+
+object WinnowingFingerprintPos {
+  /** Static bridge shared by interpreted eval and generated code. */
+  def compute(s: UTF8String, k: Int, w: Int): org.apache.spark.sql.catalyst.util.ArrayData =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(graft.functions.RollingHash.winnowWithPos(s.toString, k, w))
+}
+
 /** Column-level entry points for the custom expressions (usable without
   * any session registration).
   */
@@ -196,6 +230,9 @@ object GraftFunctions {
 
   def winnowingFingerprints(text: Column, k: Int, w: Int): Column =
     ExpressionUtils.column(WinnowingFingerprints(ExpressionUtils.expression(text), k, w))
+
+  def winnowingFingerprintPos(text: Column, k: Int, w: Int): Column =
+    ExpressionUtils.column(WinnowingFingerprintPos(ExpressionUtils.expression(text), k, w))
 }
 
 /** SparkSessionExtensions wiring: exposes `partial_ratio_cutoff(a, b, c)`

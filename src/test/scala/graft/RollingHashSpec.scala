@@ -74,6 +74,35 @@ class RollingHashSpec extends SparkSpec {
     }
   }
 
+  test("winnowWithPos packs the same fingerprints with first-occurrence offsets") {
+    val rng = new scala.util.Random(23)
+    for (_ <- 1 to 100) {
+      val n = rng.nextInt(50)
+      val s = Seq.fill(n)(('a' + rng.nextInt(3)).toChar).mkString // ties force repeated hashes
+      val k = 1 + rng.nextInt(4)
+      val w = 1 + rng.nextInt(5)
+      val packed = RollingHash.winnowWithPos(s, k, w)
+      val plain = RollingHash.winnow(s, k, w)
+      val hs = RollingHash.hashes(s, k)
+      assert(packed.map(_ >>> 32).toSeq == plain.toSeq, s"fp part s='$s' k=$k w=$w")
+      packed.foreach { p =>
+        val fp = p >>> 32
+        val pos = (p & 0xffffffffL).toInt
+        assert(hs(pos) == fp, s"pos does not hash to fp for s='$s' k=$k w=$w")
+        assert(hs.indexOf(fp) == pos, s"pos is not the FIRST occurrence for s='$s' k=$k w=$w")
+      }
+    }
+  }
+
+  test("catalyst expression: winnowing_fingerprint_pos codegen matches the kernel") {
+    val r = Seq("the quick brown fox jumps over the lazy dog")
+      .toDF("t")
+      .select(GraftFunctions.winnowingFingerprintPos(col("t"), 8, 8).as("p"))
+      .collect()(0).getSeq[Long](0)
+    assert(r == RollingHash.winnowWithPos("the quick brown fox jumps over the lazy dog", 8, 8).toSeq)
+    assert(r.nonEmpty)
+  }
+
   test("winnow deque handles the monotone-decreasing worst case") {
     // strictly decreasing hash sequence keeps the deque at size 1 per pop
     val s = "zyxwvutsrqponmlkjihgfedcba"
