@@ -2456,6 +2456,164 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // pillar pipeline: BLOOM-FILTER decontamination prefilter AUDIT — at
+    // 100 TB the exact benchmark span-hash set costs ~8 bytes/span to
+    // broadcast; a Bloom filter is ~40x smaller for the same prefilter
+    // job, at the price of false positives that would drop clean
+    // documents. This builds the bloom (3 probes of 16 bits sliced from
+    // the 60-bit md5 span key, OR-folded into 32-bit words by ONE
+    // map-side-combined bit_or shuffle — 2048 words total), runs every
+    // corpus span through it, and AUDITS bloom positives against the
+    // exact set: n_false_pos / fp_rate is the measured basis for sizing
+    // m before swapping the prefilter in. All integer bit ops — exact.
+    "q136_bloom_decontaminate" -> ((s, dir) => {
+      val docs = spread(s, rd(s, dir, "documents"))
+      val spans = docs.select(col("doc_id"),
+        explode(array_distinct(transform(
+          TextFunctions.charShingles(lower(col("text")), DecontamSpanN),
+          g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")))).as("h"))
+        .localCheckpoint(false) // md5 hashing feeds the bench AND probe branches
+      val bench = spans.filter(col("doc_id") % ContamBenchMod === 0)
+        .select("h").distinct()
+        .localCheckpoint(false) // feeds the bloom build AND the exact audit
+      def probes = explode(array(Seq(0, 16, 32).map(b =>
+        shiftright(col("h"), b).bitwiseAND(lit(65535L))): _*))
+      val bloom = bench.select(probes.as("p"))
+        .groupBy(shiftright(col("p"), 5).as("word"))
+        .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))")).as("bits"))
+      val member = spans.filter(col("doc_id") % ContamBenchMod =!= 0)
+        .select(col("doc_id"), col("h"), probes.as("p"))
+        .join(broadcast(bloom), shiftright(col("p"), 5) === col("word"), "left")
+        .groupBy("doc_id", "h")
+        .agg((sum(when(col("bits").isNotNull &&
+            (col("bits").bitwiseAND(
+              expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))")) =!= 0L),
+            1L).otherwise(0L)) === 3L).as("bloom_pos"))
+      member.join(broadcast(bench.select(col("h").as("bh"))),
+          col("h") === col("bh"), "left")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_spans"),
+          sum(when(col("bloom_pos"), 1L).otherwise(0L)).as("n_bloom_pos"),
+          sum(when(col("bh").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+        .withColumn("n_false_pos", col("n_bloom_pos") - col("n_hit"))
+        .withColumn("fp_rate",
+          expr("CAST(n_false_pos AS DOUBLE) / nullif(n_spans - n_hit, 0)"))
+        .orderBy("doc_id")
+    }),
+
+    // pillar text analysis: BM25 top-k retrieval — the inverted-index
+    // ranked search a curation team runs against the corpus ("find the
+    // documents most like this probe"). Postings (doc, term, tf) shuffle
+    // once BY TERM — the inverted-index shape — and the tiny query-term
+    // side broadcasts onto them; per-term contributions are quantized to
+    // integer micro-points (floor(1e6 * idf * tf_saturation), every
+    // input an exact integer, shared expression text with the oracle) so
+    // the per-(query, doc) sum is order-independent and oracle-exact.
+    // Top-k per query is a rank-bounded window (WindowGroupLimit).
+    "q137_bm25_topk" -> ((s, dir) => {
+      val toks = spread(s, rd(s, dir, "documents"))
+        .select(col("doc_id"),
+          explode(TextFunctions.whitespaceTokens(lower(col("text")))).as("term"))
+        .localCheckpoint(false) // feeds postings, doc lengths, AND the query side
+      val corpus = toks.filter(col("doc_id") % Bm25QueryMod =!= 0)
+      val dl = corpus.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        .localCheckpoint(false) // feeds the 1-row corpus stats AND the scoring join
+      val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
+      val postings = corpus.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(false) // feeds document frequencies AND the scoring join
+      val dfT = postings.groupBy("term").agg(count(lit(1)).as("df"))
+      val qterms = toks.filter(col("doc_id") % Bm25QueryMod === 0)
+        .select(col("doc_id").as("q_id"), col("term")).distinct()
+      val scored = postings.join(broadcast(qterms), Seq("term"))
+        .join(dfT, Seq("term"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .withColumn("contrib", expr(Bm25ContribSql).cast("long"))
+        .groupBy("q_id", "doc_id").agg(sum(col("contrib")).as("score"))
+      scored
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("score").desc, col("doc_id")))
+          .cast("long"))
+        .filter(col("rk") <= Bm25TopK)
+        .orderBy("q_id", "rk")
+    }),
+
+    // pillar dedup: EXACT-SUBSTRING REMOVAL (Lee et al. ACL'22 — the
+    // actual deduplicate output, not just q108's stats): every
+    // DupSpanN-char span occurring >= 2 times anywhere in the corpus is
+    // cut from every document it covers. Dup-start detection is the q108
+    // span-hash shuffle (xxhash64 keys, no pairwise work); the removal
+    // itself is per-doc narrow: the doc's sorted dup starts fold through
+    // ONE aggregate() that merges overlapping [p, p+N) intervals and
+    // stitches the kept substrings — no per-char explode on the Spark
+    // side. Output carries the cleaned text itself, hash-compared.
+    "q138_substring_removal" -> ((s, dir) => {
+      val docs = spread(s, rd(s, dir, "documents"))
+      val sp = docs.select(col("doc_id"),
+          posexplode(TextFunctions.charShingles(lower(col("text")), DupSpanN)))
+        .select(col("doc_id"), col("pos"), xxhash64(col("col")).as("h"))
+        .localCheckpoint(false) // feeds the global dup counts AND the join back
+      val dup = sp.groupBy("h").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2L).select("h")
+      val starts = sp.join(dup, Seq("h"), "left_semi")
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(col("pos"))).as("starts"),
+          count(lit(1)).as("n_dup_spans"))
+      docs.join(starts, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("text"),
+          coalesce(col("starts"), array().cast("array<int>")).as("starts"),
+          coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+        .withColumn("cleaned", expr(
+          s"""aggregate(starts,
+             |  struct(CAST('' AS STRING) AS acc, 0 AS lend),
+             |  (st, p) -> struct(
+             |    CASE WHEN p > st.lend
+             |         THEN concat(st.acc, substring(text, st.lend + 1, p - st.lend))
+             |         ELSE st.acc END AS acc,
+             |    CASE WHEN p + $DupSpanN > st.lend THEN p + $DupSpanN ELSE st.lend END AS lend),
+             |  st -> concat(st.acc, substring(text, st.lend + 1)))""".stripMargin))
+        .select(col("doc_id"), col("n_dup_spans"),
+          length(col("text")).cast("long").as("orig_chars"),
+          (length(col("text")) - length(col("cleaned"))).cast("long").as("removed_chars"),
+          col("cleaned"))
+        .orderBy("doc_id")
+    }),
+
+    // pillar text analysis: PMI collocations (phrase mining) — top
+    // adjacent-token pairs by pointwise mutual information, the classic
+    // "merge these into one token / glossary term" signal. Bigram and
+    // unigram counts are two map-side-combined shuffles off one
+    // tokenization; the PMI ratio (c_xy * N) / (c_x * c_y) is computed
+    // from exact BIGINT products (< 2^53, so the int->double conversion
+    // is lossless) with ONE double division, quantized to integer
+    // micro-points via the oracle-shared expression text.
+    "q139_pmi_collocations" -> ((s, dir) => {
+      val tk = spread(s, rd(s, dir, "documents"))
+        .select(TextFunctions.whitespaceTokens(lower(col("text"))).as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .localCheckpoint(false) // one tokenization feeds bigram AND unigram counts
+      val pairs = tk.select(explode(zip_with(
+          slice(col("tk"), lit(1), size(col("tk")) - 1),
+          slice(col("tk"), lit(2), size(col("tk")) - 1),
+          (a, b) => struct(a.as("t1"), b.as("t2")))).as("p"))
+        .select(col("p.t1").as("t1"), col("p.t2").as("t2"))
+        .groupBy("t1", "t2").agg(count(lit(1)).as("c_xy"))
+        .filter(col("c_xy") >= PmiMinCount)
+      val uni = tk.select(explode(col("tk")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("c"))
+        .localCheckpoint(false) // joined twice (t1 side and t2 side)
+      val totals = uni.agg(sum(col("c")).as("n_tok"))
+      pairs
+        .join(uni.select(col("term").as("t1"), col("c").as("cx")), Seq("t1"))
+        .join(uni.select(col("term").as("t2"), col("c").as("cy")), Seq("t2"))
+        .crossJoin(broadcast(totals))
+        .withColumn("pmi_q", expr(PmiScoreSql).cast("long"))
+        .select("t1", "t2", "c_xy", "pmi_q")
+        .orderBy(col("pmi_q").desc, col("t1"), col("t2"))
+        .limit(PmiTopK)
+    }),
+
     // custom typed UDAF (Aggregator surface): quantity-weighted mean
     // price per return flag — integer-cents buffer, map-side combinable,
     // one double division at finish (order-independent, oracle-exact)
@@ -2544,6 +2702,35 @@ object SparkEntry {
     * docs with doc_id % this == 0 play the held-out benchmark role.
     */
   private val ContamBenchMod = 50L
+
+  /** Query-document selector for q137's BM25 retrieval: docs with
+    * doc_id % this == 0 play the probe-query role; everything else is
+    * the searched corpus. Top-k depth shared with the oracle SQL.
+    */
+  private val Bm25QueryMod = 100L
+  private val Bm25TopK = 10L
+
+  /** q137's per-term BM25 contribution, quantized to integer
+    * micro-points — the SAME expression text is compiled by Spark
+    * (expr) and DuckDB, so every intermediate IEEE op is identical and
+    * the integer sum is order-independent. k1 = 1.2, b = 0.75 (so
+    * 1 - b = 0.25 and k1 + 1 = 2.2 are folded), idf is the
+    * Robertson-Sparck-Jones ratio without the log (rank-equivalent per
+    * term and exactly representable).
+    */
+  private val Bm25ContribSql =
+    "floor(1000000.0 * ((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) * " +
+      "((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + 1.2 * " +
+      "(0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(tot AS DOUBLE) / CAST(n_docs AS DOUBLE)))))))"
+
+  /** q139 PMI collocations: minimum bigram count, result depth, and the
+    * oracle-shared integer-micro-point PMI ratio (exact BIGINT products,
+    * one double division).
+    */
+  private val PmiMinCount = 5L
+  private val PmiTopK = 40
+  private val PmiScoreSql =
+    "floor(1000000.0 * (CAST(c_xy * n_tok AS DOUBLE) / CAST(cx * cy AS DOUBLE)))"
 
   /** Exact-Jaccard floor for the q120 estimator-vs-exact pairs — lower
     * than q31's 0.4 so the gate also covers pairs where the 8-slot
@@ -4280,6 +4467,97 @@ object SparkEntry {
          |contaminated AS (SELECT DISTINCT doc_id FROM sh JOIN bench USING (h))
          |SELECT d.doc_id, d.source FROM documents d
          |WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated)
-         |ORDER BY d.doc_id""".stripMargin
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // bloom build + probe re-derived with the same integer bit ops: 3
+    // 16-bit probes sliced from the 60-bit md5 span key, 32-bit words
+    "q136_bloom_decontaminate" ->
+      s"""WITH sh AS (SELECT doc_id,
+         |  unnest(list_distinct(list_transform(${docShinglesSql(DecontamSpanN)},
+         |    g -> ('0x' || substr(md5(g), 1, 15))::BIGINT))) AS h
+         |  FROM documents),
+         |bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % $ContamBenchMod = 0),
+         |bp AS (SELECT unnest([h & 65535, (h >> 16) & 65535, (h >> 32) & 65535]) AS p FROM bench),
+         |bloom AS (SELECT p >> 5 AS word, bit_or(1::BIGINT << ((p & 31)::INT)) AS bits
+         |          FROM bp GROUP BY 1),
+         |cp AS (SELECT doc_id, h,
+         |         unnest([h & 65535, (h >> 16) & 65535, (h >> 32) & 65535]) AS p
+         |       FROM sh WHERE doc_id % $ContamBenchMod <> 0),
+         |m AS (SELECT doc_id, h,
+         |        (sum(CASE WHEN bits IS NOT NULL
+         |                   AND (bits & (1::BIGINT << ((p & 31)::INT))) <> 0
+         |             THEN 1 ELSE 0 END) = 3) AS bloom_pos
+         |      FROM cp LEFT JOIN bloom ON (p >> 5) = word GROUP BY doc_id, h),
+         |a AS (SELECT m.doc_id, count(*) AS n_spans,
+         |        sum(CASE WHEN bloom_pos THEN 1 ELSE 0 END) AS n_bloom_pos,
+         |        sum(CASE WHEN b.h IS NULL THEN 0 ELSE 1 END) AS n_hit
+         |      FROM m LEFT JOIN bench b ON b.h = m.h GROUP BY m.doc_id)
+         |SELECT doc_id, n_spans::BIGINT AS n_spans, n_bloom_pos::BIGINT AS n_bloom_pos,
+         |       n_hit::BIGINT AS n_hit, (n_bloom_pos - n_hit)::BIGINT AS n_false_pos,
+         |       (n_bloom_pos - n_hit)::DOUBLE / nullif(n_spans - n_hit, 0) AS fp_rate
+         |FROM a ORDER BY doc_id""".stripMargin,
+
+    // same contribution expression text as the Spark side (Bm25ContribSql)
+    "q137_bm25_topk" ->
+      s"""WITH t AS (SELECT doc_id, unnest($tokensLowerSql) AS term FROM documents),
+         |c AS (SELECT doc_id, term FROM t WHERE doc_id % $Bm25QueryMod <> 0),
+         |d AS (SELECT doc_id, count(*) AS dl FROM c GROUP BY doc_id),
+         |st AS (SELECT count(*) AS n_docs, sum(dl)::BIGINT AS tot FROM d),
+         |p AS (SELECT doc_id, term, count(*) AS tf FROM c GROUP BY doc_id, term),
+         |f AS (SELECT term, count(*) AS df FROM p GROUP BY term),
+         |q AS (SELECT DISTINCT doc_id AS q_id, term FROM t WHERE doc_id % $Bm25QueryMod = 0),
+         |sc AS (SELECT q_id, p.doc_id,
+         |         sum(($Bm25ContribSql)::BIGINT)::BIGINT AS score
+         |       FROM p JOIN q USING (term) JOIN f USING (term)
+         |            JOIN d ON d.doc_id = p.doc_id CROSS JOIN st
+         |       GROUP BY 1, 2),
+         |r AS (SELECT q_id, doc_id, score,
+         |        row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rk
+         |      FROM sc)
+         |SELECT q_id, doc_id, score, rk::BIGINT AS rk FROM r
+         |WHERE rk <= $Bm25TopK ORDER BY q_id, rk""".stripMargin,
+
+    // removal re-derived per char: covered = within [p+1, p+N] of any
+    // dup start; cleaned = ordered string_agg of the kept chars
+    "q138_substring_removal" ->
+      s"""WITH sp AS (SELECT doc_id, i - 1 AS p, substr(lower(text), i::INT, $DupSpanN) AS g
+         |            FROM (SELECT doc_id, text,
+         |                    unnest(range(1, greatest(strlen(text) - ${DupSpanN - 2}, 1))) AS i
+         |                  FROM documents)),
+         |dup AS (SELECT g FROM sp GROUP BY g HAVING count(*) >= 2),
+         |stt AS (SELECT doc_id, p FROM sp JOIN dup USING (g)),
+         |agg AS (SELECT doc_id, count(*) AS n_dup_spans FROM stt GROUP BY doc_id),
+         |ch AS (SELECT doc_id, unnest(range(1, strlen(text) + 1)) AS i FROM documents),
+         |cov AS (SELECT DISTINCT c.doc_id, c.i FROM ch c
+         |        JOIN stt t ON t.doc_id = c.doc_id AND c.i BETWEEN t.p + 1 AND t.p + $DupSpanN),
+         |kept AS (SELECT c.doc_id, c.i FROM ch c
+         |         LEFT JOIN cov v ON v.doc_id = c.doc_id AND v.i = c.i
+         |         WHERE v.i IS NULL),
+         |cl AS (SELECT d.doc_id,
+         |         coalesce(string_agg(substr(d.text, k.i::INT, 1), '' ORDER BY k.i), '') AS cleaned
+         |       FROM documents d LEFT JOIN kept k ON k.doc_id = d.doc_id
+         |       GROUP BY d.doc_id)
+         |SELECT d.doc_id, coalesce(a.n_dup_spans, 0)::BIGINT AS n_dup_spans,
+         |       strlen(d.text)::BIGINT AS orig_chars,
+         |       (strlen(d.text) - strlen(cl.cleaned))::BIGINT AS removed_chars,
+         |       cl.cleaned AS cleaned
+         |FROM documents d LEFT JOIN agg a USING (doc_id) JOIN cl ON cl.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // lockstep unnest zips the two shifted slices into adjacent pairs;
+    // same quantized-ratio expression text as the Spark side (PmiScoreSql)
+    "q139_pmi_collocations" ->
+      s"""WITH t AS (SELECT $tokensLowerSql AS tk FROM documents),
+         |f AS (SELECT tk FROM t WHERE len(tk) >= 2),
+         |bg AS (SELECT unnest(tk[1:len(tk)-1]) AS t1, unnest(tk[2:len(tk)]) AS t2 FROM f),
+         |pr AS (SELECT t1, t2, count(*) AS c_xy FROM bg GROUP BY 1, 2
+         |       HAVING count(*) >= $PmiMinCount),
+         |u AS (SELECT unnest(tk) AS term FROM f),
+         |uc AS (SELECT term, count(*) AS c FROM u GROUP BY term),
+         |n AS (SELECT count(*) AS n_tok FROM u),
+         |z AS (SELECT pr.t1, pr.t2, pr.c_xy, a.c AS cx, b.c AS cy, n.n_tok
+         |      FROM pr JOIN uc a ON a.term = pr.t1 JOIN uc b ON b.term = pr.t2 CROSS JOIN n)
+         |SELECT t1, t2, c_xy::BIGINT AS c_xy, ($PmiScoreSql)::BIGINT AS pmi_q
+         |FROM z ORDER BY pmi_q DESC, t1, t2 LIMIT $PmiTopK""".stripMargin
   )
 }

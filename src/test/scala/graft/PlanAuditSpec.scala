@@ -49,6 +49,10 @@ class PlanAuditSpec extends SparkSpec {
     "q125_lang_upsample_epochs",
     // q128: same 1-row-broadcast shape (the bucket-width aggregate)
     "q128_sequence_packing",
+    // q137/q139: the 1-row corpus-stats aggregate (n_docs/avgdl, total
+    // token count) joins as a broadcast nested loop by definition —
+    // the q74/q97 1-row-broadcast-total shape, not an all-pairs plan
+    "q137_bm25_topk", "q139_pmi_collocations",
     "q46_dedup_embed_cosine", "q51_match_inverted_5k",
     "q60_embed_centroid_update", "q74_boilerplate_strip", "q97_revenue_share",
     "q58_tfidf_top_terms", "q105_scorer_long_needle",
@@ -128,6 +132,29 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("q110_pq_adc_topk")
     assert(p.contains("BroadcastHashJoin"), s"LUT join not broadcast:\n$p")
     assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q136 bloom audit: bloom words and exact bench set both join broadcast") {
+    // the 100 TB story: the 2048-word bloom (and the exact set it is
+    // audited against) ship to every span partition as broadcasts — a
+    // shuffle on the corpus-span side here would defeat the prefilter
+    val p = plan("q136_bloom_decontaminate")
+    assert(countOf(p, "BroadcastHashJoin") >= 2, s"bloom/bench join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus spans shuffled into a merge join:\n$p")
+  }
+
+  test("q137 BM25: query terms broadcast onto postings; top-k uses WindowGroupLimit") {
+    val p = plan("q137_bm25_topk")
+    assert(p.contains("BroadcastHashJoin"), s"query-term join not broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"rank<=k not pushed into WindowGroupLimit:\n$p")
+  }
+
+  test("q138 substring removal: no per-char explode — one span scan, per-doc fold") {
+    // the removal must ride the q108 span shuffle + a per-doc aggregate()
+    // fold; a per-char explode/join (the oracle's formulation) would be
+    // |corpus| * |doc| rows on the Spark side
+    val p = plan("q138_substring_removal")
+    assert(countOf(p, "Generate") <= 1, s"more than the one span posexplode:\n$p")
   }
 
   test("q112 source mix: the per-source quota table joins broadcast") {
