@@ -2168,6 +2168,54 @@ object SparkEntry {
       } finally Staging.discard(stage)
     }),
 
+    // pillar pipeline + streaming (10th gate): CONTAMINATION SCORING ON
+    // ARRIVAL — q119's graded-overlap operator driven from the
+    // foreachBatch bridge: each incoming micro-batch is span-hashed and
+    // scored against the STATIC benchmark span set (checkpointed once,
+    // broadcast into every batch — the shape of a crawl pipeline that
+    // grades contamination as documents land, not in a nightly sweep).
+    // Per-doc scores only depend on the doc itself + the static set, so
+    // batch boundaries provably don't change answers: same oracle as
+    // q119.
+    "q140_stream_contamination" -> ((s, dir) => {
+      val stage = Staging.dir("q140-")
+      try {
+        val inDir = stage.resolve("in")
+        java.nio.file.Files.createDirectories(inDir)
+        java.nio.file.Files.createSymbolicLink(
+          inDir.resolve("documents.parquet"),
+          java.nio.file.Paths.get(s"$dir/documents.parquet").toAbsolutePath.normalize())
+        val outDir = stage.resolve("out").toString
+        def spansOf(df: DataFrame) = df.select(col("doc_id"),
+          explode(array_distinct(transform(
+            TextFunctions.charShingles(lower(col("text")), DecontamSpanN),
+            g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")))).as("h"))
+        val bench = spansOf(spread(s, rd(s, dir, "documents"))
+            .filter(col("doc_id") % ContamBenchMod === 0))
+          .select(col("h").as("bh")).distinct()
+          .localCheckpoint(true) // static benchmark set, reused by every micro-batch
+        val schema = rd(s, dir, "documents").schema
+        val stream = s.readStream.schema(schema).parquet(inDir.toString)
+          .filter(col("doc_id") % ContamBenchMod =!= 0)
+        val q = graft.streaming.EventStream.foreachBatchSink(stream, identity) {
+          (batch, batchId) =>
+            spansOf(spread(s, batch))
+              .join(broadcast(bench), col("h") === col("bh"), "left")
+              .groupBy("doc_id")
+              .agg(
+                count(lit(1)).as("n_spans"),
+                sum(when(col("bh").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+              .withColumn("overlap_ratio", col("n_hit").cast("double") / col("n_spans"))
+              .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        }.start()
+        try {
+          if (!q.awaitTermination(300000))
+            throw new IllegalStateException("q140 stream did not finish within 300s")
+        } finally if (q.isActive) q.stop()
+        s.read.parquet(outDir).drop("batch").orderBy("doc_id").localCheckpoint(true)
+      } finally Staging.discard(stage)
+    }),
+
     // pillar similarity: ANN QUALITY REPORT — the recall@k / MRR audit
     // an ANN deployment runs continuously, as a first-class query: the
     // trained-IVF index (q43's exact configuration) joined against
@@ -2614,6 +2662,50 @@ object SparkEntry {
         .limit(PmiTopK)
     }),
 
+    // pillar text analysis + similarity: DOCUMENT CLUSTERING over
+    // feature-hashed token counts — the text-side twin of the embedding
+    // k-means family (cluster-balanced sampling / SemDeDup-style
+    // bucketing when no embeddings exist): tokens feature-hash into 16
+    // integer dims (md5-derived, zero-filled dense via one
+    // map_from_entries lookup), the SAME sample-bounded Lloyd's trainer
+    // as q123 (~40 points/centroid, integer-exact) fits k = 8 centroids,
+    // and every document is assigned by the aggregate argmin (no
+    // window). Output carries the exact squared distance and the cluster
+    // size (broadcast join of the tiny per-cluster counts).
+    "q141_doc_cluster_assign" -> ((s, dir) => {
+      val docs = spread(s, rd(s, dir, "documents"))
+      val ft = docs.select(col("doc_id"),
+          explode(TextFunctions.whitespaceTokens(lower(col("text")))).as("term"))
+        .select(col("doc_id"),
+          (conv(substring(md5(col("term")), 1, 15), 16, 10).cast("long") % 16).as("dim"))
+        .groupBy("doc_id", "dim").agg(count(lit(1)).as("v"))
+      val vecs = ft
+        .groupBy("doc_id")
+        .agg(map_from_entries(sort_array(collect_list(struct(col("dim"), col("v"))))).as("m"))
+        .select(col("doc_id").as("id"),
+          transform(sequence(lit(0L), lit(15L)),
+            i => coalesce(element_at(col("m"), i), lit(0L))).as("qv"))
+        .withColumn("grp", lit(0L))
+        .localCheckpoint(false) // feeds the trainer sample AND the full assignment
+      val kRow = vecs.agg(count(lit(1)).as("n"))
+        .select(greatest(lit(1L), expr("n div 320")).as("m"))
+      val sample = vecs.crossJoin(broadcast(kRow)).filter(col("id") % col("m") === 0)
+      val init = sample.filter(col("id") < lit(8L) * col("m"))
+        .select(col("grp"), col("id").as("centroid_id"), col("qv").as("cv"))
+      val cents = Similarity.lloydIterate(sample.select("grp", "id", "qv"), init, KmeansIters)
+      val asg = vecs.join(broadcast(cents), Seq("grp"))
+        .withColumn("d", Similarity.sqDistQ(col("qv"), col("cv")))
+        .groupBy("id")
+        .agg(min(struct(col("d"), col("centroid_id"))).as("best"))
+        .select(col("id").as("doc_id"),
+          col("best.centroid_id").as("cluster_id"), col("best.d").as("dist"))
+        .localCheckpoint(false) // feeds the per-cluster sizes AND the final join
+      val sizes = asg.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      asg.join(broadcast(sizes), Seq("cluster_id"))
+        .select("doc_id", "cluster_id", "dist", "cluster_size")
+        .orderBy("doc_id")
+    }),
+
     // custom typed UDAF (Aggregator surface): quantity-weighted mean
     // price per return flag — integer-cents buffer, map-side combinable,
     // one double division at finish (order-independent, oracle-exact)
@@ -2702,6 +2794,26 @@ object SparkEntry {
     * docs with doc_id % this == 0 play the held-out benchmark role.
     */
   private val ContamBenchMod = 50L
+
+  /** q119's graded-contamination oracle — shared verbatim with the
+    * streaming q140 gate (the foreachBatch bridge provably doesn't
+    * change per-doc scores, so both run against the same SQL).
+    */
+  private lazy val contaminationOracle =
+    s"""WITH sh AS (SELECT doc_id,
+       |  unnest(list_distinct(list_transform(${docShinglesSql(DecontamSpanN)},
+       |    g -> ('0x' || substr(md5(g), 1, 15))::BIGINT))) AS h
+       |  FROM documents),
+       |bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % $ContamBenchMod = 0),
+       |scored AS (
+       |  SELECT s.doc_id, count(*) AS n_spans,
+       |         sum(CASE WHEN b.h IS NULL THEN 0 ELSE 1 END) AS n_hit
+       |  FROM sh s LEFT JOIN bench b ON b.h = s.h
+       |  WHERE s.doc_id % $ContamBenchMod <> 0
+       |  GROUP BY s.doc_id)
+       |SELECT doc_id, n_spans::BIGINT AS n_spans, n_hit::BIGINT AS n_hit,
+       |       n_hit::DOUBLE / n_spans AS overlap_ratio
+       |FROM scored ORDER BY doc_id""".stripMargin
 
   /** Query-document selector for q137's BM25 retrieval: docs with
     * doc_id % this == 0 play the probe-query role; everything else is
@@ -3782,21 +3894,11 @@ object SparkEntry {
 
     "q118_incremental_dedup" -> incrementalDedupOracle,
 
-    "q119_contamination_overlap" ->
-      s"""WITH sh AS (SELECT doc_id,
-         |  unnest(list_distinct(list_transform(${docShinglesSql(DecontamSpanN)},
-         |    g -> ('0x' || substr(md5(g), 1, 15))::BIGINT))) AS h
-         |  FROM documents),
-         |bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % $ContamBenchMod = 0),
-         |scored AS (
-         |  SELECT s.doc_id, count(*) AS n_spans,
-         |         sum(CASE WHEN b.h IS NULL THEN 0 ELSE 1 END) AS n_hit
-         |  FROM sh s LEFT JOIN bench b ON b.h = s.h
-         |  WHERE s.doc_id % $ContamBenchMod <> 0
-         |  GROUP BY s.doc_id)
-         |SELECT doc_id, n_spans::BIGINT AS n_spans, n_hit::BIGINT AS n_hit,
-         |       n_hit::DOUBLE / n_spans AS overlap_ratio
-         |FROM scored ORDER BY doc_id""".stripMargin,
+    "q119_contamination_overlap" -> contaminationOracle,
+
+    // 10th streaming gate: same answer as the batch q119 operator — the
+    // foreachBatch bridge must not change contamination scores
+    "q140_stream_contamination" -> contaminationOracle,
 
     "q120_minhash_estimate" -> {
       val agree = (0 until TextFunctions.MinhashParams.length)
@@ -4543,6 +4645,36 @@ object SparkEntry {
          |       cl.cleaned AS cleaned
          |FROM documents d LEFT JOIN agg a USING (doc_id) JOIN cl ON cl.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    // same feature hashing, dense zero-fill, sample-bounded Lloyd chain
+    // (shared lloydCtesSql generator), aggregate argmin re-derived as the
+    // (d, centroid_id)-ordered row_number
+    "q141_doc_cluster_assign" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($tokensLowerSql) AS term FROM documents),
+         |ft AS (SELECT doc_id, ('0x' || substr(md5(term), 1, 15))::BIGINT % 16 AS dim,
+         |         count(*) AS cnt
+         |       FROM tk GROUP BY 1, 2),
+         |dims AS (SELECT doc_id, unnest(range(0, 16)) AS dim
+         |         FROM (SELECT DISTINCT doc_id FROM ft)),
+         |dense AS (SELECT d.doc_id, d.dim, coalesce(f.cnt, 0)::BIGINT AS cnt
+         |          FROM dims d LEFT JOIN ft f ON f.doc_id = d.doc_id AND f.dim = d.dim),
+         |v AS (SELECT doc_id AS vec_id, list(cnt ORDER BY dim) AS qv FROM dense GROUP BY doc_id),
+         |kp AS (SELECT greatest(1, count(*) // 320) AS m FROM v),
+         |tv AS (SELECT v.* FROM v, kp WHERE vec_id % kp.m = 0),
+         |kinit AS (SELECT vec_id AS centroid_id, qv AS cv FROM tv, kp WHERE vec_id < 8 * kp.m),
+         |${lloydCtesSql("tv", "kinit", 16, KmeansIters, Seq.empty, "c")},
+         |fd AS (SELECT v.vec_id, c.centroid_id,
+         |         CAST(list_sum(list_transform(range(1, 17),
+         |           i -> (v.qv[i::INT] - c.cv[i::INT]) * (v.qv[i::INT] - c.cv[i::INT]))) AS BIGINT) AS d
+         |       FROM v JOIN c ON TRUE),
+         |asg AS (SELECT vec_id, centroid_id, d FROM (
+         |          SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                      ORDER BY d ASC, centroid_id ASC) AS rk FROM fd)
+         |        WHERE rk = 1),
+         |cs AS (SELECT centroid_id, count(*) AS cluster_size FROM asg GROUP BY 1)
+         |SELECT a.vec_id AS doc_id, a.centroid_id AS cluster_id, a.d AS dist,
+         |       cs.cluster_size::BIGINT AS cluster_size
+         |FROM asg a JOIN cs USING (centroid_id) ORDER BY doc_id""".stripMargin,
 
     // lockstep unnest zips the two shifted slices into adjacent pairs;
     // same quantized-ratio expression text as the Spark side (PmiScoreSql)

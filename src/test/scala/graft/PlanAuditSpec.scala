@@ -53,6 +53,9 @@ class PlanAuditSpec extends SparkSpec {
     // token count) joins as a broadcast nested loop by definition —
     // the q74/q97 1-row-broadcast-total shape, not an all-pairs plan
     "q137_bm25_topk", "q139_pmi_collocations",
+    // q141: q123's class — the 1-row sample-rate broadcast plus the
+    // every-vector-vs-broadcast-centroid-set Lloyd/assign scoring
+    "q141_doc_cluster_assign",
     "q46_dedup_embed_cosine", "q51_match_inverted_5k",
     "q60_embed_centroid_update", "q74_boilerplate_strip", "q97_revenue_share",
     "q58_tfidf_top_terms", "q105_scorer_long_needle",
@@ -74,7 +77,9 @@ class PlanAuditSpec extends SparkSpec {
     "q121_stream_incremental_dedup", "q122_semdedup_groups",
     // q132 writes the bucketed signature table inside the builder (q77's
     // staging pattern); BucketedJoinSpec pins its no-corpus-exchange plan
-    "q130_stream_kmeans_update", "q132_persisted_sig_dedup")
+    "q130_stream_kmeans_update", "q132_persisted_sig_dedup",
+    // q140 runs its stream inside the builder (q121's bridge pattern)
+    "q140_stream_contamination")
 
   private val dir = "/root/testdata/sf0.001"
 
