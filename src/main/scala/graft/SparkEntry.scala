@@ -2673,37 +2673,116 @@ object SparkEntry {
     // window). Output carries the exact squared distance and the cluster
     // size (broadcast join of the tiny per-cluster counts).
     "q141_doc_cluster_assign" -> ((s, dir) => {
-      val docs = spread(s, rd(s, dir, "documents"))
-      val ft = docs.select(col("doc_id"),
-          explode(TextFunctions.whitespaceTokens(lower(col("text")))).as("term"))
-        .select(col("doc_id"),
-          (conv(substring(md5(col("term")), 1, 15), 16, 10).cast("long") % 16).as("dim"))
-        .groupBy("doc_id", "dim").agg(count(lit(1)).as("v"))
-      val vecs = ft
-        .groupBy("doc_id")
-        .agg(map_from_entries(sort_array(collect_list(struct(col("dim"), col("v"))))).as("m"))
-        .select(col("doc_id").as("id"),
-          transform(sequence(lit(0L), lit(15L)),
-            i => coalesce(element_at(col("m"), i), lit(0L))).as("qv"))
-        .withColumn("grp", lit(0L))
-        .localCheckpoint(false) // feeds the trainer sample AND the full assignment
-      val kRow = vecs.agg(count(lit(1)).as("n"))
-        .select(greatest(lit(1L), expr("n div 320")).as("m"))
-      val sample = vecs.crossJoin(broadcast(kRow)).filter(col("id") % col("m") === 0)
-      val init = sample.filter(col("id") < lit(8L) * col("m"))
-        .select(col("grp"), col("id").as("centroid_id"), col("qv").as("cv"))
-      val cents = Similarity.lloydIterate(sample.select("grp", "id", "qv"), init, KmeansIters)
-      val asg = vecs.join(broadcast(cents), Seq("grp"))
-        .withColumn("d", Similarity.sqDistQ(col("qv"), col("cv")))
-        .groupBy("id")
-        .agg(min(struct(col("d"), col("centroid_id"))).as("best"))
-        .select(col("id").as("doc_id"),
-          col("best.centroid_id").as("cluster_id"), col("best.d").as("dist"))
-        .localCheckpoint(false) // feeds the per-cluster sizes AND the final join
+      val asg = docClusterAsg(s, dir)
       val sizes = asg.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
       asg.join(broadcast(sizes), Seq("cluster_id"))
         .select("doc_id", "cluster_id", "dist", "cluster_size")
         .orderBy("doc_id")
+    }),
+
+    // pillar pipeline: CLUSTER-BALANCED SAMPLING — the curation move the
+    // q141 clustering exists for (SemDeDup-adjacent: sample the corpus
+    // so big topical clusters stop dominating): per-cluster quota =
+    // min(n, floor(sqrt(n) * MixSqrtScale)) (q112's IEEE-exact
+    // temperature form, per CLUSTER instead of per source), selection by
+    // the content-stable md5 order via Quota.rankedQuota — never a
+    // one-task-per-cluster window.
+    "q143_cluster_balanced_sample" -> ((s, dir) => {
+      val asg = docClusterAsg(s, dir).select("doc_id", "cluster_id")
+      val quotas = asg.groupBy("cluster_id").agg(count(lit(1)).as("n_c"))
+        .withColumn("quota",
+          least(col("n_c"), floor(sqrt(col("n_c").cast("double")) * MixSqrtScale).cast("long")))
+        .select("cluster_id", "quota")
+      val ord = md5(concat(lit("cb-"), col("doc_id")))
+      Quota.rankedQuota(
+          asg.select(col("doc_id"), col("cluster_id"), ord.as("ord")),
+          "cluster_id",
+          bucket = conv(substring(col("ord"), 1, 2), 16, 10).cast("long"),
+          bucketAsc = true,
+          ordCols = Seq(col("ord").asc, col("doc_id").asc),
+          quotas = quotas)
+        .select("cluster_id", "doc_id", "rk")
+        .orderBy("cluster_id", "rk")
+    }),
+
+    // pillar text analysis: TRIGRAM-INDEXED literal search — "grep
+    // 100 TB without scanning every document": a distinct (doc, trigram)
+    // posting table is built ONCE (the amortized index); each query
+    // pattern broadcasts its own trigram set onto it, a candidate is any
+    // doc matching ALL of the pattern's trigrams (count == ng — the
+    // posting-intersection superset guarantee), and the exact
+    // `contains` verify then touches ONLY candidate documents. The
+    // oracle is the brute-force scan the index exists to avoid.
+    "q142_trigram_search" -> ((s, dir) => {
+      import s.implicits._
+      val docs = spread(s, rd(s, dir, "documents"))
+        .localCheckpoint(false) // feeds the posting build AND the verify join
+      val pats = TrigramPatterns.toDF("pattern")
+      val postings = docs.select(col("doc_id"),
+        explode(array_distinct(TextFunctions.charShingles(lower(col("text")), 3))).as("g"))
+      val pg = pats.select(col("pattern"),
+          array_distinct(TextFunctions.charShingles(col("pattern"), 3)).as("gs"))
+        .select(col("pattern"), size(col("gs")).as("ng"), explode(col("gs")).as("g"))
+      val cand = postings.join(broadcast(pg), Seq("g"))
+        .groupBy("pattern", "ng", "doc_id")
+        .agg(count(lit(1)).as("matched"))
+        .filter(col("matched") === col("ng"))
+      cand.join(docs, Seq("doc_id"))
+        .filter(expr("contains(lower(text), pattern)"))
+        .select("pattern", "doc_id")
+        .orderBy("pattern", "doc_id")
+    }),
+
+    // pillar text analysis: SOURCE-DISTRIBUTION DRIFT — per-source
+    // chi-square-style divergence of the token distribution from the
+    // corpus marginal (the data-mixing diagnostic: which source's
+    // language is unlike the rest — run per crawl snapshot, alarms on
+    // drift). Per observed (source, term): obs vs exp = tt*st/T, the
+    // (obs*T - tt*st)^2 / (tt*st*T) component quantized to integer
+    // micro-points via oracle-shared expression text (the BIGINT
+    // products are exact; the square and ONE division are the only
+    // double ops, identically ordered in both engines), so the
+    // per-source sum is order-independent. Two map-side-combined
+    // shuffles + broadcasts of the tiny per-source/1-row frames.
+    "q144_source_drift" -> ((s, dir) => {
+      val toks = spread(s, rd(s, dir, "documents"))
+        .select(col("source"),
+          explode(TextFunctions.whitespaceTokens(lower(col("text")))).as("term"))
+        .localCheckpoint(false) // feeds per-pair, per-term, per-source counts
+      val obs = toks.groupBy("source", "term").agg(count(lit(1)).as("obs"))
+      val tt = toks.groupBy("term").agg(count(lit(1)).as("tt"))
+      val st = toks.groupBy("source").agg(count(lit(1)).as("st"))
+      val tot = toks.agg(count(lit(1)).as("tot"))
+      obs.join(tt, Seq("term"))
+        .join(broadcast(st), Seq("source"))
+        .crossJoin(broadcast(tot))
+        .withColumn("contrib", expr(ChiSqSql).cast("long"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_terms"), sum(col("contrib")).as("drift_q"))
+        .orderBy("source")
+    }),
+
+    // pillar pipeline: EXACT distributed quantiles WITHOUT a global sort
+    // — p50/p90/p99 of document length via the value-histogram shape:
+    // one map-side-combined groupBy collapses the corpus to its distinct
+    // lengths (bounded, tiny), Quota.globalCumSum produces the
+    // cumulative over that tiny frame (bucketed — the corpus never
+    // crosses a partitionless window), and each target rank
+    // (ceil(pct*n/100), oracle-shared expression) picks the smallest
+    // value whose cumulative covers it. The scale contrast: sort-based
+    // exact percentile is a full shuffle of every row; this is one
+    // histogram aggregate.
+    "q145_exact_quantiles" -> ((s, dir) => {
+      import s.implicits._
+      val docs = spread(s, rd(s, dir, "documents"))
+      val hist = docs.groupBy(col("n_chars").as("v")).agg(count(lit(1)).as("cnt"))
+      val cum = Quota.globalCumSum(hist, col("v"), Seq(col("v").asc), "cnt", "cum")
+      val n = docs.agg(count(lit(1)).as("n"))
+      val targets = Seq(50L, 90L, 99L).toDF("pct").crossJoin(broadcast(n))
+        .withColumn("target", expr(QuantTargetSql))
+      targets.join(cum, col("cum") >= col("target"))
+        .groupBy("pct", "target").agg(min(col("v")).as("value"))
+        .orderBy("pct")
     }),
 
     // custom typed UDAF (Aggregator surface): quantity-weighted mean
@@ -2814,6 +2893,97 @@ object SparkEntry {
        |SELECT doc_id, n_spans::BIGINT AS n_spans, n_hit::BIGINT AS n_hit,
        |       n_hit::DOUBLE / n_spans AS overlap_ratio
        |FROM scored ORDER BY doc_id""".stripMargin
+
+  /** q141/q143's shared document clustering: tokens feature-hash into 16
+    * integer dims (md5-derived), dense zero-filled via one
+    * map_from_entries lookup, the q123 sample-bounded Lloyd's trainer
+    * fits k = 8 centroids, and every document is assigned by the
+    * aggregate argmin. Returns (doc_id, cluster_id, dist), lazily
+    * checkpointed (it feeds both a size join and the balanced sampler).
+    */
+  private def docClusterAsg(s: SparkSession, dir: String): DataFrame = {
+    val docs = spread(s, rd(s, dir, "documents"))
+    val ft = docs.select(col("doc_id"),
+        explode(TextFunctions.whitespaceTokens(lower(col("text")))).as("term"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("term")), 1, 15), 16, 10).cast("long") % 16).as("dim"))
+      .groupBy("doc_id", "dim").agg(count(lit(1)).as("v"))
+    val vecs = ft
+      .groupBy("doc_id")
+      .agg(map_from_entries(sort_array(collect_list(struct(col("dim"), col("v"))))).as("m"))
+      .select(col("doc_id").as("id"),
+        transform(sequence(lit(0L), lit(15L)),
+          i => coalesce(element_at(col("m"), i), lit(0L))).as("qv"))
+      .withColumn("grp", lit(0L))
+      .localCheckpoint(false) // feeds the trainer sample AND the full assignment
+    val kRow = vecs.agg(count(lit(1)).as("n"))
+      .select(greatest(lit(1L), expr("n div 320")).as("m"))
+    val sample = vecs.crossJoin(broadcast(kRow)).filter(col("id") % col("m") === 0)
+    val init = sample.filter(col("id") < lit(8L) * col("m"))
+      .select(col("grp"), col("id").as("centroid_id"), col("qv").as("cv"))
+    val cents = Similarity.lloydIterate(sample.select("grp", "id", "qv"), init, KmeansIters)
+    vecs.join(broadcast(cents), Seq("grp"))
+      .withColumn("d", Similarity.sqDistQ(col("qv"), col("cv")))
+      .groupBy("id")
+      .agg(min(struct(col("d"), col("centroid_id"))).as("best"))
+      .select(col("id").as("doc_id"),
+        col("best.centroid_id").as("cluster_id"), col("best.d").as("dist"))
+      .localCheckpoint(false) // feeds per-cluster aggregates AND row-level joins
+  }
+
+  /** Shared oracle CTE chain for q141/q143: the feature-hashed document
+    * vectors, sample-bounded Lloyd training (lloydCtesSql), and the full
+    * corpus assignment `asg (vec_id, centroid_id, d)`.
+    */
+  private lazy val docClusterCtes =
+    s"""tk AS (SELECT doc_id, unnest($tokensLowerSql) AS term FROM documents),
+       |ft AS (SELECT doc_id, ('0x' || substr(md5(term), 1, 15))::BIGINT % 16 AS dim,
+       |         count(*) AS cnt
+       |       FROM tk GROUP BY 1, 2),
+       |dims AS (SELECT doc_id, unnest(range(0, 16)) AS dim
+       |         FROM (SELECT DISTINCT doc_id FROM ft)),
+       |dense AS (SELECT d.doc_id, d.dim, coalesce(f.cnt, 0)::BIGINT AS cnt
+       |          FROM dims d LEFT JOIN ft f ON f.doc_id = d.doc_id AND f.dim = d.dim),
+       |v AS (SELECT doc_id AS vec_id, list(cnt ORDER BY dim) AS qv FROM dense GROUP BY doc_id),
+       |kp AS (SELECT greatest(1, count(*) // 320) AS m FROM v),
+       |tv AS (SELECT v.* FROM v, kp WHERE vec_id % kp.m = 0),
+       |kinit AS (SELECT vec_id AS centroid_id, qv AS cv FROM tv, kp WHERE vec_id < 8 * kp.m),
+       |${lloydCtesSql("tv", "kinit", 16, KmeansIters, Seq.empty, "c")},
+       |fd AS (SELECT v.vec_id, c.centroid_id,
+       |         CAST(list_sum(list_transform(range(1, 17),
+       |           i -> (v.qv[i::INT] - c.cv[i::INT]) * (v.qv[i::INT] - c.cv[i::INT]))) AS BIGINT) AS d
+       |       FROM v JOIN c ON TRUE),
+       |asg AS (SELECT vec_id, centroid_id, d FROM (
+       |          SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                      ORDER BY d ASC, centroid_id ASC) AS rk FROM fd)
+       |        WHERE rk = 1)""".stripMargin
+
+  /** q144's quantized chi-square drift component — SAME expression text
+    * on both engines: the BIGINT products obs*tot and tt*st are exact in
+    * int64 up to multi-billion-token corpora, every int64->double
+    * conversion is IEEE round-to-nearest (identical in both engines even
+    * past 2^53), and the square / multiply / divide are each one
+    * correctly-rounded double op in a fixed order. The denominator
+    * multiplies tt*st and tot as DOUBLES so no three-way BIGINT product
+    * can overflow at bench scales.
+    */
+  private val ChiSqSql =
+    "floor(1000000.0 * ((CAST(obs * tot - tt * st AS DOUBLE) * " +
+      "CAST(obs * tot - tt * st AS DOUBLE)) / " +
+      "(CAST(tt * st AS DOUBLE) * CAST(tot AS DOUBLE))))"
+
+  /** q145's target rank for percentile `pct` over `n` rows — exact
+    * BIGINT product, one double division, shared expression text.
+    */
+  private val QuantTargetSql =
+    "CAST(greatest(1, ceil(pct * n / 100.0)) AS BIGINT)"
+
+  /** q142's literal search patterns (all lowercase, >= 3 chars so each
+    * has a non-empty trigram set; one common phrase, one rarer
+    * multi-word phrase, one guaranteed miss). Shared with the oracle.
+    */
+  private val TrigramPatterns =
+    Seq("merge batch", "customer stream window", "no such phrase anywhere")
 
   /** Query-document selector for q137's BM25 retrieval: docs with
     * doc_id % this == 0 play the probe-query role; everything else is
@@ -4650,31 +4820,59 @@ object SparkEntry {
     // (shared lloydCtesSql generator), aggregate argmin re-derived as the
     // (d, centroid_id)-ordered row_number
     "q141_doc_cluster_assign" ->
-      s"""WITH tk AS (SELECT doc_id, unnest($tokensLowerSql) AS term FROM documents),
-         |ft AS (SELECT doc_id, ('0x' || substr(md5(term), 1, 15))::BIGINT % 16 AS dim,
-         |         count(*) AS cnt
-         |       FROM tk GROUP BY 1, 2),
-         |dims AS (SELECT doc_id, unnest(range(0, 16)) AS dim
-         |         FROM (SELECT DISTINCT doc_id FROM ft)),
-         |dense AS (SELECT d.doc_id, d.dim, coalesce(f.cnt, 0)::BIGINT AS cnt
-         |          FROM dims d LEFT JOIN ft f ON f.doc_id = d.doc_id AND f.dim = d.dim),
-         |v AS (SELECT doc_id AS vec_id, list(cnt ORDER BY dim) AS qv FROM dense GROUP BY doc_id),
-         |kp AS (SELECT greatest(1, count(*) // 320) AS m FROM v),
-         |tv AS (SELECT v.* FROM v, kp WHERE vec_id % kp.m = 0),
-         |kinit AS (SELECT vec_id AS centroid_id, qv AS cv FROM tv, kp WHERE vec_id < 8 * kp.m),
-         |${lloydCtesSql("tv", "kinit", 16, KmeansIters, Seq.empty, "c")},
-         |fd AS (SELECT v.vec_id, c.centroid_id,
-         |         CAST(list_sum(list_transform(range(1, 17),
-         |           i -> (v.qv[i::INT] - c.cv[i::INT]) * (v.qv[i::INT] - c.cv[i::INT]))) AS BIGINT) AS d
-         |       FROM v JOIN c ON TRUE),
-         |asg AS (SELECT vec_id, centroid_id, d FROM (
-         |          SELECT *, row_number() OVER (PARTITION BY vec_id
-         |                      ORDER BY d ASC, centroid_id ASC) AS rk FROM fd)
-         |        WHERE rk = 1),
+      s"""WITH $docClusterCtes,
          |cs AS (SELECT centroid_id, count(*) AS cluster_size FROM asg GROUP BY 1)
          |SELECT a.vec_id AS doc_id, a.centroid_id AS cluster_id, a.d AS dist,
          |       cs.cluster_size::BIGINT AS cluster_size
          |FROM asg a JOIN cs USING (centroid_id) ORDER BY doc_id""".stripMargin,
+
+    // q112's naive-window oracle form per CLUSTER (the Quota rewrite is
+    // row-identical by construction)
+    "q143_cluster_balanced_sample" ->
+      s"""WITH $docClusterCtes,
+         |q AS (SELECT centroid_id,
+         |        least(count(*), floor(sqrt(count(*)::DOUBLE) * $MixSqrtScale)::BIGINT) AS quota
+         |      FROM asg GROUP BY 1),
+         |r AS (SELECT centroid_id, vec_id,
+         |        row_number() OVER (PARTITION BY centroid_id
+         |                           ORDER BY md5('cb-' || vec_id), vec_id) AS rk
+         |      FROM asg)
+         |SELECT r.centroid_id AS cluster_id, r.vec_id AS doc_id, rk::BIGINT AS rk
+         |FROM r JOIN q USING (centroid_id) WHERE rk <= quota
+         |ORDER BY cluster_id, rk""".stripMargin,
+
+    // naive single-window cumulative over the same histogram (the Quota
+    // bucketed form is row-identical); same target-rank expression text
+    "q145_exact_quantiles" ->
+      s"""WITH h AS (SELECT n_chars AS v, count(*) AS cnt FROM documents GROUP BY 1),
+         |c AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM h),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |t AS (SELECT pct, $QuantTargetSql AS target
+         |      FROM (SELECT unnest([50, 90, 99]::BIGINT[]) AS pct), nn)
+         |SELECT t.pct, t.target, min(c.v) AS value
+         |FROM t JOIN c ON c.cum >= t.target
+         |GROUP BY t.pct, t.target ORDER BY t.pct""".stripMargin,
+
+    // same quantized component expression text (ChiSqSql) on exact counts
+    "q144_source_drift" ->
+      s"""WITH t AS (SELECT source, unnest($tokensLowerSql) AS term FROM documents),
+         |o AS (SELECT source, term, count(*) AS obs FROM t GROUP BY 1, 2),
+         |tc AS (SELECT term, count(*) AS tt FROM t GROUP BY 1),
+         |sc AS (SELECT source, count(*) AS st FROM t GROUP BY 1),
+         |n AS (SELECT count(*) AS tot FROM t),
+         |z AS (SELECT o.source, ($ChiSqSql)::BIGINT AS contrib
+         |      FROM o JOIN tc USING (term) JOIN sc USING (source) CROSS JOIN n)
+         |SELECT source, count(*)::BIGINT AS n_terms, sum(contrib)::BIGINT AS drift_q
+         |FROM z GROUP BY source ORDER BY source""".stripMargin,
+
+    // the brute-force scan the trigram index avoids — exact by definition
+    "q142_trigram_search" -> {
+      val vals = TrigramPatterns.map(p => s"('${p}')").mkString(", ")
+      s"""SELECT p.pattern, d.doc_id
+         |FROM documents d CROSS JOIN (VALUES $vals) p(pattern)
+         |WHERE contains(lower(d.text), p.pattern)
+         |ORDER BY p.pattern, d.doc_id""".stripMargin
+    },
 
     // lockstep unnest zips the two shifted slices into adjacent pairs;
     // same quantized-ratio expression text as the Spark side (PmiScoreSql)

@@ -52,10 +52,13 @@ class PlanAuditSpec extends SparkSpec {
     // q137/q139: the 1-row corpus-stats aggregate (n_docs/avgdl, total
     // token count) joins as a broadcast nested loop by definition —
     // the q74/q97 1-row-broadcast-total shape, not an all-pairs plan
-    "q137_bm25_topk", "q139_pmi_collocations",
-    // q141: q123's class — the 1-row sample-rate broadcast plus the
+    "q137_bm25_topk", "q139_pmi_collocations", "q144_source_drift",
+    // q145: the 3-row quantile-target frame nested-loops the TINY
+    // distinct-value histogram (cum >= target) — bounded frames only
+    "q145_exact_quantiles",
+    // q141/q143: q123's class — the 1-row sample-rate broadcast plus the
     // every-vector-vs-broadcast-centroid-set Lloyd/assign scoring
-    "q141_doc_cluster_assign",
+    "q141_doc_cluster_assign", "q143_cluster_balanced_sample",
     "q46_dedup_embed_cosine", "q51_match_inverted_5k",
     "q60_embed_centroid_update", "q74_boilerplate_strip", "q97_revenue_share",
     "q58_tfidf_top_terms", "q105_scorer_long_needle",
