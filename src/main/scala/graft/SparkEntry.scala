@@ -51,6 +51,20 @@ object SparkEntry {
     if (nFiles > 0 && nFiles < target) df.repartition(target) else df
   }
 
+  /** spread() for foreachBatch micro-batches: a micro-batch DataFrame
+    * reports NO inputFiles (measured: inputFiles=0, 1 partition for a
+    * one-file trigger), so the file-count shim above leaves it alone and
+    * per-row hash work runs single-core. A micro-batch is bounded (one
+    * trigger's worth) and its physical plan is already built inside the
+    * handler, so reading rdd.getNumPartitions here is driver-only
+    * planning — no job, and no 100 TB re-shuffle risk (the repartition
+    * only fires when the batch genuinely arrived under-partitioned).
+    */
+  private def spreadBatch(s: SparkSession, df: DataFrame): DataFrame = {
+    val target = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the reference's whole pipeline (fuzzy match of dirty part names
     * against the distinct name catalog).
@@ -2153,7 +2167,7 @@ object SparkEntry {
             // foreachBatch is at-least-once: keying the output path by
             // batchId + overwrite makes a retried micro-batch replace its
             // own partial output instead of appending duplicates
-            Dedup.incrementalNearDupFilter(spread(s, batch), corpus, "doc_id", "text",
+            Dedup.incrementalNearDupFilter(spreadBatch(s, batch), corpus, "doc_id", "text",
                 shingleN = 4, numHashes = 8, rowsPerBand = 4, threshold = 0.4)
               .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
         }.start()
@@ -2199,7 +2213,7 @@ object SparkEntry {
           .filter(col("doc_id") % ContamBenchMod =!= 0)
         val q = graft.streaming.EventStream.foreachBatchSink(stream, identity) {
           (batch, batchId) =>
-            spansOf(spread(s, batch))
+            spansOf(spreadBatch(s, batch))
               .join(broadcast(bench), col("h") === col("bh"), "left")
               .groupBy("doc_id")
               .agg(
@@ -2267,7 +2281,7 @@ object SparkEntry {
         val incoming = s.readStream.schema(schema).parquet(inDir.toString)
         val q = graft.streaming.EventStream.foreachBatchSink(incoming, identity) {
           (batch, batchId) =>
-            Similarity.trainCentroids(spread(s, batch), "vec_id", "embedding",
+            Similarity.trainCentroids(spreadBatch(s, batch), "vec_id", "embedding",
                 batch.filter(col("vec_id") < 8).select("vec_id"), iters = 1)
               .select(col("centroid_id"), posexplode(col("cv")).as(Seq("dim", "cval")))
               .select(col("centroid_id"), col("dim").cast("long").as("dim"), col("cval"))
