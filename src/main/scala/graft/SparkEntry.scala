@@ -1981,6 +1981,30 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // pillar dedup: PLAGIARISM / OVERLAP GROUPS — connected components
+    // over the q116 winnowing pair graph (the MOSS cluster step: pairs
+    // only say A~B; triage wants "these five documents all share the
+    // same passage"). Composes the two proven operators verbatim: the
+    // df-capped fingerprint equi-join builds the edges, resolveGroups'
+    // edge-restricted pointer-jumping resolves them (q52's bounds).
+    "q146_winnowing_groups" -> ((s, dir) => {
+      val docs = spread(s, rd(s, dir, "documents"))
+      val fps = docs.select(col("doc_id"),
+          explode(TextAnalysis.winnowingFingerprints(col("text"))).as("fp"))
+        .localCheckpoint(false) // feeds the df count AND both join sides
+      val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= WinnowMaxDf).select("fp")
+      val kept = fps.join(rare, Seq("fp"), "left_semi")
+      val pairs = kept.alias("a")
+        .join(kept.alias("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= WinnowMinShared)
+        .select("id_a", "id_b")
+      Dedup.resolveGroups(docs, "doc_id", pairs).orderBy("doc_id")
+    }),
+
     // pillar dedup: MOSS MATCH EVIDENCE — q116's pairs extended with the
     // overlapping region extent in EACH document: the position-packed
     // fingerprints ((fp<<32)|first-occurrence offset, one O(n) codegen
@@ -2101,6 +2125,50 @@ object SparkEntry {
           col("n_exact"),
           ((col("hll_est") - col("n_exact")) / col("n_exact")).as("rel_err"))
         .orderBy("event_type")
+    }),
+
+    // pillar events + streaming (11th gate): HLL SKETCH MAINTENANCE ON A
+    // STREAM — each micro-batch emits its own per-(group, register) max
+    // table; the tables max-merge after the stream drains and the
+    // estimate reads off the merged registers. Because max is
+    // associative and commutative, batch boundaries provably cannot
+    // change a register — same oracle as the batch q133. This is the
+    // production sketch shape: per-partition/day/batch register tables
+    // stored small, merged on demand, raw data never re-read.
+    "q148_stream_hll_distinct" -> ((s, dir) => {
+      val stage = Staging.dir("q148-")
+      try {
+        val inDir = stage.resolve("in")
+        java.nio.file.Files.createDirectories(inDir)
+        java.nio.file.Files.createSymbolicLink(
+          inDir.resolve("events.parquet"),
+          java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath.normalize())
+        val outDir = stage.resolve("out").toString
+        def userDay(df: DataFrame) = df.select(col("event_type"),
+          concat(col("user_id").cast("string"), lit(":"),
+            expr("ts div 86400000000000").cast("string")).as("user_day"))
+        val schema = rd(s, dir, "events").schema
+        val stream = s.readStream.schema(schema).parquet(inDir.toString)
+        val q = graft.streaming.EventStream.foreachBatchSink(stream, identity) {
+          (batch, batchId) =>
+            Sketches.hllRegisters(userDay(spreadBatch(s, batch)), "event_type", "user_day")
+              .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        }.start()
+        try {
+          if (!q.awaitTermination(300000))
+            throw new IllegalStateException("q148 stream did not finish within 300s")
+        } finally if (q.isActive) q.stop()
+        val merged = s.read.parquet(outDir).drop("batch")
+          .groupBy("event_type", "j").agg(max(col("mj")).as("mj"))
+        val exact = userDay(spread(s, rd(s, dir, "events")))
+          .groupBy("event_type").agg(countDistinct(col("user_day")).as("n_exact"))
+        Sketches.hllEstimate(merged, "event_type")
+          .join(exact, Seq("event_type"))
+          .select(col("event_type"), col("n_zero_regs"), col("hll_est"),
+            col("n_exact"),
+            ((col("hll_est") - col("n_exact")) / col("n_exact")).as("rel_err"))
+          .orderBy("event_type").localCheckpoint(true)
+      } finally Staging.discard(stage)
     }),
 
     // pillar text analysis: GRADED benchmark contamination — q85/q113
@@ -2799,6 +2867,19 @@ object SparkEntry {
         .orderBy("pct")
     }),
 
+    // pillar dedup: LSH BANDING-PARAMETER AUDIT — the tuning table read
+    // before committing a banding to a 100 TB dedup run: per
+    // (bands, rows-per-band) config over ONE shared signature table,
+    // candidate volume (the shuffle-cost knob) vs true near-dup pairs
+    // captured (the recall knob). Truth = exact-Jaccard pairs among the
+    // (8,1) candidates — the most permissive banding, provably a
+    // superset of every coarser config's candidate set.
+    "q147_lsh_tuning_audit" -> ((s, dir) =>
+      Dedup.lshTuningAudit(spread(s, rd(s, dir, "documents")), "doc_id", "text",
+          shingleN = 4, numHashes = 8,
+          configs = Seq((8, 1), (4, 2), (2, 4)), threshold = 0.4)
+        .orderBy(col("bands").desc)),
+
     // custom typed UDAF (Aggregator surface): quantity-weighted mean
     // price per return flag — integer-cents buffer, map-side combinable,
     // one double division at finish (order-independent, oracle-exact)
@@ -2971,6 +3052,66 @@ object SparkEntry {
        |          SELECT *, row_number() OVER (PARTITION BY vec_id
        |                      ORDER BY d ASC, centroid_id ASC) AS rk FROM fd)
        |        WHERE rk = 1)""".stripMargin
+
+  /** q133's HLL oracle — shared VERBATIM by the q148 streaming gate
+    * (micro-batch register tables max-merge into the identical
+    * sketch, so the bridge must not change any output row).
+    */
+  private lazy val hllOracle: String =
+    s"""WITH ud AS (
+         |  SELECT event_type,
+         |         user_id || ':' || (epoch(date_trunc('day', ts))::BIGINT // 86400)::VARCHAR AS user_day
+         |  FROM events),
+         |h AS (
+         |  SELECT event_type,
+         |         ('0x' || substr(md5('hll:' || user_day), 1, 15))::BIGINT AS hv
+         |  FROM ud),
+         |reg AS (
+         |  SELECT event_type, hv % ${Sketches.HllM} AS j,
+         |         max(CASE WHEN (hv // ${Sketches.HllM}) % ${1L << Sketches.HllWindowBits} = 0
+         |                  THEN ${Sketches.HllWindowBits + 1}
+         |                  ELSE ${Sketches.HllWindowBits + 1} - length(bin((hv // ${Sketches.HllM}) % ${1L << Sketches.HllWindowBits}))
+         |             END) AS mj
+         |  FROM h GROUP BY event_type, hv % ${Sketches.HllM}),
+         |agg AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_present,
+         |         CAST(sum(1::BIGINT << (${Sketches.HllWindowBits + 1} - mj)) AS BIGINT) AS s_present
+         |  FROM reg GROUP BY event_type),
+         |ex AS (SELECT event_type, CAST(count(DISTINCT user_day) AS BIGINT) AS n_exact
+         |       FROM ud GROUP BY event_type),
+         |est AS (
+         |  SELECT a.event_type, CAST(${Sketches.HllM} - n_present AS BIGINT) AS n_zero_regs,
+         |         ${Sketches.HllNumerator} / (s_present + (${Sketches.HllM} - n_present) * ${1L << (Sketches.HllWindowBits + 1)})::DOUBLE AS hll_est,
+         |         n_exact
+         |  FROM agg a JOIN ex ON ex.event_type = a.event_type)
+         |SELECT event_type, n_zero_regs, hll_est, n_exact,
+         |       (hll_est - n_exact) / n_exact AS rel_err
+         |FROM est ORDER BY event_type""".stripMargin
+
+  /** Shared oracle CTE chain for q116/q146: winnowing fingerprints per
+    * doc, the df cap, and the thresholded near-dup pair set `wpairs
+    * (id_a, id_b, n_shared)`.
+    */
+  private lazy val winnowPairsCtes =
+    s"""d AS (SELECT doc_id, lower(text) AS t FROM documents),
+       |h AS (SELECT doc_id,
+       |  list_transform(range(1, greatest(strlen(t) - 6, 1)), i ->
+       |    list_reduce(list_transform(range(i, i + 8), j -> unicode(substr(t, j::INT, 1))::BIGINT),
+       |      (a, b) -> (a * 131 + b) % 1000000007)) AS hs
+       |  FROM d),
+       |f AS (SELECT doc_id,
+       |        CASE WHEN len(hs) = 0 THEN []::BIGINT[]
+       |             WHEN len(hs) < 8 THEN [list_min(hs)]
+       |             ELSE list_distinct(list_transform(range(1, len(hs) - 6),
+       |                    i -> list_min(hs[i::INT:(i::INT)+7]))) END AS fps
+       |      FROM h),
+       |fp AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+       |rare AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= $WinnowMaxDf),
+       |k AS (SELECT doc_id, fp FROM fp JOIN rare USING (fp)),
+       |wpairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared
+       |  FROM k a JOIN k b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared)""".stripMargin
 
   /** q144's quantized chi-square drift component — SAME expression text
     * on both engines: the BIGINT products obs*tot and tt*st are exact in
@@ -4019,25 +4160,61 @@ object SparkEntry {
         |SELECT doc_id, unnest(fps) AS fp FROM f ORDER BY doc_id, fp""".stripMargin,
 
     "q116_winnowing_pairs" ->
-      s"""WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
-         |h AS (SELECT doc_id,
-         |  list_transform(range(1, greatest(strlen(t) - 6, 1)), i ->
-         |    list_reduce(list_transform(range(i, i + 8), j -> unicode(substr(t, j::INT, 1))::BIGINT),
-         |      (a, b) -> (a * 131 + b) % 1000000007)) AS hs
-         |  FROM d),
-         |f AS (SELECT doc_id,
-         |        CASE WHEN len(hs) = 0 THEN []::BIGINT[]
-         |             WHEN len(hs) < 8 THEN [list_min(hs)]
-         |             ELSE list_distinct(list_transform(range(1, len(hs) - 6),
-         |                    i -> list_min(hs[i::INT:(i::INT)+7]))) END AS fps
-         |      FROM h),
-         |fp AS (SELECT doc_id, unnest(fps) AS fp FROM f),
-         |rare AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= $WinnowMaxDf),
-         |k AS (SELECT doc_id, fp FROM fp JOIN rare USING (fp))
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared
-         |FROM k a JOIN k b ON a.fp = b.fp AND a.doc_id < b.doc_id
-         |GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared
+      s"""WITH $winnowPairsCtes
+         |SELECT id_a, id_b, n_shared FROM wpairs
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // three band layouts generated from the SAME sig CTE (and the same
+    // MinhashParams constants as the Spark side); truth via the q31
+    // exact-Jaccard verify on the (8,1) candidates
+    "q147_lsh_tuning_audit" -> {
+      def bandCte(name: String, bands: Int, rows: Int): String = {
+        val sels = (0 until bands).map { bd =>
+          val key = (0 until rows)
+            .map(r => s"m${bd * rows + r}::VARCHAR").mkString(" || '|' || ")
+          s"SELECT doc_id, $bd AS band, $key AS key FROM sig"
+        }.mkString("\n  UNION ALL ")
+        s"$name AS (\n  $sels)"
+      }
+      def candCte(name: String, bandName: String): String =
+        s"""$name AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+           |  FROM $bandName x JOIN $bandName y
+           |  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)""".stripMargin
+      def cfgRow(cand: String, bands: Int, rows: Int): String =
+        s"""SELECT $bands::BIGINT AS bands, $rows::BIGINT AS rows_per_band,
+           |  count(*)::BIGINT AS n_candidates,
+           |  sum(CASE WHEN t.id_a IS NULL THEN 0 ELSE 1 END)::BIGINT AS n_true_found
+           |FROM $cand c LEFT JOIN truth t ON t.id_a = c.id_a AND t.id_b = c.id_b""".stripMargin
+      s"""WITH $lshBandCtes,
+         |${bandCte("band81", 8, 1)},
+         |${bandCte("band42", 4, 2)},
+         |${candCte("cand81", "band81")},
+         |${candCte("cand42", "band42")},
+         |${candCte("cand24", "band")},
+         |truth AS (SELECT c.id_a, c.id_b
+         |  FROM cand81 c JOIN ok da ON da.doc_id = c.id_a JOIN ok db ON db.doc_id = c.id_b
+         |  WHERE $lshJaccSql >= 0.4),
+         |tot AS (SELECT count(*)::BIGINT AS n_true_total FROM truth),
+         |r AS (${cfgRow("cand81", 8, 1)}
+         |  UNION ALL ${cfgRow("cand42", 4, 2)}
+         |  UNION ALL ${cfgRow("cand24", 2, 4)})
+         |SELECT r.*, tot.n_true_total,
+         |       CAST(n_true_found AS DOUBLE) / nullif(n_true_total, 0) AS recall
+         |FROM r CROSS JOIN tot ORDER BY bands DESC""".stripMargin
+    },
+
+    // q52's recursive-CC oracle form over the q116 pair graph
+    "q146_winnowing_groups" ->
+      s"""WITH RECURSIVE $winnowPairsCtes,
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM wpairs
+         |  UNION ALL
+         |  SELECT id_b AS src, id_a AS dst FROM wpairs),
+         |reach(id, r) AS (
+         |  SELECT doc_id::BIGINT, doc_id::BIGINT FROM documents
+         |  UNION
+         |  SELECT e.dst, w.r FROM reach w JOIN edges e ON e.src = w.id)
+         |SELECT id AS doc_id, min(r) AS keep_id FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
 
     // evidence spans: position = first index of the fingerprint value in
     // the rolling-hash array (list_position), the same deterministic
@@ -4117,36 +4294,12 @@ object SparkEntry {
     // shift/mask window, same integer contribution sum; the estimator
     // numerator is the SAME Scala-computed double literal on both sides,
     // so the one final division is IEEE-identical
-    "q133_hll_distinct" ->
-      s"""WITH ud AS (
-         |  SELECT event_type,
-         |         user_id || ':' || (epoch(date_trunc('day', ts))::BIGINT // 86400)::VARCHAR AS user_day
-         |  FROM events),
-         |h AS (
-         |  SELECT event_type,
-         |         ('0x' || substr(md5('hll:' || user_day), 1, 15))::BIGINT AS hv
-         |  FROM ud),
-         |reg AS (
-         |  SELECT event_type, hv % ${Sketches.HllM} AS j,
-         |         max(CASE WHEN (hv // ${Sketches.HllM}) % ${1L << Sketches.HllWindowBits} = 0
-         |                  THEN ${Sketches.HllWindowBits + 1}
-         |                  ELSE ${Sketches.HllWindowBits + 1} - length(bin((hv // ${Sketches.HllM}) % ${1L << Sketches.HllWindowBits}))
-         |             END) AS mj
-         |  FROM h GROUP BY event_type, hv % ${Sketches.HllM}),
-         |agg AS (
-         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_present,
-         |         CAST(sum(1::BIGINT << (${Sketches.HllWindowBits + 1} - mj)) AS BIGINT) AS s_present
-         |  FROM reg GROUP BY event_type),
-         |ex AS (SELECT event_type, CAST(count(DISTINCT user_day) AS BIGINT) AS n_exact
-         |       FROM ud GROUP BY event_type),
-         |est AS (
-         |  SELECT a.event_type, CAST(${Sketches.HllM} - n_present AS BIGINT) AS n_zero_regs,
-         |         ${Sketches.HllNumerator} / (s_present + (${Sketches.HllM} - n_present) * ${1L << (Sketches.HllWindowBits + 1)})::DOUBLE AS hll_est,
-         |         n_exact
-         |  FROM agg a JOIN ex ON ex.event_type = a.event_type)
-         |SELECT event_type, n_zero_regs, hll_est, n_exact,
-         |       (hll_est - n_exact) / n_exact AS rel_err
-         |FROM est ORDER BY event_type""".stripMargin,
+    "q133_hll_distinct" -> hllOracle,
+
+    // 11th streaming gate: micro-batch register tables max-merge into
+    // the identical sketch (max is associative) — same oracle as q133
+    "q148_stream_hll_distinct" -> hllOracle,
+
 
     // transitive closure over the within-cluster cosine pair graph
     // (q52's recursive-CTE shape on the q46/q117 embedding CTEs)

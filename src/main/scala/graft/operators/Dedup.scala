@@ -317,6 +317,60 @@ object Dedup {
       .withColumn("kept", when(col("n_dups") === 0, 1L).otherwise(0L))
   }
 
+  /** LSH banding-parameter AUDIT: for each (numBands, rowsPerBand)
+    * config over ONE shared signature table, the candidate-pair count
+    * (the shuffle-cost knob) and how many true near-dup pairs it
+    * captures (the recall knob) — the tuning table a team reads before
+    * committing a banding to a 100 TB dedup run. Truth = exact-Jaccard
+    * pairs among the (numHashes, 1) candidates: the most permissive
+    * banding, whose candidate set provably contains every coarser
+    * config's (a full-band collision implies each of its rows' minhash
+    * values collide individually). One band self-join per config; the
+    * tiny truth set broadcasts into each config's flag join.
+    */
+  def lshTuningAudit(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int,
+      numHashes: Int,
+      configs: Seq[(Int, Int)],
+      threshold: Double
+  ): DataFrame = {
+    val sig = hashedSignatures(docs, idCol, textCol, shingleN, numHashes)
+    def candidates(bands: Int, rows: Int): DataFrame = {
+      val b = bandExplode(sig, idCol, bands, rows, carry = Seq.empty)
+      b.alias("a")
+        .join(b.alias("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col(s"a.$idCol") < col(s"b.$idCol"))
+        .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+        .distinct()
+    }
+    val inter = org.apache.spark.sql.graft.LongArrayIntersectSize
+      .column(col("hs_a"), col("hs_b")).cast("double")
+    val truth = candidates(numHashes, 1)
+      .join(sig.select(col(idCol).as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+      .join(sig.select(col(idCol).as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
+      .withColumn("jacc", inter / (size(col("hs_a")) + size(col("hs_b")) - inter))
+      .filter(col("jacc") >= threshold)
+      .select(col("id_a"), col("id_b"), lit(1L).as("t"))
+      .localCheckpoint(false) // audited against every config's candidates
+    val totals = truth.agg(count(lit(1)).as("n_true_total"))
+    configs.map { case (bands, rpb) =>
+      candidates(bands, rpb)
+        .join(broadcast(truth), Seq("id_a", "id_b"), "left")
+        .agg(
+          count(lit(1)).as("n_candidates"),
+          sum(when(col("t").isNotNull, 1L).otherwise(0L)).as("n_true_found"))
+        .select(lit(bands.toLong).as("bands"), lit(rpb.toLong).as("rows_per_band"),
+          col("n_candidates"), col("n_true_found"))
+        .crossJoin(broadcast(totals))
+        .withColumn("recall",
+          expr("CAST(n_true_found AS DOUBLE) / nullif(n_true_total, 0)"))
+    }.reduce(_.unionAll(_))
+  }
+
   /** As `nearDuplicates`, but each pair also carries the MINHASH ESTIMATE
     * of its Jaccard (fraction of agreeing signature slots) next to the
     * exact value — the estimator-quality surface: at 100 TB the verify

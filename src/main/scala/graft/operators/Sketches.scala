@@ -65,7 +65,18 @@ object Sketches {
     * 1.04/sqrt(m) (~13% at m = 64).
     */
   def hllDistinct(df: DataFrame, grpCol: String, valCol: String): DataFrame =
-    hllRegisters(df, grpCol, valCol)
+    hllEstimate(hllRegisters(df, grpCol, valCol), grpCol)
+
+  /** The estimator read-off over an existing register table (grp, j, mj)
+    * — the entry point for MERGED sketches: register tables from
+    * different partitions/days/micro-batches union and max-merge into
+    * one, and the estimate is computed here exactly as for a single
+    * sketch (max is associative, so merge order provably can't change
+    * the answer — the q148 streaming gate pins this against q133's
+    * batch oracle).
+    */
+  def hllEstimate(regs: DataFrame, grpCol: String): DataFrame =
+    regs
       .withColumn("contrib",
         expr(s"shiftleft(CAST(1 AS BIGINT), CAST($RhoMax - mj AS INT))"))
       .groupBy(grpCol)

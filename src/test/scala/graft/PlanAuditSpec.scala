@@ -56,6 +56,9 @@ class PlanAuditSpec extends SparkSpec {
     // q145: the 3-row quantile-target frame nested-loops the TINY
     // distinct-value histogram (cum >= target) — bounded frames only
     "q145_exact_quantiles",
+    // q147: each config row crossJoins the 1-row truth-total aggregate
+    // (the q74/q97 1-row-broadcast-total shape)
+    "q147_lsh_tuning_audit",
     // q141/q143: q123's class — the 1-row sample-rate broadcast plus the
     // every-vector-vs-broadcast-centroid-set Lloyd/assign scoring
     "q141_doc_cluster_assign", "q143_cluster_balanced_sample",
@@ -82,7 +85,11 @@ class PlanAuditSpec extends SparkSpec {
     // staging pattern); BucketedJoinSpec pins its no-corpus-exchange plan
     "q130_stream_kmeans_update", "q132_persisted_sig_dedup",
     // q140 runs its stream inside the builder (q121's bridge pattern)
-    "q140_stream_contamination")
+    "q140_stream_contamination",
+    // q146 runs the q52-style propagation loop inside the builder
+    "q146_winnowing_groups",
+    // q148 runs its stream inside the builder (q121's bridge pattern)
+    "q148_stream_hll_distinct")
 
   private val dir = "/root/testdata/sf0.001"
 
