@@ -2875,10 +2875,59 @@ object SparkEntry {
     // (8,1) candidates — the most permissive banding, provably a
     // superset of every coarser config's candidate set.
     "q147_lsh_tuning_audit" -> ((s, dir) =>
+      // eager-checkpoint the 3-row audit BEFORE the sort: orderBy's
+      // range-partitioner sampling would otherwise re-execute the whole
+      // three-branch union (measured 88 s -> 9 s at the 10x corpus)
       Dedup.lshTuningAudit(spread(s, rd(s, dir, "documents")), "doc_id", "text",
           shingleN = 4, numHashes = 8,
-          configs = Seq((8, 1), (4, 2), (2, 4)), threshold = 0.4)
+          configs = Seq((8, 1), (4, 2), (2, 4)), threshold = 0.4,
+          sampleTarget = LshAuditSampleTarget)
+        .localCheckpoint(true)
         .orderBy(col("bands").desc)),
+
+    // pillar events: FUNNEL ANALYSIS — ordered-stage conversion
+    // (signup -> first view AFTER signup -> first purchase AFTER that
+    // view), the product-analytics staple. Each stage is one filtered
+    // min-aggregate equi-joined on user_id to the previous stage's
+    // timestamps — no window, no per-user event collection; three
+    // map-side-combined shuffles on a key that only grows with users.
+    "q149_event_funnel" -> ((s, dir) => {
+      val ev = spread(s, rd(s, dir, "events"))
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .localCheckpoint(false) // feeds all three stage aggregates
+      val s1 = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("ts")).as("t1"))
+      val s2 = ev.filter(col("event_type") === "view").join(s1, Seq("user_id"))
+        .filter(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min(col("ts")).as("t2"))
+      val s3 = ev.filter(col("event_type") === "purchase").join(s2, Seq("user_id"))
+        .filter(col("ts") > col("t2"))
+        .groupBy("user_id").agg(min(col("ts")).as("t3"))
+      s1.agg(count(lit(1)).as("n_users"))
+        .select(lit(1L).as("stage"), lit("signup").as("event_type"), col("n_users"))
+        .unionAll(s2.agg(count(lit(1)).as("n_users"))
+          .select(lit(2L).as("stage"), lit("view").as("event_type"), col("n_users")))
+        .unionAll(s3.agg(count(lit(1)).as("n_users"))
+          .select(lit(3L).as("stage"), lit("purchase").as("event_type"), col("n_users")))
+        .orderBy("stage")
+    }),
+
+    // pillar events: COHORT RETENTION — users grouped by first-seen
+    // week, activity counted per (cohort, week-offset): the retention
+    // matrix every growth dashboard draws. Distinct (user, week) rows
+    // join the tiny per-user cohort frame; week indices derive from the
+    // SAME integer epoch-floor on both engines (q133's day-index trick).
+    "q150_cohort_retention" -> ((s, dir) => {
+      val ev = spread(s, rd(s, dir, "events"))
+        .select(col("user_id"), expr("ts div 604800000000000").as("wk"))
+        .localCheckpoint(false) // feeds the cohort min AND the activity matrix
+      val uw = ev.distinct()
+      val first = ev.groupBy("user_id").agg(min(col("wk")).as("cohort_week"))
+      uw.join(first, Seq("user_id"))
+        .groupBy(col("cohort_week"), (col("wk") - col("cohort_week")).as("week_offset"))
+        .agg(count(lit(1)).as("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    }),
 
     // custom typed UDAF (Aggregator surface): quantity-weighted mean
     // price per return flag — integer-cents buffer, map-side combinable,
@@ -3112,6 +3161,14 @@ object SparkEntry {
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared
        |  FROM k a JOIN k b ON a.fp = b.fp AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared)""".stripMargin
+
+  /** q147's audit-sample size target: the WHOLE audit (truth verify
+    * and per-config candidate counts) runs over ~this many sampled docs
+    * (1-in-m, m = max(1, N div target) — identity at oracle scales),
+    * because dense-corpus band buckets make every config's corpus-wide
+    * pair volume quadratic. Shared with the oracle SQL.
+    */
+  private val LshAuditSampleTarget = 1000L
 
   /** q144's quantized chi-square drift component — SAME expression text
     * on both engines: the BIGINT products obs*tot and tt*st are exact in
@@ -4168,11 +4225,11 @@ object SparkEntry {
     // MinhashParams constants as the Spark side); truth via the q31
     // exact-Jaccard verify on the (8,1) candidates
     "q147_lsh_tuning_audit" -> {
-      def bandCte(name: String, bands: Int, rows: Int): String = {
+      def bandCte(name: String, src: String, bands: Int, rows: Int): String = {
         val sels = (0 until bands).map { bd =>
           val key = (0 until rows)
             .map(r => s"m${bd * rows + r}::VARCHAR").mkString(" || '|' || ")
-          s"SELECT doc_id, $bd AS band, $key AS key FROM sig"
+          s"SELECT doc_id, $bd AS band, $key AS key FROM $src"
         }.mkString("\n  UNION ALL ")
         s"$name AS (\n  $sels)"
       }
@@ -4186,11 +4243,14 @@ object SparkEntry {
            |  sum(CASE WHEN t.id_a IS NULL THEN 0 ELSE 1 END)::BIGINT AS n_true_found
            |FROM $cand c LEFT JOIN truth t ON t.id_a = c.id_a AND t.id_b = c.id_b""".stripMargin
       s"""WITH $lshBandCtes,
-         |${bandCte("band81", 8, 1)},
-         |${bandCte("band42", 4, 2)},
+         |kpa AS (SELECT greatest(1, count(*) // $LshAuditSampleTarget) AS m FROM documents),
+         |sigs AS (SELECT sig.* FROM sig, kpa WHERE doc_id % kpa.m = 0),
+         |${bandCte("band81", "sigs", 8, 1)},
+         |${bandCte("band42", "sigs", 4, 2)},
+         |${bandCte("band24", "sigs", 2, 4)},
          |${candCte("cand81", "band81")},
          |${candCte("cand42", "band42")},
-         |${candCte("cand24", "band")},
+         |${candCte("cand24", "band24")},
          |truth AS (SELECT c.id_a, c.id_b
          |  FROM cand81 c JOIN ok da ON da.doc_id = c.id_a JOIN ok db ON db.doc_id = c.id_b
          |  WHERE $lshJaccSql >= 0.4),
@@ -4202,6 +4262,32 @@ object SparkEntry {
          |       CAST(n_true_found AS DOUBLE) / nullif(n_true_total, 0) AS recall
          |FROM r CROSS JOIN tot ORDER BY bands DESC""".stripMargin
     },
+
+    "q149_event_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'view' AND ts > t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(ts) AS t3 FROM events e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT 1::BIGINT AS stage, 'signup' AS event_type,
+        |         (SELECT count(*) FROM s1)::BIGINT AS n_users
+        |  UNION ALL SELECT 2::BIGINT, 'view', (SELECT count(*) FROM s2)::BIGINT
+        |  UNION ALL SELECT 3::BIGINT, 'purchase', (SELECT count(*) FROM s3)::BIGINT)
+        |ORDER BY stage""".stripMargin,
+
+    // week index = floor-seconds // 604800 — date_trunc('second') makes
+    // epoch() integral so the ::BIGINT cast is exact (q133's trick);
+    // Spark's micros div 604800000000 floors to the same index
+    "q150_cohort_retention" ->
+      """WITH w AS (SELECT DISTINCT user_id,
+        |             (epoch(date_trunc('second', ts))::BIGINT // 604800) AS wk
+        |           FROM events),
+        |f AS (SELECT user_id, min(wk) AS cohort_week FROM w GROUP BY 1)
+        |SELECT f.cohort_week, (w.wk - f.cohort_week)::BIGINT AS week_offset,
+        |       count(*)::BIGINT AS n_active
+        |FROM w JOIN f USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // q52's recursive-CC oracle form over the q116 pair graph
     "q146_winnowing_groups" ->

@@ -322,11 +322,12 @@ object Dedup {
     * (the shuffle-cost knob) and how many true near-dup pairs it
     * captures (the recall knob) — the tuning table a team reads before
     * committing a banding to a 100 TB dedup run. Truth = exact-Jaccard
-    * pairs among the (numHashes, 1) candidates: the most permissive
-    * banding, whose candidate set provably contains every coarser
-    * config's (a full-band collision implies each of its rows' minhash
-    * values collide individually). One band self-join per config; the
-    * tiny truth set broadcasts into each config's flag join.
+    * pairs among the (numHashes, 1) candidates of a corpus-scaled doc
+    * sample: the most permissive banding, whose candidate set provably
+    * contains every coarser config's over the same docs (a full-band
+    * collision implies each of its rows' minhash values collide
+    * individually). One band self-join per config; the tiny truth set
+    * broadcasts into each config's flag join.
     */
   def lshTuningAudit(
       docs: DataFrame,
@@ -335,11 +336,23 @@ object Dedup {
       shingleN: Int,
       numHashes: Int,
       configs: Seq[(Int, Int)],
-      threshold: Double
+      threshold: Double,
+      sampleTarget: Long = 1000L
   ): DataFrame = {
-    val sig = hashedSignatures(docs, idCol, textCol, shingleN, numHashes)
-    def candidates(bands: Int, rows: Int): DataFrame = {
-      val b = bandExplode(sig, idCol, bands, rows, carry = Seq.empty)
+    // sample FIRST: only sampled docs ever need signatures — the full-
+    // corpus md5 minhash pass would otherwise dominate the bounded
+    // audit. The checkpoint is a PLAN BARRIER, not just reuse:
+    // without it PushProjectionThroughJoin moves the shingle/minhash
+    // projection below the broadcast-m join + filter and hashes the
+    // ENTIRE corpus (measured 63 s vs 0.3 s at the 10x corpus).
+    val mRow = docs.agg(count(lit(1)).as("n"))
+      .select(greatest(lit(1L), expr(s"n div $sampleTarget")).as("m"))
+    val docsS = docs.crossJoin(broadcast(mRow))
+      .filter(col(idCol) % col("m") === 0)
+      .localCheckpoint(false)
+    val sig = hashedSignatures(docsS, idCol, textCol, shingleN, numHashes)
+    def candidates(src: DataFrame, bands: Int, rows: Int): DataFrame = {
+      val b = bandExplode(src, idCol, bands, rows, carry = Seq.empty)
       b.alias("a")
         .join(b.alias("b"),
           col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -347,9 +360,19 @@ object Dedup {
         .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
         .distinct()
     }
+    // band buckets on a dense corpus hold ~N/m docs, so EVERY config's
+    // pair volume is ~N^2-ish — corpus-wide, the (8,1) truth measured
+    // 1065 s and even the (4,2) count alone 433 s at the 10x headroom
+    // corpus. The ENTIRE audit therefore runs on a corpus-scaled 1-in-m
+    // doc sample (m = max(1, N div sampleTarget), the trainSample8
+    // shape: ~sampleTarget docs at ANY corpus size, broadcast 1-row m,
+    // identity at oracle scales). Counts and recall are sample
+    // estimates — exactly what a pre-flight banding decision needs, at
+    // a bounded O(target^2) worst-case cost.
+    val sigS = sig
     val inter = org.apache.spark.sql.graft.LongArrayIntersectSize
       .column(col("hs_a"), col("hs_b")).cast("double")
-    val truth = candidates(numHashes, 1)
+    val truth = candidates(sigS, numHashes, 1)
       .join(sig.select(col(idCol).as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
       .join(sig.select(col(idCol).as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
       .withColumn("jacc", inter / (size(col("hs_a")) + size(col("hs_b")) - inter))
@@ -358,7 +381,7 @@ object Dedup {
       .localCheckpoint(false) // audited against every config's candidates
     val totals = truth.agg(count(lit(1)).as("n_true_total"))
     configs.map { case (bands, rpb) =>
-      candidates(bands, rpb)
+      candidates(sigS, bands, rpb)
         .join(broadcast(truth), Seq("id_a", "id_b"), "left")
         .agg(
           count(lit(1)).as("n_candidates"),
