@@ -2929,6 +2929,46 @@ object SparkEntry {
         .orderBy("cohort_week", "week_offset")
     }),
 
+    // pipeline: DATA-QUALITY EXPECTATION GATE (the dbt-test / Great-
+    // Expectations shape): a battery of assertions over the warehouse
+    // tables, one row per check with its violation count — what a
+    // nightly pipeline runs before promoting a snapshot. Each check is
+    // one aggregate or one anti-join; nothing corpus-wide beyond the
+    // scans, and the FK check's build side is the dimension (broadcast).
+    "q151_quality_checks" -> ((s, dir) => {
+      val orders = rd(s, dir, "orders")
+      val customer = rd(s, dir, "customer")
+      val lineitem = rd(s, dir, "lineitem")
+      def check(name: String, violations: DataFrame): DataFrame =
+        violations.select(lit(name).as("check_name"),
+          col("violations").cast("long").as("violations"),
+          (col("violations") === 0L).as("passed"))
+      check("orders_pk_unique",
+          orders.agg((count(lit(1)) - countDistinct(col("o_orderkey"))).as("violations")))
+        .unionAll(check("orders_custkey_not_null",
+          orders.agg(sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("violations"))))
+        .unionAll(check("orders_fk_customer",
+          orders.join(broadcast(customer.select(col("c_custkey"))),
+              col("o_custkey") === col("c_custkey"), "left_anti")
+            .agg(count(lit(1)).as("violations"))))
+        .unionAll(check("orders_totalprice_positive",
+          orders.agg(sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("violations"))))
+        .unionAll(check("orders_status_accepted",
+          orders.agg(sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L)
+            .otherwise(0L)).as("violations"))))
+        .unionAll(check("lineitem_qty_range",
+          lineitem.agg(sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+            .otherwise(0L)).as("violations"))))
+        .unionAll(check("lineitem_fk_orders",
+          lineitem.join(orders.select(col("o_orderkey")),
+              col("l_orderkey") === col("o_orderkey"), "left_anti")
+            .agg(count(lit(1)).as("violations"))))
+        .unionAll(check("lineitem_discount_range",
+          lineitem.agg(sum(when(col("l_discount") < 0 || col("l_discount") > 0.5, 1L)
+            .otherwise(0L)).as("violations"))))
+        .orderBy("check_name")
+    }),
+
     // custom typed UDAF (Aggregator surface): quantity-weighted mean
     // price per return flag — integer-cents buffer, map-side combinable,
     // one double division at finish (order-independent, oracle-exact)
@@ -4262,6 +4302,29 @@ object SparkEntry {
          |       CAST(n_true_found AS DOUBLE) / nullif(n_true_total, 0) AS recall
          |FROM r CROSS JOIN tot ORDER BY bands DESC""".stripMargin
     },
+
+    "q151_quality_checks" ->
+      """WITH checks AS (
+        |  SELECT 'orders_pk_unique' AS check_name,
+        |         (count(*) - count(DISTINCT o_orderkey))::BIGINT AS violations FROM orders
+        |  UNION ALL SELECT 'orders_custkey_not_null',
+        |         sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT FROM orders
+        |  UNION ALL SELECT 'orders_fk_customer',
+        |         (SELECT count(*) FROM orders o LEFT JOIN customer c
+        |            ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL)::BIGINT
+        |  UNION ALL SELECT 'orders_totalprice_positive',
+        |         sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)::BIGINT FROM orders
+        |  UNION ALL SELECT 'orders_status_accepted',
+        |         sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END)::BIGINT FROM orders
+        |  UNION ALL SELECT 'lineitem_qty_range',
+        |         sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END)::BIGINT FROM lineitem
+        |  UNION ALL SELECT 'lineitem_fk_orders',
+        |         (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+        |            ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL)::BIGINT
+        |  UNION ALL SELECT 'lineitem_discount_range',
+        |         sum(CASE WHEN l_discount < 0 OR l_discount > 0.5 THEN 1 ELSE 0 END)::BIGINT FROM lineitem)
+        |SELECT check_name, violations, violations = 0 AS passed
+        |FROM checks ORDER BY check_name""".stripMargin,
 
     "q149_event_funnel" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events

@@ -172,6 +172,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(countOf(p, "Generate") <= 1, s"more than the one span posexplode:\n$p")
   }
 
+  test("q149/q150 events analytics: aggregates + key joins, no windows") {
+    // funnel stages and the retention matrix must stay min-aggregate +
+    // user_id equi-join shaped — a window formulation would drag every
+    // user's events through per-user sort state
+    for (name <- Seq("q149_event_funnel", "q150_cohort_retention")) {
+      val p = plan(name)
+      assert(!p.contains("WindowExec") && !p.contains("WindowGroupLimit"),
+        s"events analytics degraded to a window in $name:\n$p")
+    }
+  }
+
+  test("q144 source drift: per-source totals broadcast onto the obs join") {
+    val p = plan("q144_source_drift")
+    assert(p.contains("BroadcastHashJoin"), s"per-source join not broadcast:\n$p")
+  }
+
   test("q112 source mix: the per-source quota table joins broadcast") {
     val p = plan("q112_source_mix_sample")
     assert(p.contains("BroadcastHashJoin"), s"quota join not broadcast:\n$p")
