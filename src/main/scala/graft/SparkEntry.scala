@@ -2969,6 +2969,32 @@ object SparkEntry {
         .orderBy("check_name")
     }),
 
+    // pillar text analysis: POSITIONAL PHRASE SEARCH — the word-level
+    // positional-index twin of q142's trigram search: postings carry
+    // (doc, term, position); each phrase term joins with its offset and
+    // a phrase occurrence is an anchor (pos - off) where ALL offsets
+    // matched (count == phrase length) — the classic phrase-query
+    // position-list intersection, one broadcast of the tiny phrase-term
+    // side, no contains() scan anywhere.
+    "q152_phrase_search" -> ((s, dir) => {
+      import s.implicits._
+      val docs = spread(s, rd(s, dir, "documents"))
+      val pats = TrigramPatterns.toDF("phrase")
+      val post = docs.select(col("doc_id"),
+        posexplode(TextFunctions.whitespaceTokens(lower(col("text")))).as(Seq("pos", "term")))
+      val pterms = pats.select(col("phrase"),
+        posexplode(TextFunctions.whitespaceTokens(col("phrase"))).as(Seq("off", "term")))
+      val nterms = pats.select(col("phrase"),
+        size(TextFunctions.whitespaceTokens(col("phrase"))).as("nt"))
+      post.join(broadcast(pterms), Seq("term"))
+        .groupBy(col("phrase"), col("doc_id"), (col("pos") - col("off")).as("anchor"))
+        .agg(countDistinct(col("off")).as("nmatch"))
+        .join(broadcast(nterms), Seq("phrase"))
+        .filter(col("nmatch") === col("nt"))
+        .groupBy("phrase", "doc_id").agg(count(lit(1)).as("n_occurrences"))
+        .orderBy("phrase", "doc_id")
+    }),
+
     // custom typed UDAF (Aggregator surface): quantity-weighted mean
     // price per return flag — integer-cents buffer, map-side combinable,
     // one double division at finish (order-independent, oracle-exact)
@@ -5180,6 +5206,25 @@ object SparkEntry {
          |      FROM o JOIN tc USING (term) JOIN sc USING (source) CROSS JOIN n)
          |SELECT source, count(*)::BIGINT AS n_terms, sum(contrib)::BIGINT AS drift_q
          |FROM z GROUP BY source ORDER BY source""".stripMargin,
+
+    // lockstep unnest zips (token, 0-based position); anchors re-derived
+    // with the same pos - off arithmetic
+    "q152_phrase_search" -> {
+      val vals = TrigramPatterns.map(p => s"('${p}')").mkString(", ")
+      s"""WITH p AS (SELECT * FROM (VALUES $vals) v(phrase)),
+         |pt AS (SELECT phrase, unnest(tk) AS term, unnest(range(0, len(tk))) AS "off"
+         |       FROM (SELECT phrase, string_split_regex(trim(phrase), '\\s+') AS tk FROM p)),
+         |nt AS (SELECT phrase,
+         |         len(string_split_regex(trim(phrase), '\\s+'))::BIGINT AS nt FROM p),
+         |post AS (SELECT doc_id, unnest(tk) AS term, unnest(range(0, len(tk))) AS pos
+         |         FROM (SELECT doc_id, $tokensLowerSql AS tk FROM documents)),
+         |hit AS (SELECT pt.phrase, post.doc_id, post.pos - pt."off" AS anchor,
+         |          count(DISTINCT pt."off") AS nmatch
+         |        FROM post JOIN pt USING (term) GROUP BY 1, 2, 3)
+         |SELECT h.phrase, h.doc_id, count(*)::BIGINT AS n_occurrences
+         |FROM hit h JOIN nt USING (phrase) WHERE h.nmatch = nt.nt
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
 
     // the brute-force scan the trigram index avoids — exact by definition
     "q142_trigram_search" -> {
