@@ -2995,6 +2995,24 @@ object SparkEntry {
         .orderBy("phrase", "doc_id")
     }),
 
+    // pipeline: TABLE PROFILER — per-column cardinality/null profile of
+    // a warehouse table (the q151 quality gate's discovery sibling: you
+    // profile first, then write expectations). One aggregate pass per
+    // column unioned into a tall report; each is a map-side-combined
+    // scan, and at 100 TB the exact count(DISTINCT) columns would swap
+    // for the q133 HLL registers (documented trade, same shape).
+    "q153_table_profile" -> ((s, dir) => {
+      val orders = rd(s, dir, "orders")
+      ProfileColumns.map { c =>
+        orders.agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+          countDistinct(col(c)).as("n_distinct"))
+          .select(lit(c).as("column_name"),
+            col("n_rows"), col("n_null"), col("n_distinct"))
+      }.reduce(_.unionAll(_)).orderBy("column_name")
+    }),
+
     // custom typed UDAF (Aggregator surface): quantity-weighted mean
     // price per return flag — integer-cents buffer, map-side combinable,
     // one double division at finish (order-independent, oracle-exact)
@@ -3255,6 +3273,12 @@ object SparkEntry {
     */
   private val QuantTargetSql =
     "CAST(greatest(1, ceil(pct * n / 100.0)) AS BIGINT)"
+
+  /** q153's profiled columns (every orders column; shared with the
+    * generated oracle SQL).
+    */
+  private val ProfileColumns = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority")
 
   /** q142's literal search patterns (all lowercase, >= 3 chars so each
     * has a non-empty trigram set; one common phrase, one rarer
@@ -4327,6 +4351,17 @@ object SparkEntry {
          |SELECT r.*, tot.n_true_total,
          |       CAST(n_true_found AS DOUBLE) / nullif(n_true_total, 0) AS recall
          |FROM r CROSS JOIN tot ORDER BY bands DESC""".stripMargin
+    },
+
+    "q153_table_profile" -> {
+      val rows = ProfileColumns.map { c =>
+        s"""SELECT '$c' AS column_name, count(*)::BIGINT AS n_rows,
+           |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+           |  count(DISTINCT $c)::BIGINT AS n_distinct FROM orders""".stripMargin
+      }.mkString("\n  UNION ALL ")
+      s"""SELECT * FROM (
+         |  $rows)
+         |ORDER BY column_name""".stripMargin
     },
 
     "q151_quality_checks" ->
