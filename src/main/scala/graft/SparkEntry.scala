@@ -24,5266 +24,25 @@ import graft.operators.{Dedup, HeurFuzz, Multimodal, Quota, Similarity, Sketches
   *     double;
   *   - every result carries a deterministic total ORDER BY.
   */
-object SparkEntry {
-
-  private def rd(s: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet carries INT64 TIMESTAMP(NANOS), which Spark rejects
-    // unless nanos are surfaced as long (the driver's session may not set
-    // this, so set it defensively at read time).
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/$name.parquet")
-  }
-
-  /** The testdata's small tables arrive as one parquet file = one input
-    * partition; hash-heavy per-row work (md5 shingles, simhash) would run
-    * single-core locally. Spread to the session's parallelism ONLY when
-    * the scan is under-partitioned — on a real cluster the inputs are
-    * many files and no shuffle is injected (an unconditional repartition
-    * would re-shuffle 100 TB for nothing).
-    */
-  private def spread(s: SparkSession, df: DataFrame): DataFrame = {
-    val target = s.sparkContext.defaultParallelism
-    // file count (already cached in the relation's FileIndex — no job, no
-    // RDD lineage materialization) stands in for the scan's partition
-    // count: the shim only needs to catch the one-file local-testdata
-    // case. Non-file sources report no files and are left alone.
-    val nFiles = df.inputFiles.length
-    if (nFiles > 0 && nFiles < target) df.repartition(target) else df
-  }
-
-  /** spread() for foreachBatch micro-batches: a micro-batch DataFrame
-    * reports NO inputFiles (measured: inputFiles=0, 1 partition for a
-    * one-file trigger), so the file-count shim above leaves it alone and
-    * per-row hash work runs single-core. A micro-batch is bounded (one
-    * trigger's worth) and its physical plan is already built inside the
-    * handler, so reading rdd.getNumPartitions here is driver-only
-    * planning — no job, and no 100 TB re-shuffle risk (the repartition
-    * only fires when the batch genuinely arrived under-partitioned).
-    */
-  private def spreadBatch(s: SparkSession, df: DataFrame): DataFrame = {
-    val target = s.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
-  }
-
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
-    * the reference's whole pipeline (fuzzy match of dirty part names
-    * against the distinct name catalog).
-    */
-  def entry(spark: SparkSession): DataFrame = {
-    val dir = "/root/testdata/sf0.001"
-    val parts = rd(spark, dir, "part")
-    val queries = parts
-      .select(col("p_partkey").as("id"), lower(col("p_name")).as("term"))
-      .filter(col("id") < 40)
-    // ref ids: natural key (min partkey per distinct name) — deterministic
-    // and distributed (one hash shuffle), vs a no-partition window that
-    // would drag the whole table onto a single executor at scale.
-    // Downstream tie-breaks need only a deterministic total id order,
-    // not term-sorted contiguity.
-    val refs = parts
-      .groupBy(col("p_name").as("term"))
-      .agg(min(col("p_partkey")).cast("long").as("id"))
-    HeurFuzz.matchTable(queries, refs, HeurFuzz.Params(topK = 5, scoreCutoff = 80))
-  }
-
-  // ---- shared fragments -------------------------------------------------
-
-  /** Pair table for the coverage/top-k operators: dirty part names
-    * (partkey < 30) against the 30..229 slice, with bigram coverage and
-    * length difference (SURVEY §2 ops 4-6).
-    */
-  private def partPairs(s: SparkSession, dir: String): DataFrame = {
-    val p = rd(s, dir, "part")
-      .select(
-        col("p_partkey"),
-        col("p_name"),
-        TextFunctions.charShingles(col("p_name"), 2).as("bg"),
-        octet_length(col("p_name")).cast("long").as("len")
-      )
-    val q = p.filter(col("p_partkey") < 30)
-      .select(col("p_partkey").as("q_id"), col("p_name").as("q_name"), col("bg").as("qb"), col("len").as("q_len"))
-    val r = p.filter(col("p_partkey") >= 30 && col("p_partkey") < 230)
-      .select(col("p_partkey").as("r_id"), col("p_name").as("r_name"), col("bg").as("rb"), col("len").as("r_len"))
-    r.crossJoin(broadcast(q))
-      .withColumn("coverage", TextFunctions.bigramCoverage(col("qb"), col("rb")))
-      .withColumn("len_diff", abs(col("q_len") - col("r_len")).cast("double"))
-  }
-
-  private val partPairsSql =
-    """WITH p AS (
-      |  SELECT p_partkey, p_name,
-      |         list_transform(range(1, strlen(p_name)), i -> substr(p_name, i::INT, 2)) AS bg,
-      |         strlen(p_name) AS len
-      |  FROM part),
-      |q AS (SELECT p_partkey AS q_id, p_name AS q_name, bg AS qb, len AS q_len FROM p WHERE p_partkey < 30),
-      |r AS (SELECT p_partkey AS r_id, p_name AS r_name, bg AS rb, len AS r_len FROM p WHERE p_partkey >= 30 AND p_partkey < 230),
-      |pairs AS (
-      |  SELECT q_id, r_id,
-      |         CASE WHEN len(qb) = 0 THEN 0.0
-      |              ELSE len(list_filter(qb, g -> list_contains(rb, g)))::DOUBLE / len(qb) END AS coverage,
-      |         abs(q_len - r_len)::DOUBLE AS len_diff
-      |  FROM q CROSS JOIN r)
-      |""".stripMargin
-
-  private val docShinglesSql = (n: Int) =>
-    s"list_distinct(list_transform(range(1, greatest(strlen(lower(text)) - ${n - 2}, 1)), i -> substr(lower(text), i::INT, $n)))"
-
-  private val tokensSql =
-    "string_split_regex(trim(text), '\\s+')"
-  private val tokensLowerSql =
-    "string_split_regex(trim(lower(text)), '\\s+')"
-
-  /** Shared WITH-prefix for the product-quantization oracles (q109/q110):
-    * quantized vectors, their 8 per-subspace slices, and the TRAINED
-    * codebook — one independent k-means per subspace (grp = sub_id),
-    * seeded from the vec_id < 8 slices, mirroring the Spark side's
-    * trainPqCodebooks. DuckDB list slicing is 1-based and end-inclusive.
-    */
-  private lazy val pqDistsSql =
-    s"""WITH v AS (SELECT vec_id,
-      |            list_transform(embedding, x -> floor(x::DOUBLE * 1000)::BIGINT) AS qv
-      |          FROM embeddings),
-      |subs AS (SELECT vec_id, r.range AS sub_id,
-      |                qv[(r.range * 8 + 1)::INT:(r.range * 8 + 8)::INT] AS sv
-      |         FROM v, range(0, 8) r),
-      |kp AS (SELECT greatest(1, count(*) // 320) AS m FROM embeddings),
-      |ksub AS (SELECT sub_id, vec_id, sv AS qv FROM subs),
-      |ktv AS (SELECT ksub.* FROM ksub, kp WHERE vec_id % kp.m = 0),
-      |kinit AS (SELECT sub_id, vec_id AS centroid_id, qv AS cv FROM ktv, kp WHERE vec_id < 8 * kp.m),
-      |${lloydCtesSql("ktv", "kinit", 8, KmeansIters, Seq("sub_id"), "kcents")},
-      |cents AS (SELECT centroid_id AS code, sub_id, cv FROM kcents)""".stripMargin
-
-  /** Integer squared-L2 between a subs-row slice `s.sv` and a cents-row
-    * slice `c.cv` (exact; matches Similarity.sqDistQ).
-    */
-  private val pqSqDistSql =
-    "CAST(list_sum(list_transform(range(1, 9), " +
-      "i -> (s.sv[i::INT] - c.cv[i::INT]) * (s.sv[i::INT] - c.cv[i::INT]))) AS BIGINT)"
-
-  /** Fuzzy-match workload at testdata scale: queries = the distinct part
-    * names (small side, broadcast), refs = 40-char document prefixes (the
-    * large side, streamed). Exercises the full reference pipeline on the
-    * biggest text table the harness ships.
-    */
-  /** Shared streaming-gate harness: stage the events parquet into a
-    * fresh directory (file-stream sources monitor directories), run the
-    * caller's stream into a memory sink, fail LOUDLY on timeout (a
-    * partial sink would be a nondeterministic wrong answer, not an
-    * error), discard the staging once drained, return the sink table.
-    */
-  private def runStreamGate(
-      s: SparkSession,
-      dir: String,
-      sinkTable: String,
-      outputMode: String
-  )(mkStream: String => DataFrame): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
-    val stage = Staging.dir(sinkTable.takeWhile(_ != '_') + "-")
-    // staging is discarded on EVERY exit path (timeout, stream failure,
-    // analysis error) — a failed gate must not leak scratch dirs or a
-    // half-filled sink until JVM shutdown
-    try {
-      java.nio.file.Files.createSymbolicLink(
-        stage.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath.normalize())
-      if (s.catalog.tableExists(sinkTable)) s.catalog.dropTempView(sinkTable)
-      val q = mkStream(stage.toString)
-        .writeStream
-        .format("memory")
-        .queryName(sinkTable)
-        .outputMode(outputMode)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      try {
-        if (!q.awaitTermination(300000))
-          throw new IllegalStateException(s"$sinkTable stream did not finish within 300s")
-      } finally if (q.isActive) q.stop()
-      s.table(sinkTable)
-    } finally Staging.discard(stage)
-  }
-
-  /** Corpus-scaled embedding clustering shared by q46/q117/q122: the
-    * assignment frame (vec_id, centroid_id, dv, nrm) — lazily
-    * checkpointed, since it feeds both pair sides plus the flag/group
-    * joins, and the quantized assignment argmax must not re-run per
-    * reference — and the within-cluster cosine pairs at >= SemDedupTau.
-    * k = ceil(sqrt(N)) keeps within-bucket pair work O(N^1.5); N arrives
-    * as a broadcast 1-row aggregate (no driver action).
-    */
-  /** Deterministic bounded training sample for every FIXED-k (k = 8)
-    * trained-quantizer surface (q35/q43/q109/q110/q123/q124): 1-in-m
-    * rows with m = max(1, N div 320) — ~40 training points per
-    * centroid/codeword (the FAISS sizing guideline), so Lloyd cost is
-    * O(1) in corpus size while assignment still covers everything.
-    * m = 1 at the oracle scales. Returns (sample, initIds); seeds are
-    * the first 8 SAMPLED ids (vec_id < 8m ∧ vec_id % m = 0), which
-    * degrades to vec_id < 8 when m = 1.
-    */
-  private def trainSample8(s: SparkSession, e: DataFrame): (DataFrame, DataFrame) = {
-    val kRow = e.agg(count(lit(1)).as("n"))
-      .select(greatest(lit(1L), expr("n div 320")).as("m"))
-    val sample = spread(s, e).crossJoin(broadcast(kRow))
-      .filter(col("vec_id") % col("m") === 0)
-    val initIds = sample.filter(col("vec_id") < lit(8L) * col("m")).select("vec_id")
-    (sample.select("vec_id", "embedding"), initIds)
-  }
-
-  /** The oracle twin of trainSample8: kp(m), tv = sampled v rows, kinit =
-    * first 8 sampled seeds. `vCte` must expose (vec_id, qv).
-    */
-  private def trainSampleCtesSql(vCte: String): String =
-    s"""kp AS (SELECT greatest(1, count(*) // 320) AS m FROM embeddings),
-       |tv AS (SELECT $vCte.* FROM $vCte, kp WHERE vec_id % kp.m = 0),
-       |kinit AS (SELECT vec_id AS centroid_id, qv AS cv FROM tv, kp WHERE vec_id < 8 * kp.m)""".stripMargin
-
-  private def embClusterPairs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val e = rd(s, dir, "embeddings")
-    // k = ceil(sqrt(N)) centroids, TRAINED (Lloyd's) on a deterministic
-    // 1-in-m sample with m = max(1, N div 40k): ~40 training points per
-    // centroid (the FAISS sizing guideline), so training stays O(sqrt(N)
-    // * k) = O(N) per iteration at any corpus size — nobody Lloyd-scans
-    // 100 TB per iteration; sampling the trainer is what SemDeDup/IVF
-    // deployments do. m = 1 at the oracle scales (sample = corpus);
-    // the ASSIGNMENT below always covers the full corpus.
-    val kRow = e.agg(count(lit(1)).as("n"))
-      .select(ceil(sqrt(col("n"))).cast("long").as("k"), col("n"))
-      .withColumn("m", greatest(lit(1L), expr("n div (40 * k)")))
-    val sample = spread(s, e).crossJoin(broadcast(kRow)).filter(col("vec_id") % col("m") === 0)
-    val initIds = sample.filter(col("vec_id") < col("k") * col("m")).select("vec_id")
-    val cents = trainedArtifact(s, dir, "centSqrt") {
-      Similarity.trainCentroids(
-        sample.select("vec_id", "embedding"), "vec_id", "embedding", initIds, KmeansIters)
-    }
-    val buckets = Similarity.assignToCentroidsQ(spread(s, e), cents, "vec_id", "embedding")
-      .select(col("id").as("vec_id"), col("centroid_id"))
-    val v = spread(s, e).select(col("vec_id"), Similarity.asDouble(col("embedding")).as("dv"))
-      .withColumn("nrm", Similarity.l2Norm(col("dv")))
-    val withB = buckets.join(v, Seq("vec_id")).localCheckpoint(false)
-    val pairs = withB
-      .select(col("centroid_id"), col("vec_id").as("id_a"), col("dv").as("dv_a"), col("nrm").as("nrm_a"))
-      .join(withB.select(col("centroid_id"), col("vec_id").as("id_b"), col("dv").as("dv_b"), col("nrm").as("nrm_b")),
-        Seq("centroid_id"))
-      .where(col("id_a") < col("id_b"))
-      .withColumn("cos_sim", Similarity.dot(col("dv_a"), col("dv_b")) / (col("nrm_a") * col("nrm_b")))
-      .filter(col("cos_sim") >= SemDedupTau)
-    (withB, pairs)
-  }
-
-  private def matchDocs(s: SparkSession, dir: String, inverted: Boolean): DataFrame = {
-    // query ids: natural key (min partkey per distinct lowered name) — no
-    // single-partition global window; see `entry`
-    val queries = rd(s, dir, "part")
-      .groupBy(lower(col("p_name")).as("term"))
-      .agg(min(col("p_partkey")).cast("long").as("id"))
-    val refs = rd(s, dir, "documents")
-      .select(col("doc_id").as("id"), substring(col("text"), 1, 40).as("term"))
-    HeurFuzz.matchTable(queries, refs,
-        HeurFuzz.Params(topK = 10, scoreCutoff = 70, useInvertedIndex = inverted))
-      .orderBy("q_id")
-  }
-
-  // ---- the registry -----------------------------------------------------
-
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // §2 op 1: text scan + strip projection
-    "q01_scan_strip" -> ((s, dir) =>
-      rd(s, dir, "documents")
-        .select(col("doc_id"), TextFunctions.pyStrip(col("text")).as("term"))
-        .orderBy("doc_id")),
-
-    // §2 op 2: byte-length projection
-    "q02_byte_len" -> ((s, dir) =>
-      rd(s, dir, "documents")
-        .select(col("doc_id"), octet_length(col("text")).cast("long").as("byte_len"))
-        .orderBy("doc_id")),
-
-    // §2 op 3: bigram extraction (counts; list payloads stay engine-side)
-    "q03_bigram_stats" -> ((s, dir) =>
-      spread(s, rd(s, dir, "documents"))
-        .select(
-          col("doc_id"),
-          size(TextFunctions.byteBigrams(col("text"))).cast("long").as("n_bigrams"),
-          size(array_distinct(TextFunctions.byteBigrams(col("text")))).cast("long").as("n_distinct")
-        )
-        .orderBy("doc_id")),
-
-    // §2 ops 4-6: cross join + per-pair coverage + length difference
-    "q05_pair_coverage" -> ((s, dir) =>
-      partPairs(s, dir).select("q_id", "r_id", "coverage", "len_diff").orderBy("q_id", "r_id")),
-
-    // §2 op 7: per-query top-K window, desc(coverage, len_diff, ref_id)
-    "q07_pair_topk" -> ((s, dir) => {
-      val w = Window.partitionBy("q_id")
-        .orderBy(col("coverage").desc, col("len_diff").desc, col("r_id").desc)
-      partPairs(s, dir)
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 5)
-        .select("q_id", "r_id", "coverage", "len_diff", "rank")
-        .orderBy("q_id", "rank")
-    }),
-
-    // §2 op 9: partial_ratio verify scorer (UDF — no SQL oracle, rows-only)
-    "q09_fuzzy_score" -> ((s, dir) => {
-      val w = Window.partitionBy("q_id")
-        .orderBy(col("coverage").desc, col("len_diff").desc, col("r_id").desc)
-      partPairs(s, dir)
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .withColumn("score", HeurFuzz.partialRatioCutoffUdf(60)(col("r_name"), col("q_name")))
-        .select(col("q_id"), col("r_id"), col("score").cast("long").as("score"))
-        .orderBy("q_id", "r_id")
-    }),
-
-    // §2 op 10: argmax + tie-break reduce — the full match pipeline
-    // (depends on the UDF scorer — rows-only check)
-    "q10_fuzzy_match" -> ((s, dir) => {
-      val parts = rd(s, dir, "part")
-      val queries = parts.select(col("p_partkey").as("id"), lower(col("p_name")).as("term"))
-        .filter(col("id") < 100)
-      val refs = parts.groupBy(col("p_name").as("term"))
-        .agg(min(col("p_partkey")).cast("long").as("id"))
-      HeurFuzz.matchTable(queries, refs, HeurFuzz.Params(topK = 5, scoreCutoff = 80))
-        .orderBy("q_id")
-    }),
-
-    // §2 op 11: map-ratio global aggregate (depends on the scorer — rows-only)
-    "q11_map_ratio" -> ((s, dir) => {
-      val parts = rd(s, dir, "part")
-      val queries = parts.select(col("p_partkey").as("id"), lower(col("p_name")).as("term"))
-        .filter(col("id") < 100)
-      val refs = parts.groupBy(col("p_name").as("term"))
-        .agg(min(col("p_partkey")).cast("long").as("id"))
-      HeurFuzz.matchTable(queries, refs, HeurFuzz.Params(topK = 5, scoreCutoff = 80))
-        .agg(round(avg(when(col("match") =!= "NA", 1.0).otherwise(0.0)) * 100, 2).as("map_ratio"))
-    }),
-
-    // §2 op 12: ordered export (the sink's SELECT; file format in ReadersSpec)
-    "q12_ordered_export" -> ((s, dir) =>
-      rd(s, dir, "documents").select("doc_id", "lang", "source").orderBy("doc_id")),
-
-    // §2 op 14: ETL dedup + normalize
-    "q14_etl_dedup" -> ((s, dir) =>
-      rd(s, dir, "documents")
-        .select(lower(TextFunctions.pyStrip(col("text"))).as("term"))
-        .filter(octet_length(col("term")) > 1)
-        .distinct()
-        .orderBy("term")),
-
-    // §2 op 15: delimited-field extract (dmp-style split)
-    "q15_field_extract" -> ((s, dir) =>
-      rd(s, dir, "part")
-        .select(col("p_partkey"), split(col("p_name"), " ").getItem(1).as("field"))
-        .orderBy("p_partkey")),
-
-    // relational: TPC-H Q1-style pricing summary (scan+filter+agg)
-    "q20_pricing_summary" -> ((s, dir) =>
-      rd(s, dir, "lineitem")
-        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
-          sum(col("l_discount").cast("decimal(18,4)")).cast("double").as("sum_disc"),
-          count(lit(1)).as("count_order")
-        )
-        .withColumn("avg_qty", col("sum_qty") / col("count_order"))
-        .orderBy("l_returnflag", "l_linestatus")),
-
-    // relational: 3-way broadcast join + agg
-    "q21_revenue_by_nation" -> ((s, dir) =>
-      rd(s, dir, "orders")
-        .join(rd(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(rd(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
-        .groupBy("n_name")
-        .agg(
-          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"),
-          count(lit(1)).as("n_orders")
-        )
-        .orderBy("n_name")),
-
-    // relational: per-group top-N window
-    "q22_top_orders_per_cust" -> ((s, dir) => {
-      val w = Window.partitionBy("o_custkey")
-        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-      rd(s, dir, "orders")
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 3)
-        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
-        .orderBy("o_custkey", "rank")
-    }),
-
-    // relational: global top-k sort/limit
-    "q23_top100_orders" -> ((s, dir) =>
-      rd(s, dir, "orders")
-        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-        .limit(100)
-        .select("o_orderkey", "o_totalprice")),
-
-    // relational: anti join (customers with no recent orders)
-    "q24_customers_without_orders" -> ((s, dir) =>
-      rd(s, dir, "customer")
-        .join(
-          rd(s, dir, "orders").filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp")),
-          col("c_custkey") === col("o_custkey"), "left_anti")
-        .select("c_custkey")
-        .orderBy("c_custkey")),
-
-    // relational: salted equi-join for planned skew — must produce exactly
-    // the plain join's result (the oracle IS the plain join)
-    "q27_salted_join_revenue" -> ((s, dir) =>
-      graft.operators.Joins.saltedJoin(
-          rd(s, dir, "orders").withColumnRenamed("o_custkey", "c_custkey"),
-          rd(s, dir, "customer").select("c_custkey", "c_mktsegment"),
-          key = "c_custkey", saltSourceCol = "o_orderkey", buckets = 8)
-        .groupBy("c_mktsegment")
-        .agg(
-          count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
-        .orderBy("c_mktsegment")),
-
-    // relational: ROLLUP grouping sets
-    "q26_rollup_pricing" -> ((s, dir) =>
-      rd(s, dir, "lineitem")
-        .rollup("l_returnflag", "l_linestatus")
-        .agg(
-          count(lit(1)).as("n_items"),
-          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty")
-        )
-        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
-
-    // semi-structured: JSON field extraction from the events props column
-    "q45_events_props" -> ((s, dir) =>
-      rd(s, dir, "events")
-        .select(
-          col("event_id"),
-          col("event_type"),
-          get_json_object(col("props"), "$.k").cast("long").as("k")
-        )
-        .orderBy("event_id")),
-
-    // relational: agg with decimal-exact money
-    "q25_segment_stats" -> ((s, dir) =>
-      rd(s, dir, "customer")
-        .groupBy("c_mktsegment")
-        .agg(
-          count(lit(1)).as("n_customers"),
-          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("sum_acctbal")
-        )
-        .orderBy("c_mktsegment")),
-
-    // scale bench pair: the SAME fuzzy match (distinct part names vs
-    // document-prefix refs) through the brute-force cross join vs the
-    // inverted-index equi-join (SURVEY §4.3). Both share one SQL oracle
-    // (the full pipeline incl. the LCS scorer), so the driver hash-checks
-    // that the two paths agree with the reference semantics exactly.
-    "q50_match_cross_5k" -> ((s, dir) => matchDocs(s, dir, inverted = false)),
-    "q51_match_inverted_5k" -> ((s, dir) => matchDocs(s, dir, inverted = true)),
-
-    // relational: exact interpolated percentiles per group
-    "q28_quantiles" -> ((s, dir) =>
-      rd(s, dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-          percentile(col("l_quantity"), lit(0.5)).as("p50_qty"),
-          percentile(col("l_extendedprice"), lit(0.9)).as("p90_price"),
-          count(lit(1)).as("n")
-        )
-        .orderBy("l_returnflag")),
-
-    // relational: set operations (INTERSECT / EXCEPT)
-    "q29_set_ops" -> ((s, dir) => {
-      val orders = rd(s, dir, "orders")
-      def buyers(y: Int) = orders
-        .filter(col("o_orderdate") >= lit(s"$y-01-01").cast("timestamp")
-          && col("o_orderdate") < lit(s"${y + 1}-01-01").cast("timestamp"))
-        .select("o_custkey").distinct()
-      buyers(2000).intersect(buyers(2001)).except(buyers(1995))
-        .withColumnRenamed("o_custkey", "custkey")
-        .orderBy("custkey")
-    }),
-
-    // pillar dedup: exact (hash groupBy)
-    "q30_dedup_exact" -> ((s, dir) =>
-      Dedup.exactGroups(rd(s, dir, "documents"), "doc_id", "text").orderBy("h")),
-
-    // pillar dedup: MinHash + LSH banding + Jaccard verify
-    // 2 bands x 4 rows: band-collision probability j^4 keeps the candidate
-    // set selective (j=0.3 vocabulary-overlap pairs pass <1%, true
-    // near-dups at j>=0.8 pass >80%) — the knob that keeps LSH sub-
-    // quadratic at 100 TB.
-    "q31_dedup_minhash_lsh" -> ((s, dir) =>
-      Dedup.nearDuplicates(spread(s, rd(s, dir, "documents")), "doc_id", "text",
-          shingleN = 4, numHashes = 8, rowsPerBand = 4, threshold = 0.4)
-        .orderBy("id_a", "id_b")),
-
-    // pillar dedup: SimHash (frequency-weighted token bits)
-    "q32_simhash" -> ((s, dir) =>
-      spread(s, rd(s, dir, "documents"))
-        .select(col("doc_id"), Dedup.simhash(col("text"), bits = 16).as("simhash"))
-        .orderBy("doc_id")),
-
-    // pillar dedup: n-gram Jaccard pair similarity over the FULL corpus —
-    // prefix-filtered inverted-index join (AllPairs, rare-shingle-first),
-    // same result set as the oracle's all-pairs compare but with no
-    // cartesian in the plan. n=8 shingles + threshold 0.8 are the
-    // realistic near-dup settings: this corpus has only 377 DISTINCT
-    // 3-gram shingles total (median df 1062), so small-n shingles are
-    // non-discriminative for any exact filter, and sub-0.5 thresholds
-    // make the OUTPUT itself quadratic regardless of plan.
-    "q33_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(
-          spread(s, rd(s, dir, "documents")), "doc_id", "text",
-          shingleN = 8, threshold = 0.8)
-        .orderBy("id_a", "id_b")),
-
-    // pillar dedup: group resolution — near-dup pairs collapsed into
-    // (doc_id, keep_id) connected components via distributed min-label
-    // propagation (pairs alone are an edge list; THIS is the keep-one
-    // dedup output a training-data pipeline consumes)
-    "q52_dedup_groups" -> ((s, dir) => {
-      val docs = spread(s, rd(s, dir, "documents"))
-      val pairs = Dedup.nearDuplicates(docs, "doc_id", "text",
-        shingleN = 4, numHashes = 8, rowsPerBand = 4, threshold = 0.4)
-      Dedup.resolveGroups(docs, "doc_id", pairs).orderBy("doc_id")
-    }),
-
-    // pillar dedup: embedding-cosine near-dup — IVF bucket equality as the
-    // sub-quadratic prefilter (same-bucket pairs only), exact cosine verify.
-    // The centroid count SCALES with the corpus: k = ceil(sqrt(N)) keeps
-    // the expected bucket size ~sqrt(N), so total within-bucket pair work
-    // is O(N^1.5) instead of O(N^2/k) under a fixed k. N arrives as a
-    // broadcast 1-row aggregate (the q74/q97 pattern) — no driver action.
-    "q46_dedup_embed_cosine" -> ((s, dir) =>
-      embClusterPairs(s, dir)._2
-        .select("id_a", "id_b", "cos_sim")
-        .orderBy("id_a", "id_b")),
-
-    // pillar dedup: SimHash hamming-distance candidate pairs via
-    // multi-index banding (pigeonhole equi-join — no cross join; same
-    // result set as an all-pairs hamming filter, which the oracle runs)
-    "q47_dedup_simhash_pairs" -> ((s, dir) => {
-      val h = spread(s, rd(s, dir, "documents"))
-        .select(col("doc_id"), Dedup.simhash(col("text"), 16).as("sh"))
-      Dedup.simhashCandidates(h, "doc_id", "sh", bits = 16, maxHamming = 2)
-        .orderBy("id_a", "id_b")
-    }),
-
-    // pillar similarity: brute-force exact cosine top-k
-    "q34_embed_cosine_topk" -> ((s, dir) => {
-      val e = rd(s, dir, "embeddings")
-      Similarity.cosineTopK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding", 5)
-        .orderBy("q_id", "rank")
-    }),
-
-    // pillar similarity: IVF-style quantized centroid assignment — the
-    // coarse quantizer is TRAINED (Lloyd's from the vec_id < 8 seed),
-    // not the raw seed vectors
-    "q35_embed_ivf_assign" -> ((s, dir) => {
-      val e = rd(s, dir, "embeddings")
-      val cents = trainedArtifact(s, dir, "cent8") {
-        val (tr35, init35) = trainSample8(s, e)
-        Similarity.trainCentroids(tr35, "vec_id", "embedding", init35, KmeansIters)
-      }
-      Similarity.assignToCentroidsQ(spread(s, e), cents, "vec_id", "embedding")
-        .orderBy("id")
-    }),
-
-    // pillar similarity: full IVF probe-and-refine ANN search over the
-    // trained coarse quantizer
-    "q43_embed_ivf_topk" -> ((s, dir) => {
-      val e = rd(s, dir, "embeddings")
-      val cents = trainedArtifact(s, dir, "cent8") {
-        val (tr43, init43) = trainSample8(s, e)
-        Similarity.trainCentroids(tr43, "vec_id", "embedding", init43, KmeansIters)
-      }
-      Similarity.ivfTopKQ(
-          e.filter(col("vec_id") < 10), spread(s, e), cents,
-          "vec_id", "embedding", k = 3, nprobe = 2)
-        .orderBy("q_id", "rank")
-    }),
-
-    // pillar text analysis: argmax language classifier over stopword lists
-    "q44_lang_id" -> ((s, dir) =>
-      spread(s, rd(s, dir, "documents"))
-        .select(
-          col("doc_id"), col("lang"),
-          TextAnalysis.predictedLang(col("text")).as("pred_lang"),
-          TextAnalysis.bestLangScore(col("text")).as("best_score"))
-        .orderBy("doc_id")),
-
-    // pillar text analysis: language-ID stopword heuristic
-    "q36_lang_stopword_ratio" -> ((s, dir) =>
-      spread(s, rd(s, dir, "documents"))
-        .select(col("doc_id"), col("lang"), TextAnalysis.stopwordRatio(col("text")).as("en_score"))
-        .orderBy("doc_id")),
-
-    // pillar text analysis: quality metrics
-    "q37_quality_metrics" -> ((s, dir) =>
-      spread(s, rd(s, dir, "documents"))
-        .select(
-          col("doc_id"),
-          octet_length(col("text")).cast("long").as("n_bytes"),
-          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
-          TextAnalysis.meanTokenLength(col("text")).as("mean_tok_len"),
-          TextAnalysis.punctRatio(col("text")).as("punct_ratio")
-        )
-        .orderBy("doc_id")),
-
-    // pillar text analysis: document fingerprint (k-min shingle hashes)
-    "q38_fingerprint" -> ((s, dir) =>
-      spread(s, rd(s, dir, "documents"))
-        .select(col("doc_id"), TextAnalysis.fingerprint(col("text"), 4, 8).as("fp"))
-        .orderBy("doc_id")),
-
-    // pillar text analysis: token counting (whitespace + BPE-ish regex)
-    "q39_token_counts" -> ((s, dir) =>
-      rd(s, dir, "documents")
-        .select(
-          col("doc_id"),
-          TextAnalysis.tokenCount(col("text")).as("n_ws_tokens"),
-          TextAnalysis.wordPieceCount(col("text")).as("n_word_pieces")
-        )
-        .orderBy("doc_id")),
-
-    // events: tumbling-window aggregate (batch form of the streaming slice).
-    // ts arrives as long nanoseconds (nanosAsLong); integer div keeps the
-    // hour bucket exact (double division would lose precision at 1e18).
-    "q40_events_hourly" -> ((s, dir) =>
-      rd(s, dir, "events")
-        .groupBy(
-          (expr("ts div 3600000000000") * 3600).as("hour_epoch"),
-          col("event_type")
-        )
-        .agg(
-          count(lit(1)).as("n_events"),
-          sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value")
-        )
-        .orderBy("hour_epoch", "event_type")),
-
-    // streaming: the SAME hourly aggregate as q40 but through the real
-    // Structured Streaming path — file source, watermarked tumbling
-    // window, memory sink, AvailableNow trigger run to completion. The
-    // q40-equivalent oracle makes the streaming engine itself (not a
-    // batch re-derivation) pass the correctness gate.
-    "q53_events_hourly_stream" -> ((s, dir) =>
-      runStreamGate(s, dir, "q53_events_hourly_stream_sink", "complete") { stage =>
-        graft.streaming.EventStream.hourlyStream(s, stage)
-      }.orderBy("hour_epoch", "event_type")),
-
-    // events: backward as-of join — each click matched to the user's most
-    // recent view at or before it (oracle = DuckDB's native ASOF JOIN)
-    "q48_events_asof_join" -> ((s, dir) => {
-      // micros, not raw nanos: DuckDB truncates TIMESTAMP(NANOS) parquet to
-      // microsecond precision on read, so both engines must compare on the
-      // same (microsecond) timeline
-      val ev = rd(s, dir, "events")
-        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("tsn"), col("event_type"))
-      val clicks = ev.filter(col("event_type") === "click").drop("event_type")
-      val views = ev.filter(col("event_type") === "view")
-        .groupBy("user_id", "tsn")
-        .agg(max(col("event_id")).as("v_event_id"))
-      graft.operators.AsofJoin.asofBackward(clicks, views, "user_id", "tsn", Seq("v_event_id"))
-        .filter(col("v_event_id").isNotNull) // inner asof semantics
-        .select(col("event_id"), col("user_id"), col("v_event_id"), col("asof_tsn").as("v_tsn"))
-        .orderBy("event_id")
-    }),
-
-    // events: banded range join — views within the hour preceding each click
-    "q49_events_range_join" -> ((s, dir) => {
-      val ev = rd(s, dir, "events")
-        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("tsn"), col("event_type"))
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("event_id"), col("user_id"), col("tsn").as("c_tsn"))
-      val views = ev.filter(col("event_type") === "view")
-        .select(col("user_id"), col("tsn").as("v_tsn"))
-      graft.operators.Joins.rangeJoinBackWindow(clicks, views, "user_id", "c_tsn", "v_tsn", 3600000000L)
-        .groupBy("event_id", "user_id")
-        .agg(count(lit(1)).as("n_prior_views"))
-        .orderBy("event_id")
-    }),
-
-    // events: per-type distinct users
-    "q42_events_user_stats" -> ((s, dir) =>
-      rd(s, dir, "events")
-        .groupBy("event_type")
-        .agg(
-          countDistinct(col("user_id")).as("n_users"),
-          count(lit(1)).as("n_events")
-        )
-        .orderBy("event_type")),
-
-    // pillar multimodal: binary content + metadata extraction (decode is a
-    // documented stub; this is the declarative pre-filter side)
-    "q41_multimodal_meta" -> ((s, dir) =>
-      Multimodal.contentMeta(
-          Multimodal.withContent(rd(s, dir, "documents"), "text"), "doc_id")
-        .orderBy("doc_id")),
-
-    // events: sessionization — gap > 30 min starts a new session. Every
-    // window is partitioned by user_id (no global window); the classic
-    // lag -> flag -> running-sum plan, one shuffle on the key.
-    "q54_events_sessionize" -> ((s, dir) => {
-      val ev = rd(s, dir, "events")
-        .select(col("user_id"), expr("ts div 1000").as("tsn"), col("event_id"))
-      val w = Window.partitionBy("user_id").orderBy(col("tsn").asc, col("event_id").asc)
-      ev
-        .withColumn("prev", lag(col("tsn"), 1).over(w))
-        .withColumn("new_sess",
-          when(col("prev").isNull || col("tsn") - col("prev") > SessionGapMicros, 1L).otherwise(0L))
-        .withColumn("sess_id",
-          sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy("user_id", "sess_id")
-        .agg(
-          min(col("tsn")).as("session_start"),
-          max(col("tsn")).as("session_end"),
-          count(lit(1)).as("n_events"))
-        .orderBy("user_id", "sess_id")
-    }),
-
-    // sources: JSON-lines round-trip — events written as sharded JSONL,
-    // read back with an explicit schema, aggregated; the oracle reads the
-    // parquet directly, so the JSON sink+source must preserve every value
-    // exactly (doubles survive via shortest-round-trip representation)
-    "q68_jsonl_roundtrip" -> ((s, dir) => {
-      val tmp = Staging.dir("jsonl-").toString
-      val ev = rd(s, dir, "events").select("event_id", "event_type", "value")
-      graft.sources.Readers.writeJsonLines(ev, s"$tmp/events")
-      graft.sources.Readers
-        .jsonLines(s, s"$tmp/events", "event_id BIGINT, event_type STRING, value DOUBLE")
-        .groupBy("event_type")
-        .agg(
-          count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
-        .orderBy("event_type")
-    }),
-
-    // sources: hive-style partitioned parquet layout — documents written
-    // partitionBy(lang), read back through a partition filter (the scan
-    // lists only the lang=en directory — THE pruning pattern that makes
-    // a 100 TB corpus queryable), aggregate vs the unpartitioned oracle
-    "q69_partitioned_sink" -> ((s, dir) => {
-      val tmp = Staging.dir("part-").toString
-      rd(s, dir, "documents")
-        .write.mode("overwrite").partitionBy("lang").parquet(s"$tmp/docs")
-      s.read.parquet(s"$tmp/docs")
-        .filter(col("lang") === "en")
-        .groupBy("source")
-        .agg(
-          count(lit(1)).as("n_docs"),
-          sum(octet_length(col("text")).cast("long")).as("sum_bytes"))
-        .orderBy("source")
-    }),
-
-    // relational: CUBE grouping sets (complements q26's ROLLUP)
-    "q66_cube_pricing" -> ((s, dir) =>
-      rd(s, dir, "lineitem")
-        .cube("l_returnflag", "l_linestatus")
-        .agg(
-          count(lit(1)).as("n_items"),
-          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
-        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
-
-    // events: per-session ordered event-type paths (behavioral sequences
-    // — the feature shape session-based models train on). Reuses the q54
-    // session assignment; the path is an order-pinned collect.
-    "q67_session_paths" -> ((s, dir) => {
-      val ev = rd(s, dir, "events")
-        .select(col("user_id"), expr("ts div 1000").as("tsn"), col("event_id"), col("event_type"))
-      val w = Window.partitionBy("user_id").orderBy(col("tsn").asc, col("event_id").asc)
-      ev
-        .withColumn("prev", lag(col("tsn"), 1).over(w))
-        .withColumn("new_sess",
-          when(col("prev").isNull || col("tsn") - col("prev") > SessionGapMicros, 1L).otherwise(0L))
-        .withColumn("sess_id",
-          sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy("user_id", "sess_id")
-        .agg(
-          array_join(
-            transform(
-              array_sort(collect_list(struct(col("tsn"), col("event_id"), col("event_type")))),
-              x => x("event_type")),
-            ">").as("path"),
-          count(lit(1)).as("n_events"))
-        .orderBy("user_id", "sess_id")
-    }),
-
-    // pillar text analysis: C4-style quality filter — the keep/drop
-    // decision a training-data pipeline applies; thresholds shared with
-    // the generated oracle SQL so they cannot drift
-    "q55_quality_filter" -> ((s, dir) =>
-      spread(s, rd(s, dir, "documents"))
-        .select(
-          col("doc_id"),
-          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
-          TextAnalysis.meanTokenLength(col("text")).as("mean_tok_len"),
-          TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
-          TextAnalysis.stopwordRatio(col("text")).as("en_score"))
-        .withColumn("keep",
-          col("n_tokens") >= QfMinTokens &&
-            col("mean_tok_len") >= QfMinMeanTokLen && col("mean_tok_len") <= QfMaxMeanTokLen &&
-            col("punct_ratio") <= QfMaxPunctRatio &&
-            col("en_score") >= QfMinStopwordRatio)
-        .orderBy("doc_id")),
-
-    // pillar text analysis: corpus-level top-50 token bigrams — the
-    // word-count shape (explode -> hash agg -> TakeOrdered top-k).
-    // The regex tokenization lands in its OWN projection: `toks` is
-    // referenced four times downstream, and CollapseProject would not
-    // inline a non-cheap alias — this pins the split to one evaluation
-    // per document instead of four.
-    "q56_top_ngrams" -> ((s, dir) =>
-      spread(s, rd(s, dir, "documents"))
-        .select(TextFunctions.whitespaceTokens(lower(col("text"))).as("toks"))
-        .select(explode(when(size(col("toks")) >= 2,
-          transform(sequence(lit(1), size(col("toks")) - 1),
-            i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1))))
-          .otherwise(array().cast("array<string>"))).as("ng"))
-        .groupBy("ng")
-        .agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("ng").asc)
-        .limit(50)),
-
-    // relational/pipeline: per-source corpus stats (partition-style audit
-    // a data pipeline runs before training)
-    "q57_source_stats" -> ((s, dir) =>
-      rd(s, dir, "documents")
-        .groupBy("source")
-        .agg(
-          count(lit(1)).as("n_docs"),
-          countDistinct(col("lang")).as("n_langs"),
-          sum(octet_length(col("text")).cast("long")).as("sum_bytes"))
-        .withColumn("avg_bytes", col("sum_bytes").cast("double") / col("n_docs"))
-        .orderBy("source")),
-
-    // pillar text analysis: per-document top-5 TF-IDF terms. The idf
-    // surrogate tf*N/df is a single integer-exact multiply + one IEEE
-    // divide, so ranks (and scores) match DuckDB bit-for-bit — a log()
-    // idf would hinge on libm ulp agreement across engines.
-    "q58_tfidf_top_terms" -> ((s, dir) => {
-      val docs = spread(s, rd(s, dir, "documents"))
-      // corpus size joins in as a broadcast 1-row aggregate (q74/q97
-      // pattern) — building this frame triggers ZERO jobs, unlike a
-      // driver-side count() at plan-build time
-      val nRow = rd(s, dir, "documents").agg(count(lit(1)).as("n_corpus"))
-      val toks = docs.select(
-        col("doc_id"),
-        explode(TextFunctions.whitespaceTokens(lower(col("text")))).as("term"))
-      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
-      tf.join(dfreq, Seq("term"))
-        .crossJoin(broadcast(nRow))
-        .withColumn("score", col("tf").cast("double") * col("n_corpus") / col("df"))
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 5)
-        .select("doc_id", "term", "tf", "df", "score", "rank")
-        .orderBy("doc_id", "rank")
-    }),
-
-    // pillar similarity: one k-means centroid-update step (the iterate
-    // half of Lloyd's algorithm). Per-dimension means accumulate as
-    // QUANTIZED longs — exact and order-independent under any
-    // partitioning/AQE/retry schedule, unlike a float sum — then divide
-    // once. Long-form (centroid, dim) output keeps the compare scalar.
-    "q60_embed_centroid_update" -> ((s, dir) => {
-      val e = rd(s, dir, "embeddings")
-      val assign = Similarity.assignToCentroids(e, e.filter(col("vec_id") < 8), "vec_id", "embedding")
-        .select(col("id").as("vec_id"), col("centroid_id"))
-      val q = e
-        .select(col("vec_id"), posexplode(Similarity.asDouble(col("embedding"))).as(Seq("dim", "x")))
-        .select(
-          col("vec_id"),
-          col("dim").cast("long").as("dim"),
-          floor(col("x") * 1000000).cast("long").as("qx"))
-      assign.join(q, Seq("vec_id"))
-        .groupBy("centroid_id", "dim")
-        .agg(sum(col("qx")).as("sum_q"), count(lit(1)).as("n"))
-        .withColumn("mean_q", col("sum_q").cast("double") / col("n"))
-        .orderBy("centroid_id", "dim")
-    }),
-
-    // relational: TPC-H Q12-shape — fact-to-fact join + conditional CASE
-    // aggregation (high/low priority line counts per return flag)
-    "q61_priority_lines" -> ((s, dir) =>
-      rd(s, dir, "orders")
-        .join(rd(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
-        .filter(col("l_shipdate") >= lit("2000-01-01").cast("timestamp")
-          && col("l_shipdate") < lit("2001-01-01").cast("timestamp"))
-        .groupBy("l_returnflag")
-        .agg(
-          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L)).as("high_line_count"),
-          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L)).as("low_line_count"))
-        .orderBy("l_returnflag")),
-
-    // relational: running windows — cumulative decimal-exact revenue and
-    // previous-order lookup per customer (partitioned windows only)
-    "q63_cumulative_revenue" -> ((s, dir) => {
-      val order = Window.partitionBy("o_custkey")
-        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
-      val running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      rd(s, dir, "orders")
-        .select(
-          col("o_custkey"), col("o_orderkey"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).over(running).cast("double").as("cum_revenue"),
-          lag(col("o_orderkey"), 1).over(order).as("prev_orderkey"))
-        .orderBy("o_custkey", "o_orderkey")
-    }),
-
-    // relational: rank-family windows — dense_rank over tied order dates
-    // and ntile quartiles per market segment
-    "q65_order_rank_bands" -> ((s, dir) => {
-      val wDate = Window.partitionBy("c_mktsegment").orderBy(col("o_orderdate").asc)
-      val wPrice = Window.partitionBy("c_mktsegment")
-        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-      rd(s, dir, "orders")
-        .join(rd(s, dir, "customer").select("c_custkey", "c_mktsegment"),
-          col("o_custkey") === col("c_custkey"))
-        .select(
-          col("o_orderkey"), col("c_mktsegment"),
-          dense_rank().over(wDate).cast("long").as("date_rank"),
-          ntile(4).over(wPrice).cast("long").as("price_quartile"))
-        .orderBy("o_orderkey")
-    }),
-
-    // relational: calendar bucketing — monthly order volume + revenue
-    "q62_monthly_orders" -> ((s, dir) =>
-      rd(s, dir, "orders")
-        .groupBy(unix_timestamp(date_trunc("month", col("o_orderdate"))).as("month_epoch"))
-        .agg(
-          count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
-        .orderBy("month_epoch")),
-
-    // SQL surface: the codegen'd Catalyst expression invoked through
-    // spark.sql — gates the SparkSessionExtensions function (registered
-    // idempotently so it works on ANY caller's session) against the same
-    // LCS oracle as the Column API queries
-    "q64_sql_scorer" -> ((s, dir) => {
-      org.apache.spark.sql.graft.GraftExtensions.ensureRegistered(s)
-      rd(s, dir, "part").createOrReplaceTempView("graft_part_v")
-      s.sql(
-        """SELECT p_partkey, CAST(partial_ratio_cutoff(p_name, 'gadget', 50) AS BIGINT) AS score
-          |FROM graft_part_v ORDER BY p_partkey""".stripMargin)
-    }),
-
-    // pipeline: deterministic content-hash train/val split — stable under
-    // re-sharding/re-ingestion (the property a random() split lacks), and
-    // exact-dup documents always land in the same split
-    "q59_train_split" -> ((s, dir) =>
-      rd(s, dir, "documents")
-        .select(
-          col("doc_id"),
-          (conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long") % 100).as("bucket"))
-        .withColumn("split", when(col("bucket") < 90, "train").otherwise("val"))
-        .orderBy("doc_id")),
-
-    // relational: PIVOT — month x order-priority count matrix. The value
-    // list is declared explicitly, so Spark skips the extra
-    // collect-distinct job a bare pivot() would run (one job, one
-    // shuffle — the scale-correct pivot form).
-    "q70_pivot_orders" -> ((s, dir) => {
-      val pivoted = rd(s, dir, "orders")
-        .groupBy(unix_timestamp(date_trunc("month", col("o_orderdate"))).as("month_epoch"))
-        .pivot("o_orderpriority",
-          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
-        .agg(count(lit(1)))
-      pivoted
-        .select(
-          col("month_epoch"),
-          coalesce(col("1-URGENT"), lit(0L)).as("n_urgent"),
-          coalesce(col("2-HIGH"), lit(0L)).as("n_high"),
-          coalesce(col("3-MEDIUM"), lit(0L)).as("n_medium"),
-          coalesce(col("4-NOT SPECIFIED"), lit(0L)).as("n_notspec"),
-          coalesce(col("5-LOW"), lit(0L)).as("n_low"))
-        .orderBy("month_epoch")
-    }),
-
-    // streaming: exact dedup through the real streaming engine —
-    // dropDuplicatesWithinWatermark over the file-source stream, memory
-    // sink, gated against a batch DISTINCT oracle (the projection to key
-    // columns makes "keeps ONE arbitrary row per key" deterministic)
-    "q71_stream_dedup" -> ((s, dir) =>
-      // the gate compares against a batch DISTINCT oracle, so the
-      // watermark horizon is deliberately LONGER than any replayed
-      // history ("3650 days"): the stream then drops every recurrence
-      // regardless of how the file source splits micro-batches. A finite
-      // horizon (the production setting) is only batching-independent
-      // when no key recurs beyond it.
-      runStreamGate(s, dir, "q71_stream_dedup_sink", "append") { stage =>
-        graft.streaming.EventStream
-          .dedupStream(
-            graft.streaming.EventStream.readEventStream(s, stage),
-            Seq("user_id", "event_type"), "3650 days")
-          .select("user_id", "event_type")
-      }.orderBy("user_id", "event_type")),
-
-    // pillar similarity: signed-random-projection signatures (SimHash for
-    // embeddings) — each of the 16 Rademacher hyperplanes contributes the
-    // sign bit of its dot product; vectors hashing to the same signature
-    // are ANN candidates via a plain equi-join on `srp_sig` (the same
-    // pigeonhole banding Dedup.simhashCandidates uses would extend it to
-    // hamming>0). Hyperplanes are md5-derived constants shared with the
-    // generated oracle SQL.
-    "q72_embed_srp" -> ((s, dir) => {
-      val v = transform(col("embedding"), x => x.cast("double"))
-      val sig = SrpPlanes.zipWithIndex.map { case (p, b) =>
-        val plane = array(p.map(lit(_)): _*).cast("array<double>")
-        // codegen'd sequential dot (same accumulation order as the HOF
-        // fold it replaced — bit-equal to the oracle's list_sum)
-        val dot = org.apache.spark.sql.graft.ArrayDot.doubleDot(v, plane)
-        when(dot > 0.0, lit(1L << b)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      rd(s, dir, "embeddings")
-        .select(col("vec_id"), sig.as("srp_sig"))
-        .withColumn("bucket_n",
-          count(lit(1)).over(Window.partitionBy("srp_sig")).cast("long"))
-        .orderBy("vec_id")
-    }),
-
-    // pillar text analysis: narrow token cleanup — drop single-char
-    // tokens, re-join; pure codegen'd projection (no shuffle)
-    "q73_text_normalize" -> ((s, dir) =>
-      spread(s, rd(s, dir, "documents"))
-        .select(
-          col("doc_id"),
-          array_join(filter(split(col("text"), " "), t => length(t) > 1), " ").as("clean"),
-          size(filter(split(col("text"), " "), t => length(t) <= 1)).cast("long").as("n_dropped"))
-        .orderBy("doc_id")),
-
-    // pillar text analysis: corpus-adaptive boilerplate removal — tokens
-    // whose document frequency exceeds 78% of the corpus are stripped
-    // from every document. The common-token set is produced
-    // distributively (df hash-agg vs a broadcast 1-row total; integer
-    // cross-multiplication, no float threshold) and applied via a
-    // broadcast LEFT ANTI join — no collect, no cartesian; order is
-    // restored from explode positions.
-    "q74_boilerplate_strip" -> ((s, dir) => {
-      val docs = spread(s, rd(s, dir, "documents")).select("doc_id", "text")
-      val toks = docs.select(
-        col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-      val dfreq = toks.select("doc_id", "tok").distinct()
-        .groupBy("tok").agg(count(lit(1)).as("df"))
-      val total = docs.agg(count(lit(1)).as("n_docs"))
-      val common = dfreq.crossJoin(broadcast(total))
-        .filter(col("df") * 100 > col("n_docs") * BoilerplateDfPct)
-        .select(col("tok").as("ctok"))
-      // `common` is derived FROM `toks`, so the anti join is a self-join:
-      // alias both sides or col("tok") can resolve into the right-hand
-      // lineage and make the condition trivially true (dropping every row)
-      val cleaned = toks.alias("t")
-        .join(broadcast(common.alias("c")), col("t.tok") === col("c.ctok"), "left_anti")
-        .groupBy("doc_id")
-        .agg(array_join(
-          transform(
-            array_sort(collect_list(struct(col("pos"), col("tok")))),
-            x => x("tok")),
-          " ").as("clean"))
-      docs.select("doc_id")
-        .join(cleaned, Seq("doc_id"), "left")
-        .select(col("doc_id"), coalesce(col("clean"), lit("")).as("clean"))
-        .orderBy("doc_id")
-    }),
-
-    // pipeline: stratified deterministic sampling — per-language keep
-    // rates applied through a content-stable hash bucket (reproducible
-    // under re-sharding, unlike rand(); exact-duplicate rows sample
-    // identically). Pure filter — pushes down, no shuffle.
-    "q75_stratified_sample" -> ((s, dir) =>
-      rd(s, dir, "documents")
-        .withColumn("bucket",
-          conv(substring(md5(concat(lit("split-"), col("doc_id"))), 1, 8), 16, 10)
-            .cast("long") % 100)
-        .withColumn("rate",
-          when(col("lang") === "en", lit(50L))
-            .when(col("lang") === "zh", lit(25L))
-            .otherwise(lit(10L)))
-        .filter(col("bucket") < col("rate"))
-        .select("doc_id", "lang", "source")
-        .orderBy("doc_id")),
-
-    // pillar multimodal: the DECODE path itself through the oracle gate —
-    // Dataset.mapPartitions feature extraction (the per-partition batch
-    // shape a real codec plugs into), exploded to scalar rows so the
-    // md5-derived stub features hash-compare bit-for-bit vs DuckDB
-    "q76_multimodal_decode" -> ((s, dir) => {
-      val withC = Multimodal.withContent(spread(s, rd(s, dir, "documents")), "text")
-      Multimodal.decodeFeatures(s, withC, "doc_id")
-        .select(
-          col("id").as("doc_id"),
-          col("width").cast("long").as("width"),
-          col("height").cast("long").as("height"),
-          col("n_frames").cast("long").as("n_frames"),
-          posexplode(col("features")).as(Seq("feat_idx", "feat_f")))
-        .select(
-          col("doc_id"), col("width"), col("height"), col("n_frames"),
-          col("feat_idx").cast("long").as("feat_idx"),
-          col("feat_f").cast("double").as("feat"))
-        .orderBy("doc_id", "feat_idx")
-    }),
-
-    // physical layout: bucketed co-located join — both fact tables are
-    // written bucketed+sorted on the join key, so the join runs with NO
-    // shuffle exchange on either side (BucketedJoinSpec asserts it): the
-    // pre-partitioning pattern that lets a 100 TB fact-fact join skip
-    // re-shuffling both inputs every query
-    "q77_bucketed_join" -> ((s, dir) => {
-      // the bucketed layout is written ONCE per (JVM, source dir) and
-      // reused by later invocations — mirroring the real amortization
-      // (bucket once at ingest, join shuffle-free every query after), and
-      // letting the min-of-2 bench measure the co-located join rather
-      // than the one-time layout write
-      if (bucketedStagedFor.get() != dir || !s.catalog.tableExists("graft_li_bkt")) {
-        val tmp = Staging.dir("bucketed-").toString
-        s.sql("DROP TABLE IF EXISTS graft_li_bkt")
-        s.sql("DROP TABLE IF EXISTS graft_ord_bkt")
-        rd(s, dir, "lineitem").write.format("parquet")
-          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-          .option("path", s"$tmp/li").mode("overwrite").saveAsTable("graft_li_bkt")
-        rd(s, dir, "orders").write.format("parquet")
-          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-          .option("path", s"$tmp/ord").mode("overwrite").saveAsTable("graft_ord_bkt")
-        bucketedStagedFor.set(dir)
-      }
-      s.table("graft_li_bkt")
-        .join(s.table("graft_ord_bkt"), col("l_orderkey") === col("o_orderkey"))
-        .groupBy("o_orderpriority")
-        .agg(
-          count(lit(1)).as("n_items"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
-        .orderBy("o_orderpriority")
-    }),
-
-    // relational: explicit GROUPING SETS (beyond q26 ROLLUP / q66 CUBE —
-    // the two marginals without the cross product)
-    "q78_grouping_sets" -> ((s, dir) => {
-      rd(s, dir, "lineitem").createOrReplaceTempView("graft_li_gs")
-      s.sql(
-        """SELECT l_returnflag, l_linestatus, count(*) AS n_items,
-          |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
-          |FROM graft_li_gs
-          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-          |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
-    }),
-
-    // events: lag/lead inter-arrival deltas per user — the
-    // feature-engineering window shape (both directions in ONE window
-    // spec = one shuffle on user_id, one sort)
-    "q79_event_deltas" -> ((s, dir) => {
-      val ev = rd(s, dir, "events")
-        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("tsn"))
-      val w = Window.partitionBy("user_id").orderBy(col("tsn").asc, col("event_id").asc)
-      ev
-        .withColumn("gap_before", col("tsn") - lag(col("tsn"), 1).over(w))
-        .withColumn("gap_after", lead(col("tsn"), 1).over(w) - col("tsn"))
-        .orderBy("event_id")
-    }),
-
-    // pipeline: CDC merge/upsert — a deterministic change set (updates to
-    // every 7th key, inserts beyond the key space) applied to the base
-    // table through ONE full-outer equi-join + coalesce: the MERGE INTO
-    // plan shape, one shuffle on the merge key, no row ever read twice
-    "q80_merge_upsert" -> ((s, dir) => {
-      val base = rd(s, dir, "orders").select(
-        col("o_orderkey"),
-        col("o_orderstatus"),
-        col("o_totalprice").cast("decimal(18,2)").as("price"))
-      val changes = base.filter(col("o_orderkey") % 7 === 0)
-        .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
-          (col("price") + lit(100).cast("decimal(18,2)")).cast("decimal(18,2)").as("price"))
-        .unionByName(
-          base.filter(col("o_orderkey") % 11 === 0)
-            .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
-              lit("I").as("o_orderstatus"), col("price")))
-      base.alias("b")
-        .join(changes.alias("c"), Seq("o_orderkey"), "full_outer")
-        .select(
-          col("o_orderkey"),
-          coalesce(col("c.o_orderstatus"), col("b.o_orderstatus")).as("o_orderstatus"),
-          coalesce(col("c.price"), col("b.price")).cast("double").as("price"))
-        .orderBy("o_orderkey")
-    }),
-
-    // pipeline: CDC compaction / keep-newest — collapse each business key
-    // to its latest version (desc ts, event_id tie-break): the standard
-    // log-to-snapshot step; one shuffle on the key, WindowGroupLimit
-    // prunes non-winners before the final sort
-    "q81_dedup_latest" -> ((s, dir) => {
-      val ev = rd(s, dir, "events")
-        .select(col("event_id"), col("user_id"), col("event_type"),
-          expr("ts div 1000").as("tsn"), col("value"))
-      val w = Window.partitionBy("user_id", "event_type")
-        .orderBy(col("tsn").desc, col("event_id").desc)
-      ev.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .drop("rn")
-        .orderBy("user_id", "event_type")
-    }),
-
-    // pillar similarity: int8 scalar quantization of embeddings (the
-    // compression step before shipping vectors to an ANN index) — exact
-    // per-vector max-abs scale; all-integer-or-IEEE-deterministic math so
-    // the codes reproduce bit-for-bit from SQL
-    "q82_embed_quantize" -> ((s, dir) => {
-      val v = transform(col("embedding"), x => x.cast("double"))
-      rd(s, dir, "embeddings")
-        .select(col("vec_id"), v.as("v"))
-        .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
-        .select(col("vec_id"), col("mx"), posexplode(col("v")).as(Seq("dim", "x")))
-        .select(
-          col("vec_id"),
-          col("dim").cast("long").as("dim"),
-          when(col("mx") === 0.0, lit(0L))
-            .otherwise(floor(col("x") / col("mx") * 127).cast("long")).as("q"))
-        .orderBy("vec_id", "dim")
-    }),
-
-    // streaming: native session_window sessions through the real
-    // streaming engine (complete mode, AvailableNow), gated against a
-    // batch lag/flag/running-sum sessionization oracle — same 4h gap as
-    // q54; window.start = first event, window.end = last event + gap
-    "q84_stream_sessions" -> ((s, dir) =>
-      runStreamGate(s, dir, "q84_stream_sessions_sink", "complete") { stage =>
-        graft.streaming.EventStream.sessionAggregate(
-          graft.streaming.EventStream.readEventStream(s, stage),
-          gap = "4 hours", watermark = Some("8 hours"))
-      }.orderBy("user_id", "session_start")),
-
-    // pipeline: benchmark decontamination — drop every training doc that
-    // shares ANY 8-gram shingle with the (deterministic) held-out set:
-    // explode-distinct shingle hashes on both sides, equi-join to find
-    // contaminated ids, LEFT ANTI join to keep the clean remainder. Pure
-    // hash equi-joins — the benchmark side is tiny and broadcast; no
-    // similarity scan ever touches the full corpus pairwise.
-    "q85_decontaminate" -> ((s, dir) => {
-      val docs = spread(s, rd(s, dir, "documents"))
-      val shingles = docs.select(
-        col("doc_id"),
-        explode(array_distinct(
-          transform(
-            TextFunctions.charShingles(lower(col("text")), 8),
-            g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")))).as("h"))
-      val bench = shingles.filter(col("doc_id") % 50 === 0)
-        .select(col("h").as("bh")).distinct()
-      val contaminated = shingles
-        .join(broadcast(bench), col("h") === col("bh"))
-        .select("doc_id").distinct()
-      docs
-        .join(contaminated.withColumnRenamed("doc_id", "cid"),
-          col("doc_id") === col("cid"), "left_anti")
-        .select(col("doc_id"), col("source"))
-        .orderBy("doc_id")
-    }),
-
-    // optimizer-rule surface: a filter-only scorer comparison — the
-    // FoldPartialRatioCutoffPredicate rule rewrites it into the
-    // early-exit partial_ratio_at_least expression (OptimizerRuleSpec
-    // pins the rewrite; this gate pins that the rewrite is
-    // answer-preserving vs the full LCS oracle)
-    "q86_scorer_predicate" -> ((s, dir) => {
-      org.apache.spark.sql.graft.GraftExtensions.ensureRegistered(s)
-      rd(s, dir, "part").createOrReplaceTempView("graft_part_pred_v")
-      s.sql(
-        """SELECT p_partkey, p_name
-          |FROM graft_part_pred_v
-          |WHERE partial_ratio_cutoff(p_name, 'gadget', 65) > 0
-          |ORDER BY p_partkey""".stripMargin)
-    }),
-
-    // pillar text-analysis: Gopher-style repetition filters — duplicate
-    // word fraction + top-bigram dominance per doc (catches degenerate
-    // repeated-phrase text that token-level quality metrics miss)
-    "q87_repetition_signals" -> ((s, dir) =>
-      TextAnalysis.repetitionSignals(
-          spread(s, rd(s, dir, "documents")), "doc_id", "text")
-        .orderBy("doc_id")),
-
-    // relational: event-time rolling window — per-user trailing-1h count
-    // and exact decimal sum via RANGE frame on the microsecond timestamp
-    // (the time-based sliding aggregate a rate-limiter/feature pipeline
-    // needs; ROWS frames can't express "last hour")
-    "q88_rolling_window" -> ((s, dir) => {
-      val ev = rd(s, dir, "events")
-        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("tsn"), col("value"))
-      val w = Window.partitionBy("user_id").orderBy(col("tsn"))
-        .rangeBetween(-3600000000L, Window.currentRow)
-      ev
-        .withColumn("roll_n", count(lit(1)).over(w))
-        .withColumn("roll_sum", sum(col("value").cast("decimal(18,4)")).over(w).cast("double"))
-        .select("event_id", "user_id", "tsn", "roll_n", "roll_sum")
-        .orderBy("event_id")
-    }),
-
-    // relational/warehouse: SCD2 dimension history — per-customer order
-    // status change feed collapsed into versioned validity intervals
-    // (one shuffle on the key; see operators.Scd2)
-    "q89_scd2_history" -> ((s, dir) =>
-      graft.operators.Scd2.buildHistory(
-          rd(s, dir, "orders")
-            .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_orderstatus")),
-          keyCol = "o_custkey", tsCol = "o_orderdate", tieCol = "o_orderkey",
-          attrCol = "o_orderstatus")
-        .orderBy("o_custkey", "version")),
-
-    // streaming: stream-static join — event stream enriched with the
-    // broadcast customer dim (stateless join), then the watermarked
-    // hourly aggregate keyed by market segment; memory-sink result
-    // hash-matched against the batch join+agg oracle
-    "q90_stream_static_join" -> ((s, dir) => {
-      val dim = rd(s, dir, "customer")
-      runStreamGate(s, dir, "q90_stream_static_join_sink", "complete") { stage =>
-        graft.streaming.EventStream
-          .enrichedHourlyStream(s, stage, dim, "c_custkey", "c_mktsegment")
-      }.orderBy("hour_epoch", "c_mktsegment")
-    }),
-
-    // pillar dedup: quality-aware group resolution — near-dup groups keep
-    // their LONGEST member (n_chars desc, id asc) instead of the min-id
-    // survivor; the keep-one choice a real pipeline makes
-    "q91_dedup_keep_best" -> ((s, dir) => {
-      val docs = spread(s, rd(s, dir, "documents"))
-      val pairs = Dedup.nearDuplicates(docs, "doc_id", "text",
-        shingleN = 4, numHashes = 8, rowsPerBand = 4, threshold = 0.4)
-      Dedup.keepBest(docs, "doc_id", pairs, "n_chars").orderBy("doc_id")
-    }),
-
-    // pipeline: per-language token-budget sampling — data-mixing step
-    // that takes the highest-value docs (longest first) per language
-    // until each language's token budget is exhausted; running-sum
-    // window per lang partition, no global state
-    "q92_token_budget" -> ((s, dir) => {
-      val toks = TextFunctions.whitespaceTokens(lower(col("text")))
-      val t = spread(s, rd(s, dir, "documents"))
-        .select(col("doc_id"), col("lang"), col("n_chars"),
-          size(toks).cast("long").as("n_tokens"))
-      // running-budget cutoff via Quota.weightedBudget, NOT a per-lang
-      // running-sum window (one task per language at scale). n_chars
-      // itself is the order-preserving bucket: distinct lengths spread
-      // the window into (lang, n_chars) partitions, and length tiers
-      // past the budget are dropped before any per-row work.
-      Quota.weightedBudget(t, "lang",
-          bucket = col("n_chars"), bucketAsc = false,
-          ordCols = Seq(col("n_chars").desc, col("doc_id").asc),
-          weightCol = "n_tokens", budget = TokenBudgetPerLang,
-          cumCol = "cum_tokens")
-        .select("doc_id", "lang", "n_tokens", "cum_tokens")
-        .orderBy("doc_id")
-    }),
-
-    // sources: ORC round-trip — events written as ORC (Spark's bundled
-    // columnar alternative), read back and aggregated; proves the
-    // format path against the parquet-based oracle
-    "q93_orc_roundtrip" -> ((s, dir) => {
-      val tmp = Staging.dir("orc-").toString
-      rd(s, dir, "events")
-        .select(col("event_id"), col("event_type"), col("value"))
-        .write.mode("overwrite").orc(s"$tmp/events")
-      s.read.orc(s"$tmp/events")
-        .groupBy("event_type")
-        .agg(
-          count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
-        .orderBy("event_type")
-    }),
-
-    // streaming: the ARBITRARY-STATE surface (mapGroupsWithState) —
-    // running per-user totals carried across micro-batches; the final
-    // state must equal the batch per-user counts. Totals are monotone,
-    // so max() over the update-mode sink is the final value regardless
-    // of how the source split into batches.
-    "q94_stream_user_totals" -> ((s, dir) =>
-      runStreamGate(s, dir, "q94_stream_user_totals_sink", "update") { stage =>
-        graft.streaming.EventStream
-          .runningUserCounts(s, graft.streaming.EventStream.readEventStream(s, stage))
-          .toDF()
-      }
-        .groupBy("user_id")
-        .agg(max(col("n_events")).as("n_events"))
-        .orderBy("user_id")),
-
-    // streaming: stream-STREAM join — clicks joined to the same user's
-    // trailing-hour views with watermarks on both sides bounding join
-    // state; raw pairs land in an append-mode sink and aggregate to
-    // per-click prior-view counts, hash-matched against the q49 batch
-    // range-join oracle
-    "q95_stream_stream_join" -> ((s, dir) =>
-      runStreamGate(s, dir, "q95_stream_stream_join_sink", "append") { stage =>
-        graft.streaming.EventStream.clickPriorViewsStream(s, stage)
-      }
-        .groupBy(col("event_id"), col("c_user").as("user_id"))
-        .agg(count(lit(1)).as("n_prior_views"))
-        .orderBy("event_id")),
-
-    // relational: date-spine densification — every calendar day between
-    // the first and last order, INCLUDING zero-order days (reports and
-    // feature pipelines need explicit gaps, a bare groupBy silently
-    // drops them). The spine generates from the 1-row min/max aggregate,
-    // so its cost is independent of table size.
-    "q96_date_spine" -> ((s, dir) => {
-      val byDay = rd(s, dir, "orders")
-        .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
-        .agg(count(lit(1)).as("n"))
-      val spine = byDay
-        .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
-        .select(explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 DAY"))).as("day"))
-      spine.join(byDay, Seq("day"), "left")
-        .select(
-          unix_timestamp(col("day")).as("day_epoch"),
-          coalesce(col("n"), lit(0L)).as("n_orders"))
-        .orderBy("day_epoch")
-    }),
-
-    // relational: percent-of-total — per-segment revenue share computed
-    // against a 1-row broadcast total (NOT a global window over the fact
-    // table: the ratio joins AFTER aggregation, so the "global" step
-    // touches one row per segment)
-    "q97_revenue_share" -> ((s, dir) => {
-      val a = rd(s, dir, "orders")
-        .join(rd(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
-        .groupBy("c_mktsegment")
-        .agg(
-          count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).as("rev_d"))
-      val total = a.agg(sum(col("rev_d")).as("tot"))
-      a.crossJoin(broadcast(total))
-        .select(
-          col("c_mktsegment"),
-          col("n_orders"),
-          col("rev_d").cast("double").as("revenue"),
-          (col("rev_d").cast("double") / col("tot").cast("double")).as("share"))
-        .orderBy("c_mktsegment")
-    }),
-
-    // relational: LEFT SEMI join — "customers who ordered this year"
-    // without duplicating per-order rows (the EXISTS/IN shape; q24 is
-    // its anti-join complement). Semi joins stop probing at first match
-    // and never widen the row.
-    "q98_semi_join" -> ((s, dir) => {
-      val recent = rd(s, dir, "orders")
-        .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
-      rd(s, dir, "customer")
-        .join(recent, col("c_custkey") === col("o_custkey"), "left_semi")
-        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
-        .orderBy("c_custkey")
-    }),
-
-    // sources: CSV round-trip with an explicit schema + header — the
-    // remaining mainstream interchange format (TSV is the CLI sink,
-    // JSONL q68, ORC q93, partitioned/bucketed parquet q69/q77)
-    "q99_csv_roundtrip" -> ((s, dir) => {
-      val tmp = Staging.dir("csv-").toString
-      rd(s, dir, "events")
-        .select(col("event_id"), col("event_type"), col("value"))
-        .write.mode("overwrite").option("header", "true").csv(s"$tmp/events")
-      s.read
-        .schema("event_id BIGINT, event_type STRING, value DOUBLE")
-        .option("header", "true")
-        .csv(s"$tmp/events")
-        .groupBy("event_type")
-        .agg(
-          count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
-        .orderBy("event_type")
-    }),
-
-    // similarity: edit-distance threshold self-join via SEGMENT-SIGNATURE
-    // blocking (PassJoin, Li et al. VLDB'12 family). Pigeonhole: lev(a,b)
-    // <= t means at least one of b's t+1 contiguous segments is edit-free,
-    // so it occurs VERBATIM in a at a start shifted by x with
-    // |x| + |(len(a)-len(b)) - x| <= t (edits before the segment produce
-    // the shift, edits after produce the rest of the length delta). The
-    // index side explodes each string into its t+1 segments; the probe
-    // side generates only the admissible substrings; the join key is
-    // (indexed_len, segment_idx, segment_text) — selective CONTENT, not
-    // length (length-only blocking keeps whole same-length classes and
-    // goes quadratic at scale). Strings too short to partition
-    // (len <= t, a bounded set: <= |alphabet|^t distinct names) pair
-    // through a residual length-band branch. levenshtein verifies only
-    // the deduplicated candidates.
-    "q100_edit_distance_join" -> ((s, dir) => {
-      val t = 3
-      val n = rd(s, dir, "part")
-        .groupBy(col("p_name").as("name"))
-        .agg(min(col("p_partkey")).as("id"))
-        .withColumn("len", length(col("name")))
-
-      // index side: t+1 contiguous segments, seg i = [i*l/(t+1), (i+1)*l/(t+1))
-      val segs = n
-        .filter(col("len") >= t + 1) // every segment non-empty
-        .select(col("id"), col("name"), col("len"),
-          expr(
-            s"""explode(transform(sequence(0, $t), i -> struct(
-               |  i AS seg_idx,
-               |  substring(name, cast(i * len div ${t + 1} AS int) + 1,
-               |            cast((i+1) * len div ${t + 1} AS int)
-               |              - cast(i * len div ${t + 1} AS int)) AS seg)))""".stripMargin)
-            .as("sg"))
-        .select(col("id"), col("name"), col("len"),
-          col("sg.seg_idx").as("seg_idx"), col("sg.seg").as("seg"))
-
-      // probe side: for every indexed length l in [len-t, len+t] (l > t)
-      // and segment i, the substrings of this string whose start q obeys
-      // the shift bound; qpos is 0-based, p = segment start in a length-l
-      // string
-      val probes = n
-        .filter(col("len") >= 1)
-        .select(col("id"), col("name"), col("len"),
-          expr(
-            s"""explode(flatten(transform(
-               |  filter(sequence(${t + 1}, len + $t), l -> l >= len - $t), l ->
-               |    flatten(transform(sequence(0, $t), i ->
-               |      filter(
-               |        transform(
-               |          sequence(cast(i * l div ${t + 1} AS int) - $t,
-               |                   cast(i * l div ${t + 1} AS int) + $t),
-               |          q -> struct(
-               |            l AS blen, i AS seg_idx, q AS qpos,
-               |            cast(i * l div ${t + 1} AS int) AS p,
-               |            cast((i+1) * l div ${t + 1} AS int)
-               |              - cast(i * l div ${t + 1} AS int) AS slen)),
-               |        c -> c.qpos >= 0 AND c.qpos + c.slen <= len
-               |          AND abs(c.qpos - c.p)
-               |            + abs((len - c.blen) - (c.qpos - c.p)) <= $t))))))""".stripMargin)
-            .as("c"))
-        .select(col("id"), col("name"),
-          col("c.blen").as("blen"), col("c.seg_idx").as("seg_idx"),
-          expr("substring(name, c.qpos + 1, c.slen)").as("seg"))
-
-      val segCands = probes.alias("a")
-        .join(segs.alias("b"),
-          col("a.blen") === col("b.len") && col("a.seg_idx") === col("b.seg_idx") &&
-            col("a.seg") === col("b.seg") && col("a.id") =!= col("b.id"))
-
-      // residual: strings with len <= t can't donate t+1 non-empty
-      // segments; pair them among themselves by length band (both sides
-      // bounded — n holds DISTINCT names, so at most |alphabet|^t rows).
-      // Mixed short/long pairs are already covered above (the probe side
-      // is unrestricted; only the INDEXED side needs len > t).
-      val shortN = n.filter(col("len") <= t)
-      val shortCands = shortN
-        .withColumn("lb", explode(sequence(col("len") - t, col("len") + t)))
-        .alias("a")
-        .join(shortN.alias("b"),
-          col("a.lb") === col("b.len") && col("a.id") =!= col("b.id"))
-
-      def normalize(j: DataFrame): DataFrame = j.select(
-        when(col("a.id") < col("b.id"),
-          struct(col("a.id").as("id_a"), col("b.id").as("id_b"),
-            col("a.name").as("name_a"), col("b.name").as("name_b")))
-          .otherwise(
-            struct(col("b.id").as("id_a"), col("a.id").as("id_b"),
-              col("b.name").as("name_a"), col("a.name").as("name_b")))
-          .as("p"))
-        .select(col("p.*"))
-
-      normalize(segCands).unionByName(normalize(shortCands))
-        .distinct() // one pair can be found through several segments
-        .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
-        .filter(col("dist") <= t)
-        .orderBy("id_a", "id_b")
-    }),
-
-    // custom WHOLE-OPERATOR surface (LogicalPlan + SparkStrategy +
-    // BinaryExecNode): the native as-of join — same workload and SAME
-    // oracle as q48's composed union+running-last operator, so the two
-    // implementations gate each other through DuckDB's native ASOF JOIN
-    "q101_asof_native" -> ((s, dir) => {
-      val ev = rd(s, dir, "events")
-        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("tsn"), col("event_type"))
-      val clicks = ev.filter(col("event_type") === "click").drop("event_type")
-      val views = ev.filter(col("event_type") === "view")
-        .groupBy("user_id", "tsn")
-        .agg(max(col("event_id")).as("v_event_id"))
-      graft.operators.AsofJoin.asofBackwardNative(clicks, views, "user_id", "tsn", Seq("v_event_id"))
-        .filter(col("v_event_id").isNotNull) // inner asof semantics
-        .select(col("event_id"), col("user_id"), col("v_event_id"), col("asof_tsn").as("v_tsn"))
-        .orderBy("event_id")
-    }),
-
-    // pillar text-analysis: ROLLING-hash document fingerprint — the 8
-    // smallest Karp-Rabin 8-gram hashes per doc, from a codegen'd O(n)
-    // custom expression (RollingKgramHashes; the oracle recomputes every
-    // window naively in SQL — same values, O(n*k))
-    "q102_rolling_fingerprint" -> ((s, dir) =>
-      spread(s, rd(s, dir, "documents"))
-        .withColumn("hs",
-          org.apache.spark.sql.graft.GraftFunctions.rollingKgramHashes(lower(col("text")), 8))
-        .select(
-          col("doc_id"),
-          array_join(
-            transform(slice(array_sort(array_distinct(col("hs"))), 1, 8), _.cast("string")),
-            ",").as("fp"),
-          size(col("hs")).cast("long").as("n_grams"))
-        .orderBy("doc_id")),
-
-    // pillar multimodal: frame sampling + resize planning — up to 4
-    // evenly-spaced frame indices per asset (explode of an arithmetic
-    // sequence; the decode itself stays behind the documented stub) and
-    // the aspect-preserving integer fit into a 256-box; per-frame
-    // signature is md5-derived so the oracle reproduces it bit-for-bit
-    "q103_frames_resize" -> ((s, dir) => {
-      val h = md5(col("text"))
-      spread(s, rd(s, dir, "documents"))
-        .select(
-          col("doc_id"), col("text"),
-          (conv(substring(h, 1, 4), 16, 10).cast("long") % 1024).as("width"),
-          (conv(substring(h, 5, 4), 16, 10).cast("long") % 1024).as("height"),
-          (conv(substring(h, 9, 2), 16, 10).cast("long") % 16 + 1).as("n_frames"))
-        .withColumn("step", expr("greatest((n_frames + 3) div 4, 1)"))
-        .select(col("doc_id"), col("text"), col("width"), col("height"),
-          explode(sequence(lit(0L), col("n_frames") - 1, col("step"))).as("frame_idx"))
-        .select(
-          col("doc_id"), col("frame_idx"), col("width"), col("height"),
-          expr("width * 256 div greatest(greatest(width, height), 1)").as("out_w"),
-          expr("height * 256 div greatest(greatest(width, height), 1)").as("out_h"),
-          (conv(substring(md5(concat(col("text"), lit(":"), col("frame_idx"))), 1, 4), 16, 10)
-            .cast("long") % 256).as("frame_sig"))
-        .orderBy("doc_id", "frame_idx")
-    }),
-
-    // streaming bridge gate: foreachBatch runs the BATCH keep-latest
-    // operator over every micro-batch (two batches forced via a doubled
-    // staged file + maxFilesPerTrigger=1), appending each batch's winners
-    // to a parquet staging sink; a final batch keep-latest over the
-    // appended union yields the same snapshot for ANY micro-batch split
-    // (keep-latest is an idempotent per-key reduction, and the duplicate
-    // rows from the doubled file collapse to identical winners) —
-    // hash-matched against the q81-shape batch oracle. This is the
-    // surface that lets every batch operator in the engine run over a
-    // stream without a streaming rewrite.
-    "q104_stream_foreach_dedup" -> ((s, dir) => {
-      val stage = Staging.dir("q104-")
-      try {
-        val inDir = stage.resolve("in")
-        java.nio.file.Files.createDirectories(inDir)
-        java.nio.file.Files.createSymbolicLink(
-          inDir.resolve("events.parquet"),
-          java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath.normalize())
-        java.nio.file.Files.createSymbolicLink(
-          inDir.resolve("events2.parquet"),
-          java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath.normalize())
-        val outDir = stage.resolve("out").toString
-
-        def keepLatest(df: DataFrame): DataFrame = {
-          val w = Window.partitionBy("user_id", "event_type")
-            .orderBy(col("tsn").desc, col("event_id").desc)
-          df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
-        }
-        val q = graft.streaming.EventStream.foreachBatchSink(
-          graft.streaming.EventStream.readEventStream(s, inDir.toString, maxFilesPerTrigger = Some(1)),
-          batch => keepLatest(batch.select(
-            col("event_id"), col("user_id"), col("event_type"),
-            expr("ts div 1000").as("tsn"), col("value")))
-        ) { (winners, _) => winners.write.mode("append").parquet(outDir) }
-          .start()
-        try {
-          if (!q.awaitTermination(300000))
-            throw new IllegalStateException("q104 stream did not finish within 300s")
-        } finally if (q.isActive) q.stop()
-        // materialize off the staging files before they are discarded
-        keepLatest(s.read.parquet(outDir)).localCheckpoint(true)
-          .orderBy("user_id", "event_type")
-      } finally Staging.discard(stage)
-    }),
-
-    // scorer LONG-NEEDLE gate: needles of 63-126 chars force the Spark
-    // scorer off the 64-bit Allison-Dix fast path onto the generic
-    // DP/window path (Fuzz.lcsDp + partialRatioGeneric), which the other
-    // scorer gates never reach (testdata names max at 40 chars). The
-    // oracle re-derives every score with a HUGEINT (128-bit) bit vector —
-    // same published algorithm, wide enough for the long needles — so the
-    // DP path is hash-exact-gated, not just unit-tested.
-    "q105_scorer_long_needle" -> ((s, dir) => {
-      org.apache.spark.sql.graft.GraftExtensions.ensureRegistered(s)
-      rd(s, dir, "documents").createOrReplaceTempView("graft_docs_v")
-      s.sql(
-        """SELECT q.q_id, r.r_id,
-          |       CAST(partial_ratio_cutoff(q.needle, r.text, 55) AS BIGINT) AS score
-          |FROM (SELECT doc_id AS q_id,
-          |             substr(text, 1, CAST(63 + doc_id % 64 AS INT)) AS needle
-          |      FROM graft_docs_v WHERE doc_id < 40 AND length(text) >= 130) q
-          |CROSS JOIN (SELECT doc_id AS r_id, text FROM graft_docs_v
-          |            WHERE doc_id >= 40 AND doc_id < 50 AND length(text) >= 130) r
-          |ORDER BY q_id, r_id""".stripMargin)
-    }),
-
-    // pipeline: PII redaction — emails and phone-shaped digit runs are
-    // replaced with type tokens and counted (the scrub step every
-    // training-data pipeline runs before text ships). The testdata text
-    // carries no PII, so the gate INJECTS deterministic synthetic PII
-    // (doc_id-derived email + phone) before redacting — proving the
-    // patterns fire, not just that clean text passes through. Pure
-    // codegen'd projection; patterns are RE2/Java-compatible so the
-    // oracle runs the identical regexes.
-    "q106_pii_redact" -> ((s, dir) => {
-      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-      val phoneRe = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
-      val dirty = concat(
-        col("text"), lit(" contact user"), col("doc_id"),
-        lit("@example.com or +1-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
-      spread(s, rd(s, dir, "documents"))
-        .select(col("doc_id"), dirty.as("dirty"))
-        .select(
-          col("doc_id"),
-          regexp_replace(regexp_replace(col("dirty"), emailRe, "<EMAIL>"),
-            phoneRe, "<PHONE>").as("clean"),
-          regexp_count(col("dirty"), lit(emailRe)).cast("long").as("n_emails"),
-          regexp_count(col("dirty"), lit(phoneRe)).cast("long").as("n_phones"))
-        .orderBy("doc_id")
-    }),
-
-    // pillar similarity/dedup: SRP-BANDED embedding near-dup pairs — the
-    // scale path for embedding dedup (the q72 signatures put to work, as
-    // the q46 IVF prefilter's banding alternative): the 16-bit signature
-    // splits into two 8-bit bands, same-(band, key) vectors become
-    // candidates through a plain equi-join (pigeonhole: signature
-    // hamming <= 1 guarantees a shared band), and exact cosine verifies.
-    // Candidate generation is NARROW (ids + band keys); vectors re-join
-    // only for the verify. Deterministic end-to-end: the md5-derived
-    // planes are shared with the oracle, which re-derives the same
-    // bands, the same candidate set, and the same IEEE cosines.
-    "q107_embed_srp_pairs" -> ((s, dir) => {
-      val v = transform(col("embedding"), x => x.cast("double"))
-      val sig = SrpPlanes.zipWithIndex.map { case (p, b) =>
-        val plane = array(p.map(lit(_)): _*).cast("array<double>")
-        // codegen'd sequential dot (same accumulation order as the HOF
-        // fold it replaced — bit-equal to the oracle's list_sum)
-        val dot = org.apache.spark.sql.graft.ArrayDot.doubleDot(v, plane)
-        when(dot > 0.0, lit(1L << b)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      val e = rd(s, dir, "embeddings")
-        .select(col("vec_id"), sig.as("srp_sig"), v.as("dv"))
-        .withColumn("nrm", Similarity.l2Norm(col("dv")))
-      val vecs = e.select(col("vec_id"), col("dv"), col("nrm"))
-      val banded = e.select(col("vec_id"),
-          explode(array(
-            struct(lit(0).as("band"), col("srp_sig").bitwiseAND(lit(255L)).as("key")),
-            struct(lit(1).as("band"), shiftright(col("srp_sig"), 8).as("key")))).as("bk"))
-        .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-      banded.alias("a")
-        .join(banded.alias("b"),
-          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-            col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
-        .distinct() // a pair can collide in both bands
-        .join(vecs.select(col("vec_id").as("id_a"), col("dv").as("dv_a"), col("nrm").as("nrm_a")), Seq("id_a"))
-        .join(vecs.select(col("vec_id").as("id_b"), col("dv").as("dv_b"), col("nrm").as("nrm_b")), Seq("id_b"))
-        .withColumn("cos_sim", Similarity.dot(col("dv_a"), col("dv_b")) / (col("nrm_a") * col("nrm_b")))
-        .filter(col("cos_sim") >= 0.3)
-        .select("id_a", "id_b", "cos_sim")
-        .orderBy("id_a", "id_b")
-    }),
-
-    // pillar dedup: repeated-span statistics (exact-substring dedup
-    // signal, Lee et al. ACL'22) — per doc, how many of its distinct
-    // 12-char spans occur verbatim in another document. Explode ->
-    // span groupBy -> left-semi back: two map-side-combined shuffles,
-    // no pairwise product (see Dedup.dupSpanStats scaladoc).
-    "q108_dup_span_stats" -> ((s, dir) =>
-      Dedup.dupSpanStats(spread(s, rd(s, dir, "documents")), "doc_id", "text", DupSpanN)
-        .orderBy("doc_id")),
-
-    // pillar similarity: product-quantization encode — each 64-dim vector
-    // compresses to 8 codeword ids (8 subspaces x 8 codewords, codebook =
-    // per-subspace k-means TRAINED from the vec_id < 8 slices — Jégou et
-    // al.'s PQ trains one quantizer per subspace, it does not sample
-    // rows). Integer squared-L2 throughout, so the codes are
-    // oracle-exact; the argmin folds into one partial aggregate.
-    "q109_pq_encode" -> ((s, dir) => {
-      val e = rd(s, dir, "embeddings")
-      val cb = trainedArtifact(s, dir, "pq8") {
-        val (tr109, init109) = trainSample8(s, e)
-        Similarity.trainPqCodebooks(tr109, "vec_id", "embedding", m = 8,
-          init109, KmeansIters)
-      }
-      Similarity.pqEncodeQ(spread(s, e), cb, "vec_id", "embedding", m = 8)
-        .withColumnRenamed("id", "vec_id")
-        .orderBy("vec_id", "sub_id")
-    }),
-
-    // pillar similarity: ADC top-10 over the PQ codes — the query stays
-    // full-precision, corpus distances come from a broadcast
-    // query x subspace x codeword lookup table joined onto the CODES
-    // table (the raw corpus vectors are never touched in the scan).
-    "q110_pq_adc_topk" -> ((s, dir) => {
-      val e = rd(s, dir, "embeddings")
-      val cb = trainedArtifact(s, dir, "pq8") {
-        val (tr110, init110) = trainSample8(s, e)
-        Similarity.trainPqCodebooks(tr110, "vec_id", "embedding", m = 8,
-          init110, KmeansIters)
-      }
-      Similarity.pqAdcTopKQ(
-        e.filter(col("vec_id") < 3), spread(s, e), cb,
-        "vec_id", "embedding", m = 8, k = 10)
-        .orderBy("q_id", "rank")
-    }),
-
-    // pillar text analysis: rare-token score — per doc, the fraction of
-    // token occurrences whose corpus-wide frequency is <= RareMaxFreq,
-    // plus the mean corpus frequency of its tokens (a cheap exact stand-in
-    // for LM perplexity: high rare-ratio = OOV-heavy/noisy, high
-    // mean-freq = boilerplate). Integer sums + one IEEE divide, so the
-    // doubles are oracle-exact. Two map-side-combined shuffles.
-    "q111_rare_token_score" -> ((s, dir) => {
-      val toks = spread(s, rd(s, dir, "documents"))
-        .select(col("doc_id"),
-          explode(TextFunctions.whitespaceTokens(lower(col("text")))).as("term"))
-        .localCheckpoint(false) // feeds the corpus count AND the re-join
-      val cnts = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
-      toks.join(cnts, Seq("term"))
-        .groupBy("doc_id")
-        .agg(
-          count(lit(1)).as("n_tokens"),
-          sum(when(col("cnt") <= RareMaxFreq, 1L).otherwise(0L)).as("n_rare"),
-          sum(col("cnt")).as("sum_freq"))
-        .withColumn("rare_ratio", col("n_rare").cast("double") / col("n_tokens"))
-        .withColumn("mean_freq", col("sum_freq").cast("double") / col("n_tokens"))
-        .orderBy("doc_id")
-    }),
-
-    // pipeline: temperature-based source mixing (tau = 0.5 domain
-    // reweighting, the LLM data-mixing move): per-source quota =
-    // min(n, floor(sqrt(n) * MixSqrtScale)) — sqrt is IEEE
-    // correctly-rounded in both engines, so quotas are exact — with a
-    // content-stable md5 order picking WHICH rows fill the quota
-    // (reproducible under re-sharding; the q75 trick). One broadcast of
-    // the 1-row-per-source quota table; ranking windows are per-source.
-    "q112_source_mix_sample" -> ((s, dir) => {
-      val docs = rd(s, dir, "documents")
-      val quotas = docs.groupBy("source").agg(count(lit(1)).as("n_src"))
-        .withColumn("quota",
-          least(col("n_src"), floor(sqrt(col("n_src").cast("double")) * MixSqrtScale).cast("long")))
-        .select("source", "quota")
-      // per-source ranking via Quota.rankedQuota, NOT a
-      // Window.partitionBy("source") — with a handful of sources that
-      // window drags each source's full corpus through ONE task. The
-      // md5 order key's first hex byte is the order-preserving bucket
-      // (256-way parallel), and exhausted buckets never rank at all.
-      val ord = md5(concat(lit("mix-"), col("doc_id")))
-      Quota.rankedQuota(
-          docs.select(col("doc_id"), col("source"), ord.as("ord")),
-          "source",
-          bucket = conv(substring(col("ord"), 1, 2), 16, 10).cast("long"),
-          bucketAsc = true,
-          ordCols = Seq(col("ord").asc, col("doc_id").asc),
-          quotas = quotas)
-        .select("source", "doc_id", "rk")
-        .orderBy("source", "rk")
-    }),
-
-    // THE composite: the full training-data prep chain as ONE declarative
-    // plan — quality gate (q55 predicate) -> exact-dedup keep-one
-    // (md5 window, q91 shape) -> decontamination vs the held-out slice
-    // (q85 shingle anti-join) -> per-language token budget (q92 window).
-    // What a real user runs nightly; composing the stages costs no
-    // driver round-trips (one job end to end), every intermediate stays
-    // distributed, and each stage's operator is independently gated by
-    // its own query.
-    "q113_prep_pipeline" -> ((s, dir) => {
-      val docs = spread(s, rd(s, dir, "documents"))
-      val kept = docs.select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
-          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
-          TextAnalysis.meanTokenLength(col("text")).as("mtl"),
-          TextAnalysis.punctRatio(col("text")).as("pr"),
-          TextAnalysis.stopwordRatio(col("text")).as("es"))
-        .filter(col("n_tokens") >= QfMinTokens &&
-          col("mtl") >= QfMinMeanTokLen && col("mtl") <= QfMaxMeanTokLen &&
-          col("pr") <= QfMaxPunctRatio && col("es") >= QfMinStopwordRatio)
-      val dd = kept
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(md5(col("text"))).orderBy(col("doc_id").asc)))
-        .filter(col("rn") === 1)
-      // contamination = sharing a VERBATIM DecontamSpanN-char span with
-      // the held-out slice (q85's shape at 8 chars prunes this
-      // low-vocabulary corpus to zero; 20-char spans are the realistic
-      // long-verbatim-leak criterion and keep the pipeline non-trivial)
-      val shingles = docs.select(col("doc_id"),
-        explode(array_distinct(transform(
-          TextFunctions.charShingles(lower(col("text")), DecontamSpanN),
-          g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")))).as("h"))
-        .localCheckpoint(false) // span hashing feeds the bench AND contamination-probe branches
-      val bench = shingles.filter(col("doc_id") % 50 === 0)
-        .select(col("h").as("bh")).distinct()
-      val contaminated = shingles.join(broadcast(bench), col("h") === col("bh"))
-        .select(col("doc_id").as("cid")).distinct()
-      val clean = dd.join(contaminated, col("doc_id") === col("cid"), "left_anti")
-      // final stage shares q92's scalable budget cutoff (bucketed by
-      // n_chars) instead of a one-task-per-lang running-sum window
-      Quota.weightedBudget(clean, "lang",
-          bucket = col("n_chars"), bucketAsc = false,
-          ordCols = Seq(col("n_chars").desc, col("doc_id").asc),
-          weightCol = "n_tokens", budget = TokenBudgetPerLang,
-          cumCol = "cum_tokens")
-        .select("doc_id", "lang", "n_tokens", "cum_tokens")
-        .orderBy("doc_id")
-    }),
-
-    // pillar text analysis: bigram-LM quality scoring (the KenLM-style
-    // perplexity filter, exactly): train conditional bigram counts on
-    // the corpus itself, then score each doc by its rare-bigram count
-    // and minimum conditional probability. Everything oracle-exact
-    // without libm: rarity tests cross-multiply in integers
-    // (100*c12 < c1 <=> P < 0.01), and min() over exact IEEE divides is
-    // order-independent — no float SUM ever happens.
-    "q114_bigram_lm_score" -> ((s, dir) => {
-      val toks = spread(s, rd(s, dir, "documents"))
-        .select(col("doc_id"), TextFunctions.whitespaceTokens(lower(col("text"))).as("toks"))
-        .localCheckpoint(false) // tokenization feeds both the bigram and unigram branches
-      val bi = toks.filter(size(col("toks")) >= 2)
-        .select(col("doc_id"), explode(transform(sequence(lit(1), size(col("toks")) - 1),
-          i => struct(element_at(col("toks"), i).as("w1"),
-            element_at(col("toks"), i + 1).as("w2")))).as("b"))
-        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      val uni = toks.select(explode(col("toks")).as("w1"))
-        .groupBy("w1").agg(count(lit(1)).as("c1"))
-      val big = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-      bi.join(big, Seq("w1", "w2")).join(uni, Seq("w1"))
-        .groupBy("doc_id")
-        .agg(
-          count(lit(1)).as("n_bigrams"),
-          sum(when(col("c12") * 100 < col("c1"), 1L).otherwise(0L)).as("n_rare"),
-          min(col("c12").cast("double") / col("c1")).as("min_prob"))
-        .orderBy("doc_id")
-    }),
-
-    // pillar dedup: TRUE winnowing fingerprints (Schleimer SIGMOD'03 /
-    // MOSS) — the bounded-density fingerprint set whose equality is the
-    // equi-join key for web-scale verbatim-overlap detection. Narrow
-    // codegen'd projection per doc; see TextAnalysis scaladoc for the
-    // w+k-1 shared-substring guarantee.
-    "q115_winnowing_fingerprints" -> ((s, dir) =>
-      spread(s, rd(s, dir, "documents"))
-        .select(col("doc_id"),
-          explode(TextAnalysis.winnowingFingerprints(col("text"))).as("fp"))
-        .orderBy("doc_id", "fp")),
-
-    // pillar dedup: the join the q115 fingerprints exist for — MOSS-style
-    // near-dup candidates = doc pairs sharing >= WinnowMinShared
-    // winnowing fingerprints, after a stop-fingerprint filter
-    // (df <= WinnowMaxDf) drops boilerplate minima exactly the way
-    // AllPairs drops stop-shingles. Pure equi-join on the fingerprint
-    // value + one pair-count aggregate: sub-quadratic by the 2/(w+1)
-    // density bound, with per-fingerprint fan-out capped by the df
-    // filter — no pairwise product anywhere.
-    "q116_winnowing_pairs" -> ((s, dir) => {
-      val fps = spread(s, rd(s, dir, "documents"))
-        .select(col("doc_id"),
-          explode(TextAnalysis.winnowingFingerprints(col("text"))).as("fp"))
-        .localCheckpoint(false) // feeds the df count AND both join sides
-      val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= WinnowMaxDf).select("fp")
-      val kept = fps.join(rare, Seq("fp"), "left_semi")
-      kept.alias("a")
-        .join(kept.alias("b"),
-          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-        .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
-        .filter(col("n_shared") >= WinnowMinShared)
-        .orderBy("id_a", "id_b")
-    }),
-
-    // pillar dedup: PLAGIARISM / OVERLAP GROUPS — connected components
-    // over the q116 winnowing pair graph (the MOSS cluster step: pairs
-    // only say A~B; triage wants "these five documents all share the
-    // same passage"). Composes the two proven operators verbatim: the
-    // df-capped fingerprint equi-join builds the edges, resolveGroups'
-    // edge-restricted pointer-jumping resolves them (q52's bounds).
-    "q146_winnowing_groups" -> ((s, dir) => {
-      val docs = spread(s, rd(s, dir, "documents"))
-      val fps = docs.select(col("doc_id"),
-          explode(TextAnalysis.winnowingFingerprints(col("text"))).as("fp"))
-        .localCheckpoint(false) // feeds the df count AND both join sides
-      val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= WinnowMaxDf).select("fp")
-      val kept = fps.join(rare, Seq("fp"), "left_semi")
-      val pairs = kept.alias("a")
-        .join(kept.alias("b"),
-          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-        .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
-        .filter(col("n_shared") >= WinnowMinShared)
-        .select("id_a", "id_b")
-      Dedup.resolveGroups(docs, "doc_id", pairs).orderBy("doc_id")
-    }),
-
-    // pillar dedup: MOSS MATCH EVIDENCE — q116's pairs extended with the
-    // overlapping region extent in EACH document: the position-packed
-    // fingerprints ((fp<<32)|first-occurrence offset, one O(n) codegen
-    // pass) ride the exact same df-capped equi-join, and min/max of the
-    // matched offsets per pair give [start, end) char spans — the triage
-    // answer ("WHERE do these two documents overlap"), analogous to the
-    // reference returning the matched string rather than just a score
-    // (src/heurFuzz.py:123-125). Same sub-quadratic shape as q116; the
-    // extents are four extra min/max aggregates on the shuffle already
-    // being paid.
-    "q135_winnowing_evidence" -> ((s, dir) => {
-      val fps = spread(s, rd(s, dir, "documents"))
-        .select(col("doc_id"),
-          explode(TextAnalysis.winnowingFingerprintPos(col("text"))).as("p"))
-        .select(col("doc_id"), shiftright(col("p"), 32).as("fp"),
-          col("p").bitwiseAND(lit(4294967295L)).as("pos"))
-        .localCheckpoint(false) // feeds the df count AND both join sides
-      val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= WinnowMaxDf).select("fp")
-      val kept = fps.join(rare, Seq("fp"), "left_semi")
-      kept.alias("a")
-        .join(kept.alias("b"),
-          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-        .agg(count(lit(1)).as("n_shared"),
-          min(col("a.pos")).as("a_start"),
-          (max(col("a.pos")) + lit(8L)).as("a_end"),
-          min(col("b.pos")).as("b_start"),
-          (max(col("b.pos")) + lit(8L)).as("b_end"))
-        .filter(col("n_shared") >= WinnowMinShared)
-        .orderBy("id_a", "id_b")
-    }),
-
-    // pillar dedup/similarity: SemDeDup (Abbas et al. 2023) — SEMANTIC
-    // dedup over embeddings: cluster first (corpus-scaled k, the q46
-    // prefilter), then inside each cluster flag every vector that has a
-    // lower-id neighbor above the cosine threshold. keep-one-per-
-    // semantic-group falls out: is_dup=0 rows are the representatives
-    // (lowest id of each within-cluster dup clique chain). Within-bucket
-    // pair work is O(N^1.5) under k = ceil(sqrt(N)); the flag join adds
-    // one broadcast-size distinct. No cross join anywhere.
-    "q117_semdedup" -> ((s, dir) => {
-      val (withB, pairs) = embClusterPairs(s, dir)
-      val dups = pairs.select(col("id_b").as("vec_id")).distinct()
-        .withColumn("d", lit(1L))
-      withB.select("vec_id", "centroid_id")
-        .join(dups, Seq("vec_id"), "left")
-        .select(col("vec_id"), col("centroid_id"), coalesce(col("d"), lit(0L)).as("is_dup"))
-        .orderBy("vec_id")
-    }),
-
-    // pillar dedup: INCREMENTAL near-dup — a new crawl batch
-    // (doc_id % 5 = 4) screened against the existing corpus (the rest),
-    // the production shape where dedup runs per-snapshot against a
-    // persisted signature table instead of all-pairs over history.
-    // Asymmetric LSH band join + exact Jaccard verify; every incoming doc
-    // reports its verified corpus-dup count and a kept flag.
-    "q118_incremental_dedup" -> ((s, dir) => {
-      val docs = spread(s, rd(s, dir, "documents"))
-      val incoming = docs.filter(col("doc_id") % IncrementalMod === IncrementalMod - 1)
-      val corpus = docs.filter(col("doc_id") % IncrementalMod =!= IncrementalMod - 1)
-      Dedup.incrementalNearDupFilter(incoming, corpus, "doc_id", "text",
-          shingleN = 4, numHashes = 8, rowsPerBand = 4, threshold = 0.4)
-        .orderBy("doc_id")
-    }),
-
-    // pillar dedup + physical layout: PERSISTED SIGNATURE TABLE round
-    // trip — the 100 TB shape q118's scaladoc promises, actually
-    // exercised: the corpus's LSH band table is WRITTEN ONCE as a parquet
-    // table bucketed+sorted on the (band, key) join key (q77's amortized
-    // staging pattern), and the incremental dedup READS it back — the
-    // candidate equi-join runs with NO exchange on the (huge, persisted)
-    // corpus side (BucketedJoinSpec pins the plan); only the small
-    // incoming batch shuffles into the bucket layout. Same oracle as
-    // q118: the round trip provably changes nothing.
-    "q132_persisted_sig_dedup" -> ((s, dir) => {
-      val docs = spread(s, rd(s, dir, "documents"))
-      val incoming = docs.filter(col("doc_id") % IncrementalMod === IncrementalMod - 1)
-      if (sigStagedFor.get() != dir || !s.catalog.tableExists("graft_sig_bkt")) {
-        val tmp = Staging.dir("sigtable-").toString
-        s.sql("DROP TABLE IF EXISTS graft_sig_bkt")
-        val corpus = docs.filter(col("doc_id") % IncrementalMod =!= IncrementalMod - 1)
-        Dedup.signatureBands(corpus, "doc_id", "text",
-            shingleN = 4, numHashes = 8, rowsPerBand = 4)
-          .write.format("parquet")
-          .bucketBy(8, "band", "key").sortBy("band", "key")
-          .option("path", s"$tmp/sig").mode("overwrite")
-          .saveAsTable("graft_sig_bkt")
-        sigStagedFor.set(dir)
-      }
-      Dedup.incrementalNearDupFilterOnBands(incoming, s.table("graft_sig_bkt"),
-          "doc_id", "text", shingleN = 4, numHashes = 8, rowsPerBand = 4,
-          threshold = 0.4)
-        .orderBy("doc_id")
-    }),
-
-    // pillar sketches: HLL APPROXIMATE DISTINCT COUNT — per-event-type
-    // distinct active user-days (the DAU-style metric) from a 64-register
-    // HyperLogLog: one map-side-combined max shuffle builds the register
-    // table, and registers are MERGEABLE (max is associative), so
-    // per-partition/per-day/per-source sketches union into a corpus
-    // sketch without re-touching raw data. Audited against the exact
-    // count(DISTINCT) in the same result (the exact side is the sf-scale
-    // audit; at 100 TB only the sketch runs). Integer shift-and-mask
-    // registers + one final IEEE division keep the estimate oracle-exact
-    // bit-for-bit.
-    "q133_hll_distinct" -> ((s, dir) => {
-      val ud = spread(s, rd(s, dir, "events"))
-        .select(col("event_type"),
-          concat(col("user_id").cast("string"), lit(":"),
-            expr("ts div 86400000000000").cast("string")).as("user_day"))
-        .localCheckpoint(false) // feeds the sketch AND the exact audit
-      val sk = Sketches.hllDistinct(ud, "event_type", "user_day")
-      val exact = ud.groupBy("event_type")
-        .agg(countDistinct(col("user_day")).as("n_exact"))
-      sk.join(exact, Seq("event_type"))
-        .select(col("event_type"), col("n_zero_regs"), col("hll_est"),
-          col("n_exact"),
-          ((col("hll_est") - col("n_exact")) / col("n_exact")).as("rel_err"))
-        .orderBy("event_type")
-    }),
-
-    // pillar events + streaming (11th gate): HLL SKETCH MAINTENANCE ON A
-    // STREAM — each micro-batch emits its own per-(group, register) max
-    // table; the tables max-merge after the stream drains and the
-    // estimate reads off the merged registers. Because max is
-    // associative and commutative, batch boundaries provably cannot
-    // change a register — same oracle as the batch q133. This is the
-    // production sketch shape: per-partition/day/batch register tables
-    // stored small, merged on demand, raw data never re-read.
-    "q148_stream_hll_distinct" -> ((s, dir) => {
-      val stage = Staging.dir("q148-")
-      try {
-        val inDir = stage.resolve("in")
-        java.nio.file.Files.createDirectories(inDir)
-        java.nio.file.Files.createSymbolicLink(
-          inDir.resolve("events.parquet"),
-          java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath.normalize())
-        val outDir = stage.resolve("out").toString
-        def userDay(df: DataFrame) = df.select(col("event_type"),
-          concat(col("user_id").cast("string"), lit(":"),
-            expr("ts div 86400000000000").cast("string")).as("user_day"))
-        val schema = rd(s, dir, "events").schema
-        val stream = s.readStream.schema(schema).parquet(inDir.toString)
-        val q = graft.streaming.EventStream.foreachBatchSink(stream, identity) {
-          (batch, batchId) =>
-            Sketches.hllRegisters(userDay(spreadBatch(s, batch)), "event_type", "user_day")
-              .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-        }.start()
-        try {
-          if (!q.awaitTermination(300000))
-            throw new IllegalStateException("q148 stream did not finish within 300s")
-        } finally if (q.isActive) q.stop()
-        val merged = s.read.parquet(outDir).drop("batch")
-          .groupBy("event_type", "j").agg(max(col("mj")).as("mj"))
-        val exact = userDay(spread(s, rd(s, dir, "events")))
-          .groupBy("event_type").agg(countDistinct(col("user_day")).as("n_exact"))
-        Sketches.hllEstimate(merged, "event_type")
-          .join(exact, Seq("event_type"))
-          .select(col("event_type"), col("n_zero_regs"), col("hll_est"),
-            col("n_exact"),
-            ((col("hll_est") - col("n_exact")) / col("n_exact")).as("rel_err"))
-          .orderBy("event_type").localCheckpoint(true)
-      } finally Staging.discard(stage)
-    }),
-
-    // pillar text analysis: GRADED benchmark contamination — q85/q113
-    // decide a boolean (any shared span); real decontamination triages by
-    // the overlap FRACTION (n-gram overlap ratio, the GPT-3/PaLM
-    // contamination metric). Per non-benchmark doc: distinct
-    // DecontamSpanN-char spans, how many appear anywhere in the benchmark
-    // slice, and the ratio. Benchmark span set rides a broadcast (it is
-    // the small side by construction); spans travel as 60-bit md5 longs.
-    "q119_contamination_overlap" -> ((s, dir) => {
-      val docs = spread(s, rd(s, dir, "documents"))
-      val spans = docs.select(col("doc_id"),
-        explode(array_distinct(transform(
-          TextFunctions.charShingles(lower(col("text")), DecontamSpanN),
-          g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")))).as("h"))
-        .localCheckpoint(false) // the md5 span hashing feeds the bench AND probe branches
-      val bench = spans.filter(col("doc_id") % ContamBenchMod === 0)
-        .select(col("h").as("bh")).distinct()
-      spans.filter(col("doc_id") % ContamBenchMod =!= 0)
-        .join(broadcast(bench), col("h") === col("bh"), "left")
-        .groupBy("doc_id")
-        .agg(
-          count(lit(1)).as("n_spans"),
-          sum(when(col("bh").isNotNull, 1L).otherwise(0L)).as("n_hit"))
-        .withColumn("overlap_ratio", col("n_hit").cast("double") / col("n_spans"))
-        .orderBy("doc_id")
-    }),
-
-    // pillar dedup: minhash ESTIMATE vs exact Jaccard per near-dup pair —
-    // the estimator-quality surface that decides whether the exact verify
-    // (the expensive half of LSH dedup at scale: shingle arrays ride the
-    // candidate shuffle) can be replaced by signature agreement alone.
-    "q120_minhash_estimate" -> ((s, dir) =>
-      Dedup.nearDuplicatesWithEstimate(spread(s, rd(s, dir, "documents")), "doc_id", "text",
-          shingleN = 4, numHashes = 8, rowsPerBand = 4, threshold = EstPairThreshold)
-        .orderBy("id_a", "id_b")),
-
-    // pillar dedup + streaming: incremental dedup ON ARRIVAL — the q118
-    // operator driven from the foreachBatch bridge: the incoming batch
-    // arrives as a file stream, each micro-batch runs
-    // incrementalNearDupFilter against the static (persisted) corpus and
-    // appends its verdicts. THE production ingest-dedup shape: batch
-    // operators reused verbatim on streams, corpus state external to the
-    // stream (same oracle as q118 — the bridge must not change answers).
-    "q121_stream_incremental_dedup" -> ((s, dir) => {
-      val stage = Staging.dir("q121-")
-      try {
-        val inDir = stage.resolve("in")
-        java.nio.file.Files.createDirectories(inDir)
-        java.nio.file.Files.createSymbolicLink(
-          inDir.resolve("documents.parquet"),
-          java.nio.file.Paths.get(s"$dir/documents.parquet").toAbsolutePath.normalize())
-        val outDir = stage.resolve("out").toString
-        // spread both sides: the staged snapshot is ONE parquet file, so
-        // without it the per-doc md5 signature hashing (the dominant
-        // cost) runs single-core on both the corpus and each micro-batch
-        val corpus = spread(s, rd(s, dir, "documents"))
-          .filter(col("doc_id") % IncrementalMod =!= IncrementalMod - 1)
-        val schema = rd(s, dir, "documents").schema
-        val incomingStream = s.readStream.schema(schema).parquet(inDir.toString)
-          .filter(col("doc_id") % IncrementalMod === IncrementalMod - 1)
-        val q = graft.streaming.EventStream.foreachBatchSink(incomingStream, identity) {
-          (batch, batchId) =>
-            // foreachBatch is at-least-once: keying the output path by
-            // batchId + overwrite makes a retried micro-batch replace its
-            // own partial output instead of appending duplicates
-            Dedup.incrementalNearDupFilter(spreadBatch(s, batch), corpus, "doc_id", "text",
-                shingleN = 4, numHashes = 8, rowsPerBand = 4, threshold = 0.4)
-              .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-        }.start()
-        try {
-          if (!q.awaitTermination(300000))
-            throw new IllegalStateException("q121 stream did not finish within 300s")
-        } finally if (q.isActive) q.stop()
-        // materialize off the staging files before they are discarded
-        // (drop the batch=<id> partition-discovery column — it is a sink
-        // idempotency key, not part of the operator's answer)
-        s.read.parquet(outDir).drop("batch").orderBy("doc_id").localCheckpoint(true)
-      } finally Staging.discard(stage)
-    }),
-
-    // pillar pipeline + streaming (10th gate): CONTAMINATION SCORING ON
-    // ARRIVAL — q119's graded-overlap operator driven from the
-    // foreachBatch bridge: each incoming micro-batch is span-hashed and
-    // scored against the STATIC benchmark span set (checkpointed once,
-    // broadcast into every batch — the shape of a crawl pipeline that
-    // grades contamination as documents land, not in a nightly sweep).
-    // Per-doc scores only depend on the doc itself + the static set, so
-    // batch boundaries provably don't change answers: same oracle as
-    // q119.
-    "q140_stream_contamination" -> ((s, dir) => {
-      val stage = Staging.dir("q140-")
-      try {
-        val inDir = stage.resolve("in")
-        java.nio.file.Files.createDirectories(inDir)
-        java.nio.file.Files.createSymbolicLink(
-          inDir.resolve("documents.parquet"),
-          java.nio.file.Paths.get(s"$dir/documents.parquet").toAbsolutePath.normalize())
-        val outDir = stage.resolve("out").toString
-        def spansOf(df: DataFrame) = df.select(col("doc_id"),
-          explode(array_distinct(transform(
-            TextFunctions.charShingles(lower(col("text")), DecontamSpanN),
-            g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")))).as("h"))
-        val bench = spansOf(spread(s, rd(s, dir, "documents"))
-            .filter(col("doc_id") % ContamBenchMod === 0))
-          .select(col("h").as("bh")).distinct()
-          .localCheckpoint(true) // static benchmark set, reused by every micro-batch
-        val schema = rd(s, dir, "documents").schema
-        val stream = s.readStream.schema(schema).parquet(inDir.toString)
-          .filter(col("doc_id") % ContamBenchMod =!= 0)
-        val q = graft.streaming.EventStream.foreachBatchSink(stream, identity) {
-          (batch, batchId) =>
-            spansOf(spreadBatch(s, batch))
-              .join(broadcast(bench), col("h") === col("bh"), "left")
-              .groupBy("doc_id")
-              .agg(
-                count(lit(1)).as("n_spans"),
-                sum(when(col("bh").isNotNull, 1L).otherwise(0L)).as("n_hit"))
-              .withColumn("overlap_ratio", col("n_hit").cast("double") / col("n_spans"))
-              .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-        }.start()
-        try {
-          if (!q.awaitTermination(300000))
-            throw new IllegalStateException("q140 stream did not finish within 300s")
-        } finally if (q.isActive) q.stop()
-        s.read.parquet(outDir).drop("batch").orderBy("doc_id").localCheckpoint(true)
-      } finally Staging.discard(stage)
-    }),
-
-    // pillar similarity: ANN QUALITY REPORT — the recall@k / MRR audit
-    // an ANN deployment runs continuously, as a first-class query: the
-    // trained-IVF index (q43's exact configuration) joined against
-    // exhaustive cosine truth for the same queries; per query the hit
-    // count, recall@3, and the reciprocal rank the index gives the TRUE
-    // nearest neighbor (0.0 when it falls outside the probed cells).
-    // This operationalizes the spec-level recall gates as a monitorable
-    // data-pipeline surface.
-    "q131_ann_quality_report" -> ((s, dir) => {
-      val e = rd(s, dir, "embeddings")
-      val cents = trainedArtifact(s, dir, "cent8") {
-        val (tr, init) = trainSample8(s, e)
-        Similarity.trainCentroids(tr, "vec_id", "embedding", init, KmeansIters)
-      }
-      val queries = e.filter(col("vec_id") < 10)
-      val approx = Similarity.ivfTopKQ(queries, spread(s, e), cents,
-          "vec_id", "embedding", k = 3, nprobe = 2)
-        .select("q_id", "r_id", "rank")
-      val truth = Similarity.cosineTopK(queries, spread(s, e), "vec_id", "embedding", 3)
-        .select(col("q_id"), col("r_id"), col("rank").as("xrank"))
-      truth.join(approx, Seq("q_id", "r_id"), "left")
-        .groupBy("q_id")
-        .agg(
-          count(col("rank")).as("n_hits"),
-          min(when(col("xrank") === 1, col("rank"))).as("rot"))
-        .select(col("q_id"), col("n_hits"),
-          (col("n_hits").cast("double") / 3).as("recall_at_3"),
-          coalesce(lit(1.0) / col("rot"), lit(0.0)).as("rr_top1"))
-        .orderBy("q_id")
-    }),
-
-    // pillar similarity + streaming: STREAMING QUANTIZER UPDATE — one
-    // Lloyd step per arriving micro-batch through the foreachBatch
-    // bridge (mini-batch k-means, the shape that keeps an ANN/SemDeDup
-    // quantizer current as a corpus streams in). The staged snapshot
-    // arrives as ONE file -> ONE batch, so the result provably equals
-    // the batch operator at iters = 1 (the q104/q121 bridge gate: same
-    // oracle, the streaming plumbing must not change answers).
-    "q130_stream_kmeans_update" -> ((s, dir) => {
-      val stage = Staging.dir("q130-")
-      try {
-        val inDir = stage.resolve("in")
-        java.nio.file.Files.createDirectories(inDir)
-        java.nio.file.Files.createSymbolicLink(
-          inDir.resolve("embeddings.parquet"),
-          java.nio.file.Paths.get(s"$dir/embeddings.parquet").toAbsolutePath.normalize())
-        val outDir = stage.resolve("out").toString
-        val schema = rd(s, dir, "embeddings").schema
-        val incoming = s.readStream.schema(schema).parquet(inDir.toString)
-        val q = graft.streaming.EventStream.foreachBatchSink(incoming, identity) {
-          (batch, batchId) =>
-            Similarity.trainCentroids(spreadBatch(s, batch), "vec_id", "embedding",
-                batch.filter(col("vec_id") < 8).select("vec_id"), iters = 1)
-              .select(col("centroid_id"), posexplode(col("cv")).as(Seq("dim", "cval")))
-              .select(col("centroid_id"), col("dim").cast("long").as("dim"), col("cval"))
-              .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-        }.start()
-        try {
-          if (!q.awaitTermination(300000))
-            throw new IllegalStateException("q130 stream did not finish within 300s")
-        } finally if (q.isActive) q.stop()
-        s.read.parquet(outDir).drop("batch")
-          .orderBy("centroid_id", "dim").localCheckpoint(true)
-      } finally Staging.discard(stage)
-    }),
-
-    // pillar dedup/similarity: SEMANTIC group resolution — the q52
-    // connected-components operator over the embedding-cosine pair graph
-    // instead of the MinHash one: (vec_id, keep_id) with keep_id = the
-    // minimum id of each transitive semantic-dup component (q117 flags
-    // direct lower-id neighbors; this collapses CHAINS a > b > c where
-    // only adjacent pairs clear the threshold).
-    "q122_semdedup_groups" -> ((s, dir) => {
-      val pairs = embClusterPairs(s, dir)._2.select("id_a", "id_b")
-      Dedup.resolveGroups(rd(s, dir, "embeddings"), "vec_id", pairs)
-        .orderBy("vec_id")
-    }),
-
-    // pillar similarity: k-means TRAINING itself as a gradeable surface —
-    // the trained coarse-quantizer centroids (Lloyd's, KmeansIters steps
-    // from the vec_id < 8 seed) in long form (centroid_id, dim, cval),
-    // hash-matched against the oracle re-running the same iterations in
-    // SQL. This is the frame q35/q43 assign against; exposing it directly
-    // pins the training math, not just its downstream effects.
-    "q123_kmeans_train" -> ((s, dir) => {
-      val e = rd(s, dir, "embeddings")
-      val (tr123, init123) = trainSample8(s, e)
-      Similarity.trainCentroids(tr123, "vec_id", "embedding", init123, KmeansIters)
-        .select(col("centroid_id"),
-          posexplode(col("cv")).as(Seq("dim", "cval")))
-        .select(col("centroid_id"), col("dim").cast("long").as("dim"), col("cval"))
-        .orderBy("centroid_id", "dim")
-    }),
-
-    // pillar text analysis: COUNT-MIN SKETCH heavy hitters — the
-    // fixed-memory frequency sketch (Cormode & Muthukrishnan '05): d=4
-    // md5-derived hash rows x w=256 buckets, built map-side-combined
-    // from the term dictionary; per-term estimate = min over rows of its
-    // bucket counter (>= exact count ALWAYS — the sketch's one-sided
-    // guarantee, which the output exposes as `over` = est - exact). At
-    // 100 TB the 4x256-long sketch replaces the unbounded exact term
-    // dictionary for frequency estimation; candidates here come from
-    // the dictionary so the oracle can check every estimate exactly.
-    // Integer end-to-end.
-    "q129_cms_heavy_hitters" -> ((s, dir) => {
-      val d = 4
-      val w = 256
-      val terms = spread(s, rd(s, dir, "documents"))
-        .select(explode(TextFunctions.whitespaceTokens(lower(col("text")))).as("term"))
-        .groupBy("term").agg(count(lit(1)).as("cnt"))
-        .localCheckpoint(false) // feeds the sketch build AND the estimate probe
-      def bucket(j: Int): Column =
-        pmod(conv(substring(md5(concat(lit(s"$j:"), col("term"))), 1, 15), 16, 10)
-          .cast("long"), lit(w.toLong))
-      val rows = (0 until d).map(j =>
-        terms.select(lit(j.toLong).as("j"), bucket(j).as("bkt"), col("cnt")))
-      val sketch = rows.reduce(_.union(_))
-        .groupBy("j", "bkt").agg(sum("cnt").as("c"))
-      val probes = (0 until d).map(j =>
-        terms.select(col("term"), col("cnt"), lit(j.toLong).as("j"), bucket(j).as("bkt")))
-      val est = probes.reduce(_.union(_))
-        .join(broadcast(sketch), Seq("j", "bkt"))
-        .groupBy("term", "cnt").agg(min("c").as("est"))
-      est
-        .withColumn("over", col("est") - col("cnt"))
-        .orderBy(col("est").desc, col("term").asc)
-        .limit(20)
-        .select("term", "cnt", "est", "over")
-    }),
-
-    // pillar text analysis: BPE TOKENIZER TRAINING (Sennrich ACL'16) —
-    // the iterated argmax pair-merge over the corpus word-frequency
-    // table, the algorithm behind every production subword vocabulary.
-    // Both engines' `replace` is left-to-right non-overlapping — exactly
-    // BPE's greedy merge application — and U+001F sentinels make a merge
-    // unable to match across symbol boundaries, so three full merge
-    // steps are oracle-exact. Output: (step, left, right, pair_count).
-    "q127_bpe_train_merges" -> ((s, dir) =>
-      TextAnalysis.bpeTopMerges(spread(s, rd(s, dir, "documents")), "text", steps = BpeSteps)
-        .orderBy("step")),
-
-    // pipeline: BPE ENCODE — the serve half of q127: the trained vocab's
-    // final segmentation (vocab-sized, broadcast) joins against the
-    // corpus token stream to BPE-encode every document; per doc the word
-    // and subword-piece counts plus the fertility (pieces per word, the
-    // number a tokenizer team actually monitors). The corpus is touched
-    // once; all merge logic stays on the vocab table.
-    "q134_bpe_encode" -> ((s, dir) => {
-      val docs = spread(s, rd(s, dir, "documents"))
-      val vocab = TextAnalysis.bpeSegmentedVocab(docs, "text", steps = BpeSteps)
-        .select("word", "n_pieces")
-      docs.select(col("doc_id"),
-          explode(TextFunctions.whitespaceTokens(lower(col("text")))).as("word"))
-        .join(broadcast(vocab), Seq("word"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_words"), sum(col("n_pieces")).as("n_pieces"))
-        .withColumn("pieces_per_word",
-          col("n_pieces").cast("double") / col("n_words"))
-        .orderBy("doc_id")
-    }),
-
-    // pipeline: SEQUENCE PACKING — the last step before a GPT-style
-    // dataloader: lay all documents out in a deterministic global order
-    // (doc_id) and cut the token stream into fixed-length training
-    // sequences. Per doc: its exclusive global token offset, the first
-    // and last sequence it lands in, and how many sequences it crosses.
-    // The global prefix sum comes from Quota.globalCumSum (bucketed —
-    // the corpus never serializes through a partitionless window; the
-    // only serial stage is the ~256-row per-bucket cumulative, with the
-    // bucket width riding a broadcast 1-row aggregate so it stays ~256
-    // buckets at ANY corpus size).
-    "q128_sequence_packing" -> ((s, dir) => {
-      val t = spread(s, rd(s, dir, "documents"))
-        .select(col("doc_id"),
-          size(TextFunctions.whitespaceTokens(lower(col("text")))).cast("long").as("n_tokens"))
-      val nRow = t.agg(count(lit(1)).as("n"))
-        .select(greatest(lit(1L), expr("n div 256")).as("bw"))
-      val cum = Quota.globalCumSum(
-          t.crossJoin(broadcast(nRow)),
-          bucket = expr("doc_id div bw"),
-          ordCols = Seq(col("doc_id").asc),
-          weightCol = "n_tokens", cumCol = "cum_tokens")
-        .withColumn("offset", col("cum_tokens") - col("n_tokens"))
-      cum
-        .withColumn("first_seq", expr(s"offset div $PackSeqLen"))
-        .withColumn("last_seq",
-          expr(s"(offset + greatest(n_tokens, 1L) - 1L) div $PackSeqLen"))
-        .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1)
-        .select("doc_id", "n_tokens", "offset", "first_seq", "last_seq", "n_seqs")
-        .orderBy("doc_id")
-    }),
-
-    // pipeline: LEAKAGE-SAFE train/val split — q59's hash split plus the
-    // check every eval pipeline needs: a val doc whose NEAR-DUPLICATE
-    // (q31's MinHash-LSH pair set, same parameters) landed in train is
-    // contaminated eval data. Per doc: split, count of near-dup
-    // neighbors in train, and kept = train rows plus uncontaminated val
-    // rows. Composes the banded LSH join with the split — no new
-    // shuffle shape beyond q31's.
-    "q126_leakage_safe_split" -> ((s, dir) => {
-      val docs = spread(s, rd(s, dir, "documents"))
-      val split = docs.select(
-        col("doc_id"),
-        when(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long") % 100 < 90,
-          lit("train")).otherwise(lit("val")).as("split"))
-      val pairs = Dedup.nearDuplicates(docs, "doc_id", "text",
-          shingleN = 4, numHashes = 8, rowsPerBand = 4, threshold = 0.4)
-        .select("id_a", "id_b")
-        .localCheckpoint(false) // the FULL LSH pipeline feeds both edge directions
-      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      val trainIds = split.filter(col("split") === "train").select(col("doc_id").as("dst"))
-      val leak = edges.join(trainIds, Seq("dst"))
-        .groupBy("src").agg(count(lit(1)).as("n_train_neighbors"))
-      split.join(leak, col("doc_id") === col("src"), "left")
-        .select(col("doc_id"), col("split"),
-          coalesce(col("n_train_neighbors"), lit(0L)).as("n_train_neighbors"))
-        .withColumn("kept", col("split") === "train" || col("n_train_neighbors") === 0)
-        .orderBy("doc_id")
-    }),
-
-    // pipeline: temperature-based LANGUAGE UPSAMPLING with epochs — the
-    // other half of data mixing (q112 downsamples big sources; training
-    // mixes also REPEAT low-resource languages for multiple epochs, the
-    // alpha-smoothed multinomial of multilingual-LM training; lang is the
-    // grouping because the testdata sources are uniform). Per lang:
-    // integer weight w = floor(sqrt(n)*1000); target rows =
-    // ceil(N * w / sum_w) computed as (N div S)*w + ((N mod S)*w + S-1)
-    // div S — pure int64 (no float sum ever; the two-step split keeps
-    // every intermediate under 2^63 even at ~1e10 docs); epochs 1..f-1
-    // replicate every row (a narrow explode, no shuffle); the final
-    // partial epoch takes the target remainder in content-stable md5
-    // order through Quota.rankedQuota (bucketed — never a one-task-per-
-    // source window). Output (source, doc_id, epoch).
-    "q125_lang_upsample_epochs" -> ((s, dir) => {
-      val docs = rd(s, dir, "documents")
-      val perSrc = docs.groupBy("lang").agg(count(lit(1)).as("n_src"))
-        .withColumn("w", floor(sqrt(col("n_src").cast("double")) * 1000).cast("long"))
-      val tot = perSrc.agg(sum("n_src").as("n_tot"), sum("w").as("sum_w"))
-      val plan = perSrc.crossJoin(broadcast(tot))
-        .withColumn("target",
-          expr("(n_tot div sum_w) * w + ((n_tot % sum_w) * w + sum_w - 1) div sum_w"))
-        .withColumn("f", expr("(target + n_src - 1) div n_src"))
-        .withColumn("quota", col("target") - (col("f") - 1) * col("n_src"))
-        .select("lang", "f", "quota")
-      val ids = docs.select("doc_id", "lang")
-      val fullEpochs = ids.join(broadcast(plan), Seq("lang"))
-        .filter(col("f") >= 2)
-        .select(col("lang"), col("doc_id"),
-          explode(sequence(lit(1L), col("f") - 1)).as("epoch"))
-      val ord = md5(concat(lit("mix-"), col("doc_id")))
-      val partial = Quota.rankedQuota(
-          ids.withColumn("ord", ord),
-          "lang",
-          bucket = conv(substring(col("ord"), 1, 2), 16, 10).cast("long"),
-          bucketAsc = true,
-          ordCols = Seq(col("ord").asc, col("doc_id").asc),
-          quotas = plan.select("lang", "quota"))
-        .join(broadcast(plan), Seq("lang"))
-        .select(col("lang"), col("doc_id"), col("f").as("epoch"))
-      fullEpochs.union(partial).orderBy("lang", "epoch", "doc_id")
-    }),
-
-    // pillar similarity: full IVF-PQ with RESIDUAL coding — the FAISS
-    // IndexIVFPQ shape end-to-end: trained coarse quantizer, residuals
-    // qv - cv (exact integer subtraction), per-subspace codebooks
-    // TRAINED ON THE RESIDUALS, per-(query, probed-cell) LUT search over
-    // the codes table. q110 approximates raw vectors; this is the
-    // variant a production ANN index actually ships, and the whole
-    // train->encode->probe->score pipeline stays oracle-exact.
-    "q124_ivfpq_residual_topk" -> ((s, dir) => {
-      val e = rd(s, dir, "embeddings")
-      val (tr124, init124) = trainSample8(s, e)
-      val cents = trainedArtifact(s, dir, "cent8") {
-        Similarity.trainCentroids(tr124, "vec_id", "embedding", init124, KmeansIters)
-      }
-      val cb = trainedArtifact(s, dir, "respq8") {
-        Similarity.trainResidualCodebooks(tr124, cents, init124,
-          "vec_id", "embedding", m = 8, iters = KmeansIters)
-      }
-      Similarity.ivfPqAdcTopK(
-          e.filter(col("vec_id") < 3), spread(s, e), cents,
-          init124,
-          "vec_id", "embedding", m = 8, k = 10, nprobe = 2, iters = KmeansIters,
-          codebook = Some(cb))
-        .orderBy("q_id", "rank")
-    }),
-
-    // pillar pipeline: BLOOM-FILTER decontamination prefilter AUDIT — at
-    // 100 TB the exact benchmark span-hash set costs ~8 bytes/span to
-    // broadcast; a Bloom filter is ~40x smaller for the same prefilter
-    // job, at the price of false positives that would drop clean
-    // documents. This builds the bloom (3 probes of 16 bits sliced from
-    // the 60-bit md5 span key, OR-folded into 32-bit words by ONE
-    // map-side-combined bit_or shuffle — 2048 words total), runs every
-    // corpus span through it, and AUDITS bloom positives against the
-    // exact set: n_false_pos / fp_rate is the measured basis for sizing
-    // m before swapping the prefilter in. All integer bit ops — exact.
-    "q136_bloom_decontaminate" -> ((s, dir) => {
-      val docs = spread(s, rd(s, dir, "documents"))
-      val spans = docs.select(col("doc_id"),
-        explode(array_distinct(transform(
-          TextFunctions.charShingles(lower(col("text")), DecontamSpanN),
-          g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")))).as("h"))
-        .localCheckpoint(false) // md5 hashing feeds the bench AND probe branches
-      val bench = spans.filter(col("doc_id") % ContamBenchMod === 0)
-        .select("h").distinct()
-        .localCheckpoint(false) // feeds the bloom build AND the exact audit
-      def probes = explode(array(Seq(0, 16, 32).map(b =>
-        shiftright(col("h"), b).bitwiseAND(lit(65535L))): _*))
-      val bloom = bench.select(probes.as("p"))
-        .groupBy(shiftright(col("p"), 5).as("word"))
-        .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))")).as("bits"))
-      val member = spans.filter(col("doc_id") % ContamBenchMod =!= 0)
-        .select(col("doc_id"), col("h"), probes.as("p"))
-        .join(broadcast(bloom), shiftright(col("p"), 5) === col("word"), "left")
-        .groupBy("doc_id", "h")
-        .agg((sum(when(col("bits").isNotNull &&
-            (col("bits").bitwiseAND(
-              expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))")) =!= 0L),
-            1L).otherwise(0L)) === 3L).as("bloom_pos"))
-      member.join(broadcast(bench.select(col("h").as("bh"))),
-          col("h") === col("bh"), "left")
-        .groupBy("doc_id")
-        .agg(
-          count(lit(1)).as("n_spans"),
-          sum(when(col("bloom_pos"), 1L).otherwise(0L)).as("n_bloom_pos"),
-          sum(when(col("bh").isNotNull, 1L).otherwise(0L)).as("n_hit"))
-        .withColumn("n_false_pos", col("n_bloom_pos") - col("n_hit"))
-        .withColumn("fp_rate",
-          expr("CAST(n_false_pos AS DOUBLE) / nullif(n_spans - n_hit, 0)"))
-        .orderBy("doc_id")
-    }),
-
-    // pillar text analysis: BM25 top-k retrieval — the inverted-index
-    // ranked search a curation team runs against the corpus ("find the
-    // documents most like this probe"). Postings (doc, term, tf) shuffle
-    // once BY TERM — the inverted-index shape — and the tiny query-term
-    // side broadcasts onto them; per-term contributions are quantized to
-    // integer micro-points (floor(1e6 * idf * tf_saturation), every
-    // input an exact integer, shared expression text with the oracle) so
-    // the per-(query, doc) sum is order-independent and oracle-exact.
-    // Top-k per query is a rank-bounded window (WindowGroupLimit).
-    "q137_bm25_topk" -> ((s, dir) => {
-      val toks = spread(s, rd(s, dir, "documents"))
-        .select(col("doc_id"),
-          explode(TextFunctions.whitespaceTokens(lower(col("text")))).as("term"))
-        .localCheckpoint(false) // feeds postings, doc lengths, AND the query side
-      val corpus = toks.filter(col("doc_id") % Bm25QueryMod =!= 0)
-      val dl = corpus.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-        .localCheckpoint(false) // feeds the 1-row corpus stats AND the scoring join
-      val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
-      val postings = corpus.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        .localCheckpoint(false) // feeds document frequencies AND the scoring join
-      val dfT = postings.groupBy("term").agg(count(lit(1)).as("df"))
-      val qterms = toks.filter(col("doc_id") % Bm25QueryMod === 0)
-        .select(col("doc_id").as("q_id"), col("term")).distinct()
-      val scored = postings.join(broadcast(qterms), Seq("term"))
-        .join(dfT, Seq("term"))
-        .join(dl, Seq("doc_id"))
-        .crossJoin(broadcast(stats))
-        .withColumn("contrib", expr(Bm25ContribSql).cast("long"))
-        .groupBy("q_id", "doc_id").agg(sum(col("contrib")).as("score"))
-      scored
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("q_id").orderBy(col("score").desc, col("doc_id")))
-          .cast("long"))
-        .filter(col("rk") <= Bm25TopK)
-        .orderBy("q_id", "rk")
-    }),
-
-    // pillar dedup: EXACT-SUBSTRING REMOVAL (Lee et al. ACL'22 — the
-    // actual deduplicate output, not just q108's stats): every
-    // DupSpanN-char span occurring >= 2 times anywhere in the corpus is
-    // cut from every document it covers. Dup-start detection is the q108
-    // span-hash shuffle (xxhash64 keys, no pairwise work); the removal
-    // itself is per-doc narrow: the doc's sorted dup starts fold through
-    // ONE aggregate() that merges overlapping [p, p+N) intervals and
-    // stitches the kept substrings — no per-char explode on the Spark
-    // side. Output carries the cleaned text itself, hash-compared.
-    "q138_substring_removal" -> ((s, dir) => {
-      val docs = spread(s, rd(s, dir, "documents"))
-      val sp = docs.select(col("doc_id"),
-          posexplode(TextFunctions.charShingles(lower(col("text")), DupSpanN)))
-        .select(col("doc_id"), col("pos"), xxhash64(col("col")).as("h"))
-        .localCheckpoint(false) // feeds the global dup counts AND the join back
-      val dup = sp.groupBy("h").agg(count(lit(1)).as("c"))
-        .filter(col("c") >= 2L).select("h")
-      val starts = sp.join(dup, Seq("h"), "left_semi")
-        .groupBy("doc_id")
-        .agg(sort_array(collect_list(col("pos"))).as("starts"),
-          count(lit(1)).as("n_dup_spans"))
-      docs.join(starts, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("text"),
-          coalesce(col("starts"), array().cast("array<int>")).as("starts"),
-          coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
-        .withColumn("cleaned", expr(
-          s"""aggregate(starts,
-             |  struct(CAST('' AS STRING) AS acc, 0 AS lend),
-             |  (st, p) -> struct(
-             |    CASE WHEN p > st.lend
-             |         THEN concat(st.acc, substring(text, st.lend + 1, p - st.lend))
-             |         ELSE st.acc END AS acc,
-             |    CASE WHEN p + $DupSpanN > st.lend THEN p + $DupSpanN ELSE st.lend END AS lend),
-             |  st -> concat(st.acc, substring(text, st.lend + 1)))""".stripMargin))
-        .select(col("doc_id"), col("n_dup_spans"),
-          length(col("text")).cast("long").as("orig_chars"),
-          (length(col("text")) - length(col("cleaned"))).cast("long").as("removed_chars"),
-          col("cleaned"))
-        .orderBy("doc_id")
-    }),
-
-    // pillar text analysis: PMI collocations (phrase mining) — top
-    // adjacent-token pairs by pointwise mutual information, the classic
-    // "merge these into one token / glossary term" signal. Bigram and
-    // unigram counts are two map-side-combined shuffles off one
-    // tokenization; the PMI ratio (c_xy * N) / (c_x * c_y) is computed
-    // from exact BIGINT products (< 2^53, so the int->double conversion
-    // is lossless) with ONE double division, quantized to integer
-    // micro-points via the oracle-shared expression text.
-    "q139_pmi_collocations" -> ((s, dir) => {
-      val tk = spread(s, rd(s, dir, "documents"))
-        .select(TextFunctions.whitespaceTokens(lower(col("text"))).as("tk"))
-        .filter(size(col("tk")) >= 2)
-        .localCheckpoint(false) // one tokenization feeds bigram AND unigram counts
-      val pairs = tk.select(explode(zip_with(
-          slice(col("tk"), lit(1), size(col("tk")) - 1),
-          slice(col("tk"), lit(2), size(col("tk")) - 1),
-          (a, b) => struct(a.as("t1"), b.as("t2")))).as("p"))
-        .select(col("p.t1").as("t1"), col("p.t2").as("t2"))
-        .groupBy("t1", "t2").agg(count(lit(1)).as("c_xy"))
-        .filter(col("c_xy") >= PmiMinCount)
-      val uni = tk.select(explode(col("tk")).as("term"))
-        .groupBy("term").agg(count(lit(1)).as("c"))
-        .localCheckpoint(false) // joined twice (t1 side and t2 side)
-      val totals = uni.agg(sum(col("c")).as("n_tok"))
-      pairs
-        .join(uni.select(col("term").as("t1"), col("c").as("cx")), Seq("t1"))
-        .join(uni.select(col("term").as("t2"), col("c").as("cy")), Seq("t2"))
-        .crossJoin(broadcast(totals))
-        .withColumn("pmi_q", expr(PmiScoreSql).cast("long"))
-        .select("t1", "t2", "c_xy", "pmi_q")
-        .orderBy(col("pmi_q").desc, col("t1"), col("t2"))
-        .limit(PmiTopK)
-    }),
-
-    // pillar text analysis + similarity: DOCUMENT CLUSTERING over
-    // feature-hashed token counts — the text-side twin of the embedding
-    // k-means family (cluster-balanced sampling / SemDeDup-style
-    // bucketing when no embeddings exist): tokens feature-hash into 16
-    // integer dims (md5-derived, zero-filled dense via one
-    // map_from_entries lookup), the SAME sample-bounded Lloyd's trainer
-    // as q123 (~40 points/centroid, integer-exact) fits k = 8 centroids,
-    // and every document is assigned by the aggregate argmin (no
-    // window). Output carries the exact squared distance and the cluster
-    // size (broadcast join of the tiny per-cluster counts).
-    "q141_doc_cluster_assign" -> ((s, dir) => {
-      val asg = docClusterAsg(s, dir)
-      val sizes = asg.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
-      asg.join(broadcast(sizes), Seq("cluster_id"))
-        .select("doc_id", "cluster_id", "dist", "cluster_size")
-        .orderBy("doc_id")
-    }),
-
-    // pillar pipeline: CLUSTER-BALANCED SAMPLING — the curation move the
-    // q141 clustering exists for (SemDeDup-adjacent: sample the corpus
-    // so big topical clusters stop dominating): per-cluster quota =
-    // min(n, floor(sqrt(n) * MixSqrtScale)) (q112's IEEE-exact
-    // temperature form, per CLUSTER instead of per source), selection by
-    // the content-stable md5 order via Quota.rankedQuota — never a
-    // one-task-per-cluster window.
-    "q143_cluster_balanced_sample" -> ((s, dir) => {
-      val asg = docClusterAsg(s, dir).select("doc_id", "cluster_id")
-      val quotas = asg.groupBy("cluster_id").agg(count(lit(1)).as("n_c"))
-        .withColumn("quota",
-          least(col("n_c"), floor(sqrt(col("n_c").cast("double")) * MixSqrtScale).cast("long")))
-        .select("cluster_id", "quota")
-      val ord = md5(concat(lit("cb-"), col("doc_id")))
-      Quota.rankedQuota(
-          asg.select(col("doc_id"), col("cluster_id"), ord.as("ord")),
-          "cluster_id",
-          bucket = conv(substring(col("ord"), 1, 2), 16, 10).cast("long"),
-          bucketAsc = true,
-          ordCols = Seq(col("ord").asc, col("doc_id").asc),
-          quotas = quotas)
-        .select("cluster_id", "doc_id", "rk")
-        .orderBy("cluster_id", "rk")
-    }),
-
-    // pillar text analysis: TRIGRAM-INDEXED literal search — "grep
-    // 100 TB without scanning every document": a distinct (doc, trigram)
-    // posting table is built ONCE (the amortized index); each query
-    // pattern broadcasts its own trigram set onto it, a candidate is any
-    // doc matching ALL of the pattern's trigrams (count == ng — the
-    // posting-intersection superset guarantee), and the exact
-    // `contains` verify then touches ONLY candidate documents. The
-    // oracle is the brute-force scan the index exists to avoid.
-    "q142_trigram_search" -> ((s, dir) => {
-      import s.implicits._
-      val docs = spread(s, rd(s, dir, "documents"))
-        .localCheckpoint(false) // feeds the posting build AND the verify join
-      val pats = TrigramPatterns.toDF("pattern")
-      val postings = docs.select(col("doc_id"),
-        explode(array_distinct(TextFunctions.charShingles(lower(col("text")), 3))).as("g"))
-      val pg = pats.select(col("pattern"),
-          array_distinct(TextFunctions.charShingles(col("pattern"), 3)).as("gs"))
-        .select(col("pattern"), size(col("gs")).as("ng"), explode(col("gs")).as("g"))
-      val cand = postings.join(broadcast(pg), Seq("g"))
-        .groupBy("pattern", "ng", "doc_id")
-        .agg(count(lit(1)).as("matched"))
-        .filter(col("matched") === col("ng"))
-      cand.join(docs, Seq("doc_id"))
-        .filter(expr("contains(lower(text), pattern)"))
-        .select("pattern", "doc_id")
-        .orderBy("pattern", "doc_id")
-    }),
-
-    // pillar text analysis: SOURCE-DISTRIBUTION DRIFT — per-source
-    // chi-square-style divergence of the token distribution from the
-    // corpus marginal (the data-mixing diagnostic: which source's
-    // language is unlike the rest — run per crawl snapshot, alarms on
-    // drift). Per observed (source, term): obs vs exp = tt*st/T, the
-    // (obs*T - tt*st)^2 / (tt*st*T) component quantized to integer
-    // micro-points via oracle-shared expression text (the BIGINT
-    // products are exact; the square and ONE division are the only
-    // double ops, identically ordered in both engines), so the
-    // per-source sum is order-independent. Two map-side-combined
-    // shuffles + broadcasts of the tiny per-source/1-row frames.
-    "q144_source_drift" -> ((s, dir) => {
-      val toks = spread(s, rd(s, dir, "documents"))
-        .select(col("source"),
-          explode(TextFunctions.whitespaceTokens(lower(col("text")))).as("term"))
-        .localCheckpoint(false) // feeds per-pair, per-term, per-source counts
-      val obs = toks.groupBy("source", "term").agg(count(lit(1)).as("obs"))
-      val tt = toks.groupBy("term").agg(count(lit(1)).as("tt"))
-      val st = toks.groupBy("source").agg(count(lit(1)).as("st"))
-      val tot = toks.agg(count(lit(1)).as("tot"))
-      obs.join(tt, Seq("term"))
-        .join(broadcast(st), Seq("source"))
-        .crossJoin(broadcast(tot))
-        .withColumn("contrib", expr(ChiSqSql).cast("long"))
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_terms"), sum(col("contrib")).as("drift_q"))
-        .orderBy("source")
-    }),
-
-    // pillar pipeline: EXACT distributed quantiles WITHOUT a global sort
-    // — p50/p90/p99 of document length via the value-histogram shape:
-    // one map-side-combined groupBy collapses the corpus to its distinct
-    // lengths (bounded, tiny), Quota.globalCumSum produces the
-    // cumulative over that tiny frame (bucketed — the corpus never
-    // crosses a partitionless window), and each target rank
-    // (ceil(pct*n/100), oracle-shared expression) picks the smallest
-    // value whose cumulative covers it. The scale contrast: sort-based
-    // exact percentile is a full shuffle of every row; this is one
-    // histogram aggregate.
-    "q145_exact_quantiles" -> ((s, dir) => {
-      import s.implicits._
-      val docs = spread(s, rd(s, dir, "documents"))
-      val hist = docs.groupBy(col("n_chars").as("v")).agg(count(lit(1)).as("cnt"))
-      val cum = Quota.globalCumSum(hist, col("v"), Seq(col("v").asc), "cnt", "cum")
-      val n = docs.agg(count(lit(1)).as("n"))
-      val targets = Seq(50L, 90L, 99L).toDF("pct").crossJoin(broadcast(n))
-        .withColumn("target", expr(QuantTargetSql))
-      targets.join(cum, col("cum") >= col("target"))
-        .groupBy("pct", "target").agg(min(col("v")).as("value"))
-        .orderBy("pct")
-    }),
-
-    // pillar dedup: LSH BANDING-PARAMETER AUDIT — the tuning table read
-    // before committing a banding to a 100 TB dedup run: per
-    // (bands, rows-per-band) config over ONE shared signature table,
-    // candidate volume (the shuffle-cost knob) vs true near-dup pairs
-    // captured (the recall knob). Truth = exact-Jaccard pairs among the
-    // (8,1) candidates — the most permissive banding, provably a
-    // superset of every coarser config's candidate set.
-    "q147_lsh_tuning_audit" -> ((s, dir) =>
-      // eager-checkpoint the 3-row audit BEFORE the sort: orderBy's
-      // range-partitioner sampling would otherwise re-execute the whole
-      // three-branch union (measured 88 s -> 9 s at the 10x corpus)
-      Dedup.lshTuningAudit(spread(s, rd(s, dir, "documents")), "doc_id", "text",
-          shingleN = 4, numHashes = 8,
-          configs = Seq((8, 1), (4, 2), (2, 4)), threshold = 0.4,
-          sampleTarget = LshAuditSampleTarget)
-        .localCheckpoint(true)
-        .orderBy(col("bands").desc)),
-
-    // pillar events: FUNNEL ANALYSIS — ordered-stage conversion
-    // (signup -> first view AFTER signup -> first purchase AFTER that
-    // view), the product-analytics staple. Each stage is one filtered
-    // min-aggregate equi-joined on user_id to the previous stage's
-    // timestamps — no window, no per-user event collection; three
-    // map-side-combined shuffles on a key that only grows with users.
-    "q149_event_funnel" -> ((s, dir) => {
-      val ev = spread(s, rd(s, dir, "events"))
-        .select(col("user_id"), col("event_type"), col("ts"))
-        .localCheckpoint(false) // feeds all three stage aggregates
-      val s1 = ev.filter(col("event_type") === "signup")
-        .groupBy("user_id").agg(min(col("ts")).as("t1"))
-      val s2 = ev.filter(col("event_type") === "view").join(s1, Seq("user_id"))
-        .filter(col("ts") > col("t1"))
-        .groupBy("user_id").agg(min(col("ts")).as("t2"))
-      val s3 = ev.filter(col("event_type") === "purchase").join(s2, Seq("user_id"))
-        .filter(col("ts") > col("t2"))
-        .groupBy("user_id").agg(min(col("ts")).as("t3"))
-      s1.agg(count(lit(1)).as("n_users"))
-        .select(lit(1L).as("stage"), lit("signup").as("event_type"), col("n_users"))
-        .unionAll(s2.agg(count(lit(1)).as("n_users"))
-          .select(lit(2L).as("stage"), lit("view").as("event_type"), col("n_users")))
-        .unionAll(s3.agg(count(lit(1)).as("n_users"))
-          .select(lit(3L).as("stage"), lit("purchase").as("event_type"), col("n_users")))
-        .orderBy("stage")
-    }),
-
-    // pillar events: COHORT RETENTION — users grouped by first-seen
-    // week, activity counted per (cohort, week-offset): the retention
-    // matrix every growth dashboard draws. Distinct (user, week) rows
-    // join the tiny per-user cohort frame; week indices derive from the
-    // SAME integer epoch-floor on both engines (q133's day-index trick).
-    "q150_cohort_retention" -> ((s, dir) => {
-      val ev = spread(s, rd(s, dir, "events"))
-        .select(col("user_id"), expr("ts div 604800000000000").as("wk"))
-        .localCheckpoint(false) // feeds the cohort min AND the activity matrix
-      val uw = ev.distinct()
-      val first = ev.groupBy("user_id").agg(min(col("wk")).as("cohort_week"))
-      uw.join(first, Seq("user_id"))
-        .groupBy(col("cohort_week"), (col("wk") - col("cohort_week")).as("week_offset"))
-        .agg(count(lit(1)).as("n_active"))
-        .orderBy("cohort_week", "week_offset")
-    }),
-
-    // pipeline: DATA-QUALITY EXPECTATION GATE (the dbt-test / Great-
-    // Expectations shape): a battery of assertions over the warehouse
-    // tables, one row per check with its violation count — what a
-    // nightly pipeline runs before promoting a snapshot. Each check is
-    // one aggregate or one anti-join; nothing corpus-wide beyond the
-    // scans, and the FK check's build side is the dimension (broadcast).
-    "q151_quality_checks" -> ((s, dir) => {
-      val orders = rd(s, dir, "orders")
-      val customer = rd(s, dir, "customer")
-      val lineitem = rd(s, dir, "lineitem")
-      def check(name: String, violations: DataFrame): DataFrame =
-        violations.select(lit(name).as("check_name"),
-          col("violations").cast("long").as("violations"),
-          (col("violations") === 0L).as("passed"))
-      check("orders_pk_unique",
-          orders.agg((count(lit(1)) - countDistinct(col("o_orderkey"))).as("violations")))
-        .unionAll(check("orders_custkey_not_null",
-          orders.agg(sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("violations"))))
-        .unionAll(check("orders_fk_customer",
-          orders.join(broadcast(customer.select(col("c_custkey"))),
-              col("o_custkey") === col("c_custkey"), "left_anti")
-            .agg(count(lit(1)).as("violations"))))
-        .unionAll(check("orders_totalprice_positive",
-          orders.agg(sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("violations"))))
-        .unionAll(check("orders_status_accepted",
-          orders.agg(sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L)
-            .otherwise(0L)).as("violations"))))
-        .unionAll(check("lineitem_qty_range",
-          lineitem.agg(sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
-            .otherwise(0L)).as("violations"))))
-        .unionAll(check("lineitem_fk_orders",
-          lineitem.join(orders.select(col("o_orderkey")),
-              col("l_orderkey") === col("o_orderkey"), "left_anti")
-            .agg(count(lit(1)).as("violations"))))
-        .unionAll(check("lineitem_discount_range",
-          lineitem.agg(sum(when(col("l_discount") < 0 || col("l_discount") > 0.5, 1L)
-            .otherwise(0L)).as("violations"))))
-        .orderBy("check_name")
-    }),
-
-    // pillar text analysis: POSITIONAL PHRASE SEARCH — the word-level
-    // positional-index twin of q142's trigram search: postings carry
-    // (doc, term, position); each phrase term joins with its offset and
-    // a phrase occurrence is an anchor (pos - off) where ALL offsets
-    // matched (count == phrase length) — the classic phrase-query
-    // position-list intersection, one broadcast of the tiny phrase-term
-    // side, no contains() scan anywhere.
-    "q152_phrase_search" -> ((s, dir) => {
-      import s.implicits._
-      val docs = spread(s, rd(s, dir, "documents"))
-      val pats = TrigramPatterns.toDF("phrase")
-      val post = docs.select(col("doc_id"),
-        posexplode(TextFunctions.whitespaceTokens(lower(col("text")))).as(Seq("pos", "term")))
-      val pterms = pats.select(col("phrase"),
-        posexplode(TextFunctions.whitespaceTokens(col("phrase"))).as(Seq("off", "term")))
-      val nterms = pats.select(col("phrase"),
-        size(TextFunctions.whitespaceTokens(col("phrase"))).as("nt"))
-      post.join(broadcast(pterms), Seq("term"))
-        .groupBy(col("phrase"), col("doc_id"), (col("pos") - col("off")).as("anchor"))
-        .agg(countDistinct(col("off")).as("nmatch"))
-        .join(broadcast(nterms), Seq("phrase"))
-        .filter(col("nmatch") === col("nt"))
-        .groupBy("phrase", "doc_id").agg(count(lit(1)).as("n_occurrences"))
-        .orderBy("phrase", "doc_id")
-    }),
-
-    // pipeline: TABLE PROFILER — per-column cardinality/null profile of
-    // a warehouse table (the q151 quality gate's discovery sibling: you
-    // profile first, then write expectations). One aggregate pass per
-    // column unioned into a tall report; each is a map-side-combined
-    // scan, and at 100 TB the exact count(DISTINCT) columns would swap
-    // for the q133 HLL registers (documented trade, same shape).
-    "q153_table_profile" -> ((s, dir) => {
-      val orders = rd(s, dir, "orders")
-      ProfileColumns.map { c =>
-        orders.agg(
-          count(lit(1)).as("n_rows"),
-          sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
-          countDistinct(col(c)).as("n_distinct"))
-          .select(lit(c).as("column_name"),
-            col("n_rows"), col("n_null"), col("n_distinct"))
-      }.reduce(_.unionAll(_)).orderBy("column_name")
-    }),
-
-    // custom typed UDAF (Aggregator surface): quantity-weighted mean
-    // price per return flag — integer-cents buffer, map-side combinable,
-    // one double division at finish (order-independent, oracle-exact)
-    "q83_weighted_avg" -> ((s, dir) => {
-      val wavg = udaf(graft.functions.Aggregators.WeightedMean)
-      rd(s, dir, "lineitem")
-        .select(
-          col("l_returnflag"),
-          round(col("l_extendedprice") * 100).cast("long").as("cents"),
-          col("l_quantity").cast("long").as("qty"))
-        .groupBy("l_returnflag")
-        .agg(
-          wavg(col("cents"), col("qty")).as("w_avg_price"),
-          count(lit(1)).as("n_items"))
-        .orderBy("l_returnflag")
-    })
-  )
-
-  /** Boilerplate-removal document-frequency threshold (percent of corpus;
-    * shared between the q74 Spark query and its generated oracle SQL).
-    */
-  private val BoilerplateDfPct = 78L
-
-  /** Span length (chars) for the q108 repeated-span dedup signal (shared
-    * with its generated oracle SQL).
-    */
-  private val DupSpanN = 12
-
-  /** Span length for q113's decontamination stage — long enough that
-    * "contaminated" means a verbatim 20-char leak, not this corpus's
-    * pervasive short-phrase reuse (shared with the oracle SQL).
-    */
-  private val DecontamSpanN = 20
-
-  /** Lloyd iteration count for every trained-centroid/codebook surface
-    * (q35/q43/q46/q109/q110/q117/q122/q123; shared with the generated
-    * oracle CTE chain). 3 steps from a deterministic seed is where this
-    * corpus's assignments stop moving; more iterations only lengthen the
-    * oracle SQL.
-    */
-  private val KmeansIters = 3
-
-  /** Corpus-frequency cutoff under which a token counts as rare (q111;
-    * shared with its generated oracle SQL).
-    */
-  private val RareMaxFreq = 2L
-
-  /** Temperature-mixing quota multiplier: per-source quota =
-    * min(n, floor(sqrt(n) * this)) (q112; shared with its oracle SQL).
-    */
-  private val MixSqrtScale = 4L
-
-  /** Stop-fingerprint document-frequency cap and minimum shared-
-    * fingerprint count for the q116 winnowing near-dup join (shared with
-    * its oracle SQL).
-    */
-  private val WinnowMaxDf = 16L
-  private val WinnowMinShared = 8L
-
-  /** Per-language token budget for the q92 data-mixing sample (shared
-    * between the Spark query and its generated oracle SQL).
-    */
-  private val TokenBudgetPerLang = 2500L
-
-  /** Training-sequence length for q128's packing layout (shared with its
-    * oracle SQL).
-    */
-  private val PackSeqLen = 512L
-
-  /** BPE merge steps for q127 (each step is one generated oracle CTE
-    * round, so the SQL unrolls this many times).
-    */
-  private val BpeSteps = 3
-
-  /** SemDeDup within-cluster cosine threshold (q117; same value as the
-    * q46 near-dup cutoff so the two embedding-dedup surfaces agree).
-    */
-  private val SemDedupTau = 0.3
-
-  /** Incoming-batch selector for the q118 incremental dedup: docs with
-    * doc_id % this == this-1 play the "new crawl snapshot" role.
-    */
-  private val IncrementalMod = 5L
-
-  /** Benchmark-slice selector for the contamination queries (q113/q119):
-    * docs with doc_id % this == 0 play the held-out benchmark role.
-    */
-  private val ContamBenchMod = 50L
-
-  /** q119's graded-contamination oracle — shared verbatim with the
-    * streaming q140 gate (the foreachBatch bridge provably doesn't
-    * change per-doc scores, so both run against the same SQL).
-    */
-  private lazy val contaminationOracle =
-    s"""WITH sh AS (SELECT doc_id,
-       |  unnest(list_distinct(list_transform(${docShinglesSql(DecontamSpanN)},
-       |    g -> ('0x' || substr(md5(g), 1, 15))::BIGINT))) AS h
-       |  FROM documents),
-       |bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % $ContamBenchMod = 0),
-       |scored AS (
-       |  SELECT s.doc_id, count(*) AS n_spans,
-       |         sum(CASE WHEN b.h IS NULL THEN 0 ELSE 1 END) AS n_hit
-       |  FROM sh s LEFT JOIN bench b ON b.h = s.h
-       |  WHERE s.doc_id % $ContamBenchMod <> 0
-       |  GROUP BY s.doc_id)
-       |SELECT doc_id, n_spans::BIGINT AS n_spans, n_hit::BIGINT AS n_hit,
-       |       n_hit::DOUBLE / n_spans AS overlap_ratio
-       |FROM scored ORDER BY doc_id""".stripMargin
-
-  /** q141/q143's shared document clustering: tokens feature-hash into 16
-    * integer dims (md5-derived), dense zero-filled via one
-    * map_from_entries lookup, the q123 sample-bounded Lloyd's trainer
-    * fits k = 8 centroids, and every document is assigned by the
-    * aggregate argmin. Returns (doc_id, cluster_id, dist), lazily
-    * checkpointed (it feeds both a size join and the balanced sampler).
-    */
-  private def docClusterAsg(s: SparkSession, dir: String): DataFrame = {
-    val docs = spread(s, rd(s, dir, "documents"))
-    val ft = docs.select(col("doc_id"),
-        explode(TextFunctions.whitespaceTokens(lower(col("text")))).as("term"))
-      .select(col("doc_id"),
-        (conv(substring(md5(col("term")), 1, 15), 16, 10).cast("long") % 16).as("dim"))
-      .groupBy("doc_id", "dim").agg(count(lit(1)).as("v"))
-    val vecs = ft
-      .groupBy("doc_id")
-      .agg(map_from_entries(sort_array(collect_list(struct(col("dim"), col("v"))))).as("m"))
-      .select(col("doc_id").as("id"),
-        transform(sequence(lit(0L), lit(15L)),
-          i => coalesce(element_at(col("m"), i), lit(0L))).as("qv"))
-      .withColumn("grp", lit(0L))
-      .localCheckpoint(false) // feeds the trainer sample AND the full assignment
-    val kRow = vecs.agg(count(lit(1)).as("n"))
-      .select(greatest(lit(1L), expr("n div 320")).as("m"))
-    val sample = vecs.crossJoin(broadcast(kRow)).filter(col("id") % col("m") === 0)
-    val init = sample.filter(col("id") < lit(8L) * col("m"))
-      .select(col("grp"), col("id").as("centroid_id"), col("qv").as("cv"))
-    val cents = Similarity.lloydIterate(sample.select("grp", "id", "qv"), init, KmeansIters)
-    vecs.join(broadcast(cents), Seq("grp"))
-      .withColumn("d", Similarity.sqDistQ(col("qv"), col("cv")))
-      .groupBy("id")
-      .agg(min(struct(col("d"), col("centroid_id"))).as("best"))
-      .select(col("id").as("doc_id"),
-        col("best.centroid_id").as("cluster_id"), col("best.d").as("dist"))
-      .localCheckpoint(false) // feeds per-cluster aggregates AND row-level joins
-  }
-
-  /** Shared oracle CTE chain for q141/q143: the feature-hashed document
-    * vectors, sample-bounded Lloyd training (lloydCtesSql), and the full
-    * corpus assignment `asg (vec_id, centroid_id, d)`.
-    */
-  private lazy val docClusterCtes =
-    s"""tk AS (SELECT doc_id, unnest($tokensLowerSql) AS term FROM documents),
-       |ft AS (SELECT doc_id, ('0x' || substr(md5(term), 1, 15))::BIGINT % 16 AS dim,
-       |         count(*) AS cnt
-       |       FROM tk GROUP BY 1, 2),
-       |dims AS (SELECT doc_id, unnest(range(0, 16)) AS dim
-       |         FROM (SELECT DISTINCT doc_id FROM ft)),
-       |dense AS (SELECT d.doc_id, d.dim, coalesce(f.cnt, 0)::BIGINT AS cnt
-       |          FROM dims d LEFT JOIN ft f ON f.doc_id = d.doc_id AND f.dim = d.dim),
-       |v AS (SELECT doc_id AS vec_id, list(cnt ORDER BY dim) AS qv FROM dense GROUP BY doc_id),
-       |kp AS (SELECT greatest(1, count(*) // 320) AS m FROM v),
-       |tv AS (SELECT v.* FROM v, kp WHERE vec_id % kp.m = 0),
-       |kinit AS (SELECT vec_id AS centroid_id, qv AS cv FROM tv, kp WHERE vec_id < 8 * kp.m),
-       |${lloydCtesSql("tv", "kinit", 16, KmeansIters, Seq.empty, "c")},
-       |fd AS (SELECT v.vec_id, c.centroid_id,
-       |         CAST(list_sum(list_transform(range(1, 17),
-       |           i -> (v.qv[i::INT] - c.cv[i::INT]) * (v.qv[i::INT] - c.cv[i::INT]))) AS BIGINT) AS d
-       |       FROM v JOIN c ON TRUE),
-       |asg AS (SELECT vec_id, centroid_id, d FROM (
-       |          SELECT *, row_number() OVER (PARTITION BY vec_id
-       |                      ORDER BY d ASC, centroid_id ASC) AS rk FROM fd)
-       |        WHERE rk = 1)""".stripMargin
-
-  /** q133's HLL oracle — shared VERBATIM by the q148 streaming gate
-    * (micro-batch register tables max-merge into the identical
-    * sketch, so the bridge must not change any output row).
-    */
-  private lazy val hllOracle: String =
-    s"""WITH ud AS (
-         |  SELECT event_type,
-         |         user_id || ':' || (epoch(date_trunc('day', ts))::BIGINT // 86400)::VARCHAR AS user_day
-         |  FROM events),
-         |h AS (
-         |  SELECT event_type,
-         |         ('0x' || substr(md5('hll:' || user_day), 1, 15))::BIGINT AS hv
-         |  FROM ud),
-         |reg AS (
-         |  SELECT event_type, hv % ${Sketches.HllM} AS j,
-         |         max(CASE WHEN (hv // ${Sketches.HllM}) % ${1L << Sketches.HllWindowBits} = 0
-         |                  THEN ${Sketches.HllWindowBits + 1}
-         |                  ELSE ${Sketches.HllWindowBits + 1} - length(bin((hv // ${Sketches.HllM}) % ${1L << Sketches.HllWindowBits}))
-         |             END) AS mj
-         |  FROM h GROUP BY event_type, hv % ${Sketches.HllM}),
-         |agg AS (
-         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_present,
-         |         CAST(sum(1::BIGINT << (${Sketches.HllWindowBits + 1} - mj)) AS BIGINT) AS s_present
-         |  FROM reg GROUP BY event_type),
-         |ex AS (SELECT event_type, CAST(count(DISTINCT user_day) AS BIGINT) AS n_exact
-         |       FROM ud GROUP BY event_type),
-         |est AS (
-         |  SELECT a.event_type, CAST(${Sketches.HllM} - n_present AS BIGINT) AS n_zero_regs,
-         |         ${Sketches.HllNumerator} / (s_present + (${Sketches.HllM} - n_present) * ${1L << (Sketches.HllWindowBits + 1)})::DOUBLE AS hll_est,
-         |         n_exact
-         |  FROM agg a JOIN ex ON ex.event_type = a.event_type)
-         |SELECT event_type, n_zero_regs, hll_est, n_exact,
-         |       (hll_est - n_exact) / n_exact AS rel_err
-         |FROM est ORDER BY event_type""".stripMargin
-
-  /** Shared oracle CTE chain for q116/q146: winnowing fingerprints per
-    * doc, the df cap, and the thresholded near-dup pair set `wpairs
-    * (id_a, id_b, n_shared)`.
-    */
-  private lazy val winnowPairsCtes =
-    s"""d AS (SELECT doc_id, lower(text) AS t FROM documents),
-       |h AS (SELECT doc_id,
-       |  list_transform(range(1, greatest(strlen(t) - 6, 1)), i ->
-       |    list_reduce(list_transform(range(i, i + 8), j -> unicode(substr(t, j::INT, 1))::BIGINT),
-       |      (a, b) -> (a * 131 + b) % 1000000007)) AS hs
-       |  FROM d),
-       |f AS (SELECT doc_id,
-       |        CASE WHEN len(hs) = 0 THEN []::BIGINT[]
-       |             WHEN len(hs) < 8 THEN [list_min(hs)]
-       |             ELSE list_distinct(list_transform(range(1, len(hs) - 6),
-       |                    i -> list_min(hs[i::INT:(i::INT)+7]))) END AS fps
-       |      FROM h),
-       |fp AS (SELECT doc_id, unnest(fps) AS fp FROM f),
-       |rare AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= $WinnowMaxDf),
-       |k AS (SELECT doc_id, fp FROM fp JOIN rare USING (fp)),
-       |wpairs AS (
-       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared
-       |  FROM k a JOIN k b ON a.fp = b.fp AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared)""".stripMargin
-
-  /** q147's audit-sample size target: the WHOLE audit (truth verify
-    * and per-config candidate counts) runs over ~this many sampled docs
-    * (1-in-m, m = max(1, N div target) — identity at oracle scales),
-    * because dense-corpus band buckets make every config's corpus-wide
-    * pair volume quadratic. Shared with the oracle SQL.
-    */
-  private val LshAuditSampleTarget = 1000L
-
-  /** q144's quantized chi-square drift component — SAME expression text
-    * on both engines: the BIGINT products obs*tot and tt*st are exact in
-    * int64 up to multi-billion-token corpora, every int64->double
-    * conversion is IEEE round-to-nearest (identical in both engines even
-    * past 2^53), and the square / multiply / divide are each one
-    * correctly-rounded double op in a fixed order. The denominator
-    * multiplies tt*st and tot as DOUBLES so no three-way BIGINT product
-    * can overflow at bench scales.
-    */
-  private val ChiSqSql =
-    "floor(1000000.0 * ((CAST(obs * tot - tt * st AS DOUBLE) * " +
-      "CAST(obs * tot - tt * st AS DOUBLE)) / " +
-      "(CAST(tt * st AS DOUBLE) * CAST(tot AS DOUBLE))))"
-
-  /** q145's target rank for percentile `pct` over `n` rows — exact
-    * BIGINT product, one double division, shared expression text.
-    */
-  private val QuantTargetSql =
-    "CAST(greatest(1, ceil(pct * n / 100.0)) AS BIGINT)"
-
-  /** q153's profiled columns (every orders column; shared with the
-    * generated oracle SQL).
-    */
-  private val ProfileColumns = Seq("o_orderkey", "o_custkey", "o_orderstatus",
-    "o_totalprice", "o_orderdate", "o_orderpriority")
-
-  /** q142's literal search patterns (all lowercase, >= 3 chars so each
-    * has a non-empty trigram set; one common phrase, one rarer
-    * multi-word phrase, one guaranteed miss). Shared with the oracle.
-    */
-  private val TrigramPatterns =
-    Seq("merge batch", "customer stream window", "no such phrase anywhere")
-
-  /** Query-document selector for q137's BM25 retrieval: docs with
-    * doc_id % this == 0 play the probe-query role; everything else is
-    * the searched corpus. Top-k depth shared with the oracle SQL.
-    */
-  private val Bm25QueryMod = 100L
-  private val Bm25TopK = 10L
-
-  /** q137's per-term BM25 contribution, quantized to integer
-    * micro-points — the SAME expression text is compiled by Spark
-    * (expr) and DuckDB, so every intermediate IEEE op is identical and
-    * the integer sum is order-independent. k1 = 1.2, b = 0.75 (so
-    * 1 - b = 0.25 and k1 + 1 = 2.2 are folded), idf is the
-    * Robertson-Sparck-Jones ratio without the log (rank-equivalent per
-    * term and exactly representable).
-    */
-  private val Bm25ContribSql =
-    "floor(1000000.0 * ((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) * " +
-      "((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + 1.2 * " +
-      "(0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(tot AS DOUBLE) / CAST(n_docs AS DOUBLE)))))))"
-
-  /** q139 PMI collocations: minimum bigram count, result depth, and the
-    * oracle-shared integer-micro-point PMI ratio (exact BIGINT products,
-    * one double division).
-    */
-  private val PmiMinCount = 5L
-  private val PmiTopK = 40
-  private val PmiScoreSql =
-    "floor(1000000.0 * (CAST(c_xy * n_tok AS DOUBLE) / CAST(cx * cy AS DOUBLE)))"
-
-  /** Exact-Jaccard floor for the q120 estimator-vs-exact pairs — lower
-    * than q31's 0.4 so the gate also covers pairs where the 8-slot
-    * estimate is most biased (band-collision survivors near the floor).
-    */
-  private val EstPairThreshold = 0.3
-
-  /** Source dir whose bucketed q77 staging tables are currently live in
-    * this JVM's catalog (null until first write).
-    */
-  private val bucketedStagedFor =
-    new java.util.concurrent.atomic.AtomicReference[String](null)
-
-  /** Source dir whose persisted q132 signature table is currently live in
-    * this JVM's catalog (null until first write).
-    */
-  private val sigStagedFor =
-    new java.util.concurrent.atomic.AtomicReference[String](null)
-
-  /** Trained-artifact registry: a coarse quantizer / PQ codebook is a
-    * CORPUS-level artifact — trained once per ingest, then read by every
-    * serving query — not something an ANN deployment retrains per query.
-    * First use per (corpus dir, artifact kind) runs the (deterministic,
-    * integer-Lloyd's) training job and persists the result as a parquet
-    * artifact in staging; later queries read the artifact back. Results
-    * are bit-identical to inline training, so every oracle is unchanged;
-    * only the redundant retraining work disappears. Artifacts are tiny
-    * (k x dims longs), so the read-back is a broadcast-sized scan.
-    * q123 (the training surface itself) deliberately bypasses this and
-    * measures a full training run.
-    */
-  private val modelPaths =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def trainedArtifact(s: SparkSession, dir: String, kind: String)(
-      train: => DataFrame): DataFrame = {
-    val path = modelPaths.computeIfAbsent(s"$dir#$kind", _ => {
-      val p = s"${Staging.dir("model-")}/$kind"
-      train.coalesce(1).write.mode("overwrite").parquet(p)
-      p
-    })
-    s.read.parquet(path)
-  }
-
-  /** Signed-random-projection hyperplanes: 16 planes x 64 dims of
-    * Rademacher +-1 entries derived from md5 parity, so the Spark query
-    * and the generated oracle SQL share one deterministic source of truth
-    * (the same generate-from-constants pattern as MinhashParams).
-    */
-  private lazy val SrpPlanes: Seq[Seq[Int]] = {
-    val mdig = java.security.MessageDigest.getInstance("MD5")
-    (0 until 16).map { p =>
-      (0 until 64).map { d =>
-        val h = mdig.digest(s"srp-$p-$d".getBytes("UTF-8"))
-        if ((h(0) & 1) == 0) 1 else -1
-      }
-    }
-  }
-
-  /** Sessionization gap (microseconds) — 4 hours (the testdata's events
-    * average ~100 min between a user's events, so a web-style 30-min gap
-    * would make nearly every event its own session).
-    */
-  private val SessionGapMicros: Long = 14400000000L
-
-  /** Quality-filter thresholds (shared between the Spark query and the
-    * generated oracle SQL).
-    */
-  private val QfMinTokens = 5L
-  private val QfMinMeanTokLen = 3.0
-  private val QfMaxMeanTokLen = 12.0
-  private val QfMaxPunctRatio = 0.2
-  private val QfMinStopwordRatio = 0.05
-
-  /** Shared CTE chain for the MinHash-LSH near-dup pairs (q31 + q52),
-    * ending in `nd_pairs(id_a, id_b, jacc)`. Signature SQL is generated
-    * from the SAME constants Spark uses (TextFunctions.MinhashParams/
-    * MinhashP) so the two sides cannot drift.
-    */
-  /** Shared CTE prefix for every MinHash oracle: per-doc shingle hashes
-    * (`ok(doc_id, hb)`), signature columns (`sig(doc_id, m0..m7)`), and
-    * the exploded band table (`band(doc_id, band, key)`).
-    */
-  private lazy val lshBandCtes: String = {
-    val p = TextFunctions.MinhashP
-    val sigCols = TextFunctions.MinhashParams.zipWithIndex
-      .map { case ((a, b), i) =>
-        s"list_min(list_transform(hb, h -> (h * $a + $b) % $p)) AS m$i"
-      }
-      .mkString(",\n  ")
-    val rowsPerBand = 4
-    val bandSelects = (0 until TextFunctions.MinhashParams.length / rowsPerBand)
-      .map { bd =>
-        val key = (0 until rowsPerBand)
-          .map(r => s"m${bd * rowsPerBand + r}::VARCHAR")
-          .mkString(" || '|' || ")
-        s"SELECT doc_id, $bd AS band, $key AS key FROM sig"
-      }
-      .mkString("\n  UNION ALL ")
-    s"""d AS (SELECT doc_id,
-       |  list_distinct(list_transform(
-       |    list_transform(range(1, greatest(strlen(lower(text)) - 2, 1)), i -> substr(lower(text), i::INT, 4)),
-       |    g -> ('0x' || substr(md5(g), 1, 15))::BIGINT % $p)) AS hb
-       |  FROM documents),
-       |ok AS (SELECT * FROM d WHERE len(hb) > 0),
-       |sig AS (SELECT doc_id,
-       |  $sigCols
-       |  FROM ok),
-       |band AS (
-       |  $bandSelects)""".stripMargin
-  }
-
-  /** Generated CTE chain for `iters` Lloyd k-means steps — the oracle
-    * twin of Similarity.lloydIterate, emitted once per trained-centroid
-    * oracle so the SQL trains the SAME centroids the Spark side does.
-    * `vCte` must expose (grpCols..., vec_id, qv: BIGINT[]); `initCte`
-    * (grpCols..., centroid_id, cv). Ends in `outCte` =
-    * (grpCols..., centroid_id, cv). Assignment: integer squared-L2
-    * argmin, ties -> lowest centroid_id; update: per-dimension
-    * floor(mean) (exact long sum, one IEEE divide) — empty clusters
-    * drop out. Every operation is exact or identically-rounded on both
-    * engines, so the chain is hash-stable.
-    */
-  private def lloydCtesSql(
-      vCte: String, initCte: String, dims: Int, iters: Int,
-      grpCols: Seq[String], outCte: String, prefix: String = "k"): String = {
-    val grp = grpCols.mkString(", ")
-    val grpSel = if (grpCols.isEmpty) "" else grp + ", "
-    val grpSelV = if (grpCols.isEmpty) "" else grpCols.map("v." + _).mkString(", ") + ", "
-    val grpSelA = if (grpCols.isEmpty) "" else grpCols.map("a." + _).mkString(", ") + ", "
-    val joinCents = if (grpCols.isEmpty) "ON TRUE" else s"USING ($grp)"
-    val joinBack = "a.vec_id = v.vec_id" +
-      grpCols.map(g => s" AND a.$g = v.$g").mkString
-    val steps = (1 to iters).map { t =>
-      val prev = if (t == 1) initCte else s"${prefix}c${t - 1}"
-      s"""${prefix}d$t AS (
-         |  SELECT ${grpSelV}v.vec_id, c.centroid_id,
-         |         CAST(list_sum(list_transform(range(1, ${dims + 1}),
-         |           i -> (v.qv[i::INT] - c.cv[i::INT]) * (v.qv[i::INT] - c.cv[i::INT]))) AS BIGINT) AS d
-         |  FROM $vCte v JOIN $prev c $joinCents),
-         |${prefix}a$t AS (
-         |  SELECT ${grpSel}vec_id, centroid_id FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY ${grpSel}vec_id ORDER BY d ASC, centroid_id ASC) AS rk
-         |    FROM ${prefix}d$t)
-         |  WHERE rk = 1),
-         |${prefix}m$t AS (
-         |  SELECT ${grpSel}centroid_id, pos,
-         |         CAST(floor(CAST(sum(val) AS DOUBLE) / count(*)) AS BIGINT) AS cval
-         |  FROM (SELECT ${grpSelA}a.centroid_id, unnest(v.qv) AS val, unnest(range(0, $dims)) AS pos
-         |        FROM ${prefix}a$t a JOIN $vCte v ON $joinBack)
-         |  GROUP BY ALL),
-         |${prefix}c$t AS (SELECT ${grpSel}centroid_id, list(cval ORDER BY pos) AS cv FROM ${prefix}m$t GROUP BY ALL)""".stripMargin
-    }
-    steps.mkString(",\n") + s",\n$outCte AS (SELECT * FROM ${prefix}c$iters)"
-  }
-
-  /** Generated CTE chain for q127's BPE merge steps — the oracle twin of
-    * TextAnalysis.bpeTopMerges. bs0 must exist (word, freq, seq); emits
-    * bp{t}/bb{t}/bs{t} per step; bb{t} holds step t's winning merge.
-    */
-  private def bpeCtesSql(steps: Int): String =
-    (1 to steps).map { t =>
-      s"""bp$t AS (
-         |  SELECT a, b, CAST(sum(freq) AS BIGINT) AS pair_count
-         |  FROM (
-         |    SELECT freq,
-         |           unnest(string_split(seq, ' ')[1:len(string_split(seq, ' ')) - 1]) AS a,
-         |           unnest(string_split(seq, ' ')[2:len(string_split(seq, ' '))]) AS b
-         |    FROM bs${t - 1})
-         |  GROUP BY a, b),
-         |bb$t AS (SELECT a, b, pair_count FROM bp$t ORDER BY pair_count DESC, a, b LIMIT 1),
-         |bs$t AS (
-         |  SELECT word, freq,
-         |         replace(seq, x.a || ' ' || x.b,
-         |                 substr(x.a, 1, length(x.a) - 1) || substr(x.b, 2)) AS seq
-         |  FROM bs${t - 1}, bb$t x)""".stripMargin
-    }.mkString(",\n")
-
-  /** Shared CTE chain for the corpus-scaled-k embedding clustering +
-    * within-cluster cosine pairs (q46 + q117), ending in
-    * `assign(vec_id, centroid_id)` and `pairs(id_a, id_b, cos_sim)`
-    * (pairs unfiltered — callers apply their own threshold).
-    */
-  private val embCosPairsCtes: String =
-    s"""v AS (SELECT vec_id,
-      |             list_transform(embedding, x -> floor(x::DOUBLE * 1000)::BIGINT) AS qv,
-      |             list_transform(embedding, x -> x::DOUBLE) AS dv
-      |           FROM embeddings),
-      |kp AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k,
-      |              greatest(1, count(*) // (40 * CAST(ceil(sqrt(count(*))) AS BIGINT))) AS m
-      |       FROM embeddings),
-      |tv AS (SELECT v.vec_id, v.qv FROM v, kp WHERE v.vec_id % kp.m = 0),
-      |kinit AS (SELECT vec_id AS centroid_id, qv AS cv FROM tv, kp WHERE vec_id < kp.k * kp.m),
-      |${lloydCtesSql("tv", "kinit", 64, KmeansIters, Seq.empty, "c")},
-      |score AS (
-      |  SELECT v.vec_id AS id, c.centroid_id,
-      |         CAST(list_sum(list_transform(range(1, 65), i -> v.qv[i::INT] * c.cv[i::INT])) AS BIGINT) AS sc
-      |  FROM v CROSS JOIN c),
-      |assign AS (
-      |  SELECT id AS vec_id, centroid_id FROM (
-      |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY sc DESC, centroid_id ASC) AS rk FROM score)
-      |  WHERE rk = 1),
-      |n AS (SELECT vec_id, dv, sqrt(list_sum(list_transform(dv, x -> x * x))) AS nrm FROM v),
-      |pairs AS (
-      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-      |         list_sum(list_transform(range(1, 65), i -> na.dv[i::INT] * nb.dv[i::INT])) / (na.nrm * nb.nrm) AS cos_sim
-      |  FROM assign a JOIN assign b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
-      |  JOIN n na ON na.vec_id = a.vec_id JOIN n nb ON nb.vec_id = b.vec_id)""".stripMargin
-
-  /** Exact-Jaccard expression between the `ok` rows aliased da/db. */
-  private val lshJaccSql =
-    """len(list_intersect(da.hb, db.hb))::DOUBLE
-      |           / (len(da.hb) + len(db.hb) - len(list_intersect(da.hb, db.hb)))""".stripMargin
-
-  /** Full incremental-dedup oracle (q118's body), shared VERBATIM by
-    * q121 (the foreachBatch bridge) and q132 (the persisted-signature-
-    * table round trip): neither the streaming bridge nor the bucketed
-    * storage layout may change the operator's answers.
-    */
-  private lazy val incrementalDedupOracle: String =
-    s"""WITH $lshBandCtes,
-       |inc AS (SELECT * FROM band WHERE doc_id % $IncrementalMod = ${IncrementalMod - 1}),
-       |corp AS (SELECT * FROM band WHERE doc_id % $IncrementalMod <> ${IncrementalMod - 1}),
-       |cand AS (
-       |  SELECT DISTINCT i.doc_id AS in_id, c.doc_id AS corp_id
-       |  FROM inc i JOIN corp c ON i.band = c.band AND i.key = c.key),
-       |ver AS (
-       |  SELECT c.in_id, c.corp_id
-       |  FROM cand c JOIN ok da ON da.doc_id = c.in_id JOIN ok db ON db.doc_id = c.corp_id
-       |  WHERE $lshJaccSql >= 0.4),
-       |cnt AS (SELECT in_id, count(*) AS n_dups FROM ver GROUP BY in_id)
-       |SELECT d.doc_id, coalesce(c.n_dups, 0)::BIGINT AS n_dups,
-       |       (CASE WHEN coalesce(c.n_dups, 0) = 0 THEN 1 ELSE 0 END)::BIGINT AS kept
-       |FROM documents d LEFT JOIN cnt c ON c.in_id = d.doc_id
-       |WHERE d.doc_id % $IncrementalMod = ${IncrementalMod - 1}
-       |ORDER BY d.doc_id""".stripMargin
-
-  private lazy val lshPairsCtes: String =
-    s"""$lshBandCtes,
-       |cand AS (
-       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-       |  FROM band x JOIN band y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
-       |verified AS (
-       |  SELECT c.id_a, c.id_b,
-       |         $lshJaccSql AS jacc
-       |  FROM cand c JOIN ok da ON da.doc_id = c.id_a JOIN ok db ON db.doc_id = c.id_b),
-       |nd_pairs AS (SELECT id_a, id_b, jacc FROM verified WHERE jacc >= 0.4)""".stripMargin
-
-  /** DuckDB CTE chain scoring Fuzz.partialRatioCutoff(aCol, bCol, cutoff)
-    * for every row of `src` — the same published bit-parallel Allison–Dix
-    * LCS the Spark scorer uses (functions/Fuzz.scala:41-68), evaluated
-    * over every RapidFuzz partial_ratio window through SQL lambdas. Ends
-    * in CTE `scored` = src.* + `score` BIGINT. Cross-validated against a
-    * port of the Spark scorer on 600+ random and edge-case pairs
-    * (tools/proto_partial_ratio.py). The needle must fit the chosen bit
-    * vector: < 63 chars with BIGINT (the default; testdata names max at
-    * 40), < 127 with HUGEINT (the long-needle gate q105 uses — it pins
-    * the Spark scorer's >64-char DP path, which BIGINT cannot reach).
-    */
-  private def scorerCtes(
-      src: String, aCol: String, bCol: String, cutoff: Int,
-      intType: String = "BIGINT"): String =
-    s"""pr1 AS (SELECT *,
-       |  CASE WHEN strlen($aCol) <= strlen($bCol) THEN lower($aCol) ELSE lower($bCol) END AS pr_s,
-       |  CASE WHEN strlen($aCol) <= strlen($bCol) THEN lower($bCol) ELSE lower($aCol) END AS pr_l
-       |  FROM $src),
-       |pr2 AS (SELECT *, strlen(pr_s) AS pr_m, strlen(pr_l) AS pr_n FROM pr1),
-       |pr3 AS (SELECT *,
-       |  CASE WHEN pr_m = 0 THEN 0::$intType ELSE (1::$intType << pr_m) - 1::$intType END AS pr_full,
-       |  list_transform(string_split(pr_l, ''), ch ->
-       |    list_sum(list_transform(range(1, pr_m + 1),
-       |      i -> CASE WHEN substr(pr_s, i::INT, 1) = ch THEN (1::$intType << (i::INT - 1)) ELSE 0::$intType END))::$intType) AS pr_ml
-       |  FROM pr2),
-       |pr4 AS (SELECT *,
-       |  list_concat(list_concat(
-       |    list_transform(range(1, pr_m), j -> {'wa': 1::INT, 'wb': j::INT}),
-       |    list_transform(range(1, pr_n - pr_m + 2), i -> {'wa': i::INT, 'wb': (i + pr_m - 1)::INT})),
-       |    list_transform(range(1, pr_m), j -> {'wa': (pr_n - j + 1)::INT, 'wb': pr_n::INT})) AS pr_wins
-       |  FROM pr3),
-       |pr5 AS (SELECT *,
-       |  CASE WHEN pr_m = 0 THEN (CASE WHEN pr_n = 0 THEN 100.0 ELSE 0.0 END)
-       |       ELSE list_max(list_transform(pr_wins, w ->
-       |         200.0 * (pr_m - bit_count(list_reduce(list_prepend(pr_full, list_slice(pr_ml, w.wa, w.wb)),
-       |                    (v, mk) -> ((v + (v & mk)) | (v & ~mk)) & pr_full)))
-       |           / (pr_m + (w.wb - w.wa + 1)))) END AS pr_best
-       |  FROM pr4),
-       |scored AS (SELECT *, CASE WHEN pr_best >= $cutoff THEN round(pr_best)::BIGINT ELSE 0::BIGINT END AS score FROM pr5)""".stripMargin
-
-  /** DuckDB CTE chain reproducing HeurFuzz.matchTable over arbitrary
-    * query/ref relations (each `SELECT ... id, ... term`): bigram
-    * coverage pairs -> per-query top-K -> partial_ratio verify -> argmax
-    * with the reference tie-breaks -> NA coalesce. Ends in CTE
-    * `mt(q_id, query, match)`.
-    */
-  private def matchPipelineCtes(qSql: String, rSql: String, topK: Int, cutoff: Int): String =
-    s"""mq AS ($qSql),
-       |mr AS ($rSql),
-       |qq AS (SELECT id AS q_id, term AS q_term, strlen(term) AS q_len,
-       |         list_transform(range(1, strlen(term)), i -> substr(term, i::INT, 2)) AS qb FROM mq),
-       |rr AS (SELECT id AS r_id, term AS r_term, strlen(term) AS r_len,
-       |         list_transform(range(1, strlen(term)), i -> substr(term, i::INT, 2)) AS rb FROM mr),
-       |prs AS (SELECT q_id, q_term, r_id, r_term,
-       |         CASE WHEN len(qb) = 0 THEN 0.0
-       |              ELSE len(list_filter(qb, g -> list_contains(rb, g)))::DOUBLE / len(qb) END AS coverage,
-       |         abs(q_len - r_len)::DOUBLE AS len_diff
-       |       FROM qq CROSS JOIN rr),
-       |topk AS (SELECT * EXCLUDE (rk) FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY coverage DESC, len_diff DESC, r_id DESC) AS rk FROM prs)
-       |  WHERE rk <= $topK),
-       |${scorerCtes("topk", "r_term", "q_term", cutoff)},
-       |kept AS (SELECT * FROM scored WHERE score > 0),
-       |best AS (SELECT q_id, r_term AS match FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, len_diff ASC, r_id DESC) AS brk FROM kept)
-       |  WHERE brk = 1),
-       |mt AS (SELECT mq.id AS q_id, mq.term AS query, coalesce(b.match, 'NA') AS match
-       |       FROM mq LEFT JOIN best b ON b.q_id = mq.id)""".stripMargin
-
-  def oracleSql: Map[String, String] = Map(
-    "q01_scan_strip" ->
-      """SELECT doc_id, regexp_replace(text, '^\s+|\s+$', '', 'g') AS term
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    "q02_byte_len" ->
-      "SELECT doc_id, strlen(text) AS byte_len FROM documents ORDER BY doc_id",
-
-    "q03_bigram_stats" ->
-      """SELECT doc_id,
-        |       greatest(strlen(text) - 1, 0) AS n_bigrams,
-        |       len(list_distinct(list_transform(range(1, strlen(text)), i -> substr(text, i::INT, 2)))) AS n_distinct
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    "q05_pair_coverage" ->
-      (partPairsSql + "SELECT q_id, r_id, coverage, len_diff FROM pairs ORDER BY q_id, r_id"),
-
-    "q07_pair_topk" ->
-      (partPairsSql +
-        """, ranked AS (
-          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY coverage DESC, len_diff DESC, r_id DESC) AS rank
-          |  FROM pairs)
-          |SELECT q_id, r_id, coverage, len_diff, rank FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin),
-
-    // the verify scorer over the q07 top-5 candidates (argument order
-    // matches the Spark query: partialRatioCutoff(r_name, q_name, 60))
-    "q09_fuzzy_score" ->
-      (partPairsSql +
-        s""", ranked AS (
-           |  SELECT q_id, r_id, row_number() OVER (PARTITION BY q_id ORDER BY coverage DESC, len_diff DESC, r_id DESC) AS rank
-           |  FROM pairs),
-           |topk AS (SELECT q_id, r_id FROM ranked WHERE rank <= 5),
-           |named AS (
-           |  SELECT t.q_id, t.r_id, q.q_name, r.r_name
-           |  FROM topk t JOIN q ON q.q_id = t.q_id JOIN r ON r.r_id = t.r_id),
-           |${scorerCtes("named", "r_name", "q_name", 60)}
-           |SELECT q_id, r_id, score FROM scored ORDER BY q_id, r_id""".stripMargin),
-
-    "q10_fuzzy_match" ->
-      s"""WITH ${matchPipelineCtes(
-           "SELECT p_partkey AS id, lower(p_name) AS term FROM part WHERE p_partkey < 100",
-           "SELECT min(p_partkey)::BIGINT AS id, p_name AS term FROM part GROUP BY p_name",
-           topK = 5, cutoff = 80)}
-         |SELECT q_id, query, match FROM mt ORDER BY q_id""".stripMargin,
-
-    "q11_map_ratio" ->
-      s"""WITH ${matchPipelineCtes(
-           "SELECT p_partkey AS id, lower(p_name) AS term FROM part WHERE p_partkey < 100",
-           "SELECT min(p_partkey)::BIGINT AS id, p_name AS term FROM part GROUP BY p_name",
-           topK = 5, cutoff = 80)}
-         |SELECT round(avg(CASE WHEN match <> 'NA' THEN 1.0 ELSE 0.0 END) * 100, 2) AS map_ratio FROM mt""".stripMargin,
-
-    // the full fuzzy pipeline at document scale — one oracle, BOTH Spark
-    // pair paths (q50 cross, q51 inverted) must match it bit-for-bit
-    "q50_match_cross_5k" ->
-      s"""WITH ${matchPipelineCtes(
-           "SELECT min(p_partkey)::BIGINT AS id, lower(p_name) AS term FROM part GROUP BY lower(p_name)",
-           "SELECT doc_id AS id, substr(text, 1, 40) AS term FROM documents",
-           topK = 10, cutoff = 70)}
-         |SELECT q_id, query, match FROM mt ORDER BY q_id""".stripMargin,
-
-    "q51_match_inverted_5k" ->
-      s"""WITH ${matchPipelineCtes(
-           "SELECT min(p_partkey)::BIGINT AS id, lower(p_name) AS term FROM part GROUP BY lower(p_name)",
-           "SELECT doc_id AS id, substr(text, 1, 40) AS term FROM documents",
-           topK = 10, cutoff = 70)}
-         |SELECT q_id, query, match FROM mt ORDER BY q_id""".stripMargin,
-
-    "q12_ordered_export" ->
-      "SELECT doc_id, lang, source FROM documents ORDER BY doc_id",
-
-    "q14_etl_dedup" ->
-      """SELECT DISTINCT lower(regexp_replace(text, '^\s+|\s+$', '', 'g')) AS term
-        |FROM documents
-        |WHERE strlen(lower(regexp_replace(text, '^\s+|\s+$', '', 'g'))) > 1
-        |ORDER BY term""".stripMargin,
-
-    "q15_field_extract" ->
-      "SELECT p_partkey, split_part(p_name, ' ', 2) AS field FROM part ORDER BY p_partkey",
-
-    "q20_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
-        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        |       CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc,
-        |       count(*) AS count_order,
-        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
-        |FROM lineitem
-        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-        |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
-
-    "q21_revenue_by_nation" ->
-      """SELECT n_name,
-        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
-        |       count(*) AS n_orders
-        |FROM orders
-        |JOIN customer ON o_custkey = c_custkey
-        |JOIN nation ON c_nationkey = n_nationkey
-        |GROUP BY n_name ORDER BY n_name""".stripMargin,
-
-    "q22_top_orders_per_cust" ->
-      """SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
-        |  SELECT o_custkey, o_orderkey, o_totalprice,
-        |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
-        |  FROM orders)
-        |WHERE rank <= 3 ORDER BY o_custkey, rank""".stripMargin,
-
-    "q23_top100_orders" ->
-      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100",
-
-    "q24_customers_without_orders" ->
-      """SELECT c_custkey FROM customer
-        |WHERE NOT EXISTS (
-        |  SELECT 1 FROM orders
-        |  WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
-        |ORDER BY c_custkey""".stripMargin,
-
-    "q27_salted_join_revenue" ->
-      """SELECT c_mktsegment, count(*) AS n_orders,
-        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-        |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
-
-    "q26_rollup_pricing" ->
-      """SELECT l_returnflag, l_linestatus, count(*) AS n_items,
-        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
-        |FROM lineitem
-        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
-        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
-
-    "q45_events_props" ->
-      """SELECT event_id, event_type, CAST(props->>'$.k' AS BIGINT) AS k
-        |FROM events ORDER BY event_id""".stripMargin,
-
-    "q25_segment_stats" ->
-      """SELECT c_mktsegment, count(*) AS n_customers,
-        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
-        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
-
-    "q28_quantiles" ->
-      """SELECT l_returnflag,
-        |       quantile_cont(l_quantity, 0.5) AS p50_qty,
-        |       quantile_cont(l_extendedprice, 0.9) AS p90_price,
-        |       count(*) AS n
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-
-    "q29_set_ops" ->
-      """SELECT custkey FROM (
-        |  SELECT o_custkey AS custkey FROM orders
-        |  WHERE o_orderdate >= TIMESTAMP '2000-01-01' AND o_orderdate < TIMESTAMP '2001-01-01'
-        |  INTERSECT
-        |  SELECT o_custkey FROM orders
-        |  WHERE o_orderdate >= TIMESTAMP '2001-01-01' AND o_orderdate < TIMESTAMP '2002-01-01'
-        |  EXCEPT
-        |  SELECT o_custkey FROM orders
-        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01')
-        |ORDER BY custkey""".stripMargin,
-
-    "q30_dedup_exact" ->
-      """SELECT md5(text) AS h, count(*) AS cnt, min(doc_id) AS keep_id
-        |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin,
-
-    "q31_dedup_minhash_lsh" ->
-      s"""WITH $lshPairsCtes
-         |SELECT id_a, id_b, jacc FROM nd_pairs ORDER BY id_a, id_b""".stripMargin,
-
-    // group resolution: transitive closure over the near-dup pair graph,
-    // min id per component (DuckDB recursive CTE; UNION dedupes so the
-    // recursion reaches a fixpoint despite cycles)
-    "q52_dedup_groups" ->
-      s"""WITH RECURSIVE $lshPairsCtes,
-         |edges AS (
-         |  SELECT id_a AS src, id_b AS dst FROM nd_pairs
-         |  UNION ALL
-         |  SELECT id_b AS src, id_a AS dst FROM nd_pairs),
-         |reach(id, r) AS (
-         |  SELECT doc_id::BIGINT, doc_id::BIGINT FROM documents
-         |  UNION
-         |  SELECT e.dst, w.r FROM reach w JOIN edges e ON e.src = w.id)
-         |SELECT id AS doc_id, min(r) AS keep_id FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
-
-    "q32_simhash" -> {
-      val bitSums = (0 until 16).map(b => s"sum(((hv >> $b) & 1) * 2 - 1) AS s$b").mkString(",\n  ")
-      val bits = (0 until 16).map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
-      s"""WITH t AS (SELECT doc_id, unnest($tokensLowerSql) AS tok FROM documents),
-         |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM t),
-         |b AS (SELECT doc_id,
-         |  $bitSums
-         |  FROM h GROUP BY doc_id)
-         |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM b ORDER BY doc_id""".stripMargin
-    },
-
-    "q33_ngram_jaccard" ->
-      s"""WITH d AS (SELECT doc_id,
-         |  list_distinct(list_transform(${docShinglesSql(8)}, g -> ('0x' || substr(md5(g), 1, 15))::BIGINT)) AS sh
-         |  FROM documents),
-         |ok AS (SELECT * FROM d WHERE len(sh) > 0),
-         |pairs AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |         len(list_intersect(a.sh, b.sh))::DOUBLE
-         |           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jacc
-         |  FROM ok a JOIN ok b ON a.doc_id < b.doc_id)
-         |SELECT id_a, id_b, jacc FROM pairs WHERE jacc >= 0.8 ORDER BY id_a, id_b""".stripMargin,
-
-    "q46_dedup_embed_cosine" ->
-      s"""WITH $embCosPairsCtes
-         |SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= $SemDedupTau ORDER BY id_a, id_b""".stripMargin,
-
-    "q47_dedup_simhash_pairs" -> {
-      val bitSums = (0 until 16).map(b => s"sum(((hv >> $b) & 1) * 2 - 1) AS s$b").mkString(",\n  ")
-      val bits = (0 until 16).map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
-      s"""WITH t AS (SELECT doc_id, unnest($tokensLowerSql) AS tok FROM documents),
-         |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM t),
-         |b AS (SELECT doc_id,
-         |  $bitSums
-         |  FROM h GROUP BY doc_id),
-         |sh AS (SELECT doc_id, CAST($bits AS BIGINT) AS sh FROM b),
-         |pairs AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, bit_count(xor(a.sh, b.sh))::BIGINT AS hamming
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-         |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 2 ORDER BY id_a, id_b""".stripMargin
-    },
-
-    "q34_embed_cosine_topk" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
-        |p AS (
-        |  SELECT q.vec_id AS q_id, r.vec_id AS r_id,
-        |         list_sum(list_transform(range(1, 65), i -> q.v[i::INT] * r.v[i::INT])) / (q.nrm * r.nrm) AS cos_sim
-        |  FROM n q JOIN n r ON q.vec_id < 10 AND q.vec_id <> r.vec_id),
-        |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, r_id ASC) AS rank FROM p)
-        |SELECT q_id, r_id, cos_sim, rank FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
-
-    "q35_embed_ivf_assign" ->
-      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> floor(x::DOUBLE * 1000)::BIGINT) AS qv FROM embeddings),
-        |${trainSampleCtesSql("v")},
-        |${lloydCtesSql("tv", "kinit", 64, KmeansIters, Seq.empty, "c")},
-        |s AS (
-        |  SELECT v.vec_id AS id, c.centroid_id,
-        |         CAST(list_sum(list_transform(range(1, 65), i -> v.qv[i::INT] * c.cv[i::INT])) AS BIGINT) AS score
-        |  FROM v CROSS JOIN c),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY id ORDER BY score DESC, centroid_id ASC) AS rk FROM s)
-        |SELECT id, centroid_id, score FROM r WHERE rk = 1 ORDER BY id""".stripMargin,
-
-    "q43_embed_ivf_topk" ->
-      s"""WITH v AS (SELECT vec_id,
-        |             list_transform(embedding, x -> floor(x::DOUBLE * 1000)::BIGINT) AS qv,
-        |             list_transform(embedding, x -> x::DOUBLE) AS dv
-        |           FROM embeddings),
-        |${trainSampleCtesSql("v")},
-        |${lloydCtesSql("tv", "kinit", 64, KmeansIters, Seq.empty, "c")},
-        |score AS (
-        |  SELECT v.vec_id AS id, c.centroid_id,
-        |         CAST(list_sum(list_transform(range(1, 65), i -> v.qv[i::INT] * c.cv[i::INT])) AS BIGINT) AS sc
-        |  FROM v CROSS JOIN c),
-        |assign AS (
-        |  SELECT id AS r_id, centroid_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY sc DESC, centroid_id ASC) AS rk FROM score)
-        |  WHERE rk = 1),
-        |probes AS (
-        |  SELECT id AS q_id, centroid_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY sc DESC, centroid_id ASC) AS rk
-        |    FROM score WHERE id < 10)
-        |  WHERE rk <= 2),
-        |n AS (SELECT vec_id, dv, sqrt(list_sum(list_transform(dv, x -> x * x))) AS nrm FROM v),
-        |cand AS (SELECT q_id, r_id FROM probes JOIN assign USING (centroid_id) WHERE q_id <> r_id),
-        |ref AS (
-        |  SELECT cand.q_id, cand.r_id,
-        |         list_sum(list_transform(range(1, 65), i -> qn.dv[i::INT] * rn.dv[i::INT])) / (qn.nrm * rn.nrm) AS cos_sim
-        |  FROM cand JOIN n qn ON qn.vec_id = cand.q_id JOIN n rn ON rn.vec_id = cand.r_id),
-        |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, r_id ASC) AS rank FROM ref)
-        |SELECT q_id, r_id, cos_sim, rank FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
-
-    "q44_lang_id" -> {
-      val scoreCols = TextAnalysis.LangStopwords.map { case (l, words) =>
-        val list = words.map(w => s"'$w'").mkString("[", ", ", "]")
-        s"""CASE WHEN len(toks) = 0 THEN 0.0
-           |       ELSE len(list_filter(toks, t -> list_contains($list, t)))::DOUBLE / len(toks) END AS s_$l"""
-          .stripMargin
-      }.mkString(",\n  ")
-      val langs = TextAnalysis.LangStopwords.map(_._1)
-      // reverse-order strict-greater chain == Spark's nested whens:
-      // later language wins only if strictly above the max of all earlier
-      val predCases = langs.tail.reverse.map { l =>
-        val earlier = langs.takeWhile(_ != l).map(e => s"s_$e")
-        val m = if (earlier.length == 1) earlier.head else s"greatest(${earlier.mkString(", ")})"
-        s"WHEN s_$l > $m THEN '$l'"
-      }.mkString(" ")
-      s"""WITH t AS (SELECT doc_id, lang, $tokensLowerSql AS toks FROM documents),
-         |sc AS (SELECT doc_id, lang,
-         |  $scoreCols
-         |  FROM t)
-         |SELECT doc_id, lang,
-         |       CASE $predCases ELSE '${langs.head}' END AS pred_lang,
-         |       greatest(${langs.map(l => s"s_$l").mkString(", ")}) AS best_score
-         |FROM sc ORDER BY doc_id""".stripMargin
-    },
-
-    "q36_lang_stopword_ratio" -> {
-      val sw = TextAnalysis.EnglishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
-      s"""SELECT doc_id, lang,
-         |  CASE WHEN len($tokensLowerSql) = 0 THEN 0.0
-         |       ELSE len(list_filter($tokensLowerSql, t -> list_contains($sw, t)))::DOUBLE
-         |            / len($tokensLowerSql) END AS en_score
-         |FROM documents ORDER BY doc_id""".stripMargin
-    },
-
-    "q37_quality_metrics" ->
-      s"""SELECT doc_id,
-         |  strlen(text) AS n_bytes,
-         |  CASE WHEN trim(text) = '' THEN 0 ELSE len($tokensSql) END AS n_tokens,
-         |  CASE WHEN trim(text) = '' THEN 0.0
-         |       ELSE list_sum(list_transform($tokensSql, t -> strlen(t)))::DOUBLE / len($tokensSql) END AS mean_tok_len,
-         |  CASE WHEN strlen(text) = 0 THEN 0.0
-         |       ELSE len(regexp_extract_all(text, '[!-/:-@\\[-`{-~]'))::DOUBLE / strlen(text) END AS punct_ratio
-         |FROM documents ORDER BY doc_id""".stripMargin,
-
-    "q38_fingerprint" ->
-      s"""SELECT doc_id,
-         |  CASE WHEN len(${docShinglesSql(4)}) = 0 THEN NULL
-         |       ELSE array_to_string(list_sort(list_transform(${docShinglesSql(4)}, g -> md5(g)))[1:8], ',') END AS fp
-         |FROM documents ORDER BY doc_id""".stripMargin,
-
-    "q39_token_counts" ->
-      s"""SELECT doc_id,
-         |  CASE WHEN trim(text) = '' THEN 0 ELSE len($tokensSql) END AS n_ws_tokens,
-         |  CASE WHEN strlen(text) = 0 THEN 0
-         |       ELSE len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) END AS n_word_pieces
-         |FROM documents ORDER BY doc_id""".stripMargin,
-
-    "q40_events_hourly" ->
-      """SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch, event_type,
-        |       count(*) AS n_events,
-        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY hour_epoch, event_type""".stripMargin,
-
-    "q42_events_user_stats" ->
-      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-
-    // identical aggregate to q40 — the Spark side differs (streaming engine)
-    "q53_events_hourly_stream" ->
-      """SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch, event_type,
-        |       count(*) AS n_events,
-        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY hour_epoch, event_type""".stripMargin,
-
-    "q49_events_range_join" ->
-      """WITH clicks AS (
-        |  SELECT event_id, user_id, epoch_us(ts) AS c_tsn FROM events WHERE event_type = 'click'),
-        |views AS (
-        |  SELECT user_id, epoch_us(ts) AS v_tsn FROM events WHERE event_type = 'view')
-        |SELECT c.event_id, c.user_id, count(*) AS n_prior_views
-        |FROM clicks c JOIN views v
-        |  ON c.user_id = v.user_id AND v.v_tsn >= c.c_tsn - 3600000000 AND v.v_tsn <= c.c_tsn
-        |GROUP BY c.event_id, c.user_id ORDER BY c.event_id""".stripMargin,
-
-    "q48_events_asof_join" ->
-      """WITH clicks AS (
-        |  SELECT event_id, user_id, epoch_us(ts) AS tsn FROM events WHERE event_type = 'click'),
-        |views AS (
-        |  SELECT user_id, epoch_us(ts) AS tsn, max(event_id) AS v_event_id
-        |  FROM events WHERE event_type = 'view' GROUP BY user_id, epoch_us(ts))
-        |SELECT c.event_id, c.user_id, v.v_event_id, v.tsn AS v_tsn
-        |FROM clicks c ASOF JOIN views v ON c.user_id = v.user_id AND c.tsn >= v.tsn
-        |ORDER BY c.event_id""".stripMargin,
-
-    // identical to q48: the native physical operator must produce exactly
-    // what the composed operator (and DuckDB's built-in ASOF) produce
-    "q101_asof_native" ->
-      """WITH clicks AS (
-        |  SELECT event_id, user_id, epoch_us(ts) AS tsn FROM events WHERE event_type = 'click'),
-        |views AS (
-        |  SELECT user_id, epoch_us(ts) AS tsn, max(event_id) AS v_event_id
-        |  FROM events WHERE event_type = 'view' GROUP BY user_id, epoch_us(ts))
-        |SELECT c.event_id, c.user_id, v.v_event_id, v.tsn AS v_tsn
-        |FROM clicks c ASOF JOIN views v ON c.user_id = v.user_id AND c.tsn >= v.tsn
-        |ORDER BY c.event_id""".stripMargin,
-
-    "q41_multimodal_meta" ->
-      """SELECT doc_id,
-        |       strlen(text) AS n_bytes,
-        |       ('0x' || substr(md5(text), 1, 4))::BIGINT % 1024 AS width,
-        |       ('0x' || substr(md5(text), 5, 4))::BIGINT % 1024 AS height,
-        |       ('0x' || substr(md5(text), 9, 2))::BIGINT % 16 + 1 AS n_frames
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    "q54_events_sessionize" ->
-      s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS tsn, event_id FROM events),
-         |l AS (SELECT *, lag(tsn) OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS prev FROM ev),
-         |f AS (SELECT *, CASE WHEN prev IS NULL OR tsn - prev > $SessionGapMicros THEN 1 ELSE 0 END AS new_sess FROM l),
-         |c AS (SELECT *, (sum(new_sess) OVER (
-         |    PARTITION BY user_id ORDER BY tsn, event_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS sess_id FROM f)
-         |SELECT user_id, sess_id, min(tsn) AS session_start, max(tsn) AS session_end, count(*) AS n_events
-         |FROM c GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin,
-
-    "q69_partitioned_sink" ->
-      """SELECT source, count(*) AS n_docs, sum(strlen(text))::BIGINT AS sum_bytes
-        |FROM documents WHERE lang = 'en' GROUP BY source ORDER BY source""".stripMargin,
-
-    "q68_jsonl_roundtrip" ->
-      """SELECT event_type, count(*) AS n,
-        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-
-    "q66_cube_pricing" ->
-      """SELECT l_returnflag, l_linestatus, count(*) AS n_items,
-        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
-        |FROM lineitem
-        |GROUP BY CUBE(l_returnflag, l_linestatus)
-        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
-
-    "q67_session_paths" ->
-      s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS tsn, event_id, event_type FROM events),
-         |l AS (SELECT *, lag(tsn) OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS prev FROM ev),
-         |f AS (SELECT *, CASE WHEN prev IS NULL OR tsn - prev > $SessionGapMicros THEN 1 ELSE 0 END AS new_sess FROM l),
-         |c AS (SELECT *, (sum(new_sess) OVER (
-         |    PARTITION BY user_id ORDER BY tsn, event_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS sess_id FROM f)
-         |SELECT user_id, sess_id,
-         |       string_agg(event_type, '>' ORDER BY tsn, event_id) AS path,
-         |       count(*) AS n_events
-         |FROM c GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin,
-
-    "q55_quality_filter" -> {
-      val sw = TextAnalysis.EnglishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
-      s"""WITH m AS (SELECT doc_id,
-         |  CASE WHEN trim(text) = '' THEN 0 ELSE len($tokensSql) END AS n_tokens,
-         |  CASE WHEN trim(text) = '' THEN 0.0
-         |       ELSE list_sum(list_transform($tokensSql, t -> strlen(t)))::DOUBLE / len($tokensSql) END AS mean_tok_len,
-         |  CASE WHEN strlen(text) = 0 THEN 0.0
-         |       ELSE len(regexp_extract_all(text, '[!-/:-@\\[-`{-~]'))::DOUBLE / strlen(text) END AS punct_ratio,
-         |  CASE WHEN len($tokensLowerSql) = 0 THEN 0.0
-         |       ELSE len(list_filter($tokensLowerSql, t -> list_contains($sw, t)))::DOUBLE
-         |            / len($tokensLowerSql) END AS en_score
-         |  FROM documents)
-         |SELECT doc_id, n_tokens, mean_tok_len, punct_ratio, en_score,
-         |       (n_tokens >= $QfMinTokens AND mean_tok_len >= $QfMinMeanTokLen AND mean_tok_len <= $QfMaxMeanTokLen
-         |        AND punct_ratio <= $QfMaxPunctRatio AND en_score >= $QfMinStopwordRatio) AS keep
-         |FROM m ORDER BY doc_id""".stripMargin
-    },
-
-    "q56_top_ngrams" ->
-      s"""WITH t AS (SELECT $tokensLowerSql AS toks FROM documents WHERE trim(text) <> ''),
-         |b AS (SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i::INT] || ' ' || toks[(i::INT)+1])) AS ng FROM t)
-         |SELECT ng, count(*) AS cnt FROM b GROUP BY ng ORDER BY cnt DESC, ng ASC LIMIT 50""".stripMargin,
-
-    "q57_source_stats" ->
-      """SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
-        |       sum(strlen(text))::BIGINT AS sum_bytes,
-        |       (sum(strlen(text))::BIGINT)::DOUBLE / count(*) AS avg_bytes
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
-
-    "q58_tfidf_top_terms" ->
-      s"""WITH t AS (SELECT doc_id, unnest($tokensLowerSql) AS term FROM documents WHERE trim(text) <> ''),
-         |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
-         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-         |sc AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
-         |         (tf.tf * (SELECT count(*) FROM documents))::DOUBLE / dfq.df AS score
-         |       FROM tf JOIN dfq USING (term)),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank FROM sc)
-         |SELECT doc_id, term, tf, df, score, rank FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
-
-    "q61_priority_lines" ->
-      """SELECT l_returnflag,
-        |       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
-        |       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS low_line_count
-        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-        |WHERE l_shipdate >= TIMESTAMP '2000-01-01' AND l_shipdate < TIMESTAMP '2001-01-01'
-        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-
-    "q63_cumulative_revenue" ->
-      """SELECT o_custkey, o_orderkey,
-        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
-        |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_revenue,
-        |       lag(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_orderkey
-        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
-
-    "q65_order_rank_bands" ->
-      """SELECT o_orderkey, c_mktsegment,
-        |       dense_rank() OVER (PARTITION BY c_mktsegment ORDER BY o_orderdate) AS date_rank,
-        |       ntile(4) OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey ASC) AS price_quartile
-        |FROM orders JOIN customer ON o_custkey = c_custkey
-        |ORDER BY o_orderkey""".stripMargin,
-
-    "q62_monthly_orders" ->
-      """SELECT epoch(date_trunc('month', o_orderdate))::BIGINT AS month_epoch,
-        |       count(*) AS n_orders,
-        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-        |FROM orders GROUP BY 1 ORDER BY month_epoch""".stripMargin,
-
-    "q64_sql_scorer" ->
-      s"""WITH named AS (SELECT p_partkey, p_name, 'gadget' AS probe FROM part),
-         |${scorerCtes("named", "p_name", "probe", 50)}
-         |SELECT p_partkey, score FROM scored ORDER BY p_partkey""".stripMargin,
-
-    "q105_scorer_long_needle" ->
-      s"""WITH q AS (SELECT doc_id AS q_id, substr(text, 1, (63 + doc_id % 64)::INT) AS needle
-         |           FROM documents WHERE doc_id < 40 AND strlen(text) >= 130),
-         |r AS (SELECT doc_id AS r_id, text FROM documents
-         |      WHERE doc_id >= 40 AND doc_id < 50 AND strlen(text) >= 130),
-         |named AS (SELECT q_id, r_id, needle, text FROM q CROSS JOIN r),
-         |${scorerCtes("named", "needle", "text", 55, "HUGEINT")}
-         |SELECT q_id, r_id, score FROM scored ORDER BY q_id, r_id""".stripMargin,
-
-    "q106_pii_redact" ->
-      """WITH d AS (SELECT doc_id,
-        |  text || ' contact user' || doc_id || '@example.com or +1-555-'
-        |       || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS dirty
-        |  FROM documents)
-        |SELECT doc_id,
-        |  regexp_replace(
-        |    regexp_replace(dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |    '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS clean,
-        |  len(regexp_extract_all(dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
-        |  len(regexp_extract_all(dirty, '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}'))::BIGINT AS n_phones
-        |FROM d ORDER BY doc_id""".stripMargin,
-
-    "q107_embed_srp_pairs" -> {
-      val planeSum = SrpPlanes.zipWithIndex.map { case (p, b) =>
-        val lst = p.mkString("[", ", ", "]")
-        s"CASE WHEN list_sum(list_transform(range(1, 65), i -> v[i::INT] * ($lst)[i::INT])) > 0 THEN ${1L << b} ELSE 0 END"
-      }.mkString("(", " + ", ")")
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-         |s AS (SELECT vec_id, $planeSum::BIGINT AS srp_sig FROM e),
-         |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
-         |banded AS (
-         |  SELECT vec_id, 0 AS band, srp_sig % 256 AS key FROM s
-         |  UNION ALL
-         |  SELECT vec_id, 1 AS band, srp_sig // 256 AS key FROM s),
-         |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-         |         FROM banded a JOIN banded b
-         |         ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
-         |scored AS (SELECT c.id_a, c.id_b,
-         |    list_sum(list_transform(range(1, 65), i -> na.v[i::INT] * nb.v[i::INT])) / (na.nrm * nb.nrm) AS cos_sim
-         |  FROM cand c JOIN n na ON na.vec_id = c.id_a JOIN n nb ON nb.vec_id = c.id_b)
-         |SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.3 ORDER BY id_a, id_b""".stripMargin
-    },
-
-    "q108_dup_span_stats" ->
-      s"""WITH d AS (SELECT doc_id, ${docShinglesSql(DupSpanN)} AS shs FROM documents),
-         |ex AS (SELECT doc_id, unnest(shs) AS sh FROM d),
-         |dup AS (SELECT sh FROM ex GROUP BY sh HAVING count(*) >= 2),
-         |pd AS (SELECT doc_id, count(*)::BIGINT AS n_dup
-         |       FROM ex JOIN dup USING (sh) GROUP BY doc_id)
-         |SELECT d.doc_id, len(shs)::BIGINT AS n_shingles,
-         |       coalesce(pd.n_dup, 0)::BIGINT AS n_dup,
-         |       CASE WHEN len(shs) = 0 THEN 0.0
-         |            ELSE coalesce(pd.n_dup, 0)::DOUBLE / len(shs) END AS dup_ratio
-         |FROM d LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin,
-
-    "q109_pq_encode" ->
-      s"""$pqDistsSql
-         |SELECT vec_id, sub_id, code, dist_q FROM (
-         |  SELECT s.vec_id, s.sub_id, c.code, $pqSqDistSql AS dist_q,
-         |         row_number() OVER (PARTITION BY s.vec_id, s.sub_id
-         |                            ORDER BY $pqSqDistSql, c.code) AS rn
-         |  FROM subs s JOIN cents c USING (sub_id))
-         |WHERE rn = 1 ORDER BY vec_id, sub_id""".stripMargin,
-
-    "q110_pq_adc_topk" ->
-      s"""$pqDistsSql,
-         |codes AS (
-         |  SELECT vec_id AS r_id, sub_id, code FROM (
-         |    SELECT s.vec_id, s.sub_id, c.code,
-         |           row_number() OVER (PARTITION BY s.vec_id, s.sub_id
-         |                              ORDER BY $pqSqDistSql, c.code) AS rn
-         |    FROM subs s JOIN cents c USING (sub_id))
-         |  WHERE rn = 1),
-         |lut AS (
-         |  SELECT s.vec_id AS q_id, s.sub_id, c.code, $pqSqDistSql AS dq
-         |  FROM subs s JOIN cents c USING (sub_id) WHERE s.vec_id < 3),
-         |adc AS (
-         |  SELECT q_id, r_id, CAST(sum(dq) AS BIGINT) AS adc_dist
-         |  FROM codes JOIN lut USING (sub_id, code)
-         |  WHERE q_id <> r_id GROUP BY q_id, r_id)
-         |SELECT q_id, r_id, adc_dist, rank FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, r_id) AS rank
-         |  FROM adc)
-         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
-
-    "q111_rare_token_score" ->
-      s"""WITH t AS (SELECT doc_id, unnest($tokensLowerSql) AS term FROM documents),
-         |c AS (SELECT term, count(*) AS cnt FROM t GROUP BY term)
-         |SELECT doc_id,
-         |       count(*)::BIGINT AS n_tokens,
-         |       sum(CASE WHEN cnt <= $RareMaxFreq THEN 1 ELSE 0 END)::BIGINT AS n_rare,
-         |       sum(cnt)::BIGINT AS sum_freq,
-         |       (sum(CASE WHEN cnt <= $RareMaxFreq THEN 1 ELSE 0 END)::BIGINT)::DOUBLE
-         |         / count(*) AS rare_ratio,
-         |       (sum(cnt)::BIGINT)::DOUBLE / count(*) AS mean_freq
-         |FROM t JOIN c USING (term) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-
-    "q112_source_mix_sample" ->
-      s"""WITH q AS (
-         |  SELECT source,
-         |         least(count(*), floor(sqrt(count(*)::DOUBLE) * $MixSqrtScale)::BIGINT) AS quota
-         |  FROM documents GROUP BY source),
-         |r AS (
-         |  SELECT source, doc_id,
-         |         row_number() OVER (PARTITION BY source
-         |                            ORDER BY md5('mix-' || doc_id), doc_id) AS rk
-         |  FROM documents)
-         |SELECT r.source, doc_id, rk::BIGINT AS rk
-         |FROM r JOIN q USING (source) WHERE rk <= quota ORDER BY source, rk""".stripMargin,
-
-    "q113_prep_pipeline" -> {
-      val sw = TextAnalysis.EnglishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
-      s"""WITH m AS (SELECT doc_id,
-         |  CASE WHEN trim(text) = '' THEN 0 ELSE len($tokensSql) END AS n_tokens,
-         |  CASE WHEN trim(text) = '' THEN 0.0
-         |       ELSE list_sum(list_transform($tokensSql, t -> strlen(t)))::DOUBLE / len($tokensSql) END AS mean_tok_len,
-         |  CASE WHEN strlen(text) = 0 THEN 0.0
-         |       ELSE len(regexp_extract_all(text, '[!-/:-@\\[-`{-~]'))::DOUBLE / strlen(text) END AS punct_ratio,
-         |  CASE WHEN len($tokensLowerSql) = 0 THEN 0.0
-         |       ELSE len(list_filter($tokensLowerSql, t -> list_contains($sw, t)))::DOUBLE
-         |            / len($tokensLowerSql) END AS en_score
-         |  FROM documents),
-         |kept AS (SELECT doc_id, n_tokens FROM m
-         |  WHERE n_tokens >= $QfMinTokens AND mean_tok_len >= $QfMinMeanTokLen
-         |    AND mean_tok_len <= $QfMaxMeanTokLen AND punct_ratio <= $QfMaxPunctRatio
-         |    AND en_score >= $QfMinStopwordRatio),
-         |dd AS (SELECT doc_id, n_tokens FROM (
-         |  SELECT k.doc_id, k.n_tokens,
-         |         row_number() OVER (PARTITION BY md5(d.text) ORDER BY k.doc_id) AS rn
-         |  FROM kept k JOIN documents d USING (doc_id)) WHERE rn = 1),
-         |sh AS (SELECT doc_id,
-         |  unnest(list_distinct(list_transform(${docShinglesSql(DecontamSpanN)},
-         |    g -> ('0x' || substr(md5(g), 1, 15))::BIGINT))) AS h
-         |  FROM documents),
-         |bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 50 = 0),
-         |contaminated AS (SELECT DISTINCT doc_id FROM sh JOIN bench USING (h)),
-         |clean AS (SELECT doc_id, n_tokens FROM dd
-         |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
-         |c AS (SELECT d.doc_id, d.lang, cl.n_tokens,
-         |        (sum(cl.n_tokens) OVER (PARTITION BY d.lang ORDER BY d.n_chars DESC, d.doc_id ASC
-         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum_tokens
-         |      FROM clean cl JOIN documents d USING (doc_id))
-         |SELECT doc_id, lang, n_tokens, cum_tokens FROM c
-         |WHERE cum_tokens <= $TokenBudgetPerLang ORDER BY doc_id""".stripMargin
-    },
-
-    "q114_bigram_lm_score" ->
-      s"""WITH t AS (SELECT doc_id, $tokensLowerSql AS toks FROM documents WHERE trim(text) <> ''),
-         |bb AS (SELECT doc_id,
-         |         unnest(list_transform(range(1, len(toks)),
-         |           i -> {'w1': toks[i::INT], 'w2': toks[(i::INT)+1]})) AS b
-         |       FROM t WHERE len(toks) >= 2),
-         |bi AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bb),
-         |c1 AS (SELECT w1, count(*) AS c1 FROM (SELECT unnest(toks) AS w1 FROM t) GROUP BY w1),
-         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2)
-         |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
-         |       sum(CASE WHEN c12.c12 * 100 < c1.c1 THEN 1 ELSE 0 END)::BIGINT AS n_rare,
-         |       min(c12.c12::DOUBLE / c1.c1) AS min_prob
-         |FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-
-    "q115_winnowing_fingerprints" ->
-      """WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
-        |h AS (SELECT doc_id,
-        |  list_transform(range(1, greatest(strlen(t) - 6, 1)), i ->
-        |    list_reduce(list_transform(range(i, i + 8), j -> unicode(substr(t, j::INT, 1))::BIGINT),
-        |      (a, b) -> (a * 131 + b) % 1000000007)) AS hs
-        |  FROM d),
-        |f AS (SELECT doc_id,
-        |        CASE WHEN len(hs) = 0 THEN []::BIGINT[]
-        |             WHEN len(hs) < 8 THEN [list_min(hs)]
-        |             ELSE list_distinct(list_transform(range(1, len(hs) - 6),
-        |                    i -> list_min(hs[i::INT:(i::INT)+7]))) END AS fps
-        |      FROM h)
-        |SELECT doc_id, unnest(fps) AS fp FROM f ORDER BY doc_id, fp""".stripMargin,
-
-    "q116_winnowing_pairs" ->
-      s"""WITH $winnowPairsCtes
-         |SELECT id_a, id_b, n_shared FROM wpairs
-         |ORDER BY id_a, id_b""".stripMargin,
-
-    // three band layouts generated from the SAME sig CTE (and the same
-    // MinhashParams constants as the Spark side); truth via the q31
-    // exact-Jaccard verify on the (8,1) candidates
-    "q147_lsh_tuning_audit" -> {
-      def bandCte(name: String, src: String, bands: Int, rows: Int): String = {
-        val sels = (0 until bands).map { bd =>
-          val key = (0 until rows)
-            .map(r => s"m${bd * rows + r}::VARCHAR").mkString(" || '|' || ")
-          s"SELECT doc_id, $bd AS band, $key AS key FROM $src"
-        }.mkString("\n  UNION ALL ")
-        s"$name AS (\n  $sels)"
-      }
-      def candCte(name: String, bandName: String): String =
-        s"""$name AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-           |  FROM $bandName x JOIN $bandName y
-           |  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)""".stripMargin
-      def cfgRow(cand: String, bands: Int, rows: Int): String =
-        s"""SELECT $bands::BIGINT AS bands, $rows::BIGINT AS rows_per_band,
-           |  count(*)::BIGINT AS n_candidates,
-           |  sum(CASE WHEN t.id_a IS NULL THEN 0 ELSE 1 END)::BIGINT AS n_true_found
-           |FROM $cand c LEFT JOIN truth t ON t.id_a = c.id_a AND t.id_b = c.id_b""".stripMargin
-      s"""WITH $lshBandCtes,
-         |kpa AS (SELECT greatest(1, count(*) // $LshAuditSampleTarget) AS m FROM documents),
-         |sigs AS (SELECT sig.* FROM sig, kpa WHERE doc_id % kpa.m = 0),
-         |${bandCte("band81", "sigs", 8, 1)},
-         |${bandCte("band42", "sigs", 4, 2)},
-         |${bandCte("band24", "sigs", 2, 4)},
-         |${candCte("cand81", "band81")},
-         |${candCte("cand42", "band42")},
-         |${candCte("cand24", "band24")},
-         |truth AS (SELECT c.id_a, c.id_b
-         |  FROM cand81 c JOIN ok da ON da.doc_id = c.id_a JOIN ok db ON db.doc_id = c.id_b
-         |  WHERE $lshJaccSql >= 0.4),
-         |tot AS (SELECT count(*)::BIGINT AS n_true_total FROM truth),
-         |r AS (${cfgRow("cand81", 8, 1)}
-         |  UNION ALL ${cfgRow("cand42", 4, 2)}
-         |  UNION ALL ${cfgRow("cand24", 2, 4)})
-         |SELECT r.*, tot.n_true_total,
-         |       CAST(n_true_found AS DOUBLE) / nullif(n_true_total, 0) AS recall
-         |FROM r CROSS JOIN tot ORDER BY bands DESC""".stripMargin
-    },
-
-    "q153_table_profile" -> {
-      val rows = ProfileColumns.map { c =>
-        s"""SELECT '$c' AS column_name, count(*)::BIGINT AS n_rows,
-           |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
-           |  count(DISTINCT $c)::BIGINT AS n_distinct FROM orders""".stripMargin
-      }.mkString("\n  UNION ALL ")
-      s"""SELECT * FROM (
-         |  $rows)
-         |ORDER BY column_name""".stripMargin
-    },
-
-    "q151_quality_checks" ->
-      """WITH checks AS (
-        |  SELECT 'orders_pk_unique' AS check_name,
-        |         (count(*) - count(DISTINCT o_orderkey))::BIGINT AS violations FROM orders
-        |  UNION ALL SELECT 'orders_custkey_not_null',
-        |         sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT FROM orders
-        |  UNION ALL SELECT 'orders_fk_customer',
-        |         (SELECT count(*) FROM orders o LEFT JOIN customer c
-        |            ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL)::BIGINT
-        |  UNION ALL SELECT 'orders_totalprice_positive',
-        |         sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)::BIGINT FROM orders
-        |  UNION ALL SELECT 'orders_status_accepted',
-        |         sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END)::BIGINT FROM orders
-        |  UNION ALL SELECT 'lineitem_qty_range',
-        |         sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END)::BIGINT FROM lineitem
-        |  UNION ALL SELECT 'lineitem_fk_orders',
-        |         (SELECT count(*) FROM lineitem l LEFT JOIN orders o
-        |            ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL)::BIGINT
-        |  UNION ALL SELECT 'lineitem_discount_range',
-        |         sum(CASE WHEN l_discount < 0 OR l_discount > 0.5 THEN 1 ELSE 0 END)::BIGINT FROM lineitem)
-        |SELECT check_name, violations, violations = 0 AS passed
-        |FROM checks ORDER BY check_name""".stripMargin,
-
-    "q149_event_funnel" ->
-      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
-        |            WHERE event_type = 'signup' GROUP BY 1),
-        |s2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e JOIN s1 USING (user_id)
-        |       WHERE event_type = 'view' AND ts > t1 GROUP BY 1),
-        |s3 AS (SELECT e.user_id, min(ts) AS t3 FROM events e JOIN s2 USING (user_id)
-        |       WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1)
-        |SELECT * FROM (
-        |  SELECT 1::BIGINT AS stage, 'signup' AS event_type,
-        |         (SELECT count(*) FROM s1)::BIGINT AS n_users
-        |  UNION ALL SELECT 2::BIGINT, 'view', (SELECT count(*) FROM s2)::BIGINT
-        |  UNION ALL SELECT 3::BIGINT, 'purchase', (SELECT count(*) FROM s3)::BIGINT)
-        |ORDER BY stage""".stripMargin,
-
-    // week index = floor-seconds // 604800 — date_trunc('second') makes
-    // epoch() integral so the ::BIGINT cast is exact (q133's trick);
-    // Spark's micros div 604800000000 floors to the same index
-    "q150_cohort_retention" ->
-      """WITH w AS (SELECT DISTINCT user_id,
-        |             (epoch(date_trunc('second', ts))::BIGINT // 604800) AS wk
-        |           FROM events),
-        |f AS (SELECT user_id, min(wk) AS cohort_week FROM w GROUP BY 1)
-        |SELECT f.cohort_week, (w.wk - f.cohort_week)::BIGINT AS week_offset,
-        |       count(*)::BIGINT AS n_active
-        |FROM w JOIN f USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    // q52's recursive-CC oracle form over the q116 pair graph
-    "q146_winnowing_groups" ->
-      s"""WITH RECURSIVE $winnowPairsCtes,
-         |edges AS (
-         |  SELECT id_a AS src, id_b AS dst FROM wpairs
-         |  UNION ALL
-         |  SELECT id_b AS src, id_a AS dst FROM wpairs),
-         |reach(id, r) AS (
-         |  SELECT doc_id::BIGINT, doc_id::BIGINT FROM documents
-         |  UNION
-         |  SELECT e.dst, w.r FROM reach w JOIN edges e ON e.src = w.id)
-         |SELECT id AS doc_id, min(r) AS keep_id FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
-
-    // evidence spans: position = first index of the fingerprint value in
-    // the rolling-hash array (list_position), the same deterministic
-    // definition the packed expression uses; extents are min/max + k
-    "q135_winnowing_evidence" ->
-      s"""WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
-         |h AS (SELECT doc_id,
-         |  list_transform(range(1, greatest(strlen(t) - 6, 1)), i ->
-         |    list_reduce(list_transform(range(i, i + 8), j -> unicode(substr(t, j::INT, 1))::BIGINT),
-         |      (a, b) -> (a * 131 + b) % 1000000007)) AS hs
-         |  FROM d),
-         |f AS (SELECT doc_id, hs,
-         |        CASE WHEN len(hs) = 0 THEN []::BIGINT[]
-         |             WHEN len(hs) < 8 THEN [list_min(hs)]
-         |             ELSE list_distinct(list_transform(range(1, len(hs) - 6),
-         |                    i -> list_min(hs[i::INT:(i::INT)+7]))) END AS fps
-         |      FROM h),
-         |fpp AS (SELECT doc_id, unnest(fps) AS fp, hs FROM f),
-         |pos AS (SELECT doc_id, fp,
-         |          (list_position(hs, fp) - 1)::BIGINT AS pos
-         |        FROM fpp),
-         |rare AS (SELECT fp FROM pos GROUP BY fp HAVING count(*) <= $WinnowMaxDf),
-         |k AS (SELECT doc_id, fp, pos FROM pos JOIN rare USING (fp))
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared,
-         |       min(a.pos)::BIGINT AS a_start, (max(a.pos) + 8)::BIGINT AS a_end,
-         |       min(b.pos)::BIGINT AS b_start, (max(b.pos) + 8)::BIGINT AS b_end
-         |FROM k a JOIN k b ON a.fp = b.fp AND a.doc_id < b.doc_id
-         |GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared
-         |ORDER BY id_a, id_b""".stripMargin,
-
-    "q117_semdedup" ->
-      s"""WITH $embCosPairsCtes,
-         |dup AS (SELECT DISTINCT id_b AS vec_id FROM pairs WHERE cos_sim >= $SemDedupTau)
-         |SELECT a.vec_id, a.centroid_id,
-         |       (CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END)::BIGINT AS is_dup
-         |FROM assign a LEFT JOIN dup d ON d.vec_id = a.vec_id
-         |ORDER BY a.vec_id""".stripMargin,
-
-    "q118_incremental_dedup" -> incrementalDedupOracle,
-
-    "q119_contamination_overlap" -> contaminationOracle,
-
-    // 10th streaming gate: same answer as the batch q119 operator — the
-    // foreachBatch bridge must not change contamination scores
-    "q140_stream_contamination" -> contaminationOracle,
-
-    "q120_minhash_estimate" -> {
-      val agree = (0 until TextFunctions.MinhashParams.length)
-        .map(i => s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)")
-        .mkString(" + ")
-      s"""WITH $lshBandCtes,
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-         |  FROM band x JOIN band y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
-         |est AS (
-         |  SELECT c.id_a, c.id_b,
-         |         ($agree)::DOUBLE / ${TextFunctions.MinhashParams.length} AS est_jacc
-         |  FROM cand c JOIN sig sa ON sa.doc_id = c.id_a JOIN sig sb ON sb.doc_id = c.id_b),
-         |ver AS (
-         |  SELECT e.id_a, e.id_b, e.est_jacc,
-         |         $lshJaccSql AS jacc
-         |  FROM est e JOIN ok da ON da.doc_id = e.id_a JOIN ok db ON db.doc_id = e.id_b)
-         |SELECT id_a, id_b, est_jacc, jacc FROM ver WHERE jacc >= $EstPairThreshold
-         |ORDER BY id_a, id_b""".stripMargin
-    },
-
-    // the foreachBatch bridge must not change answers: q121 shares q118's
-    // oracle verbatim (incremental dedup through the stream == batch)
-    "q121_stream_incremental_dedup" -> incrementalDedupOracle,
-
-    // the bucketed round trip must not change answers: q132 shares q118's
-    // oracle verbatim (dedup against the persisted signature table ==
-    // dedup against signatures derived in-plan)
-    "q132_persisted_sig_dedup" -> incrementalDedupOracle,
-
-    // HLL re-derived register-by-register: same md5-derived hash, same
-    // shift/mask window, same integer contribution sum; the estimator
-    // numerator is the SAME Scala-computed double literal on both sides,
-    // so the one final division is IEEE-identical
-    "q133_hll_distinct" -> hllOracle,
-
-    // 11th streaming gate: micro-batch register tables max-merge into
-    // the identical sketch (max is associative) — same oracle as q133
-    "q148_stream_hll_distinct" -> hllOracle,
-
-
-    // transitive closure over the within-cluster cosine pair graph
-    // (q52's recursive-CTE shape on the q46/q117 embedding CTEs)
-    "q122_semdedup_groups" ->
-      s"""WITH RECURSIVE $embCosPairsCtes,
-         |nd AS (SELECT id_a, id_b FROM pairs WHERE cos_sim >= $SemDedupTau),
-         |edges AS (
-         |  SELECT id_a AS src, id_b AS dst FROM nd
-         |  UNION ALL
-         |  SELECT id_b AS src, id_a AS dst FROM nd),
-         |reach(id, r) AS (
-         |  SELECT vec_id::BIGINT, vec_id::BIGINT FROM embeddings
-         |  UNION
-         |  SELECT e.dst, w.r FROM reach w JOIN edges e ON e.src = w.id)
-         |SELECT id AS vec_id, min(r) AS keep_id FROM reach GROUP BY id ORDER BY vec_id""".stripMargin,
-
-    "q123_kmeans_train" ->
-      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> floor(x::DOUBLE * 1000)::BIGINT) AS qv FROM embeddings),
-         |${trainSampleCtesSql("v")},
-         |${lloydCtesSql("tv", "kinit", 64, KmeansIters, Seq.empty, "c")}
-         |SELECT centroid_id, unnest(range(0, 64)) AS dim, unnest(cv) AS cval
-         |FROM c ORDER BY centroid_id, dim""".stripMargin,
-
-    "q130_stream_kmeans_update" ->
-      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> floor(x::DOUBLE * 1000)::BIGINT) AS qv FROM embeddings),
-         |kinit AS (SELECT vec_id AS centroid_id, qv AS cv FROM v WHERE vec_id < 8),
-         |${lloydCtesSql("v", "kinit", 64, 1, Seq.empty, "c")}
-         |SELECT centroid_id, unnest(range(0, 64)) AS dim, unnest(cv) AS cval
-         |FROM c ORDER BY centroid_id, dim""".stripMargin,
-
-    "q131_ann_quality_report" ->
-      s"""WITH v AS (SELECT vec_id,
-        |             list_transform(embedding, x -> floor(x::DOUBLE * 1000)::BIGINT) AS qv,
-        |             list_transform(embedding, x -> x::DOUBLE) AS dv
-        |           FROM embeddings),
-        |${trainSampleCtesSql("v")},
-        |${lloydCtesSql("tv", "kinit", 64, KmeansIters, Seq.empty, "c")},
-        |score AS (
-        |  SELECT v.vec_id AS id, c.centroid_id,
-        |         CAST(list_sum(list_transform(range(1, 65), i -> v.qv[i::INT] * c.cv[i::INT])) AS BIGINT) AS sc
-        |  FROM v CROSS JOIN c),
-        |assign AS (
-        |  SELECT id AS r_id, centroid_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY sc DESC, centroid_id ASC) AS rk FROM score)
-        |  WHERE rk = 1),
-        |probes AS (
-        |  SELECT id AS q_id, centroid_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY sc DESC, centroid_id ASC) AS rk
-        |    FROM score WHERE id < 10)
-        |  WHERE rk <= 2),
-        |n AS (SELECT vec_id, dv, sqrt(list_sum(list_transform(dv, x -> x * x))) AS nrm FROM v),
-        |cand AS (SELECT q_id, r_id FROM probes JOIN assign USING (centroid_id) WHERE q_id <> r_id),
-        |ref AS (
-        |  SELECT cand.q_id, cand.r_id,
-        |         list_sum(list_transform(range(1, 65), i -> qn.dv[i::INT] * rn.dv[i::INT])) / (qn.nrm * rn.nrm) AS cos_sim
-        |  FROM cand JOIN n qn ON qn.vec_id = cand.q_id JOIN n rn ON rn.vec_id = cand.r_id),
-        |approx AS (SELECT q_id, r_id, rank FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, r_id ASC) AS rank FROM ref)
-        |  WHERE rank <= 3),
-        |ex AS (
-        |  SELECT q.vec_id AS q_id, r.vec_id AS r_id,
-        |         list_sum(list_transform(range(1, 65), i -> q.dv[i::INT] * r.dv[i::INT])) / (q.nrm * r.nrm) AS cos_sim
-        |  FROM n q JOIN n r ON q.vec_id < 10 AND q.vec_id <> r.vec_id),
-        |truth AS (SELECT q_id, r_id, xrank FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, r_id ASC) AS xrank FROM ex)
-        |  WHERE xrank <= 3),
-        |hits AS (
-        |  SELECT t.q_id, CAST(count(a.rank) AS BIGINT) AS n_hits,
-        |         min(CASE WHEN t.xrank = 1 THEN a.rank END) AS rot
-        |  FROM truth t LEFT JOIN approx a ON a.q_id = t.q_id AND a.r_id = t.r_id
-        |  GROUP BY t.q_id)
-        |SELECT q_id, n_hits, n_hits::DOUBLE / 3 AS recall_at_3,
-        |       coalesce(1.0 / rot, 0.0) AS rr_top1
-        |FROM hits ORDER BY q_id""".stripMargin,
-
-    "q129_cms_heavy_hitters" ->
-      s"""WITH terms AS (
-         |  SELECT word AS term, CAST(count(*) AS BIGINT) AS cnt
-         |  FROM (SELECT unnest($tokensLowerSql) AS word FROM documents)
-         |  GROUP BY word),
-         |rows_ AS (
-         |  SELECT j.range AS j,
-         |         ('0x' || substr(md5(j.range || ':' || term), 1, 15))::BIGINT % 256 AS bkt,
-         |         cnt
-         |  FROM terms, range(0, 4) j),
-         |sketch AS (SELECT j, bkt, CAST(sum(cnt) AS BIGINT) AS c FROM rows_ GROUP BY j, bkt),
-         |est AS (
-         |  SELECT t.term, t.cnt, CAST(min(s.c) AS BIGINT) AS est
-         |  FROM (SELECT j.range AS j,
-         |               ('0x' || substr(md5(j.range || ':' || term), 1, 15))::BIGINT % 256 AS bkt,
-         |               term, cnt
-         |        FROM terms, range(0, 4) j) t
-         |  JOIN sketch s ON s.j = t.j AND s.bkt = t.bkt
-         |  GROUP BY t.term, t.cnt)
-         |SELECT term, cnt, est, est - cnt AS "over"
-         |FROM est ORDER BY est DESC, term ASC LIMIT 20""".stripMargin,
-
-    "q127_bpe_train_merges" ->
-      s"""WITH bw AS (
-         |  SELECT word, CAST(count(*) AS BIGINT) AS freq
-         |  FROM (SELECT unnest($tokensLowerSql) AS word FROM documents)
-         |  GROUP BY word),
-         |bs0 AS (
-         |  SELECT word, freq,
-         |         array_to_string(list_transform(regexp_extract_all(word, '.'),
-         |           c -> chr(31) || c || chr(31)), ' ') AS seq
-         |  FROM bw),
-         |${bpeCtesSql(BpeSteps)}
-         |SELECT * FROM (
-         |${(1 to BpeSteps).map(t =>
-             s"""  SELECT CAST($t AS BIGINT) AS step, replace(a, chr(31), '') AS "left",
-                |         replace(b, chr(31), '') AS "right", pair_count FROM bb$t""".stripMargin)
-             .mkString("\n  UNION ALL\n")}
-         |)
-         |ORDER BY step""".stripMargin,
-
-    // the encode half re-derives the same merge chain, then reads the
-    // per-word piece count off the FINAL segmentation state
-    "q134_bpe_encode" ->
-      s"""WITH bw AS (
-         |  SELECT word, CAST(count(*) AS BIGINT) AS freq
-         |  FROM (SELECT unnest($tokensLowerSql) AS word FROM documents)
-         |  GROUP BY word),
-         |bs0 AS (
-         |  SELECT word, freq,
-         |         array_to_string(list_transform(regexp_extract_all(word, '.'),
-         |           c -> chr(31) || c || chr(31)), ' ') AS seq
-         |  FROM bw),
-         |${bpeCtesSql(BpeSteps)},
-         |vocab AS (
-         |  SELECT word, CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_pieces
-         |  FROM bs$BpeSteps),
-         |toks AS (SELECT doc_id, unnest($tokensLowerSql) AS word FROM documents)
-         |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
-         |       CAST(sum(v.n_pieces) AS BIGINT) AS n_pieces,
-         |       CAST(sum(v.n_pieces) AS BIGINT)::DOUBLE / count(*) AS pieces_per_word
-         |FROM toks t JOIN vocab v USING (word)
-         |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
-
-    "q128_sequence_packing" ->
-      s"""WITH t AS (
-         |  SELECT doc_id,
-         |         CASE WHEN trim(text) = '' THEN 0
-         |              ELSE len($tokensLowerSql) END::BIGINT AS n_tokens
-         |  FROM documents),
-         |c AS (
-         |  SELECT doc_id, n_tokens,
-         |         CAST(sum(n_tokens) OVER (ORDER BY doc_id
-         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens AS "offset"
-         |  FROM t)
-         |SELECT doc_id, n_tokens, "offset",
-         |       "offset" // $PackSeqLen AS first_seq,
-         |       ("offset" + greatest(n_tokens, 1) - 1) // $PackSeqLen AS last_seq,
-         |       ("offset" + greatest(n_tokens, 1) - 1) // $PackSeqLen - "offset" // $PackSeqLen + 1 AS n_seqs
-         |FROM c ORDER BY doc_id""".stripMargin,
-
-    "q126_leakage_safe_split" ->
-      s"""WITH $lshPairsCtes,
-         |sp AS (
-         |  SELECT doc_id,
-         |         CASE WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 < 90
-         |              THEN 'train' ELSE 'val' END AS split
-         |  FROM documents),
-         |edges AS (
-         |  SELECT id_a AS src, id_b AS dst FROM nd_pairs
-         |  UNION ALL
-         |  SELECT id_b AS src, id_a AS dst FROM nd_pairs),
-         |leak AS (
-         |  SELECT e.src, count(*) AS n_train_neighbors
-         |  FROM edges e JOIN sp t ON t.doc_id = e.dst AND t.split = 'train'
-         |  GROUP BY e.src)
-         |SELECT sp.doc_id, sp.split,
-         |       coalesce(l.n_train_neighbors, 0)::BIGINT AS n_train_neighbors,
-         |       (sp.split = 'train' OR coalesce(l.n_train_neighbors, 0) = 0) AS kept
-         |FROM sp LEFT JOIN leak l ON l.src = sp.doc_id
-         |ORDER BY sp.doc_id""".stripMargin,
-
-    "q125_lang_upsample_epochs" ->
-      """WITH s AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
-        |w AS (SELECT lang, n, CAST(floor(sqrt(n::DOUBLE) * 1000) AS BIGINT) AS w FROM s),
-        |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot, CAST(sum(w) AS BIGINT) AS sum_w FROM w),
-        |plan AS (
-        |  SELECT lang, n, w,
-        |         (n_tot // sum_w) * w + ((n_tot % sum_w) * w + sum_w - 1) // sum_w AS target
-        |  FROM w, t),
-        |plan2 AS (SELECT *, (target + n - 1) // n AS f,
-        |                 target - ((target + n - 1) // n - 1) * n AS quota
-        |          FROM plan),
-        |fulle AS (
-        |  SELECT d.lang, d.doc_id, unnest(range(1, p.f)) AS epoch
-        |  FROM documents d JOIN plan2 p USING (lang) WHERE p.f >= 2),
-        |ranked AS (
-        |  SELECT d.lang, d.doc_id,
-        |         row_number() OVER (PARTITION BY d.lang
-        |                            ORDER BY md5('mix-' || d.doc_id), d.doc_id) AS rk
-        |  FROM documents d),
-        |partial AS (
-        |  SELECT r.lang, r.doc_id, p.f AS epoch
-        |  FROM ranked r JOIN plan2 p USING (lang) WHERE r.rk <= p.quota)
-        |SELECT lang, doc_id, epoch
-        |FROM (SELECT * FROM fulle UNION ALL SELECT * FROM partial)
-        |ORDER BY lang, epoch, doc_id""".stripMargin,
-
-    "q124_ivfpq_residual_topk" ->
-      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> floor(x::DOUBLE * 1000)::BIGINT) AS qv FROM embeddings),
-         |${trainSampleCtesSql("v")},
-         |${lloydCtesSql("tv", "kinit", 64, KmeansIters, Seq.empty, "c")},
-         |ad AS (
-         |  SELECT v.vec_id, c.centroid_id,
-         |         CAST(list_sum(list_transform(range(1, 65),
-         |           i -> (v.qv[i::INT] - c.cv[i::INT]) * (v.qv[i::INT] - c.cv[i::INT]))) AS BIGINT) AS d
-         |  FROM v JOIN c ON TRUE),
-         |ar AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, centroid_id ASC) AS rk FROM ad),
-         |assign AS (SELECT vec_id, centroid_id FROM ar WHERE rk = 1),
-         |res AS (
-         |  SELECT a.vec_id, a.centroid_id,
-         |         list_transform(range(1, 65), i -> v.qv[i::INT] - c.cv[i::INT]) AS rv
-         |  FROM assign a JOIN v USING (vec_id) JOIN c USING (centroid_id)),
-         |rsub AS (SELECT vec_id, centroid_id, r.range AS sub_id,
-         |                rv[(r.range * 8 + 1)::INT:(r.range * 8 + 8)::INT] AS sv
-         |         FROM res, range(0, 8) r),
-         |pv AS (SELECT sub_id, vec_id, sv AS qv FROM rsub),
-         |ptv AS (SELECT pv.* FROM pv, kp WHERE vec_id % kp.m = 0),
-         |pinit AS (SELECT sub_id, vec_id AS centroid_id, qv AS cv FROM ptv, kp WHERE vec_id < 8 * kp.m),
-         |${lloydCtesSql("ptv", "pinit", 8, KmeansIters, Seq("sub_id"), "pcb", prefix = "p")},
-         |cb AS (SELECT sub_id, centroid_id AS code, cv AS cbv FROM pcb),
-         |ed AS (
-         |  SELECT s.vec_id, s.centroid_id, s.sub_id, b.code,
-         |         CAST(list_sum(list_transform(range(1, 9),
-         |           i -> (s.sv[i::INT] - b.cbv[i::INT]) * (s.sv[i::INT] - b.cbv[i::INT]))) AS BIGINT) AS dq
-         |  FROM rsub s JOIN cb b USING (sub_id)),
-         |codes AS (SELECT vec_id AS r_id, centroid_id, sub_id, code FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub_id ORDER BY dq ASC, code ASC) AS rn FROM ed)
-         |  WHERE rn = 1),
-         |probes AS (SELECT vec_id AS q_id, centroid_id FROM ar WHERE vec_id < 3 AND rk <= 2),
-         |qres AS (
-         |  SELECT p.q_id, p.centroid_id,
-         |         list_transform(range(1, 65), i -> v.qv[i::INT] - c.cv[i::INT]) AS rv
-         |  FROM probes p JOIN v ON v.vec_id = p.q_id JOIN c USING (centroid_id)),
-         |qsub AS (SELECT q_id, centroid_id, r.range AS sub_id,
-         |                rv[(r.range * 8 + 1)::INT:(r.range * 8 + 8)::INT] AS sv
-         |         FROM qres, range(0, 8) r),
-         |lut AS (
-         |  SELECT q.q_id, q.centroid_id, q.sub_id, b.code,
-         |         CAST(list_sum(list_transform(range(1, 9),
-         |           i -> (q.sv[i::INT] - b.cbv[i::INT]) * (q.sv[i::INT] - b.cbv[i::INT]))) AS BIGINT) AS dq
-         |  FROM qsub q JOIN cb b USING (sub_id)),
-         |adc AS (
-         |  SELECT l.q_id, cd.r_id, CAST(sum(l.dq) AS BIGINT) AS adc_dist
-         |  FROM codes cd JOIN lut l USING (centroid_id, sub_id, code)
-         |  WHERE l.q_id <> cd.r_id GROUP BY l.q_id, cd.r_id)
-         |SELECT q_id, r_id, adc_dist, rank FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, r_id) AS rank FROM adc)
-         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
-
-    "q59_train_split" ->
-      """SELECT doc_id,
-        |       ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 AS bucket,
-        |       CASE WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 < 90 THEN 'train' ELSE 'val' END AS split
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    "q60_embed_centroid_update" ->
-      """WITH v AS (SELECT vec_id,
-        |             list_transform(embedding, x -> floor(x::DOUBLE * 1000)::BIGINT) AS qv,
-        |             list_transform(embedding, x -> x::DOUBLE) AS dv
-        |           FROM embeddings),
-        |c AS (SELECT vec_id AS centroid_id, qv AS cv FROM v WHERE vec_id < 8),
-        |score AS (
-        |  SELECT v.vec_id AS id, c.centroid_id,
-        |         CAST(list_sum(list_transform(range(1, 65), i -> v.qv[i::INT] * c.cv[i::INT])) AS BIGINT) AS sc
-        |  FROM v CROSS JOIN c),
-        |assign AS (
-        |  SELECT id AS vec_id, centroid_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY sc DESC, centroid_id ASC) AS rk FROM score)
-        |  WHERE rk = 1),
-        |q AS (SELECT vec_id, i::BIGINT - 1 AS dim, floor(dv[i::INT] * 1000000)::BIGINT AS qx
-        |      FROM v, range(1, 65) t(i))
-        |SELECT a.centroid_id, q.dim,
-        |       sum(q.qx)::BIGINT AS sum_q, count(*) AS n,
-        |       (sum(q.qx)::BIGINT)::DOUBLE / count(*) AS mean_q
-        |FROM assign a JOIN q USING (vec_id)
-        |GROUP BY a.centroid_id, q.dim ORDER BY a.centroid_id, q.dim""".stripMargin,
-
-    "q70_pivot_orders" ->
-      """SELECT epoch(date_trunc('month', o_orderdate))::BIGINT AS month_epoch,
-        |  sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)::BIGINT AS n_urgent,
-        |  sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)::BIGINT AS n_high,
-        |  sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END)::BIGINT AS n_medium,
-        |  sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END)::BIGINT AS n_notspec,
-        |  sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END)::BIGINT AS n_low
-        |FROM orders GROUP BY 1 ORDER BY month_epoch""".stripMargin,
-
-    "q71_stream_dedup" ->
-      "SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type",
-
-    "q72_embed_srp" -> {
-      val planeSum = SrpPlanes.zipWithIndex.map { case (p, b) =>
-        val lst = p.mkString("[", ", ", "]")
-        s"CASE WHEN list_sum(list_transform(range(1, 65), i -> v[i::INT] * ($lst)[i::INT])) > 0 THEN ${1L << b} ELSE 0 END"
-      }.mkString("(", " + ", ")")
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-         |s AS (SELECT vec_id, $planeSum::BIGINT AS srp_sig FROM e)
-         |SELECT vec_id, srp_sig, (count(*) OVER (PARTITION BY srp_sig))::BIGINT AS bucket_n
-         |FROM s ORDER BY vec_id""".stripMargin
-    },
-
-    "q73_text_normalize" ->
-      """SELECT doc_id,
-        |       array_to_string(list_filter(string_split(text, ' '), t -> strlen(t) > 1), ' ') AS clean,
-        |       len(list_filter(string_split(text, ' '), t -> strlen(t) <= 1))::BIGINT AS n_dropped
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    "q74_boilerplate_strip" ->
-      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         |tok AS (SELECT DISTINCT doc_id, unnest(toks) AS tok FROM d),
-         |dfreq AS (SELECT tok, count(*) AS df FROM tok GROUP BY tok),
-         |tot AS (SELECT count(*) AS n_docs FROM d),
-         |common AS (SELECT coalesce(list(tok), []) AS cl FROM dfreq, tot WHERE df * 100 > n_docs * $BoilerplateDfPct)
-         |SELECT doc_id,
-         |       coalesce(array_to_string(list_filter(toks, t -> NOT list_contains(cl, t)), ' '), '') AS clean
-         |FROM d, common ORDER BY doc_id""".stripMargin,
-
-    "q75_stratified_sample" ->
-      """SELECT doc_id, lang, source
-        |FROM documents
-        |WHERE ('0x' || substr(md5('split-' || doc_id), 1, 8))::BIGINT % 100
-        |      < CASE WHEN lang = 'en' THEN 50 WHEN lang = 'zh' THEN 25 ELSE 10 END
-        |ORDER BY doc_id""".stripMargin,
-
-    "q76_multimodal_decode" ->
-      """WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents)
-        |SELECT doc_id,
-        |       ('0x' || substr(hx, 1, 4))::BIGINT % 1024 AS width,
-        |       ('0x' || substr(hx, 5, 4))::BIGINT % 1024 AS height,
-        |       ('0x' || substr(hx, 9, 2))::BIGINT % 16 + 1 AS n_frames,
-        |       r.range AS feat_idx,
-        |       ('0x' || substr(hx, (4 * r.range + 1)::INT, 2))::INT / 256.0 AS feat
-        |FROM h, range(0, 8) r
-        |ORDER BY doc_id, feat_idx""".stripMargin,
-
-    "q77_bucketed_join" ->
-      """SELECT o_orderpriority, count(*) AS n_items,
-        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
-
-    "q78_grouping_sets" ->
-      """SELECT l_returnflag, l_linestatus, count(*) AS n_items,
-        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
-        |FROM lineitem
-        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
-
-    "q79_event_deltas" ->
-      """SELECT event_id, user_id, epoch_us(ts) AS tsn,
-        |       epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS gap_before,
-        |       lead(epoch_us(ts), 1) OVER w - epoch_us(ts) AS gap_after
-        |FROM events
-        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC)
-        |ORDER BY event_id""".stripMargin,
-
-    "q80_merge_upsert" ->
-      """WITH base AS (
-        |  SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders),
-        |changes AS (
-        |  SELECT o_orderkey, 'U' AS o_orderstatus,
-        |         CAST(price + CAST(100 AS DECIMAL(18,2)) AS DECIMAL(18,2)) AS price
-        |  FROM base WHERE o_orderkey % 7 = 0
-        |  UNION ALL
-        |  SELECT o_orderkey + 10000000, 'I' AS o_orderstatus, price
-        |  FROM base WHERE o_orderkey % 11 = 0)
-        |SELECT coalesce(b.o_orderkey, c.o_orderkey) AS o_orderkey,
-        |       coalesce(c.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
-        |       CAST(coalesce(c.price, b.price) AS DOUBLE) AS price
-        |FROM base b FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey
-        |ORDER BY o_orderkey""".stripMargin,
-
-    "q81_dedup_latest" ->
-      """SELECT event_id, user_id, event_type, tsn, value FROM (
-        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS tsn, value,
-        |         row_number() OVER (PARTITION BY user_id, event_type
-        |                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
-        |  FROM events)
-        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
-
-    // same semantics as q81: the foreachBatch bridge must reproduce the
-    // batch keep-latest snapshot regardless of micro-batch splits
-    "q104_stream_foreach_dedup" ->
-      """SELECT event_id, user_id, event_type, tsn, value FROM (
-        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS tsn, value,
-        |         row_number() OVER (PARTITION BY user_id, event_type
-        |                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
-        |  FROM events)
-        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
-
-    "q82_embed_quantize" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-        |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e)
-        |SELECT vec_id, i - 1 AS dim,
-        |       CASE WHEN mx = 0 THEN 0 ELSE floor(v[i::INT] / mx * 127)::BIGINT END AS q
-        |FROM m, range(1, 65) t(i)
-        |ORDER BY vec_id, dim""".stripMargin,
-
-    "q83_weighted_avg" ->
-      """SELECT l_returnflag,
-        |       (sum(round(l_extendedprice * 100)::BIGINT * l_quantity::BIGINT)::BIGINT)::DOUBLE
-        |         / (sum(l_quantity::BIGINT)::BIGINT) / 100.0 AS w_avg_price,
-        |       count(*) AS n_items
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-
-    // same sessionization CTE as q54 but surfaced in session_window's
-    // output convention: start = first event (whole seconds), end = last
-    // event + gap
-    "q84_stream_sessions" ->
-      s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS tsn, event_id FROM events),
-         |l AS (SELECT *, lag(tsn) OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS prev FROM ev),
-         |f AS (SELECT *, CASE WHEN prev IS NULL OR tsn - prev > $SessionGapMicros THEN 1 ELSE 0 END AS new_sess FROM l),
-         |c AS (SELECT *, (sum(new_sess) OVER (
-         |    PARTITION BY user_id ORDER BY tsn, event_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS sess_id FROM f)
-         |SELECT user_id,
-         |       min(tsn) // 1000000 AS session_start,
-         |       (max(tsn) + $SessionGapMicros) // 1000000 AS session_end,
-         |       count(*) AS n_events
-         |FROM c GROUP BY user_id, sess_id ORDER BY user_id, session_start""".stripMargin,
-
-    "q86_scorer_predicate" ->
-      s"""WITH named AS (SELECT p_partkey, p_name, 'gadget' AS probe FROM part),
-         |${scorerCtes("named", "p_name", "probe", 65)}
-         |SELECT p_partkey, p_name FROM scored WHERE score > 0 ORDER BY p_partkey""".stripMargin,
-
-    // keep-best: q52's transitive-closure groups, then argmax by
-    // (n_chars desc, doc_id asc) within each group
-    "q91_dedup_keep_best" ->
-      s"""WITH RECURSIVE $lshPairsCtes,
-         |edges AS (
-         |  SELECT id_a AS src, id_b AS dst FROM nd_pairs
-         |  UNION ALL
-         |  SELECT id_b AS src, id_a AS dst FROM nd_pairs),
-         |reach(id, r) AS (
-         |  SELECT doc_id::BIGINT, doc_id::BIGINT FROM documents
-         |  UNION
-         |  SELECT e.dst, w.r FROM reach w JOIN edges e ON e.src = w.id),
-         |g AS (SELECT id AS doc_id, min(r) AS group_id FROM reach GROUP BY id),
-         |j AS (SELECT g.doc_id, g.group_id, d.n_chars FROM g JOIN documents d USING (doc_id)),
-         |b AS (SELECT doc_id, group_id,
-         |        row_number() OVER (PARTITION BY group_id ORDER BY n_chars DESC, doc_id ASC) AS rk
-         |      FROM j),
-         |best AS (SELECT group_id, doc_id AS best_id FROM b WHERE rk = 1)
-         |SELECT j.doc_id, j.group_id, best.best_id, j.doc_id = best.best_id AS kept
-         |FROM j JOIN best USING (group_id) ORDER BY doc_id""".stripMargin,
-
-    "q92_token_budget" ->
-      s"""WITH t AS (SELECT doc_id, lang, n_chars,
-         |  len(CASE WHEN trim(text) = '' THEN []::VARCHAR[] ELSE $tokensLowerSql END)::BIGINT AS n_tokens
-         |  FROM documents),
-         |c AS (SELECT *, (sum(n_tokens) OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC
-         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum_tokens
-         |      FROM t)
-         |SELECT doc_id, lang, n_tokens, cum_tokens FROM c
-         |WHERE cum_tokens <= $TokenBudgetPerLang ORDER BY doc_id""".stripMargin,
-
-    "q93_orc_roundtrip" ->
-      """SELECT event_type, count(*) AS n,
-        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-
-    "q94_stream_user_totals" ->
-      """SELECT user_id, count(*) AS n_events
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
-
-    "q98_semi_join" ->
-      """SELECT c_custkey, c_name, c_mktsegment
-        |FROM customer
-        |WHERE c_custkey IN (
-        |  SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01')
-        |ORDER BY c_custkey""".stripMargin,
-
-    "q100_edit_distance_join" ->
-      """WITH n AS (SELECT p_name AS name, min(p_partkey) AS id FROM part GROUP BY p_name)
-        |SELECT a.id AS id_a, b.id AS id_b, a.name AS name_a, b.name AS name_b,
-        |       levenshtein(a.name, b.name) AS dist
-        |FROM n a JOIN n b ON a.id < b.id
-        |WHERE abs(strlen(a.name) - strlen(b.name)) <= 3 AND levenshtein(a.name, b.name) <= 3
-        |ORDER BY id_a, id_b""".stripMargin,
-
-    "q99_csv_roundtrip" ->
-      """SELECT event_type, count(*) AS n,
-        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-
-    "q103_frames_resize" ->
-      """WITH m AS (SELECT doc_id, text,
-        |  ('0x' || substr(md5(text), 1, 4))::BIGINT % 1024 AS width,
-        |  ('0x' || substr(md5(text), 5, 4))::BIGINT % 1024 AS height,
-        |  ('0x' || substr(md5(text), 9, 2))::BIGINT % 16 + 1 AS n_frames
-        |  FROM documents),
-        |f AS (SELECT *, greatest((n_frames + 3) // 4, 1) AS step FROM m),
-        |e AS (SELECT doc_id, text, width, height, unnest(range(0, n_frames, step)) AS frame_idx FROM f)
-        |SELECT doc_id, frame_idx, width, height,
-        |  width * 256 // greatest(greatest(width, height), 1) AS out_w,
-        |  height * 256 // greatest(greatest(width, height), 1) AS out_h,
-        |  ('0x' || substr(md5(text || ':' || frame_idx), 1, 4))::BIGINT % 256 AS frame_sig
-        |FROM e ORDER BY doc_id, frame_idx""".stripMargin,
-
-    // naive O(n*k) recompute of the O(n) rolling hash — same values
-    "q102_rolling_fingerprint" ->
-      """WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
-        |h AS (SELECT doc_id,
-        |  list_transform(range(1, greatest(strlen(t) - 6, 1)), i ->
-        |    list_reduce(list_transform(range(i, i + 8), j -> unicode(substr(t, j::INT, 1))::BIGINT),
-        |      (a, b) -> (a * 131 + b) % 1000000007)) AS hs
-        |  FROM d)
-        |SELECT doc_id,
-        |  array_to_string(list_transform(list_slice(list_sort(list_distinct(hs)), 1, 8), x -> x::VARCHAR), ',') AS fp,
-        |  len(hs)::BIGINT AS n_grams
-        |FROM h ORDER BY doc_id""".stripMargin,
-
-    "q96_date_spine" ->
-      """WITH d AS (SELECT date_trunc('day', o_orderdate) AS day, count(*) AS n FROM orders GROUP BY 1),
-        |b AS (SELECT unnest(generate_series(min(day), max(day), INTERVAL 1 DAY)) AS day FROM d)
-        |SELECT epoch(b.day)::BIGINT AS day_epoch, coalesce(d.n, 0) AS n_orders
-        |FROM b LEFT JOIN d USING (day) ORDER BY day_epoch""".stripMargin,
-
-    "q97_revenue_share" ->
-      """WITH a AS (SELECT c_mktsegment, count(*) AS n_orders,
-        |             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_d
-        |           FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment),
-        |t AS (SELECT sum(rev_d) AS tot FROM a)
-        |SELECT c_mktsegment, n_orders, CAST(rev_d AS DOUBLE) AS revenue,
-        |       CAST(rev_d AS DOUBLE) / CAST(tot AS DOUBLE) AS share
-        |FROM a, t ORDER BY c_mktsegment""".stripMargin,
-
-    // same semantics as the q49 batch range join
-    "q95_stream_stream_join" ->
-      """WITH clicks AS (
-        |  SELECT event_id, user_id, epoch_us(ts) AS c_tsn FROM events WHERE event_type = 'click'),
-        |views AS (
-        |  SELECT user_id, epoch_us(ts) AS v_tsn FROM events WHERE event_type = 'view')
-        |SELECT c.event_id, c.user_id, count(*) AS n_prior_views
-        |FROM clicks c JOIN views v
-        |  ON c.user_id = v.user_id AND v.v_tsn >= c.c_tsn - 3600000000 AND v.v_tsn <= c.c_tsn
-        |GROUP BY c.event_id, c.user_id ORDER BY c.event_id""".stripMargin,
-
-    "q87_repetition_signals" ->
-      s"""WITH d AS (SELECT doc_id,
-         |  CASE WHEN trim(text) = '' THEN []::VARCHAR[] ELSE $tokensLowerSql END AS toks
-         |  FROM documents),
-         |s AS (SELECT doc_id, len(toks)::BIGINT AS n_words,
-         |             len(list_distinct(toks))::BIGINT AS n_distinct FROM d),
-         |b AS (SELECT doc_id,
-         |  unnest(list_transform(range(1, len(toks)), i -> toks[i::INT] || ' ' || toks[(i::INT)+1])) AS ng
-         |  FROM d),
-         |c AS (SELECT doc_id, ng, count(*) AS cnt FROM b GROUP BY doc_id, ng),
-         |r AS (SELECT doc_id, ng, cnt,
-         |        row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, ng ASC) AS rn FROM c)
-         |SELECT s.doc_id, s.n_words,
-         |       CASE WHEN s.n_words = 0 THEN 0.0
-         |            ELSE (s.n_words - s.n_distinct)::DOUBLE / s.n_words END AS dup_word_frac,
-         |       coalesce(r.ng, '') AS top_bigram,
-         |       CASE WHEN s.n_words < 2 THEN 0.0
-         |            ELSE r.cnt::DOUBLE / (s.n_words - 1) END AS top_bigram_frac
-         |FROM s LEFT JOIN (SELECT * FROM r WHERE rn = 1) r USING (doc_id)
-         |ORDER BY doc_id""".stripMargin,
-
-    "q88_rolling_window" ->
-      """SELECT event_id, user_id, epoch_us(ts) AS tsn,
-        |       (count(*) OVER w)::BIGINT AS roll_n,
-        |       CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS roll_sum
-        |FROM events
-        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
-        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
-        |ORDER BY event_id""".stripMargin,
-
-    "q89_scd2_history" ->
-      """WITH l AS (
-        |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
-        |         lag(o_orderstatus) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
-        |  FROM orders),
-        |ch AS (SELECT * FROM l WHERE prev IS NULL OR o_orderstatus <> prev)
-        |SELECT o_custkey,
-        |       row_number() OVER w AS version,
-        |       o_orderstatus,
-        |       epoch(o_orderdate)::BIGINT AS valid_from,
-        |       epoch(lead(o_orderdate) OVER w)::BIGINT AS valid_to,
-        |       (lead(o_orderdate) OVER w) IS NULL AS is_current
-        |FROM ch
-        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-        |ORDER BY o_custkey, version""".stripMargin,
-
-    "q90_stream_static_join" ->
-      """SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch, c_mktsegment,
-        |       count(*) AS n_events,
-        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-        |FROM events JOIN customer ON user_id = c_custkey
-        |GROUP BY 1, 2 ORDER BY hour_epoch, c_mktsegment""".stripMargin,
-
-    "q85_decontaminate" ->
-      s"""WITH sh AS (SELECT doc_id,
-         |  unnest(list_distinct(list_transform(${docShinglesSql(8)},
-         |    g -> ('0x' || substr(md5(g), 1, 15))::BIGINT))) AS h
-         |  FROM documents),
-         |bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 50 = 0),
-         |contaminated AS (SELECT DISTINCT doc_id FROM sh JOIN bench USING (h))
-         |SELECT d.doc_id, d.source FROM documents d
-         |WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated)
-         |ORDER BY d.doc_id""".stripMargin,
-
-    // bloom build + probe re-derived with the same integer bit ops: 3
-    // 16-bit probes sliced from the 60-bit md5 span key, 32-bit words
-    "q136_bloom_decontaminate" ->
-      s"""WITH sh AS (SELECT doc_id,
-         |  unnest(list_distinct(list_transform(${docShinglesSql(DecontamSpanN)},
-         |    g -> ('0x' || substr(md5(g), 1, 15))::BIGINT))) AS h
-         |  FROM documents),
-         |bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % $ContamBenchMod = 0),
-         |bp AS (SELECT unnest([h & 65535, (h >> 16) & 65535, (h >> 32) & 65535]) AS p FROM bench),
-         |bloom AS (SELECT p >> 5 AS word, bit_or(1::BIGINT << ((p & 31)::INT)) AS bits
-         |          FROM bp GROUP BY 1),
-         |cp AS (SELECT doc_id, h,
-         |         unnest([h & 65535, (h >> 16) & 65535, (h >> 32) & 65535]) AS p
-         |       FROM sh WHERE doc_id % $ContamBenchMod <> 0),
-         |m AS (SELECT doc_id, h,
-         |        (sum(CASE WHEN bits IS NOT NULL
-         |                   AND (bits & (1::BIGINT << ((p & 31)::INT))) <> 0
-         |             THEN 1 ELSE 0 END) = 3) AS bloom_pos
-         |      FROM cp LEFT JOIN bloom ON (p >> 5) = word GROUP BY doc_id, h),
-         |a AS (SELECT m.doc_id, count(*) AS n_spans,
-         |        sum(CASE WHEN bloom_pos THEN 1 ELSE 0 END) AS n_bloom_pos,
-         |        sum(CASE WHEN b.h IS NULL THEN 0 ELSE 1 END) AS n_hit
-         |      FROM m LEFT JOIN bench b ON b.h = m.h GROUP BY m.doc_id)
-         |SELECT doc_id, n_spans::BIGINT AS n_spans, n_bloom_pos::BIGINT AS n_bloom_pos,
-         |       n_hit::BIGINT AS n_hit, (n_bloom_pos - n_hit)::BIGINT AS n_false_pos,
-         |       (n_bloom_pos - n_hit)::DOUBLE / nullif(n_spans - n_hit, 0) AS fp_rate
-         |FROM a ORDER BY doc_id""".stripMargin,
-
-    // same contribution expression text as the Spark side (Bm25ContribSql)
-    "q137_bm25_topk" ->
-      s"""WITH t AS (SELECT doc_id, unnest($tokensLowerSql) AS term FROM documents),
-         |c AS (SELECT doc_id, term FROM t WHERE doc_id % $Bm25QueryMod <> 0),
-         |d AS (SELECT doc_id, count(*) AS dl FROM c GROUP BY doc_id),
-         |st AS (SELECT count(*) AS n_docs, sum(dl)::BIGINT AS tot FROM d),
-         |p AS (SELECT doc_id, term, count(*) AS tf FROM c GROUP BY doc_id, term),
-         |f AS (SELECT term, count(*) AS df FROM p GROUP BY term),
-         |q AS (SELECT DISTINCT doc_id AS q_id, term FROM t WHERE doc_id % $Bm25QueryMod = 0),
-         |sc AS (SELECT q_id, p.doc_id,
-         |         sum(($Bm25ContribSql)::BIGINT)::BIGINT AS score
-         |       FROM p JOIN q USING (term) JOIN f USING (term)
-         |            JOIN d ON d.doc_id = p.doc_id CROSS JOIN st
-         |       GROUP BY 1, 2),
-         |r AS (SELECT q_id, doc_id, score,
-         |        row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rk
-         |      FROM sc)
-         |SELECT q_id, doc_id, score, rk::BIGINT AS rk FROM r
-         |WHERE rk <= $Bm25TopK ORDER BY q_id, rk""".stripMargin,
-
-    // removal re-derived per char: covered = within [p+1, p+N] of any
-    // dup start; cleaned = ordered string_agg of the kept chars
-    "q138_substring_removal" ->
-      s"""WITH sp AS (SELECT doc_id, i - 1 AS p, substr(lower(text), i::INT, $DupSpanN) AS g
-         |            FROM (SELECT doc_id, text,
-         |                    unnest(range(1, greatest(strlen(text) - ${DupSpanN - 2}, 1))) AS i
-         |                  FROM documents)),
-         |dup AS (SELECT g FROM sp GROUP BY g HAVING count(*) >= 2),
-         |stt AS (SELECT doc_id, p FROM sp JOIN dup USING (g)),
-         |agg AS (SELECT doc_id, count(*) AS n_dup_spans FROM stt GROUP BY doc_id),
-         |ch AS (SELECT doc_id, unnest(range(1, strlen(text) + 1)) AS i FROM documents),
-         |cov AS (SELECT DISTINCT c.doc_id, c.i FROM ch c
-         |        JOIN stt t ON t.doc_id = c.doc_id AND c.i BETWEEN t.p + 1 AND t.p + $DupSpanN),
-         |kept AS (SELECT c.doc_id, c.i FROM ch c
-         |         LEFT JOIN cov v ON v.doc_id = c.doc_id AND v.i = c.i
-         |         WHERE v.i IS NULL),
-         |cl AS (SELECT d.doc_id,
-         |         coalesce(string_agg(substr(d.text, k.i::INT, 1), '' ORDER BY k.i), '') AS cleaned
-         |       FROM documents d LEFT JOIN kept k ON k.doc_id = d.doc_id
-         |       GROUP BY d.doc_id)
-         |SELECT d.doc_id, coalesce(a.n_dup_spans, 0)::BIGINT AS n_dup_spans,
-         |       strlen(d.text)::BIGINT AS orig_chars,
-         |       (strlen(d.text) - strlen(cl.cleaned))::BIGINT AS removed_chars,
-         |       cl.cleaned AS cleaned
-         |FROM documents d LEFT JOIN agg a USING (doc_id) JOIN cl ON cl.doc_id = d.doc_id
-         |ORDER BY d.doc_id""".stripMargin,
-
-    // same feature hashing, dense zero-fill, sample-bounded Lloyd chain
-    // (shared lloydCtesSql generator), aggregate argmin re-derived as the
-    // (d, centroid_id)-ordered row_number
-    "q141_doc_cluster_assign" ->
-      s"""WITH $docClusterCtes,
-         |cs AS (SELECT centroid_id, count(*) AS cluster_size FROM asg GROUP BY 1)
-         |SELECT a.vec_id AS doc_id, a.centroid_id AS cluster_id, a.d AS dist,
-         |       cs.cluster_size::BIGINT AS cluster_size
-         |FROM asg a JOIN cs USING (centroid_id) ORDER BY doc_id""".stripMargin,
-
-    // q112's naive-window oracle form per CLUSTER (the Quota rewrite is
-    // row-identical by construction)
-    "q143_cluster_balanced_sample" ->
-      s"""WITH $docClusterCtes,
-         |q AS (SELECT centroid_id,
-         |        least(count(*), floor(sqrt(count(*)::DOUBLE) * $MixSqrtScale)::BIGINT) AS quota
-         |      FROM asg GROUP BY 1),
-         |r AS (SELECT centroid_id, vec_id,
-         |        row_number() OVER (PARTITION BY centroid_id
-         |                           ORDER BY md5('cb-' || vec_id), vec_id) AS rk
-         |      FROM asg)
-         |SELECT r.centroid_id AS cluster_id, r.vec_id AS doc_id, rk::BIGINT AS rk
-         |FROM r JOIN q USING (centroid_id) WHERE rk <= quota
-         |ORDER BY cluster_id, rk""".stripMargin,
-
-    // naive single-window cumulative over the same histogram (the Quota
-    // bucketed form is row-identical); same target-rank expression text
-    "q145_exact_quantiles" ->
-      s"""WITH h AS (SELECT n_chars AS v, count(*) AS cnt FROM documents GROUP BY 1),
-         |c AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM h),
-         |nn AS (SELECT count(*) AS n FROM documents),
-         |t AS (SELECT pct, $QuantTargetSql AS target
-         |      FROM (SELECT unnest([50, 90, 99]::BIGINT[]) AS pct), nn)
-         |SELECT t.pct, t.target, min(c.v) AS value
-         |FROM t JOIN c ON c.cum >= t.target
-         |GROUP BY t.pct, t.target ORDER BY t.pct""".stripMargin,
-
-    // same quantized component expression text (ChiSqSql) on exact counts
-    "q144_source_drift" ->
-      s"""WITH t AS (SELECT source, unnest($tokensLowerSql) AS term FROM documents),
-         |o AS (SELECT source, term, count(*) AS obs FROM t GROUP BY 1, 2),
-         |tc AS (SELECT term, count(*) AS tt FROM t GROUP BY 1),
-         |sc AS (SELECT source, count(*) AS st FROM t GROUP BY 1),
-         |n AS (SELECT count(*) AS tot FROM t),
-         |z AS (SELECT o.source, ($ChiSqSql)::BIGINT AS contrib
-         |      FROM o JOIN tc USING (term) JOIN sc USING (source) CROSS JOIN n)
-         |SELECT source, count(*)::BIGINT AS n_terms, sum(contrib)::BIGINT AS drift_q
-         |FROM z GROUP BY source ORDER BY source""".stripMargin,
-
-    // lockstep unnest zips (token, 0-based position); anchors re-derived
-    // with the same pos - off arithmetic
-    "q152_phrase_search" -> {
-      val vals = TrigramPatterns.map(p => s"('${p}')").mkString(", ")
-      s"""WITH p AS (SELECT * FROM (VALUES $vals) v(phrase)),
-         |pt AS (SELECT phrase, unnest(tk) AS term, unnest(range(0, len(tk))) AS "off"
-         |       FROM (SELECT phrase, string_split_regex(trim(phrase), '\\s+') AS tk FROM p)),
-         |nt AS (SELECT phrase,
-         |         len(string_split_regex(trim(phrase), '\\s+'))::BIGINT AS nt FROM p),
-         |post AS (SELECT doc_id, unnest(tk) AS term, unnest(range(0, len(tk))) AS pos
-         |         FROM (SELECT doc_id, $tokensLowerSql AS tk FROM documents)),
-         |hit AS (SELECT pt.phrase, post.doc_id, post.pos - pt."off" AS anchor,
-         |          count(DISTINCT pt."off") AS nmatch
-         |        FROM post JOIN pt USING (term) GROUP BY 1, 2, 3)
-         |SELECT h.phrase, h.doc_id, count(*)::BIGINT AS n_occurrences
-         |FROM hit h JOIN nt USING (phrase) WHERE h.nmatch = nt.nt
-         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-    },
-
-    // the brute-force scan the trigram index avoids — exact by definition
-    "q142_trigram_search" -> {
-      val vals = TrigramPatterns.map(p => s"('${p}')").mkString(", ")
-      s"""SELECT p.pattern, d.doc_id
-         |FROM documents d CROSS JOIN (VALUES $vals) p(pattern)
-         |WHERE contains(lower(d.text), p.pattern)
-         |ORDER BY p.pattern, d.doc_id""".stripMargin
-    },
-
-    // lockstep unnest zips the two shifted slices into adjacent pairs;
-    // same quantized-ratio expression text as the Spark side (PmiScoreSql)
-    "q139_pmi_collocations" ->
-      s"""WITH t AS (SELECT $tokensLowerSql AS tk FROM documents),
-         |f AS (SELECT tk FROM t WHERE len(tk) >= 2),
-         |bg AS (SELECT unnest(tk[1:len(tk)-1]) AS t1, unnest(tk[2:len(tk)]) AS t2 FROM f),
-         |pr AS (SELECT t1, t2, count(*) AS c_xy FROM bg GROUP BY 1, 2
-         |       HAVING count(*) >= $PmiMinCount),
-         |u AS (SELECT unnest(tk) AS term FROM f),
-         |uc AS (SELECT term, count(*) AS c FROM u GROUP BY term),
-         |n AS (SELECT count(*) AS n_tok FROM u),
-         |z AS (SELECT pr.t1, pr.t2, pr.c_xy, a.c AS cx, b.c AS cy, n.n_tok
-         |      FROM pr JOIN uc a ON a.term = pr.t1 JOIN uc b ON b.term = pr.t2 CROSS JOIN n)
-         |SELECT t1, t2, c_xy::BIGINT AS c_xy, ($PmiScoreSql)::BIGINT AS pmi_q
-         |FROM z ORDER BY pmi_q DESC, t1, t2 LIMIT $PmiTopK""".stripMargin
-  )
+object SparkEntry extends MatchRegistry with RelationalRegistry with DedupRegistry with AnnRegistry with TextRegistry with EventsRegistry with StreamingRegistry with MultimodalRegistry {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    matchQueries ++
+      relationalQueries ++
+      dedupQueries ++
+      annQueries ++
+      textQueries ++
+      eventsQueries ++
+      streamingQueries ++
+      multimodalQueries
+
+  def oracleSql: Map[String, String] =
+    matchOracle ++
+      relationalOracle ++
+      dedupOracle ++
+      annOracle ++
+      textOracle ++
+      eventsOracle ++
+      streamingOracle ++
+      multimodalOracle
 }

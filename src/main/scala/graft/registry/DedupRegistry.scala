@@ -1,0 +1,720 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, HeurFuzz, Multimodal, Quota, Similarity, Sketches, TextAnalysis}
+
+/** Registry pillar: deduplication: exact, MinHash-LSH, SimHash, n-gram Jaccard,
+  * winnowing/MOSS, SemDeDup, exact-substring, incremental/persisted. Split from SparkEntry.scala
+  * (round 8); query semantics and oracle SQL unchanged.
+  */
+trait DedupRegistry extends RegistryBase {
+  protected def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // pillar dedup: exact (hash groupBy)
+    "q30_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(rd(s, dir, "documents"), "doc_id", "text").orderBy("h")),
+
+    // pillar dedup: MinHash + LSH banding + Jaccard verify
+    // 2 bands x 4 rows: band-collision probability j^4 keeps the candidate
+    // set selective (j=0.3 vocabulary-overlap pairs pass <1%, true
+    // near-dups at j>=0.8 pass >80%) — the knob that keeps LSH sub-
+    // quadratic at 100 TB.
+    "q31_dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.nearDuplicates(spread(s, rd(s, dir, "documents")), "doc_id", "text",
+          shingleN = 4, numHashes = 8, rowsPerBand = 4, threshold = 0.4)
+        .orderBy("id_a", "id_b")),
+
+    // pillar dedup: SimHash (frequency-weighted token bits)
+    "q32_simhash" -> ((s, dir) =>
+      spread(s, rd(s, dir, "documents"))
+        .select(col("doc_id"), Dedup.simhash(col("text"), bits = 16).as("simhash"))
+        .orderBy("doc_id")),
+
+    // pillar dedup: n-gram Jaccard pair similarity over the FULL corpus —
+    // prefix-filtered inverted-index join (AllPairs, rare-shingle-first),
+    // same result set as the oracle's all-pairs compare but with no
+    // cartesian in the plan. n=8 shingles + threshold 0.8 are the
+    // realistic near-dup settings: this corpus has only 377 DISTINCT
+    // 3-gram shingles total (median df 1062), so small-n shingles are
+    // non-discriminative for any exact filter, and sub-0.5 thresholds
+    // make the OUTPUT itself quadratic regardless of plan.
+    "q33_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(
+          spread(s, rd(s, dir, "documents")), "doc_id", "text",
+          shingleN = 8, threshold = 0.8)
+        .orderBy("id_a", "id_b")),
+
+    // pillar dedup: group resolution — near-dup pairs collapsed into
+    // (doc_id, keep_id) connected components via distributed min-label
+    // propagation (pairs alone are an edge list; THIS is the keep-one
+    // dedup output a training-data pipeline consumes)
+    "q52_dedup_groups" -> ((s, dir) => {
+      val docs = spread(s, rd(s, dir, "documents"))
+      val pairs = Dedup.nearDuplicates(docs, "doc_id", "text",
+        shingleN = 4, numHashes = 8, rowsPerBand = 4, threshold = 0.4)
+      Dedup.resolveGroups(docs, "doc_id", pairs).orderBy("doc_id")
+    }),
+
+    // pillar dedup: embedding-cosine near-dup — IVF bucket equality as the
+    // sub-quadratic prefilter (same-bucket pairs only), exact cosine verify.
+    // The centroid count SCALES with the corpus: k = ceil(sqrt(N)) keeps
+    // the expected bucket size ~sqrt(N), so total within-bucket pair work
+    // is O(N^1.5) instead of O(N^2/k) under a fixed k. N arrives as a
+    // broadcast 1-row aggregate (the q74/q97 pattern) — no driver action.
+    "q46_dedup_embed_cosine" -> ((s, dir) =>
+      embClusterPairs(s, dir)._2
+        .select("id_a", "id_b", "cos_sim")
+        .orderBy("id_a", "id_b")),
+
+    // pillar dedup: SimHash hamming-distance candidate pairs via
+    // multi-index banding (pigeonhole equi-join — no cross join; same
+    // result set as an all-pairs hamming filter, which the oracle runs)
+    "q47_dedup_simhash_pairs" -> ((s, dir) => {
+      val h = spread(s, rd(s, dir, "documents"))
+        .select(col("doc_id"), Dedup.simhash(col("text"), 16).as("sh"))
+      Dedup.simhashCandidates(h, "doc_id", "sh", bits = 16, maxHamming = 2)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // pipeline: CDC compaction / keep-newest — collapse each business key
+    // to its latest version (desc ts, event_id tie-break): the standard
+    // log-to-snapshot step; one shuffle on the key, WindowGroupLimit
+    // prunes non-winners before the final sort
+    "q81_dedup_latest" -> ((s, dir) => {
+      val ev = rd(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("ts div 1000").as("tsn"), col("value"))
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("tsn").desc, col("event_id").desc)
+      ev.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .drop("rn")
+        .orderBy("user_id", "event_type")
+    }),
+
+    // pillar dedup: quality-aware group resolution — near-dup groups keep
+    // their LONGEST member (n_chars desc, id asc) instead of the min-id
+    // survivor; the keep-one choice a real pipeline makes
+    "q91_dedup_keep_best" -> ((s, dir) => {
+      val docs = spread(s, rd(s, dir, "documents"))
+      val pairs = Dedup.nearDuplicates(docs, "doc_id", "text",
+        shingleN = 4, numHashes = 8, rowsPerBand = 4, threshold = 0.4)
+      Dedup.keepBest(docs, "doc_id", pairs, "n_chars").orderBy("doc_id")
+    }),
+
+    // pillar text-analysis: ROLLING-hash document fingerprint — the 8
+    // smallest Karp-Rabin 8-gram hashes per doc, from a codegen'd O(n)
+    // custom expression (RollingKgramHashes; the oracle recomputes every
+    // window naively in SQL — same values, O(n*k))
+    "q102_rolling_fingerprint" -> ((s, dir) =>
+      spread(s, rd(s, dir, "documents"))
+        .withColumn("hs",
+          org.apache.spark.sql.graft.GraftFunctions.rollingKgramHashes(lower(col("text")), 8))
+        .select(
+          col("doc_id"),
+          array_join(
+            transform(slice(array_sort(array_distinct(col("hs"))), 1, 8), _.cast("string")),
+            ",").as("fp"),
+          size(col("hs")).cast("long").as("n_grams"))
+        .orderBy("doc_id")),
+
+    // pillar dedup: repeated-span statistics (exact-substring dedup
+    // signal, Lee et al. ACL'22) — per doc, how many of its distinct
+    // 12-char spans occur verbatim in another document. Explode ->
+    // span groupBy -> left-semi back: two map-side-combined shuffles,
+    // no pairwise product (see Dedup.dupSpanStats scaladoc).
+    "q108_dup_span_stats" -> ((s, dir) =>
+      Dedup.dupSpanStats(spread(s, rd(s, dir, "documents")), "doc_id", "text", DupSpanN)
+        .orderBy("doc_id")),
+
+    // pillar dedup: TRUE winnowing fingerprints (Schleimer SIGMOD'03 /
+    // MOSS) — the bounded-density fingerprint set whose equality is the
+    // equi-join key for web-scale verbatim-overlap detection. Narrow
+    // codegen'd projection per doc; see TextAnalysis scaladoc for the
+    // w+k-1 shared-substring guarantee.
+    "q115_winnowing_fingerprints" -> ((s, dir) =>
+      spread(s, rd(s, dir, "documents"))
+        .select(col("doc_id"),
+          explode(TextAnalysis.winnowingFingerprints(col("text"))).as("fp"))
+        .orderBy("doc_id", "fp")),
+
+    // pillar dedup: the join the q115 fingerprints exist for — MOSS-style
+    // near-dup candidates = doc pairs sharing >= WinnowMinShared
+    // winnowing fingerprints, after a stop-fingerprint filter
+    // (df <= WinnowMaxDf) drops boilerplate minima exactly the way
+    // AllPairs drops stop-shingles. Pure equi-join on the fingerprint
+    // value + one pair-count aggregate: sub-quadratic by the 2/(w+1)
+    // density bound, with per-fingerprint fan-out capped by the df
+    // filter — no pairwise product anywhere.
+    "q116_winnowing_pairs" -> ((s, dir) => {
+      val fps = spread(s, rd(s, dir, "documents"))
+        .select(col("doc_id"),
+          explode(TextAnalysis.winnowingFingerprints(col("text"))).as("fp"))
+        .localCheckpoint(false) // feeds the df count AND both join sides
+      val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= WinnowMaxDf).select("fp")
+      val kept = fps.join(rare, Seq("fp"), "left_semi")
+      kept.alias("a")
+        .join(kept.alias("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= WinnowMinShared)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // pillar dedup: PLAGIARISM / OVERLAP GROUPS — connected components
+    // over the q116 winnowing pair graph (the MOSS cluster step: pairs
+    // only say A~B; triage wants "these five documents all share the
+    // same passage"). Composes the two proven operators verbatim: the
+    // df-capped fingerprint equi-join builds the edges, resolveGroups'
+    // edge-restricted pointer-jumping resolves them (q52's bounds).
+    "q146_winnowing_groups" -> ((s, dir) => {
+      val docs = spread(s, rd(s, dir, "documents"))
+      val fps = docs.select(col("doc_id"),
+          explode(TextAnalysis.winnowingFingerprints(col("text"))).as("fp"))
+        .localCheckpoint(false) // feeds the df count AND both join sides
+      val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= WinnowMaxDf).select("fp")
+      val kept = fps.join(rare, Seq("fp"), "left_semi")
+      val pairs = kept.alias("a")
+        .join(kept.alias("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= WinnowMinShared)
+        .select("id_a", "id_b")
+      Dedup.resolveGroups(docs, "doc_id", pairs).orderBy("doc_id")
+    }),
+
+    // pillar dedup: MOSS MATCH EVIDENCE — q116's pairs extended with the
+    // overlapping region extent in EACH document: the position-packed
+    // fingerprints ((fp<<32)|first-occurrence offset, one O(n) codegen
+    // pass) ride the exact same df-capped equi-join, and min/max of the
+    // matched offsets per pair give [start, end) char spans — the triage
+    // answer ("WHERE do these two documents overlap"), analogous to the
+    // reference returning the matched string rather than just a score
+    // (src/heurFuzz.py:123-125). Same sub-quadratic shape as q116; the
+    // extents are four extra min/max aggregates on the shuffle already
+    // being paid.
+    "q135_winnowing_evidence" -> ((s, dir) => {
+      val fps = spread(s, rd(s, dir, "documents"))
+        .select(col("doc_id"),
+          explode(TextAnalysis.winnowingFingerprintPos(col("text"))).as("p"))
+        .select(col("doc_id"), shiftright(col("p"), 32).as("fp"),
+          col("p").bitwiseAND(lit(4294967295L)).as("pos"))
+        .localCheckpoint(false) // feeds the df count AND both join sides
+      val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= WinnowMaxDf).select("fp")
+      val kept = fps.join(rare, Seq("fp"), "left_semi")
+      kept.alias("a")
+        .join(kept.alias("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("n_shared"),
+          min(col("a.pos")).as("a_start"),
+          (max(col("a.pos")) + lit(8L)).as("a_end"),
+          min(col("b.pos")).as("b_start"),
+          (max(col("b.pos")) + lit(8L)).as("b_end"))
+        .filter(col("n_shared") >= WinnowMinShared)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // pillar dedup/similarity: SemDeDup (Abbas et al. 2023) — SEMANTIC
+    // dedup over embeddings: cluster first (corpus-scaled k, the q46
+    // prefilter), then inside each cluster flag every vector that has a
+    // lower-id neighbor above the cosine threshold. keep-one-per-
+    // semantic-group falls out: is_dup=0 rows are the representatives
+    // (lowest id of each within-cluster dup clique chain). Within-bucket
+    // pair work is O(N^1.5) under k = ceil(sqrt(N)); the flag join adds
+    // one broadcast-size distinct. No cross join anywhere.
+    "q117_semdedup" -> ((s, dir) => {
+      val (withB, pairs) = embClusterPairs(s, dir)
+      val dups = pairs.select(col("id_b").as("vec_id")).distinct()
+        .withColumn("d", lit(1L))
+      withB.select("vec_id", "centroid_id")
+        .join(dups, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("centroid_id"), coalesce(col("d"), lit(0L)).as("is_dup"))
+        .orderBy("vec_id")
+    }),
+
+    // pillar dedup: INCREMENTAL near-dup — a new crawl batch
+    // (doc_id % 5 = 4) screened against the existing corpus (the rest),
+    // the production shape where dedup runs per-snapshot against a
+    // persisted signature table instead of all-pairs over history.
+    // Asymmetric LSH band join + exact Jaccard verify; every incoming doc
+    // reports its verified corpus-dup count and a kept flag.
+    "q118_incremental_dedup" -> ((s, dir) => {
+      val docs = spread(s, rd(s, dir, "documents"))
+      val incoming = docs.filter(col("doc_id") % IncrementalMod === IncrementalMod - 1)
+      val corpus = docs.filter(col("doc_id") % IncrementalMod =!= IncrementalMod - 1)
+      Dedup.incrementalNearDupFilter(incoming, corpus, "doc_id", "text",
+          shingleN = 4, numHashes = 8, rowsPerBand = 4, threshold = 0.4)
+        .orderBy("doc_id")
+    }),
+
+    // pillar dedup + physical layout: PERSISTED SIGNATURE TABLE round
+    // trip — the 100 TB shape q118's scaladoc promises, actually
+    // exercised: the corpus's LSH band table is WRITTEN ONCE as a parquet
+    // table bucketed+sorted on the (band, key) join key (q77's amortized
+    // staging pattern), and the incremental dedup READS it back — the
+    // candidate equi-join runs with NO exchange on the (huge, persisted)
+    // corpus side (BucketedJoinSpec pins the plan); only the small
+    // incoming batch shuffles into the bucket layout. Same oracle as
+    // q118: the round trip provably changes nothing.
+    "q132_persisted_sig_dedup" -> ((s, dir) => {
+      val docs = spread(s, rd(s, dir, "documents"))
+      val incoming = docs.filter(col("doc_id") % IncrementalMod === IncrementalMod - 1)
+      if (sigStagedFor.get() != dir || !s.catalog.tableExists("graft_sig_bkt")) {
+        val tmp = Staging.dir("sigtable-").toString
+        s.sql("DROP TABLE IF EXISTS graft_sig_bkt")
+        val corpus = docs.filter(col("doc_id") % IncrementalMod =!= IncrementalMod - 1)
+        Dedup.signatureBands(corpus, "doc_id", "text",
+            shingleN = 4, numHashes = 8, rowsPerBand = 4)
+          .write.format("parquet")
+          .bucketBy(8, "band", "key").sortBy("band", "key")
+          .option("path", s"$tmp/sig").mode("overwrite")
+          .saveAsTable("graft_sig_bkt")
+        sigStagedFor.set(dir)
+      }
+      Dedup.incrementalNearDupFilterOnBands(incoming, s.table("graft_sig_bkt"),
+          "doc_id", "text", shingleN = 4, numHashes = 8, rowsPerBand = 4,
+          threshold = 0.4)
+        .orderBy("doc_id")
+    }),
+
+    // pillar dedup: minhash ESTIMATE vs exact Jaccard per near-dup pair —
+    // the estimator-quality surface that decides whether the exact verify
+    // (the expensive half of LSH dedup at scale: shingle arrays ride the
+    // candidate shuffle) can be replaced by signature agreement alone.
+    "q120_minhash_estimate" -> ((s, dir) =>
+      Dedup.nearDuplicatesWithEstimate(spread(s, rd(s, dir, "documents")), "doc_id", "text",
+          shingleN = 4, numHashes = 8, rowsPerBand = 4, threshold = EstPairThreshold)
+        .orderBy("id_a", "id_b")),
+
+    // pillar dedup/similarity: SEMANTIC group resolution — the q52
+    // connected-components operator over the embedding-cosine pair graph
+    // instead of the MinHash one: (vec_id, keep_id) with keep_id = the
+    // minimum id of each transitive semantic-dup component (q117 flags
+    // direct lower-id neighbors; this collapses CHAINS a > b > c where
+    // only adjacent pairs clear the threshold).
+    "q122_semdedup_groups" -> ((s, dir) => {
+      val pairs = embClusterPairs(s, dir)._2.select("id_a", "id_b")
+      Dedup.resolveGroups(rd(s, dir, "embeddings"), "vec_id", pairs)
+        .orderBy("vec_id")
+    }),
+
+    // pipeline: LEAKAGE-SAFE train/val split — q59's hash split plus the
+    // check every eval pipeline needs: a val doc whose NEAR-DUPLICATE
+    // (q31's MinHash-LSH pair set, same parameters) landed in train is
+    // contaminated eval data. Per doc: split, count of near-dup
+    // neighbors in train, and kept = train rows plus uncontaminated val
+    // rows. Composes the banded LSH join with the split — no new
+    // shuffle shape beyond q31's.
+    "q126_leakage_safe_split" -> ((s, dir) => {
+      val docs = spread(s, rd(s, dir, "documents"))
+      val split = docs.select(
+        col("doc_id"),
+        when(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long") % 100 < 90,
+          lit("train")).otherwise(lit("val")).as("split"))
+      val pairs = Dedup.nearDuplicates(docs, "doc_id", "text",
+          shingleN = 4, numHashes = 8, rowsPerBand = 4, threshold = 0.4)
+        .select("id_a", "id_b")
+        .localCheckpoint(false) // the FULL LSH pipeline feeds both edge directions
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      val trainIds = split.filter(col("split") === "train").select(col("doc_id").as("dst"))
+      val leak = edges.join(trainIds, Seq("dst"))
+        .groupBy("src").agg(count(lit(1)).as("n_train_neighbors"))
+      split.join(leak, col("doc_id") === col("src"), "left")
+        .select(col("doc_id"), col("split"),
+          coalesce(col("n_train_neighbors"), lit(0L)).as("n_train_neighbors"))
+        .withColumn("kept", col("split") === "train" || col("n_train_neighbors") === 0)
+        .orderBy("doc_id")
+    }),
+
+    // pillar dedup: EXACT-SUBSTRING REMOVAL (Lee et al. ACL'22 — the
+    // actual deduplicate output, not just q108's stats): every
+    // DupSpanN-char span occurring >= 2 times anywhere in the corpus is
+    // cut from every document it covers. Dup-start detection is the q108
+    // span-hash shuffle (xxhash64 keys, no pairwise work); the removal
+    // itself is per-doc narrow: the doc's sorted dup starts fold through
+    // ONE aggregate() that merges overlapping [p, p+N) intervals and
+    // stitches the kept substrings — no per-char explode on the Spark
+    // side. Output carries the cleaned text itself, hash-compared.
+    "q138_substring_removal" -> ((s, dir) => {
+      val docs = spread(s, rd(s, dir, "documents"))
+      val sp = docs.select(col("doc_id"),
+          posexplode(TextFunctions.charShingles(lower(col("text")), DupSpanN)))
+        .select(col("doc_id"), col("pos"), xxhash64(col("col")).as("h"))
+        .localCheckpoint(false) // feeds the global dup counts AND the join back
+      val dup = sp.groupBy("h").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2L).select("h")
+      val starts = sp.join(dup, Seq("h"), "left_semi")
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(col("pos"))).as("starts"),
+          count(lit(1)).as("n_dup_spans"))
+      docs.join(starts, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("text"),
+          coalesce(col("starts"), array().cast("array<int>")).as("starts"),
+          coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+        .withColumn("cleaned", expr(
+          s"""aggregate(starts,
+             |  struct(CAST('' AS STRING) AS acc, 0 AS lend),
+             |  (st, p) -> struct(
+             |    CASE WHEN p > st.lend
+             |         THEN concat(st.acc, substring(text, st.lend + 1, p - st.lend))
+             |         ELSE st.acc END AS acc,
+             |    CASE WHEN p + $DupSpanN > st.lend THEN p + $DupSpanN ELSE st.lend END AS lend),
+             |  st -> concat(st.acc, substring(text, st.lend + 1)))""".stripMargin))
+        .select(col("doc_id"), col("n_dup_spans"),
+          length(col("text")).cast("long").as("orig_chars"),
+          (length(col("text")) - length(col("cleaned"))).cast("long").as("removed_chars"),
+          col("cleaned"))
+        .orderBy("doc_id")
+    }),
+
+    // pillar dedup: LSH BANDING-PARAMETER AUDIT — the tuning table read
+    // before committing a banding to a 100 TB dedup run: per
+    // (bands, rows-per-band) config over ONE shared signature table,
+    // candidate volume (the shuffle-cost knob) vs true near-dup pairs
+    // captured (the recall knob). Truth = exact-Jaccard pairs among the
+    // (8,1) candidates — the most permissive banding, provably a
+    // superset of every coarser config's candidate set.
+    "q147_lsh_tuning_audit" -> ((s, dir) =>
+      // eager-checkpoint the 3-row audit BEFORE the sort: orderBy's
+      // range-partitioner sampling would otherwise re-execute the whole
+      // three-branch union (measured 88 s -> 9 s at the 10x corpus)
+      Dedup.lshTuningAudit(spread(s, rd(s, dir, "documents")), "doc_id", "text",
+          shingleN = 4, numHashes = 8,
+          configs = Seq((8, 1), (4, 2), (2, 4)), threshold = 0.4,
+          sampleTarget = LshAuditSampleTarget)
+        .localCheckpoint(true)
+        .orderBy(col("bands").desc))
+  )
+
+  protected def dedupOracle: Map[String, String] = Map(
+    "q30_dedup_exact" ->
+      """SELECT md5(text) AS h, count(*) AS cnt, min(doc_id) AS keep_id
+        |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin,
+
+    "q31_dedup_minhash_lsh" ->
+      s"""WITH $lshPairsCtes
+         |SELECT id_a, id_b, jacc FROM nd_pairs ORDER BY id_a, id_b""".stripMargin,
+
+    // group resolution: transitive closure over the near-dup pair graph,
+    // min id per component (DuckDB recursive CTE; UNION dedupes so the
+    // recursion reaches a fixpoint despite cycles)
+    "q52_dedup_groups" ->
+      s"""WITH RECURSIVE $lshPairsCtes,
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM nd_pairs
+         |  UNION ALL
+         |  SELECT id_b AS src, id_a AS dst FROM nd_pairs),
+         |reach(id, r) AS (
+         |  SELECT doc_id::BIGINT, doc_id::BIGINT FROM documents
+         |  UNION
+         |  SELECT e.dst, w.r FROM reach w JOIN edges e ON e.src = w.id)
+         |SELECT id AS doc_id, min(r) AS keep_id FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "q32_simhash" -> {
+      val bitSums = (0 until 16).map(b => s"sum(((hv >> $b) & 1) * 2 - 1) AS s$b").mkString(",\n  ")
+      val bits = (0 until 16).map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, unnest($tokensLowerSql) AS tok FROM documents),
+         |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM t),
+         |b AS (SELECT doc_id,
+         |  $bitSums
+         |  FROM h GROUP BY doc_id)
+         |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM b ORDER BY doc_id""".stripMargin
+    },
+
+    "q33_ngram_jaccard" ->
+      s"""WITH d AS (SELECT doc_id,
+         |  list_distinct(list_transform(${docShinglesSql(8)}, g -> ('0x' || substr(md5(g), 1, 15))::BIGINT)) AS sh
+         |  FROM documents),
+         |ok AS (SELECT * FROM d WHERE len(sh) > 0),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         len(list_intersect(a.sh, b.sh))::DOUBLE
+         |           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jacc
+         |  FROM ok a JOIN ok b ON a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, jacc FROM pairs WHERE jacc >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+
+    "q46_dedup_embed_cosine" ->
+      s"""WITH $embCosPairsCtes
+         |SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= $SemDedupTau ORDER BY id_a, id_b""".stripMargin,
+
+    "q47_dedup_simhash_pairs" -> {
+      val bitSums = (0 until 16).map(b => s"sum(((hv >> $b) & 1) * 2 - 1) AS s$b").mkString(",\n  ")
+      val bits = (0 until 16).map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, unnest($tokensLowerSql) AS tok FROM documents),
+         |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM t),
+         |b AS (SELECT doc_id,
+         |  $bitSums
+         |  FROM h GROUP BY doc_id),
+         |sh AS (SELECT doc_id, CAST($bits AS BIGINT) AS sh FROM b),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, bit_count(xor(a.sh, b.sh))::BIGINT AS hamming
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 2 ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "q108_dup_span_stats" ->
+      s"""WITH d AS (SELECT doc_id, ${docShinglesSql(DupSpanN)} AS shs FROM documents),
+         |ex AS (SELECT doc_id, unnest(shs) AS sh FROM d),
+         |dup AS (SELECT sh FROM ex GROUP BY sh HAVING count(*) >= 2),
+         |pd AS (SELECT doc_id, count(*)::BIGINT AS n_dup
+         |       FROM ex JOIN dup USING (sh) GROUP BY doc_id)
+         |SELECT d.doc_id, len(shs)::BIGINT AS n_shingles,
+         |       coalesce(pd.n_dup, 0)::BIGINT AS n_dup,
+         |       CASE WHEN len(shs) = 0 THEN 0.0
+         |            ELSE coalesce(pd.n_dup, 0)::DOUBLE / len(shs) END AS dup_ratio
+         |FROM d LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q115_winnowing_fingerprints" ->
+      """WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+        |h AS (SELECT doc_id,
+        |  list_transform(range(1, greatest(strlen(t) - 6, 1)), i ->
+        |    list_reduce(list_transform(range(i, i + 8), j -> unicode(substr(t, j::INT, 1))::BIGINT),
+        |      (a, b) -> (a * 131 + b) % 1000000007)) AS hs
+        |  FROM d),
+        |f AS (SELECT doc_id,
+        |        CASE WHEN len(hs) = 0 THEN []::BIGINT[]
+        |             WHEN len(hs) < 8 THEN [list_min(hs)]
+        |             ELSE list_distinct(list_transform(range(1, len(hs) - 6),
+        |                    i -> list_min(hs[i::INT:(i::INT)+7]))) END AS fps
+        |      FROM h)
+        |SELECT doc_id, unnest(fps) AS fp FROM f ORDER BY doc_id, fp""".stripMargin,
+
+    "q116_winnowing_pairs" ->
+      s"""WITH $winnowPairsCtes
+         |SELECT id_a, id_b, n_shared FROM wpairs
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // three band layouts generated from the SAME sig CTE (and the same
+    // MinhashParams constants as the Spark side); truth via the q31
+    // exact-Jaccard verify on the (8,1) candidates
+    "q147_lsh_tuning_audit" -> {
+      def bandCte(name: String, src: String, bands: Int, rows: Int): String = {
+        val sels = (0 until bands).map { bd =>
+          val key = (0 until rows)
+            .map(r => s"m${bd * rows + r}::VARCHAR").mkString(" || '|' || ")
+          s"SELECT doc_id, $bd AS band, $key AS key FROM $src"
+        }.mkString("\n  UNION ALL ")
+        s"$name AS (\n  $sels)"
+      }
+      def candCte(name: String, bandName: String): String =
+        s"""$name AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+           |  FROM $bandName x JOIN $bandName y
+           |  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)""".stripMargin
+      def cfgRow(cand: String, bands: Int, rows: Int): String =
+        s"""SELECT $bands::BIGINT AS bands, $rows::BIGINT AS rows_per_band,
+           |  count(*)::BIGINT AS n_candidates,
+           |  sum(CASE WHEN t.id_a IS NULL THEN 0 ELSE 1 END)::BIGINT AS n_true_found
+           |FROM $cand c LEFT JOIN truth t ON t.id_a = c.id_a AND t.id_b = c.id_b""".stripMargin
+      s"""WITH $lshBandCtes,
+         |kpa AS (SELECT greatest(1, count(*) // $LshAuditSampleTarget) AS m FROM documents),
+         |sigs AS (SELECT sig.* FROM sig, kpa WHERE doc_id % kpa.m = 0),
+         |${bandCte("band81", "sigs", 8, 1)},
+         |${bandCte("band42", "sigs", 4, 2)},
+         |${bandCte("band24", "sigs", 2, 4)},
+         |${candCte("cand81", "band81")},
+         |${candCte("cand42", "band42")},
+         |${candCte("cand24", "band24")},
+         |truth AS (SELECT c.id_a, c.id_b
+         |  FROM cand81 c JOIN ok da ON da.doc_id = c.id_a JOIN ok db ON db.doc_id = c.id_b
+         |  WHERE $lshJaccSql >= 0.4),
+         |tot AS (SELECT count(*)::BIGINT AS n_true_total FROM truth),
+         |r AS (${cfgRow("cand81", 8, 1)}
+         |  UNION ALL ${cfgRow("cand42", 4, 2)}
+         |  UNION ALL ${cfgRow("cand24", 2, 4)})
+         |SELECT r.*, tot.n_true_total,
+         |       CAST(n_true_found AS DOUBLE) / nullif(n_true_total, 0) AS recall
+         |FROM r CROSS JOIN tot ORDER BY bands DESC""".stripMargin
+    },
+
+    // q52's recursive-CC oracle form over the q116 pair graph
+    "q146_winnowing_groups" ->
+      s"""WITH RECURSIVE $winnowPairsCtes,
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM wpairs
+         |  UNION ALL
+         |  SELECT id_b AS src, id_a AS dst FROM wpairs),
+         |reach(id, r) AS (
+         |  SELECT doc_id::BIGINT, doc_id::BIGINT FROM documents
+         |  UNION
+         |  SELECT e.dst, w.r FROM reach w JOIN edges e ON e.src = w.id)
+         |SELECT id AS doc_id, min(r) AS keep_id FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // evidence spans: position = first index of the fingerprint value in
+    // the rolling-hash array (list_position), the same deterministic
+    // definition the packed expression uses; extents are min/max + k
+    "q135_winnowing_evidence" ->
+      s"""WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+         |h AS (SELECT doc_id,
+         |  list_transform(range(1, greatest(strlen(t) - 6, 1)), i ->
+         |    list_reduce(list_transform(range(i, i + 8), j -> unicode(substr(t, j::INT, 1))::BIGINT),
+         |      (a, b) -> (a * 131 + b) % 1000000007)) AS hs
+         |  FROM d),
+         |f AS (SELECT doc_id, hs,
+         |        CASE WHEN len(hs) = 0 THEN []::BIGINT[]
+         |             WHEN len(hs) < 8 THEN [list_min(hs)]
+         |             ELSE list_distinct(list_transform(range(1, len(hs) - 6),
+         |                    i -> list_min(hs[i::INT:(i::INT)+7]))) END AS fps
+         |      FROM h),
+         |fpp AS (SELECT doc_id, unnest(fps) AS fp, hs FROM f),
+         |pos AS (SELECT doc_id, fp,
+         |          (list_position(hs, fp) - 1)::BIGINT AS pos
+         |        FROM fpp),
+         |rare AS (SELECT fp FROM pos GROUP BY fp HAVING count(*) <= $WinnowMaxDf),
+         |k AS (SELECT doc_id, fp, pos FROM pos JOIN rare USING (fp))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared,
+         |       min(a.pos)::BIGINT AS a_start, (max(a.pos) + 8)::BIGINT AS a_end,
+         |       min(b.pos)::BIGINT AS b_start, (max(b.pos) + 8)::BIGINT AS b_end
+         |FROM k a JOIN k b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q117_semdedup" ->
+      s"""WITH $embCosPairsCtes,
+         |dup AS (SELECT DISTINCT id_b AS vec_id FROM pairs WHERE cos_sim >= $SemDedupTau)
+         |SELECT a.vec_id, a.centroid_id,
+         |       (CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END)::BIGINT AS is_dup
+         |FROM assign a LEFT JOIN dup d ON d.vec_id = a.vec_id
+         |ORDER BY a.vec_id""".stripMargin,
+
+    "q118_incremental_dedup" -> incrementalDedupOracle,
+
+    "q120_minhash_estimate" -> {
+      val agree = (0 until TextFunctions.MinhashParams.length)
+        .map(i => s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $lshBandCtes,
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM band x JOIN band y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+         |est AS (
+         |  SELECT c.id_a, c.id_b,
+         |         ($agree)::DOUBLE / ${TextFunctions.MinhashParams.length} AS est_jacc
+         |  FROM cand c JOIN sig sa ON sa.doc_id = c.id_a JOIN sig sb ON sb.doc_id = c.id_b),
+         |ver AS (
+         |  SELECT e.id_a, e.id_b, e.est_jacc,
+         |         $lshJaccSql AS jacc
+         |  FROM est e JOIN ok da ON da.doc_id = e.id_a JOIN ok db ON db.doc_id = e.id_b)
+         |SELECT id_a, id_b, est_jacc, jacc FROM ver WHERE jacc >= $EstPairThreshold
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    // the bucketed round trip must not change answers: q132 shares q118's
+    // oracle verbatim (dedup against the persisted signature table ==
+    // dedup against signatures derived in-plan)
+    "q132_persisted_sig_dedup" -> incrementalDedupOracle,
+
+    // transitive closure over the within-cluster cosine pair graph
+    // (q52's recursive-CTE shape on the q46/q117 embedding CTEs)
+    "q122_semdedup_groups" ->
+      s"""WITH RECURSIVE $embCosPairsCtes,
+         |nd AS (SELECT id_a, id_b FROM pairs WHERE cos_sim >= $SemDedupTau),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM nd
+         |  UNION ALL
+         |  SELECT id_b AS src, id_a AS dst FROM nd),
+         |reach(id, r) AS (
+         |  SELECT vec_id::BIGINT, vec_id::BIGINT FROM embeddings
+         |  UNION
+         |  SELECT e.dst, w.r FROM reach w JOIN edges e ON e.src = w.id)
+         |SELECT id AS vec_id, min(r) AS keep_id FROM reach GROUP BY id ORDER BY vec_id""".stripMargin,
+
+    "q126_leakage_safe_split" ->
+      s"""WITH $lshPairsCtes,
+         |sp AS (
+         |  SELECT doc_id,
+         |         CASE WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 < 90
+         |              THEN 'train' ELSE 'val' END AS split
+         |  FROM documents),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM nd_pairs
+         |  UNION ALL
+         |  SELECT id_b AS src, id_a AS dst FROM nd_pairs),
+         |leak AS (
+         |  SELECT e.src, count(*) AS n_train_neighbors
+         |  FROM edges e JOIN sp t ON t.doc_id = e.dst AND t.split = 'train'
+         |  GROUP BY e.src)
+         |SELECT sp.doc_id, sp.split,
+         |       coalesce(l.n_train_neighbors, 0)::BIGINT AS n_train_neighbors,
+         |       (sp.split = 'train' OR coalesce(l.n_train_neighbors, 0) = 0) AS kept
+         |FROM sp LEFT JOIN leak l ON l.src = sp.doc_id
+         |ORDER BY sp.doc_id""".stripMargin,
+
+    "q81_dedup_latest" ->
+      """SELECT event_id, user_id, event_type, tsn, value FROM (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS tsn, value,
+        |         row_number() OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    // keep-best: q52's transitive-closure groups, then argmax by
+    // (n_chars desc, doc_id asc) within each group
+    "q91_dedup_keep_best" ->
+      s"""WITH RECURSIVE $lshPairsCtes,
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM nd_pairs
+         |  UNION ALL
+         |  SELECT id_b AS src, id_a AS dst FROM nd_pairs),
+         |reach(id, r) AS (
+         |  SELECT doc_id::BIGINT, doc_id::BIGINT FROM documents
+         |  UNION
+         |  SELECT e.dst, w.r FROM reach w JOIN edges e ON e.src = w.id),
+         |g AS (SELECT id AS doc_id, min(r) AS group_id FROM reach GROUP BY id),
+         |j AS (SELECT g.doc_id, g.group_id, d.n_chars FROM g JOIN documents d USING (doc_id)),
+         |b AS (SELECT doc_id, group_id,
+         |        row_number() OVER (PARTITION BY group_id ORDER BY n_chars DESC, doc_id ASC) AS rk
+         |      FROM j),
+         |best AS (SELECT group_id, doc_id AS best_id FROM b WHERE rk = 1)
+         |SELECT j.doc_id, j.group_id, best.best_id, j.doc_id = best.best_id AS kept
+         |FROM j JOIN best USING (group_id) ORDER BY doc_id""".stripMargin,
+
+    // naive O(n*k) recompute of the O(n) rolling hash — same values
+    "q102_rolling_fingerprint" ->
+      """WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+        |h AS (SELECT doc_id,
+        |  list_transform(range(1, greatest(strlen(t) - 6, 1)), i ->
+        |    list_reduce(list_transform(range(i, i + 8), j -> unicode(substr(t, j::INT, 1))::BIGINT),
+        |      (a, b) -> (a * 131 + b) % 1000000007)) AS hs
+        |  FROM d)
+        |SELECT doc_id,
+        |  array_to_string(list_transform(list_slice(list_sort(list_distinct(hs)), 1, 8), x -> x::VARCHAR), ',') AS fp,
+        |  len(hs)::BIGINT AS n_grams
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    // removal re-derived per char: covered = within [p+1, p+N] of any
+    // dup start; cleaned = ordered string_agg of the kept chars
+    "q138_substring_removal" ->
+      s"""WITH sp AS (SELECT doc_id, i - 1 AS p, substr(lower(text), i::INT, $DupSpanN) AS g
+         |            FROM (SELECT doc_id, text,
+         |                    unnest(range(1, greatest(strlen(text) - ${DupSpanN - 2}, 1))) AS i
+         |                  FROM documents)),
+         |dup AS (SELECT g FROM sp GROUP BY g HAVING count(*) >= 2),
+         |stt AS (SELECT doc_id, p FROM sp JOIN dup USING (g)),
+         |agg AS (SELECT doc_id, count(*) AS n_dup_spans FROM stt GROUP BY doc_id),
+         |ch AS (SELECT doc_id, unnest(range(1, strlen(text) + 1)) AS i FROM documents),
+         |cov AS (SELECT DISTINCT c.doc_id, c.i FROM ch c
+         |        JOIN stt t ON t.doc_id = c.doc_id AND c.i BETWEEN t.p + 1 AND t.p + $DupSpanN),
+         |kept AS (SELECT c.doc_id, c.i FROM ch c
+         |         LEFT JOIN cov v ON v.doc_id = c.doc_id AND v.i = c.i
+         |         WHERE v.i IS NULL),
+         |cl AS (SELECT d.doc_id,
+         |         coalesce(string_agg(substr(d.text, k.i::INT, 1), '' ORDER BY k.i), '') AS cleaned
+         |       FROM documents d LEFT JOIN kept k ON k.doc_id = d.doc_id
+         |       GROUP BY d.doc_id)
+         |SELECT d.doc_id, coalesce(a.n_dup_spans, 0)::BIGINT AS n_dup_spans,
+         |       strlen(d.text)::BIGINT AS orig_chars,
+         |       (strlen(d.text) - strlen(cl.cleaned))::BIGINT AS removed_chars,
+         |       cl.cleaned AS cleaned
+         |FROM documents d LEFT JOIN agg a USING (doc_id) JOIN cl ON cl.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,316 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, HeurFuzz, Multimodal, Quota, Similarity, Sketches, TextAnalysis}
+
+/** Registry pillar: event analytics: sessionize, funnel, cohort, as-of/range joins,
+  * deltas, rolling windows. Split from SparkEntry.scala
+  * (round 8); query semantics and oracle SQL unchanged.
+  */
+trait EventsRegistry extends RegistryBase {
+  protected def eventsQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // events: tumbling-window aggregate (batch form of the streaming slice).
+    // ts arrives as long nanoseconds (nanosAsLong); integer div keeps the
+    // hour bucket exact (double division would lose precision at 1e18).
+    "q40_events_hourly" -> ((s, dir) =>
+      rd(s, dir, "events")
+        .groupBy(
+          (expr("ts div 3600000000000") * 3600).as("hour_epoch"),
+          col("event_type")
+        )
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value")
+        )
+        .orderBy("hour_epoch", "event_type")),
+
+    // events: backward as-of join — each click matched to the user's most
+    // recent view at or before it (oracle = DuckDB's native ASOF JOIN)
+    "q48_events_asof_join" -> ((s, dir) => {
+      // micros, not raw nanos: DuckDB truncates TIMESTAMP(NANOS) parquet to
+      // microsecond precision on read, so both engines must compare on the
+      // same (microsecond) timeline
+      val ev = rd(s, dir, "events")
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("tsn"), col("event_type"))
+      val clicks = ev.filter(col("event_type") === "click").drop("event_type")
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy("user_id", "tsn")
+        .agg(max(col("event_id")).as("v_event_id"))
+      graft.operators.AsofJoin.asofBackward(clicks, views, "user_id", "tsn", Seq("v_event_id"))
+        .filter(col("v_event_id").isNotNull) // inner asof semantics
+        .select(col("event_id"), col("user_id"), col("v_event_id"), col("asof_tsn").as("v_tsn"))
+        .orderBy("event_id")
+    }),
+
+    // events: banded range join — views within the hour preceding each click
+    "q49_events_range_join" -> ((s, dir) => {
+      val ev = rd(s, dir, "events")
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("tsn"), col("event_type"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("tsn").as("c_tsn"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("tsn").as("v_tsn"))
+      graft.operators.Joins.rangeJoinBackWindow(clicks, views, "user_id", "c_tsn", "v_tsn", 3600000000L)
+        .groupBy("event_id", "user_id")
+        .agg(count(lit(1)).as("n_prior_views"))
+        .orderBy("event_id")
+    }),
+
+    // events: per-type distinct users
+    "q42_events_user_stats" -> ((s, dir) =>
+      rd(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events")
+        )
+        .orderBy("event_type")),
+
+    // events: sessionization — gap > 30 min starts a new session. Every
+    // window is partitioned by user_id (no global window); the classic
+    // lag -> flag -> running-sum plan, one shuffle on the key.
+    "q54_events_sessionize" -> ((s, dir) => {
+      val ev = rd(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("tsn"), col("event_id"))
+      val w = Window.partitionBy("user_id").orderBy(col("tsn").asc, col("event_id").asc)
+      ev
+        .withColumn("prev", lag(col("tsn"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev").isNull || col("tsn") - col("prev") > SessionGapMicros, 1L).otherwise(0L))
+        .withColumn("sess_id",
+          sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sess_id")
+        .agg(
+          min(col("tsn")).as("session_start"),
+          max(col("tsn")).as("session_end"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id", "sess_id")
+    }),
+
+    // events: per-session ordered event-type paths (behavioral sequences
+    // — the feature shape session-based models train on). Reuses the q54
+    // session assignment; the path is an order-pinned collect.
+    "q67_session_paths" -> ((s, dir) => {
+      val ev = rd(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("tsn"), col("event_id"), col("event_type"))
+      val w = Window.partitionBy("user_id").orderBy(col("tsn").asc, col("event_id").asc)
+      ev
+        .withColumn("prev", lag(col("tsn"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev").isNull || col("tsn") - col("prev") > SessionGapMicros, 1L).otherwise(0L))
+        .withColumn("sess_id",
+          sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sess_id")
+        .agg(
+          array_join(
+            transform(
+              array_sort(collect_list(struct(col("tsn"), col("event_id"), col("event_type")))),
+              x => x("event_type")),
+            ">").as("path"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id", "sess_id")
+    }),
+
+    // events: lag/lead inter-arrival deltas per user — the
+    // feature-engineering window shape (both directions in ONE window
+    // spec = one shuffle on user_id, one sort)
+    "q79_event_deltas" -> ((s, dir) => {
+      val ev = rd(s, dir, "events")
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("tsn"))
+      val w = Window.partitionBy("user_id").orderBy(col("tsn").asc, col("event_id").asc)
+      ev
+        .withColumn("gap_before", col("tsn") - lag(col("tsn"), 1).over(w))
+        .withColumn("gap_after", lead(col("tsn"), 1).over(w) - col("tsn"))
+        .orderBy("event_id")
+    }),
+
+    // relational: event-time rolling window — per-user trailing-1h count
+    // and exact decimal sum via RANGE frame on the microsecond timestamp
+    // (the time-based sliding aggregate a rate-limiter/feature pipeline
+    // needs; ROWS frames can't express "last hour")
+    "q88_rolling_window" -> ((s, dir) => {
+      val ev = rd(s, dir, "events")
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("tsn"), col("value"))
+      val w = Window.partitionBy("user_id").orderBy(col("tsn"))
+        .rangeBetween(-3600000000L, Window.currentRow)
+      ev
+        .withColumn("roll_n", count(lit(1)).over(w))
+        .withColumn("roll_sum", sum(col("value").cast("decimal(18,4)")).over(w).cast("double"))
+        .select("event_id", "user_id", "tsn", "roll_n", "roll_sum")
+        .orderBy("event_id")
+    }),
+
+    // custom WHOLE-OPERATOR surface (LogicalPlan + SparkStrategy +
+    // BinaryExecNode): the native as-of join — same workload and SAME
+    // oracle as q48's composed union+running-last operator, so the two
+    // implementations gate each other through DuckDB's native ASOF JOIN
+    "q101_asof_native" -> ((s, dir) => {
+      val ev = rd(s, dir, "events")
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("tsn"), col("event_type"))
+      val clicks = ev.filter(col("event_type") === "click").drop("event_type")
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy("user_id", "tsn")
+        .agg(max(col("event_id")).as("v_event_id"))
+      graft.operators.AsofJoin.asofBackwardNative(clicks, views, "user_id", "tsn", Seq("v_event_id"))
+        .filter(col("v_event_id").isNotNull) // inner asof semantics
+        .select(col("event_id"), col("user_id"), col("v_event_id"), col("asof_tsn").as("v_tsn"))
+        .orderBy("event_id")
+    }),
+
+    // pillar events: FUNNEL ANALYSIS — ordered-stage conversion
+    // (signup -> first view AFTER signup -> first purchase AFTER that
+    // view), the product-analytics staple. Each stage is one filtered
+    // min-aggregate equi-joined on user_id to the previous stage's
+    // timestamps — no window, no per-user event collection; three
+    // map-side-combined shuffles on a key that only grows with users.
+    "q149_event_funnel" -> ((s, dir) => {
+      val ev = spread(s, rd(s, dir, "events"))
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .localCheckpoint(false) // feeds all three stage aggregates
+      val s1 = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("ts")).as("t1"))
+      val s2 = ev.filter(col("event_type") === "view").join(s1, Seq("user_id"))
+        .filter(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min(col("ts")).as("t2"))
+      val s3 = ev.filter(col("event_type") === "purchase").join(s2, Seq("user_id"))
+        .filter(col("ts") > col("t2"))
+        .groupBy("user_id").agg(min(col("ts")).as("t3"))
+      s1.agg(count(lit(1)).as("n_users"))
+        .select(lit(1L).as("stage"), lit("signup").as("event_type"), col("n_users"))
+        .unionAll(s2.agg(count(lit(1)).as("n_users"))
+          .select(lit(2L).as("stage"), lit("view").as("event_type"), col("n_users")))
+        .unionAll(s3.agg(count(lit(1)).as("n_users"))
+          .select(lit(3L).as("stage"), lit("purchase").as("event_type"), col("n_users")))
+        .orderBy("stage")
+    }),
+
+    // pillar events: COHORT RETENTION — users grouped by first-seen
+    // week, activity counted per (cohort, week-offset): the retention
+    // matrix every growth dashboard draws. Distinct (user, week) rows
+    // join the tiny per-user cohort frame; week indices derive from the
+    // SAME integer epoch-floor on both engines (q133's day-index trick).
+    "q150_cohort_retention" -> ((s, dir) => {
+      val ev = spread(s, rd(s, dir, "events"))
+        .select(col("user_id"), expr("ts div 604800000000000").as("wk"))
+        .localCheckpoint(false) // feeds the cohort min AND the activity matrix
+      val uw = ev.distinct()
+      val first = ev.groupBy("user_id").agg(min(col("wk")).as("cohort_week"))
+      uw.join(first, Seq("user_id"))
+        .groupBy(col("cohort_week"), (col("wk") - col("cohort_week")).as("week_offset"))
+        .agg(count(lit(1)).as("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    })
+  )
+
+  protected def eventsOracle: Map[String, String] = Map(
+    "q40_events_hourly" ->
+      """SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch, event_type,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_epoch, event_type""".stripMargin,
+
+    "q42_events_user_stats" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q49_events_range_join" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS c_tsn FROM events WHERE event_type = 'click'),
+        |views AS (
+        |  SELECT user_id, epoch_us(ts) AS v_tsn FROM events WHERE event_type = 'view')
+        |SELECT c.event_id, c.user_id, count(*) AS n_prior_views
+        |FROM clicks c JOIN views v
+        |  ON c.user_id = v.user_id AND v.v_tsn >= c.c_tsn - 3600000000 AND v.v_tsn <= c.c_tsn
+        |GROUP BY c.event_id, c.user_id ORDER BY c.event_id""".stripMargin,
+
+    "q48_events_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS tsn FROM events WHERE event_type = 'click'),
+        |views AS (
+        |  SELECT user_id, epoch_us(ts) AS tsn, max(event_id) AS v_event_id
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id, epoch_us(ts))
+        |SELECT c.event_id, c.user_id, v.v_event_id, v.tsn AS v_tsn
+        |FROM clicks c ASOF JOIN views v ON c.user_id = v.user_id AND c.tsn >= v.tsn
+        |ORDER BY c.event_id""".stripMargin,
+
+    // identical to q48: the native physical operator must produce exactly
+    // what the composed operator (and DuckDB's built-in ASOF) produce
+    "q101_asof_native" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS tsn FROM events WHERE event_type = 'click'),
+        |views AS (
+        |  SELECT user_id, epoch_us(ts) AS tsn, max(event_id) AS v_event_id
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id, epoch_us(ts))
+        |SELECT c.event_id, c.user_id, v.v_event_id, v.tsn AS v_tsn
+        |FROM clicks c ASOF JOIN views v ON c.user_id = v.user_id AND c.tsn >= v.tsn
+        |ORDER BY c.event_id""".stripMargin,
+
+    "q54_events_sessionize" ->
+      s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS tsn, event_id FROM events),
+         |l AS (SELECT *, lag(tsn) OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS prev FROM ev),
+         |f AS (SELECT *, CASE WHEN prev IS NULL OR tsn - prev > $SessionGapMicros THEN 1 ELSE 0 END AS new_sess FROM l),
+         |c AS (SELECT *, (sum(new_sess) OVER (
+         |    PARTITION BY user_id ORDER BY tsn, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS sess_id FROM f)
+         |SELECT user_id, sess_id, min(tsn) AS session_start, max(tsn) AS session_end, count(*) AS n_events
+         |FROM c GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin,
+
+    "q67_session_paths" ->
+      s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS tsn, event_id, event_type FROM events),
+         |l AS (SELECT *, lag(tsn) OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS prev FROM ev),
+         |f AS (SELECT *, CASE WHEN prev IS NULL OR tsn - prev > $SessionGapMicros THEN 1 ELSE 0 END AS new_sess FROM l),
+         |c AS (SELECT *, (sum(new_sess) OVER (
+         |    PARTITION BY user_id ORDER BY tsn, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS sess_id FROM f)
+         |SELECT user_id, sess_id,
+         |       string_agg(event_type, '>' ORDER BY tsn, event_id) AS path,
+         |       count(*) AS n_events
+         |FROM c GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin,
+
+    "q149_event_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'view' AND ts > t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(ts) AS t3 FROM events e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT 1::BIGINT AS stage, 'signup' AS event_type,
+        |         (SELECT count(*) FROM s1)::BIGINT AS n_users
+        |  UNION ALL SELECT 2::BIGINT, 'view', (SELECT count(*) FROM s2)::BIGINT
+        |  UNION ALL SELECT 3::BIGINT, 'purchase', (SELECT count(*) FROM s3)::BIGINT)
+        |ORDER BY stage""".stripMargin,
+
+    // week index = floor-seconds // 604800 — date_trunc('second') makes
+    // epoch() integral so the ::BIGINT cast is exact (q133's trick);
+    // Spark's micros div 604800000000 floors to the same index
+    "q150_cohort_retention" ->
+      """WITH w AS (SELECT DISTINCT user_id,
+        |             (epoch(date_trunc('second', ts))::BIGINT // 604800) AS wk
+        |           FROM events),
+        |f AS (SELECT user_id, min(wk) AS cohort_week FROM w GROUP BY 1)
+        |SELECT f.cohort_week, (w.wk - f.cohort_week)::BIGINT AS week_offset,
+        |       count(*)::BIGINT AS n_active
+        |FROM w JOIN f USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q79_event_deltas" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS tsn,
+        |       epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS gap_before,
+        |       lead(epoch_us(ts), 1) OVER w - epoch_us(ts) AS gap_after
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC)
+        |ORDER BY event_id""".stripMargin,
+
+    "q88_rolling_window" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS tsn,
+        |       (count(*) OVER w)::BIGINT AS roll_n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS roll_sum
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin
+  )
+}

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, HeurFuzz, Multimodal, Quota, Similarity, Sketches, TextAnalysis}
+
+/** Registry pillar: multimodal binary columns: metadata, decode, frames/resize. Split from SparkEntry.scala
+  * (round 8); query semantics and oracle SQL unchanged.
+  */
+trait MultimodalRegistry extends RegistryBase {
+  protected def multimodalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // pillar multimodal: binary content + metadata extraction (decode is a
+    // documented stub; this is the declarative pre-filter side)
+    "q41_multimodal_meta" -> ((s, dir) =>
+      Multimodal.contentMeta(
+          Multimodal.withContent(rd(s, dir, "documents"), "text"), "doc_id")
+        .orderBy("doc_id")),
+
+    // pillar multimodal: the DECODE path itself through the oracle gate —
+    // Dataset.mapPartitions feature extraction (the per-partition batch
+    // shape a real codec plugs into), exploded to scalar rows so the
+    // md5-derived stub features hash-compare bit-for-bit vs DuckDB
+    "q76_multimodal_decode" -> ((s, dir) => {
+      val withC = Multimodal.withContent(spread(s, rd(s, dir, "documents")), "text")
+      Multimodal.decodeFeatures(s, withC, "doc_id")
+        .select(
+          col("id").as("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_frames").cast("long").as("n_frames"),
+          posexplode(col("features")).as(Seq("feat_idx", "feat_f")))
+        .select(
+          col("doc_id"), col("width"), col("height"), col("n_frames"),
+          col("feat_idx").cast("long").as("feat_idx"),
+          col("feat_f").cast("double").as("feat"))
+        .orderBy("doc_id", "feat_idx")
+    }),
+
+    // pillar multimodal: frame sampling + resize planning — up to 4
+    // evenly-spaced frame indices per asset (explode of an arithmetic
+    // sequence; the decode itself stays behind the documented stub) and
+    // the aspect-preserving integer fit into a 256-box; per-frame
+    // signature is md5-derived so the oracle reproduces it bit-for-bit
+    "q103_frames_resize" -> ((s, dir) => {
+      val h = md5(col("text"))
+      spread(s, rd(s, dir, "documents"))
+        .select(
+          col("doc_id"), col("text"),
+          (conv(substring(h, 1, 4), 16, 10).cast("long") % 1024).as("width"),
+          (conv(substring(h, 5, 4), 16, 10).cast("long") % 1024).as("height"),
+          (conv(substring(h, 9, 2), 16, 10).cast("long") % 16 + 1).as("n_frames"))
+        .withColumn("step", expr("greatest((n_frames + 3) div 4, 1)"))
+        .select(col("doc_id"), col("text"), col("width"), col("height"),
+          explode(sequence(lit(0L), col("n_frames") - 1, col("step"))).as("frame_idx"))
+        .select(
+          col("doc_id"), col("frame_idx"), col("width"), col("height"),
+          expr("width * 256 div greatest(greatest(width, height), 1)").as("out_w"),
+          expr("height * 256 div greatest(greatest(width, height), 1)").as("out_h"),
+          (conv(substring(md5(concat(col("text"), lit(":"), col("frame_idx"))), 1, 4), 16, 10)
+            .cast("long") % 256).as("frame_sig"))
+        .orderBy("doc_id", "frame_idx")
+    })
+  )
+
+  protected def multimodalOracle: Map[String, String] = Map(
+    "q41_multimodal_meta" ->
+      """SELECT doc_id,
+        |       strlen(text) AS n_bytes,
+        |       ('0x' || substr(md5(text), 1, 4))::BIGINT % 1024 AS width,
+        |       ('0x' || substr(md5(text), 5, 4))::BIGINT % 1024 AS height,
+        |       ('0x' || substr(md5(text), 9, 2))::BIGINT % 16 + 1 AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q76_multimodal_decode" ->
+      """WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents)
+        |SELECT doc_id,
+        |       ('0x' || substr(hx, 1, 4))::BIGINT % 1024 AS width,
+        |       ('0x' || substr(hx, 5, 4))::BIGINT % 1024 AS height,
+        |       ('0x' || substr(hx, 9, 2))::BIGINT % 16 + 1 AS n_frames,
+        |       r.range AS feat_idx,
+        |       ('0x' || substr(hx, (4 * r.range + 1)::INT, 2))::INT / 256.0 AS feat
+        |FROM h, range(0, 8) r
+        |ORDER BY doc_id, feat_idx""".stripMargin,
+
+    "q103_frames_resize" ->
+      """WITH m AS (SELECT doc_id, text,
+        |  ('0x' || substr(md5(text), 1, 4))::BIGINT % 1024 AS width,
+        |  ('0x' || substr(md5(text), 5, 4))::BIGINT % 1024 AS height,
+        |  ('0x' || substr(md5(text), 9, 2))::BIGINT % 16 + 1 AS n_frames
+        |  FROM documents),
+        |f AS (SELECT *, greatest((n_frames + 3) // 4, 1) AS step FROM m),
+        |e AS (SELECT doc_id, text, width, height, unnest(range(0, n_frames, step)) AS frame_idx FROM f)
+        |SELECT doc_id, frame_idx, width, height,
+        |  width * 256 // greatest(greatest(width, height), 1) AS out_w,
+        |  height * 256 // greatest(greatest(width, height), 1) AS out_h,
+        |  ('0x' || substr(md5(text || ':' || frame_idx), 1, 4))::BIGINT % 256 AS frame_sig
+        |FROM e ORDER BY doc_id, frame_idx""".stripMargin
+  )
+}

@@ -1,0 +1,876 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, HeurFuzz, Multimodal, Quota, Similarity, Sketches, TextAnalysis}
+
+/** Shared helpers for the registry pillars: readers, partition-spread
+  * shims, the flagship match pipeline, and every constant / CTE-SQL
+  * builder shared between a Spark query and its generated oracle SQL.
+  * Split from SparkEntry.scala (round 8) unchanged except visibility
+  * (private -> protected for cross-pillar access).
+  */
+trait RegistryBase {
+
+  protected def rd(s: SparkSession, dir: String, name: String): DataFrame = {
+    // events.parquet carries INT64 TIMESTAMP(NANOS), which Spark rejects
+    // unless nanos are surfaced as long (the driver's session may not set
+    // this, so set it defensively at read time).
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** The testdata's small tables arrive as one parquet file = one input
+    * partition; hash-heavy per-row work (md5 shingles, simhash) would run
+    * single-core locally. Spread to the session's parallelism ONLY when
+    * the scan is under-partitioned — on a real cluster the inputs are
+    * many files and no shuffle is injected (an unconditional repartition
+    * would re-shuffle 100 TB for nothing).
+    */
+  protected def spread(s: SparkSession, df: DataFrame): DataFrame = {
+    val target = s.sparkContext.defaultParallelism
+    // file count (already cached in the relation's FileIndex — no job, no
+    // RDD lineage materialization) stands in for the scan's partition
+    // count: the shim only needs to catch the one-file local-testdata
+    // case. Non-file sources report no files and are left alone.
+    val nFiles = df.inputFiles.length
+    if (nFiles > 0 && nFiles < target) df.repartition(target) else df
+  }
+
+  /** spread() for foreachBatch micro-batches: a micro-batch DataFrame
+    * reports NO inputFiles (measured: inputFiles=0, 1 partition for a
+    * one-file trigger), so the file-count shim above leaves it alone and
+    * per-row hash work runs single-core. A micro-batch is bounded (one
+    * trigger's worth) and its physical plan is already built inside the
+    * handler, so reading rdd.getNumPartitions here is driver-only
+    * planning — no job, and no 100 TB re-shuffle risk (the repartition
+    * only fires when the batch genuinely arrived under-partitioned).
+    */
+  protected def spreadBatch(s: SparkSession, df: DataFrame): DataFrame = {
+    val target = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the reference's whole pipeline (fuzzy match of dirty part names
+    * against the distinct name catalog).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val parts = rd(spark, dir, "part")
+    val queries = parts
+      .select(col("p_partkey").as("id"), lower(col("p_name")).as("term"))
+      .filter(col("id") < 40)
+    // ref ids: natural key (min partkey per distinct name) — deterministic
+    // and distributed (one hash shuffle), vs a no-partition window that
+    // would drag the whole table onto a single executor at scale.
+    // Downstream tie-breaks need only a deterministic total id order,
+    // not term-sorted contiguity.
+    val refs = parts
+      .groupBy(col("p_name").as("term"))
+      .agg(min(col("p_partkey")).cast("long").as("id"))
+    HeurFuzz.matchTable(queries, refs, HeurFuzz.Params(topK = 5, scoreCutoff = 80))
+  }
+
+  // ---- shared fragments -------------------------------------------------
+
+  /** Pair table for the coverage/top-k operators: dirty part names
+    * (partkey < 30) against the 30..229 slice, with bigram coverage and
+    * length difference (SURVEY §2 ops 4-6).
+    */
+  protected def partPairs(s: SparkSession, dir: String): DataFrame = {
+    val p = rd(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        col("p_name"),
+        TextFunctions.charShingles(col("p_name"), 2).as("bg"),
+        octet_length(col("p_name")).cast("long").as("len")
+      )
+    val q = p.filter(col("p_partkey") < 30)
+      .select(col("p_partkey").as("q_id"), col("p_name").as("q_name"), col("bg").as("qb"), col("len").as("q_len"))
+    val r = p.filter(col("p_partkey") >= 30 && col("p_partkey") < 230)
+      .select(col("p_partkey").as("r_id"), col("p_name").as("r_name"), col("bg").as("rb"), col("len").as("r_len"))
+    r.crossJoin(broadcast(q))
+      .withColumn("coverage", TextFunctions.bigramCoverage(col("qb"), col("rb")))
+      .withColumn("len_diff", abs(col("q_len") - col("r_len")).cast("double"))
+  }
+
+  protected val partPairsSql =
+    """WITH p AS (
+      |  SELECT p_partkey, p_name,
+      |         list_transform(range(1, strlen(p_name)), i -> substr(p_name, i::INT, 2)) AS bg,
+      |         strlen(p_name) AS len
+      |  FROM part),
+      |q AS (SELECT p_partkey AS q_id, p_name AS q_name, bg AS qb, len AS q_len FROM p WHERE p_partkey < 30),
+      |r AS (SELECT p_partkey AS r_id, p_name AS r_name, bg AS rb, len AS r_len FROM p WHERE p_partkey >= 30 AND p_partkey < 230),
+      |pairs AS (
+      |  SELECT q_id, r_id,
+      |         CASE WHEN len(qb) = 0 THEN 0.0
+      |              ELSE len(list_filter(qb, g -> list_contains(rb, g)))::DOUBLE / len(qb) END AS coverage,
+      |         abs(q_len - r_len)::DOUBLE AS len_diff
+      |  FROM q CROSS JOIN r)
+      |""".stripMargin
+
+  protected val docShinglesSql = (n: Int) =>
+    s"list_distinct(list_transform(range(1, greatest(strlen(lower(text)) - ${n - 2}, 1)), i -> substr(lower(text), i::INT, $n)))"
+
+  protected val tokensSql =
+    "string_split_regex(trim(text), '\\s+')"
+  protected val tokensLowerSql =
+    "string_split_regex(trim(lower(text)), '\\s+')"
+
+  /** Shared WITH-prefix for the product-quantization oracles (q109/q110):
+    * quantized vectors, their 8 per-subspace slices, and the TRAINED
+    * codebook — one independent k-means per subspace (grp = sub_id),
+    * seeded from the vec_id < 8 slices, mirroring the Spark side's
+    * trainPqCodebooks. DuckDB list slicing is 1-based and end-inclusive.
+    */
+  protected lazy val pqDistsSql =
+    s"""WITH v AS (SELECT vec_id,
+      |            list_transform(embedding, x -> floor(x::DOUBLE * 1000)::BIGINT) AS qv
+      |          FROM embeddings),
+      |subs AS (SELECT vec_id, r.range AS sub_id,
+      |                qv[(r.range * 8 + 1)::INT:(r.range * 8 + 8)::INT] AS sv
+      |         FROM v, range(0, 8) r),
+      |kp AS (SELECT greatest(1, count(*) // 320) AS m FROM embeddings),
+      |ksub AS (SELECT sub_id, vec_id, sv AS qv FROM subs),
+      |ktv AS (SELECT ksub.* FROM ksub, kp WHERE vec_id % kp.m = 0),
+      |kinit AS (SELECT sub_id, vec_id AS centroid_id, qv AS cv FROM ktv, kp WHERE vec_id < 8 * kp.m),
+      |${lloydCtesSql("ktv", "kinit", 8, KmeansIters, Seq("sub_id"), "kcents")},
+      |cents AS (SELECT centroid_id AS code, sub_id, cv FROM kcents)""".stripMargin
+
+  /** Integer squared-L2 between a subs-row slice `s.sv` and a cents-row
+    * slice `c.cv` (exact; matches Similarity.sqDistQ).
+    */
+  protected val pqSqDistSql =
+    "CAST(list_sum(list_transform(range(1, 9), " +
+      "i -> (s.sv[i::INT] - c.cv[i::INT]) * (s.sv[i::INT] - c.cv[i::INT]))) AS BIGINT)"
+
+  /** Fuzzy-match workload at testdata scale: queries = the distinct part
+    * names (small side, broadcast), refs = 40-char document prefixes (the
+    * large side, streamed). Exercises the full reference pipeline on the
+    * biggest text table the harness ships.
+    */
+  /** Shared streaming-gate harness: stage the events parquet into a
+    * fresh directory (file-stream sources monitor directories), run the
+    * caller's stream into a memory sink, fail LOUDLY on timeout (a
+    * partial sink would be a nondeterministic wrong answer, not an
+    * error), discard the staging once drained, return the sink table.
+    */
+  protected def runStreamGate(
+      s: SparkSession,
+      dir: String,
+      sinkTable: String,
+      outputMode: String
+  )(mkStream: String => DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val stage = Staging.dir(sinkTable.takeWhile(_ != '_') + "-")
+    // staging is discarded on EVERY exit path (timeout, stream failure,
+    // analysis error) — a failed gate must not leak scratch dirs or a
+    // half-filled sink until JVM shutdown
+    try {
+      java.nio.file.Files.createSymbolicLink(
+        stage.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath.normalize())
+      if (s.catalog.tableExists(sinkTable)) s.catalog.dropTempView(sinkTable)
+      val q = mkStream(stage.toString)
+        .writeStream
+        .format("memory")
+        .queryName(sinkTable)
+        .outputMode(outputMode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try {
+        if (!q.awaitTermination(300000))
+          throw new IllegalStateException(s"$sinkTable stream did not finish within 300s")
+      } finally if (q.isActive) q.stop()
+      s.table(sinkTable)
+    } finally Staging.discard(stage)
+  }
+
+  /** Corpus-scaled embedding clustering shared by q46/q117/q122: the
+    * assignment frame (vec_id, centroid_id, dv, nrm) — lazily
+    * checkpointed, since it feeds both pair sides plus the flag/group
+    * joins, and the quantized assignment argmax must not re-run per
+    * reference — and the within-cluster cosine pairs at >= SemDedupTau.
+    * k = ceil(sqrt(N)) keeps within-bucket pair work O(N^1.5); N arrives
+    * as a broadcast 1-row aggregate (no driver action).
+    */
+  /** Deterministic bounded training sample for every FIXED-k (k = 8)
+    * trained-quantizer surface (q35/q43/q109/q110/q123/q124): 1-in-m
+    * rows with m = max(1, N div 320) — ~40 training points per
+    * centroid/codeword (the FAISS sizing guideline), so Lloyd cost is
+    * O(1) in corpus size while assignment still covers everything.
+    * m = 1 at the oracle scales. Returns (sample, initIds); seeds are
+    * the first 8 SAMPLED ids (vec_id < 8m ∧ vec_id % m = 0), which
+    * degrades to vec_id < 8 when m = 1.
+    */
+  protected def trainSample8(s: SparkSession, e: DataFrame): (DataFrame, DataFrame) = {
+    val kRow = e.agg(count(lit(1)).as("n"))
+      .select(greatest(lit(1L), expr("n div 320")).as("m"))
+    val sample = spread(s, e).crossJoin(broadcast(kRow))
+      .filter(col("vec_id") % col("m") === 0)
+    val initIds = sample.filter(col("vec_id") < lit(8L) * col("m")).select("vec_id")
+    (sample.select("vec_id", "embedding"), initIds)
+  }
+
+  /** The oracle twin of trainSample8: kp(m), tv = sampled v rows, kinit =
+    * first 8 sampled seeds. `vCte` must expose (vec_id, qv).
+    */
+  protected def trainSampleCtesSql(vCte: String): String =
+    s"""kp AS (SELECT greatest(1, count(*) // 320) AS m FROM embeddings),
+       |tv AS (SELECT $vCte.* FROM $vCte, kp WHERE vec_id % kp.m = 0),
+       |kinit AS (SELECT vec_id AS centroid_id, qv AS cv FROM tv, kp WHERE vec_id < 8 * kp.m)""".stripMargin
+
+  protected def embClusterPairs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val e = rd(s, dir, "embeddings")
+    // k = ceil(sqrt(N)) centroids, TRAINED (Lloyd's) on a deterministic
+    // 1-in-m sample with m = max(1, N div 40k): ~40 training points per
+    // centroid (the FAISS sizing guideline), so training stays O(sqrt(N)
+    // * k) = O(N) per iteration at any corpus size — nobody Lloyd-scans
+    // 100 TB per iteration; sampling the trainer is what SemDeDup/IVF
+    // deployments do. m = 1 at the oracle scales (sample = corpus);
+    // the ASSIGNMENT below always covers the full corpus.
+    val kRow = e.agg(count(lit(1)).as("n"))
+      .select(ceil(sqrt(col("n"))).cast("long").as("k"), col("n"))
+      .withColumn("m", greatest(lit(1L), expr("n div (40 * k)")))
+    val sample = spread(s, e).crossJoin(broadcast(kRow)).filter(col("vec_id") % col("m") === 0)
+    val initIds = sample.filter(col("vec_id") < col("k") * col("m")).select("vec_id")
+    val cents = trainedArtifact(s, dir, "centSqrt") {
+      Similarity.trainCentroids(
+        sample.select("vec_id", "embedding"), "vec_id", "embedding", initIds, KmeansIters)
+    }
+    val buckets = Similarity.assignToCentroidsQ(spread(s, e), cents, "vec_id", "embedding")
+      .select(col("id").as("vec_id"), col("centroid_id"))
+    val v = spread(s, e).select(col("vec_id"), Similarity.asDouble(col("embedding")).as("dv"))
+      .withColumn("nrm", Similarity.l2Norm(col("dv")))
+    val withB = buckets.join(v, Seq("vec_id")).localCheckpoint(false)
+    val pairs = withB
+      .select(col("centroid_id"), col("vec_id").as("id_a"), col("dv").as("dv_a"), col("nrm").as("nrm_a"))
+      .join(withB.select(col("centroid_id"), col("vec_id").as("id_b"), col("dv").as("dv_b"), col("nrm").as("nrm_b")),
+        Seq("centroid_id"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", Similarity.dot(col("dv_a"), col("dv_b")) / (col("nrm_a") * col("nrm_b")))
+      .filter(col("cos_sim") >= SemDedupTau)
+    (withB, pairs)
+  }
+
+  protected def matchDocs(s: SparkSession, dir: String, inverted: Boolean): DataFrame = {
+    // query ids: natural key (min partkey per distinct lowered name) — no
+    // single-partition global window; see `entry`
+    val queries = rd(s, dir, "part")
+      .groupBy(lower(col("p_name")).as("term"))
+      .agg(min(col("p_partkey")).cast("long").as("id"))
+    val refs = rd(s, dir, "documents")
+      .select(col("doc_id").as("id"), substring(col("text"), 1, 40).as("term"))
+    HeurFuzz.matchTable(queries, refs,
+        HeurFuzz.Params(topK = 10, scoreCutoff = 70, useInvertedIndex = inverted))
+      .orderBy("q_id")
+  }
+
+  // ---- the registry -----------------------------------------------------
+
+
+  /** Boilerplate-removal document-frequency threshold (percent of corpus;
+    * shared between the q74 Spark query and its generated oracle SQL).
+    */
+  protected val BoilerplateDfPct = 78L
+
+  /** Span length (chars) for the q108 repeated-span dedup signal (shared
+    * with its generated oracle SQL).
+    */
+  protected val DupSpanN = 12
+
+  /** Span length for q113's decontamination stage — long enough that
+    * "contaminated" means a verbatim 20-char leak, not this corpus's
+    * pervasive short-phrase reuse (shared with the oracle SQL).
+    */
+  protected val DecontamSpanN = 20
+
+  /** Lloyd iteration count for every trained-centroid/codebook surface
+    * (q35/q43/q46/q109/q110/q117/q122/q123; shared with the generated
+    * oracle CTE chain). 3 steps from a deterministic seed is where this
+    * corpus's assignments stop moving; more iterations only lengthen the
+    * oracle SQL.
+    */
+  protected val KmeansIters = 3
+
+  /** Corpus-frequency cutoff under which a token counts as rare (q111;
+    * shared with its generated oracle SQL).
+    */
+  protected val RareMaxFreq = 2L
+
+  /** Temperature-mixing quota multiplier: per-source quota =
+    * min(n, floor(sqrt(n) * this)) (q112; shared with its oracle SQL).
+    */
+  protected val MixSqrtScale = 4L
+
+  /** Stop-fingerprint document-frequency cap and minimum shared-
+    * fingerprint count for the q116 winnowing near-dup join (shared with
+    * its oracle SQL).
+    */
+  protected val WinnowMaxDf = 16L
+  protected val WinnowMinShared = 8L
+
+  /** Per-language token budget for the q92 data-mixing sample (shared
+    * between the Spark query and its generated oracle SQL).
+    */
+  protected val TokenBudgetPerLang = 2500L
+
+  /** Training-sequence length for q128's packing layout (shared with its
+    * oracle SQL).
+    */
+  protected val PackSeqLen = 512L
+
+  /** BPE merge steps for q127 (each step is one generated oracle CTE
+    * round, so the SQL unrolls this many times).
+    */
+  protected val BpeSteps = 3
+
+  /** SemDeDup within-cluster cosine threshold (q117; same value as the
+    * q46 near-dup cutoff so the two embedding-dedup surfaces agree).
+    */
+  protected val SemDedupTau = 0.3
+
+  /** Incoming-batch selector for the q118 incremental dedup: docs with
+    * doc_id % this == this-1 play the "new crawl snapshot" role.
+    */
+  protected val IncrementalMod = 5L
+
+  /** Benchmark-slice selector for the contamination queries (q113/q119):
+    * docs with doc_id % this == 0 play the held-out benchmark role.
+    */
+  protected val ContamBenchMod = 50L
+
+  /** q119's graded-contamination oracle — shared verbatim with the
+    * streaming q140 gate (the foreachBatch bridge provably doesn't
+    * change per-doc scores, so both run against the same SQL).
+    */
+  protected lazy val contaminationOracle =
+    s"""WITH sh AS (SELECT doc_id,
+       |  unnest(list_distinct(list_transform(${docShinglesSql(DecontamSpanN)},
+       |    g -> ('0x' || substr(md5(g), 1, 15))::BIGINT))) AS h
+       |  FROM documents),
+       |bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % $ContamBenchMod = 0),
+       |scored AS (
+       |  SELECT s.doc_id, count(*) AS n_spans,
+       |         sum(CASE WHEN b.h IS NULL THEN 0 ELSE 1 END) AS n_hit
+       |  FROM sh s LEFT JOIN bench b ON b.h = s.h
+       |  WHERE s.doc_id % $ContamBenchMod <> 0
+       |  GROUP BY s.doc_id)
+       |SELECT doc_id, n_spans::BIGINT AS n_spans, n_hit::BIGINT AS n_hit,
+       |       n_hit::DOUBLE / n_spans AS overlap_ratio
+       |FROM scored ORDER BY doc_id""".stripMargin
+
+  /** q141/q143's shared document clustering: tokens feature-hash into 16
+    * integer dims (md5-derived), dense zero-filled via one
+    * map_from_entries lookup, the q123 sample-bounded Lloyd's trainer
+    * fits k = 8 centroids, and every document is assigned by the
+    * aggregate argmin. Returns (doc_id, cluster_id, dist), lazily
+    * checkpointed (it feeds both a size join and the balanced sampler).
+    */
+  protected def docClusterAsg(s: SparkSession, dir: String): DataFrame = {
+    val docs = spread(s, rd(s, dir, "documents"))
+    val ft = docs.select(col("doc_id"),
+        explode(TextFunctions.whitespaceTokens(lower(col("text")))).as("term"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("term")), 1, 15), 16, 10).cast("long") % 16).as("dim"))
+      .groupBy("doc_id", "dim").agg(count(lit(1)).as("v"))
+    val vecs = ft
+      .groupBy("doc_id")
+      .agg(map_from_entries(sort_array(collect_list(struct(col("dim"), col("v"))))).as("m"))
+      .select(col("doc_id").as("id"),
+        transform(sequence(lit(0L), lit(15L)),
+          i => coalesce(element_at(col("m"), i), lit(0L))).as("qv"))
+      .withColumn("grp", lit(0L))
+      .localCheckpoint(false) // feeds the trainer sample AND the full assignment
+    val kRow = vecs.agg(count(lit(1)).as("n"))
+      .select(greatest(lit(1L), expr("n div 320")).as("m"))
+    val sample = vecs.crossJoin(broadcast(kRow)).filter(col("id") % col("m") === 0)
+    val init = sample.filter(col("id") < lit(8L) * col("m"))
+      .select(col("grp"), col("id").as("centroid_id"), col("qv").as("cv"))
+    val cents = Similarity.lloydIterate(sample.select("grp", "id", "qv"), init, KmeansIters)
+    vecs.join(broadcast(cents), Seq("grp"))
+      .withColumn("d", Similarity.sqDistQ(col("qv"), col("cv")))
+      .groupBy("id")
+      .agg(min(struct(col("d"), col("centroid_id"))).as("best"))
+      .select(col("id").as("doc_id"),
+        col("best.centroid_id").as("cluster_id"), col("best.d").as("dist"))
+      .localCheckpoint(false) // feeds per-cluster aggregates AND row-level joins
+  }
+
+  /** Shared oracle CTE chain for q141/q143: the feature-hashed document
+    * vectors, sample-bounded Lloyd training (lloydCtesSql), and the full
+    * corpus assignment `asg (vec_id, centroid_id, d)`.
+    */
+  protected lazy val docClusterCtes =
+    s"""tk AS (SELECT doc_id, unnest($tokensLowerSql) AS term FROM documents),
+       |ft AS (SELECT doc_id, ('0x' || substr(md5(term), 1, 15))::BIGINT % 16 AS dim,
+       |         count(*) AS cnt
+       |       FROM tk GROUP BY 1, 2),
+       |dims AS (SELECT doc_id, unnest(range(0, 16)) AS dim
+       |         FROM (SELECT DISTINCT doc_id FROM ft)),
+       |dense AS (SELECT d.doc_id, d.dim, coalesce(f.cnt, 0)::BIGINT AS cnt
+       |          FROM dims d LEFT JOIN ft f ON f.doc_id = d.doc_id AND f.dim = d.dim),
+       |v AS (SELECT doc_id AS vec_id, list(cnt ORDER BY dim) AS qv FROM dense GROUP BY doc_id),
+       |kp AS (SELECT greatest(1, count(*) // 320) AS m FROM v),
+       |tv AS (SELECT v.* FROM v, kp WHERE vec_id % kp.m = 0),
+       |kinit AS (SELECT vec_id AS centroid_id, qv AS cv FROM tv, kp WHERE vec_id < 8 * kp.m),
+       |${lloydCtesSql("tv", "kinit", 16, KmeansIters, Seq.empty, "c")},
+       |fd AS (SELECT v.vec_id, c.centroid_id,
+       |         CAST(list_sum(list_transform(range(1, 17),
+       |           i -> (v.qv[i::INT] - c.cv[i::INT]) * (v.qv[i::INT] - c.cv[i::INT]))) AS BIGINT) AS d
+       |       FROM v JOIN c ON TRUE),
+       |asg AS (SELECT vec_id, centroid_id, d FROM (
+       |          SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                      ORDER BY d ASC, centroid_id ASC) AS rk FROM fd)
+       |        WHERE rk = 1)""".stripMargin
+
+  /** q133's HLL oracle — shared VERBATIM by the q148 streaming gate
+    * (micro-batch register tables max-merge into the identical
+    * sketch, so the bridge must not change any output row).
+    */
+  protected lazy val hllOracle: String =
+    s"""WITH ud AS (
+         |  SELECT event_type,
+         |         user_id || ':' || (epoch(date_trunc('day', ts))::BIGINT // 86400)::VARCHAR AS user_day
+         |  FROM events),
+         |h AS (
+         |  SELECT event_type,
+         |         ('0x' || substr(md5('hll:' || user_day), 1, 15))::BIGINT AS hv
+         |  FROM ud),
+         |reg AS (
+         |  SELECT event_type, hv % ${Sketches.HllM} AS j,
+         |         max(CASE WHEN (hv // ${Sketches.HllM}) % ${1L << Sketches.HllWindowBits} = 0
+         |                  THEN ${Sketches.HllWindowBits + 1}
+         |                  ELSE ${Sketches.HllWindowBits + 1} - length(bin((hv // ${Sketches.HllM}) % ${1L << Sketches.HllWindowBits}))
+         |             END) AS mj
+         |  FROM h GROUP BY event_type, hv % ${Sketches.HllM}),
+         |agg AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_present,
+         |         CAST(sum(1::BIGINT << (${Sketches.HllWindowBits + 1} - mj)) AS BIGINT) AS s_present
+         |  FROM reg GROUP BY event_type),
+         |ex AS (SELECT event_type, CAST(count(DISTINCT user_day) AS BIGINT) AS n_exact
+         |       FROM ud GROUP BY event_type),
+         |est AS (
+         |  SELECT a.event_type, CAST(${Sketches.HllM} - n_present AS BIGINT) AS n_zero_regs,
+         |         ${Sketches.HllNumerator} / (s_present + (${Sketches.HllM} - n_present) * ${1L << (Sketches.HllWindowBits + 1)})::DOUBLE AS hll_est,
+         |         n_exact
+         |  FROM agg a JOIN ex ON ex.event_type = a.event_type)
+         |SELECT event_type, n_zero_regs, hll_est, n_exact,
+         |       (hll_est - n_exact) / n_exact AS rel_err
+         |FROM est ORDER BY event_type""".stripMargin
+
+  /** Shared oracle CTE chain for q116/q146: winnowing fingerprints per
+    * doc, the df cap, and the thresholded near-dup pair set `wpairs
+    * (id_a, id_b, n_shared)`.
+    */
+  protected lazy val winnowPairsCtes =
+    s"""d AS (SELECT doc_id, lower(text) AS t FROM documents),
+       |h AS (SELECT doc_id,
+       |  list_transform(range(1, greatest(strlen(t) - 6, 1)), i ->
+       |    list_reduce(list_transform(range(i, i + 8), j -> unicode(substr(t, j::INT, 1))::BIGINT),
+       |      (a, b) -> (a * 131 + b) % 1000000007)) AS hs
+       |  FROM d),
+       |f AS (SELECT doc_id,
+       |        CASE WHEN len(hs) = 0 THEN []::BIGINT[]
+       |             WHEN len(hs) < 8 THEN [list_min(hs)]
+       |             ELSE list_distinct(list_transform(range(1, len(hs) - 6),
+       |                    i -> list_min(hs[i::INT:(i::INT)+7]))) END AS fps
+       |      FROM h),
+       |fp AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+       |rare AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= $WinnowMaxDf),
+       |k AS (SELECT doc_id, fp FROM fp JOIN rare USING (fp)),
+       |wpairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared
+       |  FROM k a JOIN k b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared)""".stripMargin
+
+  /** q147's audit-sample size target: the WHOLE audit (truth verify
+    * and per-config candidate counts) runs over ~this many sampled docs
+    * (1-in-m, m = max(1, N div target) — identity at oracle scales),
+    * because dense-corpus band buckets make every config's corpus-wide
+    * pair volume quadratic. Shared with the oracle SQL.
+    */
+  protected val LshAuditSampleTarget = 1000L
+
+  /** q144's quantized chi-square drift component — SAME expression text
+    * on both engines: the BIGINT products obs*tot and tt*st are exact in
+    * int64 up to multi-billion-token corpora, every int64->double
+    * conversion is IEEE round-to-nearest (identical in both engines even
+    * past 2^53), and the square / multiply / divide are each one
+    * correctly-rounded double op in a fixed order. The denominator
+    * multiplies tt*st and tot as DOUBLES so no three-way BIGINT product
+    * can overflow at bench scales.
+    */
+  protected val ChiSqSql =
+    "floor(1000000.0 * ((CAST(obs * tot - tt * st AS DOUBLE) * " +
+      "CAST(obs * tot - tt * st AS DOUBLE)) / " +
+      "(CAST(tt * st AS DOUBLE) * CAST(tot AS DOUBLE))))"
+
+  /** q145's target rank for percentile `pct` over `n` rows — exact
+    * BIGINT product, one double division, shared expression text.
+    */
+  protected val QuantTargetSql =
+    "CAST(greatest(1, ceil(pct * n / 100.0)) AS BIGINT)"
+
+  /** q153's profiled columns (every orders column; shared with the
+    * generated oracle SQL).
+    */
+  protected val ProfileColumns = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority")
+
+  /** q142's literal search patterns (all lowercase, >= 3 chars so each
+    * has a non-empty trigram set; one common phrase, one rarer
+    * multi-word phrase, one guaranteed miss). Shared with the oracle.
+    */
+  protected val TrigramPatterns =
+    Seq("merge batch", "customer stream window", "no such phrase anywhere")
+
+  /** Query-document selector for q137's BM25 retrieval: docs with
+    * doc_id % this == 0 play the probe-query role; everything else is
+    * the searched corpus. Top-k depth shared with the oracle SQL.
+    */
+  protected val Bm25QueryMod = 100L
+  protected val Bm25TopK = 10L
+
+  /** q137's per-term BM25 contribution, quantized to integer
+    * micro-points — the SAME expression text is compiled by Spark
+    * (expr) and DuckDB, so every intermediate IEEE op is identical and
+    * the integer sum is order-independent. k1 = 1.2, b = 0.75 (so
+    * 1 - b = 0.25 and k1 + 1 = 2.2 are folded), idf is the
+    * Robertson-Sparck-Jones ratio without the log (rank-equivalent per
+    * term and exactly representable).
+    */
+  protected val Bm25ContribSql =
+    "floor(1000000.0 * ((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) * " +
+      "((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + 1.2 * " +
+      "(0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(tot AS DOUBLE) / CAST(n_docs AS DOUBLE)))))))"
+
+  /** q139 PMI collocations: minimum bigram count, result depth, and the
+    * oracle-shared integer-micro-point PMI ratio (exact BIGINT products,
+    * one double division).
+    */
+  protected val PmiMinCount = 5L
+  protected val PmiTopK = 40
+  protected val PmiScoreSql =
+    "floor(1000000.0 * (CAST(c_xy * n_tok AS DOUBLE) / CAST(cx * cy AS DOUBLE)))"
+
+  /** Exact-Jaccard floor for the q120 estimator-vs-exact pairs — lower
+    * than q31's 0.4 so the gate also covers pairs where the 8-slot
+    * estimate is most biased (band-collision survivors near the floor).
+    */
+  protected val EstPairThreshold = 0.3
+
+  /** Source dir whose bucketed q77 staging tables are currently live in
+    * this JVM's catalog (null until first write).
+    */
+  protected val bucketedStagedFor =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** Source dir whose persisted q132 signature table is currently live in
+    * this JVM's catalog (null until first write).
+    */
+  protected val sigStagedFor =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** Trained-artifact registry: a coarse quantizer / PQ codebook is a
+    * CORPUS-level artifact — trained once per ingest, then read by every
+    * serving query — not something an ANN deployment retrains per query.
+    * First use per (corpus dir, artifact kind) runs the (deterministic,
+    * integer-Lloyd's) training job and persists the result as a parquet
+    * artifact in staging; later queries read the artifact back. Results
+    * are bit-identical to inline training, so every oracle is unchanged;
+    * only the redundant retraining work disappears. Artifacts are tiny
+    * (k x dims longs), so the read-back is a broadcast-sized scan.
+    * q123 (the training surface itself) deliberately bypasses this and
+    * measures a full training run.
+    */
+  protected val modelPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  protected def trainedArtifact(s: SparkSession, dir: String, kind: String)(
+      train: => DataFrame): DataFrame = {
+    val path = modelPaths.computeIfAbsent(s"$dir#$kind", _ => {
+      val p = s"${Staging.dir("model-")}/$kind"
+      train.coalesce(1).write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
+  /** Signed-random-projection hyperplanes: 16 planes x 64 dims of
+    * Rademacher +-1 entries derived from md5 parity, so the Spark query
+    * and the generated oracle SQL share one deterministic source of truth
+    * (the same generate-from-constants pattern as MinhashParams).
+    */
+  protected lazy val SrpPlanes: Seq[Seq[Int]] = {
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    (0 until 16).map { p =>
+      (0 until 64).map { d =>
+        val h = mdig.digest(s"srp-$p-$d".getBytes("UTF-8"))
+        if ((h(0) & 1) == 0) 1 else -1
+      }
+    }
+  }
+
+  /** Sessionization gap (microseconds) — 4 hours (the testdata's events
+    * average ~100 min between a user's events, so a web-style 30-min gap
+    * would make nearly every event its own session).
+    */
+  protected val SessionGapMicros: Long = 14400000000L
+
+  /** Quality-filter thresholds (shared between the Spark query and the
+    * generated oracle SQL).
+    */
+  protected val QfMinTokens = 5L
+  protected val QfMinMeanTokLen = 3.0
+  protected val QfMaxMeanTokLen = 12.0
+  protected val QfMaxPunctRatio = 0.2
+  protected val QfMinStopwordRatio = 0.05
+
+  /** Shared CTE chain for the MinHash-LSH near-dup pairs (q31 + q52),
+    * ending in `nd_pairs(id_a, id_b, jacc)`. Signature SQL is generated
+    * from the SAME constants Spark uses (TextFunctions.MinhashParams/
+    * MinhashP) so the two sides cannot drift.
+    */
+  /** Shared CTE prefix for every MinHash oracle: per-doc shingle hashes
+    * (`ok(doc_id, hb)`), signature columns (`sig(doc_id, m0..m7)`), and
+    * the exploded band table (`band(doc_id, band, key)`).
+    */
+  protected lazy val lshBandCtes: String = {
+    val p = TextFunctions.MinhashP
+    val sigCols = TextFunctions.MinhashParams.zipWithIndex
+      .map { case ((a, b), i) =>
+        s"list_min(list_transform(hb, h -> (h * $a + $b) % $p)) AS m$i"
+      }
+      .mkString(",\n  ")
+    val rowsPerBand = 4
+    val bandSelects = (0 until TextFunctions.MinhashParams.length / rowsPerBand)
+      .map { bd =>
+        val key = (0 until rowsPerBand)
+          .map(r => s"m${bd * rowsPerBand + r}::VARCHAR")
+          .mkString(" || '|' || ")
+        s"SELECT doc_id, $bd AS band, $key AS key FROM sig"
+      }
+      .mkString("\n  UNION ALL ")
+    s"""d AS (SELECT doc_id,
+       |  list_distinct(list_transform(
+       |    list_transform(range(1, greatest(strlen(lower(text)) - 2, 1)), i -> substr(lower(text), i::INT, 4)),
+       |    g -> ('0x' || substr(md5(g), 1, 15))::BIGINT % $p)) AS hb
+       |  FROM documents),
+       |ok AS (SELECT * FROM d WHERE len(hb) > 0),
+       |sig AS (SELECT doc_id,
+       |  $sigCols
+       |  FROM ok),
+       |band AS (
+       |  $bandSelects)""".stripMargin
+  }
+
+  /** Generated CTE chain for `iters` Lloyd k-means steps — the oracle
+    * twin of Similarity.lloydIterate, emitted once per trained-centroid
+    * oracle so the SQL trains the SAME centroids the Spark side does.
+    * `vCte` must expose (grpCols..., vec_id, qv: BIGINT[]); `initCte`
+    * (grpCols..., centroid_id, cv). Ends in `outCte` =
+    * (grpCols..., centroid_id, cv). Assignment: integer squared-L2
+    * argmin, ties -> lowest centroid_id; update: per-dimension
+    * floor(mean) (exact long sum, one IEEE divide) — empty clusters
+    * drop out. Every operation is exact or identically-rounded on both
+    * engines, so the chain is hash-stable.
+    */
+  protected def lloydCtesSql(
+      vCte: String, initCte: String, dims: Int, iters: Int,
+      grpCols: Seq[String], outCte: String, prefix: String = "k"): String = {
+    val grp = grpCols.mkString(", ")
+    val grpSel = if (grpCols.isEmpty) "" else grp + ", "
+    val grpSelV = if (grpCols.isEmpty) "" else grpCols.map("v." + _).mkString(", ") + ", "
+    val grpSelA = if (grpCols.isEmpty) "" else grpCols.map("a." + _).mkString(", ") + ", "
+    val joinCents = if (grpCols.isEmpty) "ON TRUE" else s"USING ($grp)"
+    val joinBack = "a.vec_id = v.vec_id" +
+      grpCols.map(g => s" AND a.$g = v.$g").mkString
+    val steps = (1 to iters).map { t =>
+      val prev = if (t == 1) initCte else s"${prefix}c${t - 1}"
+      s"""${prefix}d$t AS (
+         |  SELECT ${grpSelV}v.vec_id, c.centroid_id,
+         |         CAST(list_sum(list_transform(range(1, ${dims + 1}),
+         |           i -> (v.qv[i::INT] - c.cv[i::INT]) * (v.qv[i::INT] - c.cv[i::INT]))) AS BIGINT) AS d
+         |  FROM $vCte v JOIN $prev c $joinCents),
+         |${prefix}a$t AS (
+         |  SELECT ${grpSel}vec_id, centroid_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY ${grpSel}vec_id ORDER BY d ASC, centroid_id ASC) AS rk
+         |    FROM ${prefix}d$t)
+         |  WHERE rk = 1),
+         |${prefix}m$t AS (
+         |  SELECT ${grpSel}centroid_id, pos,
+         |         CAST(floor(CAST(sum(val) AS DOUBLE) / count(*)) AS BIGINT) AS cval
+         |  FROM (SELECT ${grpSelA}a.centroid_id, unnest(v.qv) AS val, unnest(range(0, $dims)) AS pos
+         |        FROM ${prefix}a$t a JOIN $vCte v ON $joinBack)
+         |  GROUP BY ALL),
+         |${prefix}c$t AS (SELECT ${grpSel}centroid_id, list(cval ORDER BY pos) AS cv FROM ${prefix}m$t GROUP BY ALL)""".stripMargin
+    }
+    steps.mkString(",\n") + s",\n$outCte AS (SELECT * FROM ${prefix}c$iters)"
+  }
+
+  /** Generated CTE chain for q127's BPE merge steps — the oracle twin of
+    * TextAnalysis.bpeTopMerges. bs0 must exist (word, freq, seq); emits
+    * bp{t}/bb{t}/bs{t} per step; bb{t} holds step t's winning merge.
+    */
+  protected def bpeCtesSql(steps: Int): String =
+    (1 to steps).map { t =>
+      s"""bp$t AS (
+         |  SELECT a, b, CAST(sum(freq) AS BIGINT) AS pair_count
+         |  FROM (
+         |    SELECT freq,
+         |           unnest(string_split(seq, ' ')[1:len(string_split(seq, ' ')) - 1]) AS a,
+         |           unnest(string_split(seq, ' ')[2:len(string_split(seq, ' '))]) AS b
+         |    FROM bs${t - 1})
+         |  GROUP BY a, b),
+         |bb$t AS (SELECT a, b, pair_count FROM bp$t ORDER BY pair_count DESC, a, b LIMIT 1),
+         |bs$t AS (
+         |  SELECT word, freq,
+         |         replace(seq, x.a || ' ' || x.b,
+         |                 substr(x.a, 1, length(x.a) - 1) || substr(x.b, 2)) AS seq
+         |  FROM bs${t - 1}, bb$t x)""".stripMargin
+    }.mkString(",\n")
+
+  /** Shared CTE chain for the corpus-scaled-k embedding clustering +
+    * within-cluster cosine pairs (q46 + q117), ending in
+    * `assign(vec_id, centroid_id)` and `pairs(id_a, id_b, cos_sim)`
+    * (pairs unfiltered — callers apply their own threshold).
+    */
+  protected val embCosPairsCtes: String =
+    s"""v AS (SELECT vec_id,
+      |             list_transform(embedding, x -> floor(x::DOUBLE * 1000)::BIGINT) AS qv,
+      |             list_transform(embedding, x -> x::DOUBLE) AS dv
+      |           FROM embeddings),
+      |kp AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k,
+      |              greatest(1, count(*) // (40 * CAST(ceil(sqrt(count(*))) AS BIGINT))) AS m
+      |       FROM embeddings),
+      |tv AS (SELECT v.vec_id, v.qv FROM v, kp WHERE v.vec_id % kp.m = 0),
+      |kinit AS (SELECT vec_id AS centroid_id, qv AS cv FROM tv, kp WHERE vec_id < kp.k * kp.m),
+      |${lloydCtesSql("tv", "kinit", 64, KmeansIters, Seq.empty, "c")},
+      |score AS (
+      |  SELECT v.vec_id AS id, c.centroid_id,
+      |         CAST(list_sum(list_transform(range(1, 65), i -> v.qv[i::INT] * c.cv[i::INT])) AS BIGINT) AS sc
+      |  FROM v CROSS JOIN c),
+      |assign AS (
+      |  SELECT id AS vec_id, centroid_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY sc DESC, centroid_id ASC) AS rk FROM score)
+      |  WHERE rk = 1),
+      |n AS (SELECT vec_id, dv, sqrt(list_sum(list_transform(dv, x -> x * x))) AS nrm FROM v),
+      |pairs AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |         list_sum(list_transform(range(1, 65), i -> na.dv[i::INT] * nb.dv[i::INT])) / (na.nrm * nb.nrm) AS cos_sim
+      |  FROM assign a JOIN assign b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+      |  JOIN n na ON na.vec_id = a.vec_id JOIN n nb ON nb.vec_id = b.vec_id)""".stripMargin
+
+  /** Exact-Jaccard expression between the `ok` rows aliased da/db. */
+  protected val lshJaccSql =
+    """len(list_intersect(da.hb, db.hb))::DOUBLE
+      |           / (len(da.hb) + len(db.hb) - len(list_intersect(da.hb, db.hb)))""".stripMargin
+
+  /** Full incremental-dedup oracle (q118's body), shared VERBATIM by
+    * q121 (the foreachBatch bridge) and q132 (the persisted-signature-
+    * table round trip): neither the streaming bridge nor the bucketed
+    * storage layout may change the operator's answers.
+    */
+  protected lazy val incrementalDedupOracle: String =
+    s"""WITH $lshBandCtes,
+       |inc AS (SELECT * FROM band WHERE doc_id % $IncrementalMod = ${IncrementalMod - 1}),
+       |corp AS (SELECT * FROM band WHERE doc_id % $IncrementalMod <> ${IncrementalMod - 1}),
+       |cand AS (
+       |  SELECT DISTINCT i.doc_id AS in_id, c.doc_id AS corp_id
+       |  FROM inc i JOIN corp c ON i.band = c.band AND i.key = c.key),
+       |ver AS (
+       |  SELECT c.in_id, c.corp_id
+       |  FROM cand c JOIN ok da ON da.doc_id = c.in_id JOIN ok db ON db.doc_id = c.corp_id
+       |  WHERE $lshJaccSql >= 0.4),
+       |cnt AS (SELECT in_id, count(*) AS n_dups FROM ver GROUP BY in_id)
+       |SELECT d.doc_id, coalesce(c.n_dups, 0)::BIGINT AS n_dups,
+       |       (CASE WHEN coalesce(c.n_dups, 0) = 0 THEN 1 ELSE 0 END)::BIGINT AS kept
+       |FROM documents d LEFT JOIN cnt c ON c.in_id = d.doc_id
+       |WHERE d.doc_id % $IncrementalMod = ${IncrementalMod - 1}
+       |ORDER BY d.doc_id""".stripMargin
+
+  protected lazy val lshPairsCtes: String =
+    s"""$lshBandCtes,
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM band x JOIN band y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+       |verified AS (
+       |  SELECT c.id_a, c.id_b,
+       |         $lshJaccSql AS jacc
+       |  FROM cand c JOIN ok da ON da.doc_id = c.id_a JOIN ok db ON db.doc_id = c.id_b),
+       |nd_pairs AS (SELECT id_a, id_b, jacc FROM verified WHERE jacc >= 0.4)""".stripMargin
+
+  /** DuckDB CTE chain scoring Fuzz.partialRatioCutoff(aCol, bCol, cutoff)
+    * for every row of `src` — the same published bit-parallel Allison–Dix
+    * LCS the Spark scorer uses (functions/Fuzz.scala:41-68), evaluated
+    * over every RapidFuzz partial_ratio window through SQL lambdas. Ends
+    * in CTE `scored` = src.* + `score` BIGINT. Cross-validated against a
+    * port of the Spark scorer on 600+ random and edge-case pairs
+    * (tools/proto_partial_ratio.py). The needle must fit the chosen bit
+    * vector: < 63 chars with BIGINT (the default; testdata names max at
+    * 40), < 127 with HUGEINT (the long-needle gate q105 uses — it pins
+    * the Spark scorer's >64-char DP path, which BIGINT cannot reach).
+    */
+  protected def scorerCtes(
+      src: String, aCol: String, bCol: String, cutoff: Int,
+      intType: String = "BIGINT"): String =
+    s"""pr1 AS (SELECT *,
+       |  CASE WHEN strlen($aCol) <= strlen($bCol) THEN lower($aCol) ELSE lower($bCol) END AS pr_s,
+       |  CASE WHEN strlen($aCol) <= strlen($bCol) THEN lower($bCol) ELSE lower($aCol) END AS pr_l
+       |  FROM $src),
+       |pr2 AS (SELECT *, strlen(pr_s) AS pr_m, strlen(pr_l) AS pr_n FROM pr1),
+       |pr3 AS (SELECT *,
+       |  CASE WHEN pr_m = 0 THEN 0::$intType ELSE (1::$intType << pr_m) - 1::$intType END AS pr_full,
+       |  list_transform(string_split(pr_l, ''), ch ->
+       |    list_sum(list_transform(range(1, pr_m + 1),
+       |      i -> CASE WHEN substr(pr_s, i::INT, 1) = ch THEN (1::$intType << (i::INT - 1)) ELSE 0::$intType END))::$intType) AS pr_ml
+       |  FROM pr2),
+       |pr4 AS (SELECT *,
+       |  list_concat(list_concat(
+       |    list_transform(range(1, pr_m), j -> {'wa': 1::INT, 'wb': j::INT}),
+       |    list_transform(range(1, pr_n - pr_m + 2), i -> {'wa': i::INT, 'wb': (i + pr_m - 1)::INT})),
+       |    list_transform(range(1, pr_m), j -> {'wa': (pr_n - j + 1)::INT, 'wb': pr_n::INT})) AS pr_wins
+       |  FROM pr3),
+       |pr5 AS (SELECT *,
+       |  CASE WHEN pr_m = 0 THEN (CASE WHEN pr_n = 0 THEN 100.0 ELSE 0.0 END)
+       |       ELSE list_max(list_transform(pr_wins, w ->
+       |         200.0 * (pr_m - bit_count(list_reduce(list_prepend(pr_full, list_slice(pr_ml, w.wa, w.wb)),
+       |                    (v, mk) -> ((v + (v & mk)) | (v & ~mk)) & pr_full)))
+       |           / (pr_m + (w.wb - w.wa + 1)))) END AS pr_best
+       |  FROM pr4),
+       |scored AS (SELECT *, CASE WHEN pr_best >= $cutoff THEN round(pr_best)::BIGINT ELSE 0::BIGINT END AS score FROM pr5)""".stripMargin
+
+  /** DuckDB CTE chain reproducing HeurFuzz.matchTable over arbitrary
+    * query/ref relations (each `SELECT ... id, ... term`): bigram
+    * coverage pairs -> per-query top-K -> partial_ratio verify -> argmax
+    * with the reference tie-breaks -> NA coalesce. Ends in CTE
+    * `mt(q_id, query, match)`.
+    */
+  protected def matchPipelineCtes(qSql: String, rSql: String, topK: Int, cutoff: Int): String =
+    s"""mq AS ($qSql),
+       |mr AS ($rSql),
+       |qq AS (SELECT id AS q_id, term AS q_term, strlen(term) AS q_len,
+       |         list_transform(range(1, strlen(term)), i -> substr(term, i::INT, 2)) AS qb FROM mq),
+       |rr AS (SELECT id AS r_id, term AS r_term, strlen(term) AS r_len,
+       |         list_transform(range(1, strlen(term)), i -> substr(term, i::INT, 2)) AS rb FROM mr),
+       |prs AS (SELECT q_id, q_term, r_id, r_term,
+       |         CASE WHEN len(qb) = 0 THEN 0.0
+       |              ELSE len(list_filter(qb, g -> list_contains(rb, g)))::DOUBLE / len(qb) END AS coverage,
+       |         abs(q_len - r_len)::DOUBLE AS len_diff
+       |       FROM qq CROSS JOIN rr),
+       |topk AS (SELECT * EXCLUDE (rk) FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY coverage DESC, len_diff DESC, r_id DESC) AS rk FROM prs)
+       |  WHERE rk <= $topK),
+       |${scorerCtes("topk", "r_term", "q_term", cutoff)},
+       |kept AS (SELECT * FROM scored WHERE score > 0),
+       |best AS (SELECT q_id, r_term AS match FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, len_diff ASC, r_id DESC) AS brk FROM kept)
+       |  WHERE brk = 1),
+       |mt AS (SELECT mq.id AS q_id, mq.term AS query, coalesce(b.match, 'NA') AS match
+       |       FROM mq LEFT JOIN best b ON b.q_id = mq.id)""".stripMargin
+
+}

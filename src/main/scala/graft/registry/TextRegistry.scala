@@ -1,0 +1,1214 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, HeurFuzz, Multimodal, Quota, Similarity, Sketches, TextAnalysis}
+
+/** Registry pillar: text analysis: lang-id, quality, tokens, TF-IDF, BPE, BM25/PMI,
+  * decontamination, budgets/mixing. Split from SparkEntry.scala
+  * (round 8); query semantics and oracle SQL unchanged.
+  */
+trait TextRegistry extends RegistryBase {
+  protected def textQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // pillar text analysis: argmax language classifier over stopword lists
+    "q44_lang_id" -> ((s, dir) =>
+      spread(s, rd(s, dir, "documents"))
+        .select(
+          col("doc_id"), col("lang"),
+          TextAnalysis.predictedLang(col("text")).as("pred_lang"),
+          TextAnalysis.bestLangScore(col("text")).as("best_score"))
+        .orderBy("doc_id")),
+
+    // pillar text analysis: language-ID stopword heuristic
+    "q36_lang_stopword_ratio" -> ((s, dir) =>
+      spread(s, rd(s, dir, "documents"))
+        .select(col("doc_id"), col("lang"), TextAnalysis.stopwordRatio(col("text")).as("en_score"))
+        .orderBy("doc_id")),
+
+    // pillar text analysis: quality metrics
+    "q37_quality_metrics" -> ((s, dir) =>
+      spread(s, rd(s, dir, "documents"))
+        .select(
+          col("doc_id"),
+          octet_length(col("text")).cast("long").as("n_bytes"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.meanTokenLength(col("text")).as("mean_tok_len"),
+          TextAnalysis.punctRatio(col("text")).as("punct_ratio")
+        )
+        .orderBy("doc_id")),
+
+    // pillar text analysis: document fingerprint (k-min shingle hashes)
+    "q38_fingerprint" -> ((s, dir) =>
+      spread(s, rd(s, dir, "documents"))
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text"), 4, 8).as("fp"))
+        .orderBy("doc_id")),
+
+    // pillar text analysis: token counting (whitespace + BPE-ish regex)
+    "q39_token_counts" -> ((s, dir) =>
+      rd(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_ws_tokens"),
+          TextAnalysis.wordPieceCount(col("text")).as("n_word_pieces")
+        )
+        .orderBy("doc_id")),
+
+    // pillar text analysis: C4-style quality filter — the keep/drop
+    // decision a training-data pipeline applies; thresholds shared with
+    // the generated oracle SQL so they cannot drift
+    "q55_quality_filter" -> ((s, dir) =>
+      spread(s, rd(s, dir, "documents"))
+        .select(
+          col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.meanTokenLength(col("text")).as("mean_tok_len"),
+          TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+          TextAnalysis.stopwordRatio(col("text")).as("en_score"))
+        .withColumn("keep",
+          col("n_tokens") >= QfMinTokens &&
+            col("mean_tok_len") >= QfMinMeanTokLen && col("mean_tok_len") <= QfMaxMeanTokLen &&
+            col("punct_ratio") <= QfMaxPunctRatio &&
+            col("en_score") >= QfMinStopwordRatio)
+        .orderBy("doc_id")),
+
+    // pillar text analysis: corpus-level top-50 token bigrams — the
+    // word-count shape (explode -> hash agg -> TakeOrdered top-k).
+    // The regex tokenization lands in its OWN projection: `toks` is
+    // referenced four times downstream, and CollapseProject would not
+    // inline a non-cheap alias — this pins the split to one evaluation
+    // per document instead of four.
+    "q56_top_ngrams" -> ((s, dir) =>
+      spread(s, rd(s, dir, "documents"))
+        .select(TextFunctions.whitespaceTokens(lower(col("text"))).as("toks"))
+        .select(explode(when(size(col("toks")) >= 2,
+          transform(sequence(lit(1), size(col("toks")) - 1),
+            i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1))))
+          .otherwise(array().cast("array<string>"))).as("ng"))
+        .groupBy("ng")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("ng").asc)
+        .limit(50)),
+
+    // relational/pipeline: per-source corpus stats (partition-style audit
+    // a data pipeline runs before training)
+    "q57_source_stats" -> ((s, dir) =>
+      rd(s, dir, "documents")
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(octet_length(col("text")).cast("long")).as("sum_bytes"))
+        .withColumn("avg_bytes", col("sum_bytes").cast("double") / col("n_docs"))
+        .orderBy("source")),
+
+    // pillar text analysis: per-document top-5 TF-IDF terms. The idf
+    // surrogate tf*N/df is a single integer-exact multiply + one IEEE
+    // divide, so ranks (and scores) match DuckDB bit-for-bit — a log()
+    // idf would hinge on libm ulp agreement across engines.
+    "q58_tfidf_top_terms" -> ((s, dir) => {
+      val docs = spread(s, rd(s, dir, "documents"))
+      // corpus size joins in as a broadcast 1-row aggregate (q74/q97
+      // pattern) — building this frame triggers ZERO jobs, unlike a
+      // driver-side count() at plan-build time
+      val nRow = rd(s, dir, "documents").agg(count(lit(1)).as("n_corpus"))
+      val toks = docs.select(
+        col("doc_id"),
+        explode(TextFunctions.whitespaceTokens(lower(col("text")))).as("term"))
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
+      tf.join(dfreq, Seq("term"))
+        .crossJoin(broadcast(nRow))
+        .withColumn("score", col("tf").cast("double") * col("n_corpus") / col("df"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select("doc_id", "term", "tf", "df", "score", "rank")
+        .orderBy("doc_id", "rank")
+    }),
+
+    // pillar text analysis: narrow token cleanup — drop single-char
+    // tokens, re-join; pure codegen'd projection (no shuffle)
+    "q73_text_normalize" -> ((s, dir) =>
+      spread(s, rd(s, dir, "documents"))
+        .select(
+          col("doc_id"),
+          array_join(filter(split(col("text"), " "), t => length(t) > 1), " ").as("clean"),
+          size(filter(split(col("text"), " "), t => length(t) <= 1)).cast("long").as("n_dropped"))
+        .orderBy("doc_id")),
+
+    // pillar text analysis: corpus-adaptive boilerplate removal — tokens
+    // whose document frequency exceeds 78% of the corpus are stripped
+    // from every document. The common-token set is produced
+    // distributively (df hash-agg vs a broadcast 1-row total; integer
+    // cross-multiplication, no float threshold) and applied via a
+    // broadcast LEFT ANTI join — no collect, no cartesian; order is
+    // restored from explode positions.
+    "q74_boilerplate_strip" -> ((s, dir) => {
+      val docs = spread(s, rd(s, dir, "documents")).select("doc_id", "text")
+      val toks = docs.select(
+        col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      val dfreq = toks.select("doc_id", "tok").distinct()
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+      val total = docs.agg(count(lit(1)).as("n_docs"))
+      val common = dfreq.crossJoin(broadcast(total))
+        .filter(col("df") * 100 > col("n_docs") * BoilerplateDfPct)
+        .select(col("tok").as("ctok"))
+      // `common` is derived FROM `toks`, so the anti join is a self-join:
+      // alias both sides or col("tok") can resolve into the right-hand
+      // lineage and make the condition trivially true (dropping every row)
+      val cleaned = toks.alias("t")
+        .join(broadcast(common.alias("c")), col("t.tok") === col("c.ctok"), "left_anti")
+        .groupBy("doc_id")
+        .agg(array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x("tok")),
+          " ").as("clean"))
+      docs.select("doc_id")
+        .join(cleaned, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("clean"), lit("")).as("clean"))
+        .orderBy("doc_id")
+    }),
+
+    // pipeline: benchmark decontamination — drop every training doc that
+    // shares ANY 8-gram shingle with the (deterministic) held-out set:
+    // explode-distinct shingle hashes on both sides, equi-join to find
+    // contaminated ids, LEFT ANTI join to keep the clean remainder. Pure
+    // hash equi-joins — the benchmark side is tiny and broadcast; no
+    // similarity scan ever touches the full corpus pairwise.
+    "q85_decontaminate" -> ((s, dir) => {
+      val docs = spread(s, rd(s, dir, "documents"))
+      val shingles = docs.select(
+        col("doc_id"),
+        explode(array_distinct(
+          transform(
+            TextFunctions.charShingles(lower(col("text")), 8),
+            g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")))).as("h"))
+      val bench = shingles.filter(col("doc_id") % 50 === 0)
+        .select(col("h").as("bh")).distinct()
+      val contaminated = shingles
+        .join(broadcast(bench), col("h") === col("bh"))
+        .select("doc_id").distinct()
+      docs
+        .join(contaminated.withColumnRenamed("doc_id", "cid"),
+          col("doc_id") === col("cid"), "left_anti")
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    }),
+
+    // pillar text-analysis: Gopher-style repetition filters — duplicate
+    // word fraction + top-bigram dominance per doc (catches degenerate
+    // repeated-phrase text that token-level quality metrics miss)
+    "q87_repetition_signals" -> ((s, dir) =>
+      TextAnalysis.repetitionSignals(
+          spread(s, rd(s, dir, "documents")), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // pipeline: per-language token-budget sampling — data-mixing step
+    // that takes the highest-value docs (longest first) per language
+    // until each language's token budget is exhausted; running-sum
+    // window per lang partition, no global state
+    "q92_token_budget" -> ((s, dir) => {
+      val toks = TextFunctions.whitespaceTokens(lower(col("text")))
+      val t = spread(s, rd(s, dir, "documents"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          size(toks).cast("long").as("n_tokens"))
+      // running-budget cutoff via Quota.weightedBudget, NOT a per-lang
+      // running-sum window (one task per language at scale). n_chars
+      // itself is the order-preserving bucket: distinct lengths spread
+      // the window into (lang, n_chars) partitions, and length tiers
+      // past the budget are dropped before any per-row work.
+      Quota.weightedBudget(t, "lang",
+          bucket = col("n_chars"), bucketAsc = false,
+          ordCols = Seq(col("n_chars").desc, col("doc_id").asc),
+          weightCol = "n_tokens", budget = TokenBudgetPerLang,
+          cumCol = "cum_tokens")
+        .select("doc_id", "lang", "n_tokens", "cum_tokens")
+        .orderBy("doc_id")
+    }),
+
+    // pipeline: PII redaction — emails and phone-shaped digit runs are
+    // replaced with type tokens and counted (the scrub step every
+    // training-data pipeline runs before text ships). The testdata text
+    // carries no PII, so the gate INJECTS deterministic synthetic PII
+    // (doc_id-derived email + phone) before redacting — proving the
+    // patterns fire, not just that clean text passes through. Pure
+    // codegen'd projection; patterns are RE2/Java-compatible so the
+    // oracle runs the identical regexes.
+    "q106_pii_redact" -> ((s, dir) => {
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phoneRe = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+      val dirty = concat(
+        col("text"), lit(" contact user"), col("doc_id"),
+        lit("@example.com or +1-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      spread(s, rd(s, dir, "documents"))
+        .select(col("doc_id"), dirty.as("dirty"))
+        .select(
+          col("doc_id"),
+          regexp_replace(regexp_replace(col("dirty"), emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>").as("clean"),
+          regexp_count(col("dirty"), lit(emailRe)).cast("long").as("n_emails"),
+          regexp_count(col("dirty"), lit(phoneRe)).cast("long").as("n_phones"))
+        .orderBy("doc_id")
+    }),
+
+    // pillar text analysis: rare-token score — per doc, the fraction of
+    // token occurrences whose corpus-wide frequency is <= RareMaxFreq,
+    // plus the mean corpus frequency of its tokens (a cheap exact stand-in
+    // for LM perplexity: high rare-ratio = OOV-heavy/noisy, high
+    // mean-freq = boilerplate). Integer sums + one IEEE divide, so the
+    // doubles are oracle-exact. Two map-side-combined shuffles.
+    "q111_rare_token_score" -> ((s, dir) => {
+      val toks = spread(s, rd(s, dir, "documents"))
+        .select(col("doc_id"),
+          explode(TextFunctions.whitespaceTokens(lower(col("text")))).as("term"))
+        .localCheckpoint(false) // feeds the corpus count AND the re-join
+      val cnts = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+      toks.join(cnts, Seq("term"))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          sum(when(col("cnt") <= RareMaxFreq, 1L).otherwise(0L)).as("n_rare"),
+          sum(col("cnt")).as("sum_freq"))
+        .withColumn("rare_ratio", col("n_rare").cast("double") / col("n_tokens"))
+        .withColumn("mean_freq", col("sum_freq").cast("double") / col("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // pipeline: temperature-based source mixing (tau = 0.5 domain
+    // reweighting, the LLM data-mixing move): per-source quota =
+    // min(n, floor(sqrt(n) * MixSqrtScale)) — sqrt is IEEE
+    // correctly-rounded in both engines, so quotas are exact — with a
+    // content-stable md5 order picking WHICH rows fill the quota
+    // (reproducible under re-sharding; the q75 trick). One broadcast of
+    // the 1-row-per-source quota table; ranking windows are per-source.
+    "q112_source_mix_sample" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val quotas = docs.groupBy("source").agg(count(lit(1)).as("n_src"))
+        .withColumn("quota",
+          least(col("n_src"), floor(sqrt(col("n_src").cast("double")) * MixSqrtScale).cast("long")))
+        .select("source", "quota")
+      // per-source ranking via Quota.rankedQuota, NOT a
+      // Window.partitionBy("source") — with a handful of sources that
+      // window drags each source's full corpus through ONE task. The
+      // md5 order key's first hex byte is the order-preserving bucket
+      // (256-way parallel), and exhausted buckets never rank at all.
+      val ord = md5(concat(lit("mix-"), col("doc_id")))
+      Quota.rankedQuota(
+          docs.select(col("doc_id"), col("source"), ord.as("ord")),
+          "source",
+          bucket = conv(substring(col("ord"), 1, 2), 16, 10).cast("long"),
+          bucketAsc = true,
+          ordCols = Seq(col("ord").asc, col("doc_id").asc),
+          quotas = quotas)
+        .select("source", "doc_id", "rk")
+        .orderBy("source", "rk")
+    }),
+
+    // THE composite: the full training-data prep chain as ONE declarative
+    // plan — quality gate (q55 predicate) -> exact-dedup keep-one
+    // (md5 window, q91 shape) -> decontamination vs the held-out slice
+    // (q85 shingle anti-join) -> per-language token budget (q92 window).
+    // What a real user runs nightly; composing the stages costs no
+    // driver round-trips (one job end to end), every intermediate stays
+    // distributed, and each stage's operator is independently gated by
+    // its own query.
+    "q113_prep_pipeline" -> ((s, dir) => {
+      val docs = spread(s, rd(s, dir, "documents"))
+      val kept = docs.select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.meanTokenLength(col("text")).as("mtl"),
+          TextAnalysis.punctRatio(col("text")).as("pr"),
+          TextAnalysis.stopwordRatio(col("text")).as("es"))
+        .filter(col("n_tokens") >= QfMinTokens &&
+          col("mtl") >= QfMinMeanTokLen && col("mtl") <= QfMaxMeanTokLen &&
+          col("pr") <= QfMaxPunctRatio && col("es") >= QfMinStopwordRatio)
+      val dd = kept
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(md5(col("text"))).orderBy(col("doc_id").asc)))
+        .filter(col("rn") === 1)
+      // contamination = sharing a VERBATIM DecontamSpanN-char span with
+      // the held-out slice (q85's shape at 8 chars prunes this
+      // low-vocabulary corpus to zero; 20-char spans are the realistic
+      // long-verbatim-leak criterion and keep the pipeline non-trivial)
+      val shingles = docs.select(col("doc_id"),
+        explode(array_distinct(transform(
+          TextFunctions.charShingles(lower(col("text")), DecontamSpanN),
+          g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")))).as("h"))
+        .localCheckpoint(false) // span hashing feeds the bench AND contamination-probe branches
+      val bench = shingles.filter(col("doc_id") % 50 === 0)
+        .select(col("h").as("bh")).distinct()
+      val contaminated = shingles.join(broadcast(bench), col("h") === col("bh"))
+        .select(col("doc_id").as("cid")).distinct()
+      val clean = dd.join(contaminated, col("doc_id") === col("cid"), "left_anti")
+      // final stage shares q92's scalable budget cutoff (bucketed by
+      // n_chars) instead of a one-task-per-lang running-sum window
+      Quota.weightedBudget(clean, "lang",
+          bucket = col("n_chars"), bucketAsc = false,
+          ordCols = Seq(col("n_chars").desc, col("doc_id").asc),
+          weightCol = "n_tokens", budget = TokenBudgetPerLang,
+          cumCol = "cum_tokens")
+        .select("doc_id", "lang", "n_tokens", "cum_tokens")
+        .orderBy("doc_id")
+    }),
+
+    // pillar text analysis: bigram-LM quality scoring (the KenLM-style
+    // perplexity filter, exactly): train conditional bigram counts on
+    // the corpus itself, then score each doc by its rare-bigram count
+    // and minimum conditional probability. Everything oracle-exact
+    // without libm: rarity tests cross-multiply in integers
+    // (100*c12 < c1 <=> P < 0.01), and min() over exact IEEE divides is
+    // order-independent — no float SUM ever happens.
+    "q114_bigram_lm_score" -> ((s, dir) => {
+      val toks = spread(s, rd(s, dir, "documents"))
+        .select(col("doc_id"), TextFunctions.whitespaceTokens(lower(col("text"))).as("toks"))
+        .localCheckpoint(false) // tokenization feeds both the bigram and unigram branches
+      val bi = toks.filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(transform(sequence(lit(1), size(col("toks")) - 1),
+          i => struct(element_at(col("toks"), i).as("w1"),
+            element_at(col("toks"), i + 1).as("w2")))).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val uni = toks.select(explode(col("toks")).as("w1"))
+        .groupBy("w1").agg(count(lit(1)).as("c1"))
+      val big = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      bi.join(big, Seq("w1", "w2")).join(uni, Seq("w1"))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_bigrams"),
+          sum(when(col("c12") * 100 < col("c1"), 1L).otherwise(0L)).as("n_rare"),
+          min(col("c12").cast("double") / col("c1")).as("min_prob"))
+        .orderBy("doc_id")
+    }),
+
+    // pillar text analysis: GRADED benchmark contamination — q85/q113
+    // decide a boolean (any shared span); real decontamination triages by
+    // the overlap FRACTION (n-gram overlap ratio, the GPT-3/PaLM
+    // contamination metric). Per non-benchmark doc: distinct
+    // DecontamSpanN-char spans, how many appear anywhere in the benchmark
+    // slice, and the ratio. Benchmark span set rides a broadcast (it is
+    // the small side by construction); spans travel as 60-bit md5 longs.
+    "q119_contamination_overlap" -> ((s, dir) => {
+      val docs = spread(s, rd(s, dir, "documents"))
+      val spans = docs.select(col("doc_id"),
+        explode(array_distinct(transform(
+          TextFunctions.charShingles(lower(col("text")), DecontamSpanN),
+          g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")))).as("h"))
+        .localCheckpoint(false) // the md5 span hashing feeds the bench AND probe branches
+      val bench = spans.filter(col("doc_id") % ContamBenchMod === 0)
+        .select(col("h").as("bh")).distinct()
+      spans.filter(col("doc_id") % ContamBenchMod =!= 0)
+        .join(broadcast(bench), col("h") === col("bh"), "left")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_spans"),
+          sum(when(col("bh").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+        .withColumn("overlap_ratio", col("n_hit").cast("double") / col("n_spans"))
+        .orderBy("doc_id")
+    }),
+
+    // pillar text analysis: BPE TOKENIZER TRAINING (Sennrich ACL'16) —
+    // the iterated argmax pair-merge over the corpus word-frequency
+    // table, the algorithm behind every production subword vocabulary.
+    // Both engines' `replace` is left-to-right non-overlapping — exactly
+    // BPE's greedy merge application — and U+001F sentinels make a merge
+    // unable to match across symbol boundaries, so three full merge
+    // steps are oracle-exact. Output: (step, left, right, pair_count).
+    "q127_bpe_train_merges" -> ((s, dir) =>
+      TextAnalysis.bpeTopMerges(spread(s, rd(s, dir, "documents")), "text", steps = BpeSteps)
+        .orderBy("step")),
+
+    // pipeline: BPE ENCODE — the serve half of q127: the trained vocab's
+    // final segmentation (vocab-sized, broadcast) joins against the
+    // corpus token stream to BPE-encode every document; per doc the word
+    // and subword-piece counts plus the fertility (pieces per word, the
+    // number a tokenizer team actually monitors). The corpus is touched
+    // once; all merge logic stays on the vocab table.
+    "q134_bpe_encode" -> ((s, dir) => {
+      val docs = spread(s, rd(s, dir, "documents"))
+      val vocab = TextAnalysis.bpeSegmentedVocab(docs, "text", steps = BpeSteps)
+        .select("word", "n_pieces")
+      docs.select(col("doc_id"),
+          explode(TextFunctions.whitespaceTokens(lower(col("text")))).as("word"))
+        .join(broadcast(vocab), Seq("word"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), sum(col("n_pieces")).as("n_pieces"))
+        .withColumn("pieces_per_word",
+          col("n_pieces").cast("double") / col("n_words"))
+        .orderBy("doc_id")
+    }),
+
+    // pipeline: SEQUENCE PACKING — the last step before a GPT-style
+    // dataloader: lay all documents out in a deterministic global order
+    // (doc_id) and cut the token stream into fixed-length training
+    // sequences. Per doc: its exclusive global token offset, the first
+    // and last sequence it lands in, and how many sequences it crosses.
+    // The global prefix sum comes from Quota.globalCumSum (bucketed —
+    // the corpus never serializes through a partitionless window; the
+    // only serial stage is the ~256-row per-bucket cumulative, with the
+    // bucket width riding a broadcast 1-row aggregate so it stays ~256
+    // buckets at ANY corpus size).
+    "q128_sequence_packing" -> ((s, dir) => {
+      val t = spread(s, rd(s, dir, "documents"))
+        .select(col("doc_id"),
+          size(TextFunctions.whitespaceTokens(lower(col("text")))).cast("long").as("n_tokens"))
+      val nRow = t.agg(count(lit(1)).as("n"))
+        .select(greatest(lit(1L), expr("n div 256")).as("bw"))
+      val cum = Quota.globalCumSum(
+          t.crossJoin(broadcast(nRow)),
+          bucket = expr("doc_id div bw"),
+          ordCols = Seq(col("doc_id").asc),
+          weightCol = "n_tokens", cumCol = "cum_tokens")
+        .withColumn("offset", col("cum_tokens") - col("n_tokens"))
+      cum
+        .withColumn("first_seq", expr(s"offset div $PackSeqLen"))
+        .withColumn("last_seq",
+          expr(s"(offset + greatest(n_tokens, 1L) - 1L) div $PackSeqLen"))
+        .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1)
+        .select("doc_id", "n_tokens", "offset", "first_seq", "last_seq", "n_seqs")
+        .orderBy("doc_id")
+    }),
+
+    // pipeline: temperature-based LANGUAGE UPSAMPLING with epochs — the
+    // other half of data mixing (q112 downsamples big sources; training
+    // mixes also REPEAT low-resource languages for multiple epochs, the
+    // alpha-smoothed multinomial of multilingual-LM training; lang is the
+    // grouping because the testdata sources are uniform). Per lang:
+    // integer weight w = floor(sqrt(n)*1000); target rows =
+    // ceil(N * w / sum_w) computed as (N div S)*w + ((N mod S)*w + S-1)
+    // div S — pure int64 (no float sum ever; the two-step split keeps
+    // every intermediate under 2^63 even at ~1e10 docs); epochs 1..f-1
+    // replicate every row (a narrow explode, no shuffle); the final
+    // partial epoch takes the target remainder in content-stable md5
+    // order through Quota.rankedQuota (bucketed — never a one-task-per-
+    // source window). Output (source, doc_id, epoch).
+    "q125_lang_upsample_epochs" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val perSrc = docs.groupBy("lang").agg(count(lit(1)).as("n_src"))
+        .withColumn("w", floor(sqrt(col("n_src").cast("double")) * 1000).cast("long"))
+      val tot = perSrc.agg(sum("n_src").as("n_tot"), sum("w").as("sum_w"))
+      val plan = perSrc.crossJoin(broadcast(tot))
+        .withColumn("target",
+          expr("(n_tot div sum_w) * w + ((n_tot % sum_w) * w + sum_w - 1) div sum_w"))
+        .withColumn("f", expr("(target + n_src - 1) div n_src"))
+        .withColumn("quota", col("target") - (col("f") - 1) * col("n_src"))
+        .select("lang", "f", "quota")
+      val ids = docs.select("doc_id", "lang")
+      val fullEpochs = ids.join(broadcast(plan), Seq("lang"))
+        .filter(col("f") >= 2)
+        .select(col("lang"), col("doc_id"),
+          explode(sequence(lit(1L), col("f") - 1)).as("epoch"))
+      val ord = md5(concat(lit("mix-"), col("doc_id")))
+      val partial = Quota.rankedQuota(
+          ids.withColumn("ord", ord),
+          "lang",
+          bucket = conv(substring(col("ord"), 1, 2), 16, 10).cast("long"),
+          bucketAsc = true,
+          ordCols = Seq(col("ord").asc, col("doc_id").asc),
+          quotas = plan.select("lang", "quota"))
+        .join(broadcast(plan), Seq("lang"))
+        .select(col("lang"), col("doc_id"), col("f").as("epoch"))
+      fullEpochs.union(partial).orderBy("lang", "epoch", "doc_id")
+    }),
+
+    // pillar pipeline: BLOOM-FILTER decontamination prefilter AUDIT — at
+    // 100 TB the exact benchmark span-hash set costs ~8 bytes/span to
+    // broadcast; a Bloom filter is ~40x smaller for the same prefilter
+    // job, at the price of false positives that would drop clean
+    // documents. This builds the bloom (3 probes of 16 bits sliced from
+    // the 60-bit md5 span key, OR-folded into 32-bit words by ONE
+    // map-side-combined bit_or shuffle — 2048 words total), runs every
+    // corpus span through it, and AUDITS bloom positives against the
+    // exact set: n_false_pos / fp_rate is the measured basis for sizing
+    // m before swapping the prefilter in. All integer bit ops — exact.
+    "q136_bloom_decontaminate" -> ((s, dir) => {
+      val docs = spread(s, rd(s, dir, "documents"))
+      val spans = docs.select(col("doc_id"),
+        explode(array_distinct(transform(
+          TextFunctions.charShingles(lower(col("text")), DecontamSpanN),
+          g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")))).as("h"))
+        .localCheckpoint(false) // md5 hashing feeds the bench AND probe branches
+      val bench = spans.filter(col("doc_id") % ContamBenchMod === 0)
+        .select("h").distinct()
+        .localCheckpoint(false) // feeds the bloom build AND the exact audit
+      def probes = explode(array(Seq(0, 16, 32).map(b =>
+        shiftright(col("h"), b).bitwiseAND(lit(65535L))): _*))
+      val bloom = bench.select(probes.as("p"))
+        .groupBy(shiftright(col("p"), 5).as("word"))
+        .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))")).as("bits"))
+      val member = spans.filter(col("doc_id") % ContamBenchMod =!= 0)
+        .select(col("doc_id"), col("h"), probes.as("p"))
+        .join(broadcast(bloom), shiftright(col("p"), 5) === col("word"), "left")
+        .groupBy("doc_id", "h")
+        .agg((sum(when(col("bits").isNotNull &&
+            (col("bits").bitwiseAND(
+              expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))")) =!= 0L),
+            1L).otherwise(0L)) === 3L).as("bloom_pos"))
+      member.join(broadcast(bench.select(col("h").as("bh"))),
+          col("h") === col("bh"), "left")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_spans"),
+          sum(when(col("bloom_pos"), 1L).otherwise(0L)).as("n_bloom_pos"),
+          sum(when(col("bh").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+        .withColumn("n_false_pos", col("n_bloom_pos") - col("n_hit"))
+        .withColumn("fp_rate",
+          expr("CAST(n_false_pos AS DOUBLE) / nullif(n_spans - n_hit, 0)"))
+        .orderBy("doc_id")
+    }),
+
+    // pillar text analysis: BM25 top-k retrieval — the inverted-index
+    // ranked search a curation team runs against the corpus ("find the
+    // documents most like this probe"). Postings (doc, term, tf) shuffle
+    // once BY TERM — the inverted-index shape — and the tiny query-term
+    // side broadcasts onto them; per-term contributions are quantized to
+    // integer micro-points (floor(1e6 * idf * tf_saturation), every
+    // input an exact integer, shared expression text with the oracle) so
+    // the per-(query, doc) sum is order-independent and oracle-exact.
+    // Top-k per query is a rank-bounded window (WindowGroupLimit).
+    "q137_bm25_topk" -> ((s, dir) => {
+      val toks = spread(s, rd(s, dir, "documents"))
+        .select(col("doc_id"),
+          explode(TextFunctions.whitespaceTokens(lower(col("text")))).as("term"))
+        .localCheckpoint(false) // feeds postings, doc lengths, AND the query side
+      val corpus = toks.filter(col("doc_id") % Bm25QueryMod =!= 0)
+      val dl = corpus.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        .localCheckpoint(false) // feeds the 1-row corpus stats AND the scoring join
+      val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
+      val postings = corpus.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(false) // feeds document frequencies AND the scoring join
+      val dfT = postings.groupBy("term").agg(count(lit(1)).as("df"))
+      val qterms = toks.filter(col("doc_id") % Bm25QueryMod === 0)
+        .select(col("doc_id").as("q_id"), col("term")).distinct()
+      val scored = postings.join(broadcast(qterms), Seq("term"))
+        .join(dfT, Seq("term"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .withColumn("contrib", expr(Bm25ContribSql).cast("long"))
+        .groupBy("q_id", "doc_id").agg(sum(col("contrib")).as("score"))
+      scored
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("score").desc, col("doc_id")))
+          .cast("long"))
+        .filter(col("rk") <= Bm25TopK)
+        .orderBy("q_id", "rk")
+    }),
+
+    // pillar text analysis: PMI collocations (phrase mining) — top
+    // adjacent-token pairs by pointwise mutual information, the classic
+    // "merge these into one token / glossary term" signal. Bigram and
+    // unigram counts are two map-side-combined shuffles off one
+    // tokenization; the PMI ratio (c_xy * N) / (c_x * c_y) is computed
+    // from exact BIGINT products (< 2^53, so the int->double conversion
+    // is lossless) with ONE double division, quantized to integer
+    // micro-points via the oracle-shared expression text.
+    "q139_pmi_collocations" -> ((s, dir) => {
+      val tk = spread(s, rd(s, dir, "documents"))
+        .select(TextFunctions.whitespaceTokens(lower(col("text"))).as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .localCheckpoint(false) // one tokenization feeds bigram AND unigram counts
+      val pairs = tk.select(explode(zip_with(
+          slice(col("tk"), lit(1), size(col("tk")) - 1),
+          slice(col("tk"), lit(2), size(col("tk")) - 1),
+          (a, b) => struct(a.as("t1"), b.as("t2")))).as("p"))
+        .select(col("p.t1").as("t1"), col("p.t2").as("t2"))
+        .groupBy("t1", "t2").agg(count(lit(1)).as("c_xy"))
+        .filter(col("c_xy") >= PmiMinCount)
+      val uni = tk.select(explode(col("tk")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("c"))
+        .localCheckpoint(false) // joined twice (t1 side and t2 side)
+      val totals = uni.agg(sum(col("c")).as("n_tok"))
+      pairs
+        .join(uni.select(col("term").as("t1"), col("c").as("cx")), Seq("t1"))
+        .join(uni.select(col("term").as("t2"), col("c").as("cy")), Seq("t2"))
+        .crossJoin(broadcast(totals))
+        .withColumn("pmi_q", expr(PmiScoreSql).cast("long"))
+        .select("t1", "t2", "c_xy", "pmi_q")
+        .orderBy(col("pmi_q").desc, col("t1"), col("t2"))
+        .limit(PmiTopK)
+    }),
+
+    // pillar text analysis: TRIGRAM-INDEXED literal search — "grep
+    // 100 TB without scanning every document": a distinct (doc, trigram)
+    // posting table is built ONCE (the amortized index); each query
+    // pattern broadcasts its own trigram set onto it, a candidate is any
+    // doc matching ALL of the pattern's trigrams (count == ng — the
+    // posting-intersection superset guarantee), and the exact
+    // `contains` verify then touches ONLY candidate documents. The
+    // oracle is the brute-force scan the index exists to avoid.
+    "q142_trigram_search" -> ((s, dir) => {
+      import s.implicits._
+      val docs = spread(s, rd(s, dir, "documents"))
+        .localCheckpoint(false) // feeds the posting build AND the verify join
+      val pats = TrigramPatterns.toDF("pattern")
+      val postings = docs.select(col("doc_id"),
+        explode(array_distinct(TextFunctions.charShingles(lower(col("text")), 3))).as("g"))
+      val pg = pats.select(col("pattern"),
+          array_distinct(TextFunctions.charShingles(col("pattern"), 3)).as("gs"))
+        .select(col("pattern"), size(col("gs")).as("ng"), explode(col("gs")).as("g"))
+      val cand = postings.join(broadcast(pg), Seq("g"))
+        .groupBy("pattern", "ng", "doc_id")
+        .agg(count(lit(1)).as("matched"))
+        .filter(col("matched") === col("ng"))
+      cand.join(docs, Seq("doc_id"))
+        .filter(expr("contains(lower(text), pattern)"))
+        .select("pattern", "doc_id")
+        .orderBy("pattern", "doc_id")
+    }),
+
+    // pillar text analysis: SOURCE-DISTRIBUTION DRIFT — per-source
+    // chi-square-style divergence of the token distribution from the
+    // corpus marginal (the data-mixing diagnostic: which source's
+    // language is unlike the rest — run per crawl snapshot, alarms on
+    // drift). Per observed (source, term): obs vs exp = tt*st/T, the
+    // (obs*T - tt*st)^2 / (tt*st*T) component quantized to integer
+    // micro-points via oracle-shared expression text (the BIGINT
+    // products are exact; the square and ONE division are the only
+    // double ops, identically ordered in both engines), so the
+    // per-source sum is order-independent. Two map-side-combined
+    // shuffles + broadcasts of the tiny per-source/1-row frames.
+    "q144_source_drift" -> ((s, dir) => {
+      val toks = spread(s, rd(s, dir, "documents"))
+        .select(col("source"),
+          explode(TextFunctions.whitespaceTokens(lower(col("text")))).as("term"))
+        .localCheckpoint(false) // feeds per-pair, per-term, per-source counts
+      val obs = toks.groupBy("source", "term").agg(count(lit(1)).as("obs"))
+      val tt = toks.groupBy("term").agg(count(lit(1)).as("tt"))
+      val st = toks.groupBy("source").agg(count(lit(1)).as("st"))
+      val tot = toks.agg(count(lit(1)).as("tot"))
+      obs.join(tt, Seq("term"))
+        .join(broadcast(st), Seq("source"))
+        .crossJoin(broadcast(tot))
+        .withColumn("contrib", expr(ChiSqSql).cast("long"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_terms"), sum(col("contrib")).as("drift_q"))
+        .orderBy("source")
+    }),
+
+    // pipeline: DATA-QUALITY EXPECTATION GATE (the dbt-test / Great-
+    // Expectations shape): a battery of assertions over the warehouse
+    // tables, one row per check with its violation count — what a
+    // nightly pipeline runs before promoting a snapshot. Each check is
+    // one aggregate or one anti-join; nothing corpus-wide beyond the
+    // scans, and the FK check's build side is the dimension (broadcast).
+    "q151_quality_checks" -> ((s, dir) => {
+      val orders = rd(s, dir, "orders")
+      val customer = rd(s, dir, "customer")
+      val lineitem = rd(s, dir, "lineitem")
+      def check(name: String, violations: DataFrame): DataFrame =
+        violations.select(lit(name).as("check_name"),
+          col("violations").cast("long").as("violations"),
+          (col("violations") === 0L).as("passed"))
+      check("orders_pk_unique",
+          orders.agg((count(lit(1)) - countDistinct(col("o_orderkey"))).as("violations")))
+        .unionAll(check("orders_custkey_not_null",
+          orders.agg(sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("violations"))))
+        .unionAll(check("orders_fk_customer",
+          orders.join(broadcast(customer.select(col("c_custkey"))),
+              col("o_custkey") === col("c_custkey"), "left_anti")
+            .agg(count(lit(1)).as("violations"))))
+        .unionAll(check("orders_totalprice_positive",
+          orders.agg(sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("violations"))))
+        .unionAll(check("orders_status_accepted",
+          orders.agg(sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L)
+            .otherwise(0L)).as("violations"))))
+        .unionAll(check("lineitem_qty_range",
+          lineitem.agg(sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+            .otherwise(0L)).as("violations"))))
+        .unionAll(check("lineitem_fk_orders",
+          lineitem.join(orders.select(col("o_orderkey")),
+              col("l_orderkey") === col("o_orderkey"), "left_anti")
+            .agg(count(lit(1)).as("violations"))))
+        .unionAll(check("lineitem_discount_range",
+          lineitem.agg(sum(when(col("l_discount") < 0 || col("l_discount") > 0.5, 1L)
+            .otherwise(0L)).as("violations"))))
+        .orderBy("check_name")
+    }),
+
+    // pillar text analysis: POSITIONAL PHRASE SEARCH — the word-level
+    // positional-index twin of q142's trigram search: postings carry
+    // (doc, term, position); each phrase term joins with its offset and
+    // a phrase occurrence is an anchor (pos - off) where ALL offsets
+    // matched (count == phrase length) — the classic phrase-query
+    // position-list intersection, one broadcast of the tiny phrase-term
+    // side, no contains() scan anywhere.
+    "q152_phrase_search" -> ((s, dir) => {
+      import s.implicits._
+      val docs = spread(s, rd(s, dir, "documents"))
+      val pats = TrigramPatterns.toDF("phrase")
+      val post = docs.select(col("doc_id"),
+        posexplode(TextFunctions.whitespaceTokens(lower(col("text")))).as(Seq("pos", "term")))
+      val pterms = pats.select(col("phrase"),
+        posexplode(TextFunctions.whitespaceTokens(col("phrase"))).as(Seq("off", "term")))
+      val nterms = pats.select(col("phrase"),
+        size(TextFunctions.whitespaceTokens(col("phrase"))).as("nt"))
+      post.join(broadcast(pterms), Seq("term"))
+        .groupBy(col("phrase"), col("doc_id"), (col("pos") - col("off")).as("anchor"))
+        .agg(countDistinct(col("off")).as("nmatch"))
+        .join(broadcast(nterms), Seq("phrase"))
+        .filter(col("nmatch") === col("nt"))
+        .groupBy("phrase", "doc_id").agg(count(lit(1)).as("n_occurrences"))
+        .orderBy("phrase", "doc_id")
+    })
+  )
+
+  protected def textOracle: Map[String, String] = Map(
+    "q44_lang_id" -> {
+      val scoreCols = TextAnalysis.LangStopwords.map { case (l, words) =>
+        val list = words.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"""CASE WHEN len(toks) = 0 THEN 0.0
+           |       ELSE len(list_filter(toks, t -> list_contains($list, t)))::DOUBLE / len(toks) END AS s_$l"""
+          .stripMargin
+      }.mkString(",\n  ")
+      val langs = TextAnalysis.LangStopwords.map(_._1)
+      // reverse-order strict-greater chain == Spark's nested whens:
+      // later language wins only if strictly above the max of all earlier
+      val predCases = langs.tail.reverse.map { l =>
+        val earlier = langs.takeWhile(_ != l).map(e => s"s_$e")
+        val m = if (earlier.length == 1) earlier.head else s"greatest(${earlier.mkString(", ")})"
+        s"WHEN s_$l > $m THEN '$l'"
+      }.mkString(" ")
+      s"""WITH t AS (SELECT doc_id, lang, $tokensLowerSql AS toks FROM documents),
+         |sc AS (SELECT doc_id, lang,
+         |  $scoreCols
+         |  FROM t)
+         |SELECT doc_id, lang,
+         |       CASE $predCases ELSE '${langs.head}' END AS pred_lang,
+         |       greatest(${langs.map(l => s"s_$l").mkString(", ")}) AS best_score
+         |FROM sc ORDER BY doc_id""".stripMargin
+    },
+
+    "q36_lang_stopword_ratio" -> {
+      val sw = TextAnalysis.EnglishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""SELECT doc_id, lang,
+         |  CASE WHEN len($tokensLowerSql) = 0 THEN 0.0
+         |       ELSE len(list_filter($tokensLowerSql, t -> list_contains($sw, t)))::DOUBLE
+         |            / len($tokensLowerSql) END AS en_score
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "q37_quality_metrics" ->
+      s"""SELECT doc_id,
+         |  strlen(text) AS n_bytes,
+         |  CASE WHEN trim(text) = '' THEN 0 ELSE len($tokensSql) END AS n_tokens,
+         |  CASE WHEN trim(text) = '' THEN 0.0
+         |       ELSE list_sum(list_transform($tokensSql, t -> strlen(t)))::DOUBLE / len($tokensSql) END AS mean_tok_len,
+         |  CASE WHEN strlen(text) = 0 THEN 0.0
+         |       ELSE len(regexp_extract_all(text, '[!-/:-@\\[-`{-~]'))::DOUBLE / strlen(text) END AS punct_ratio
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q38_fingerprint" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN len(${docShinglesSql(4)}) = 0 THEN NULL
+         |       ELSE array_to_string(list_sort(list_transform(${docShinglesSql(4)}, g -> md5(g)))[1:8], ',') END AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q39_token_counts" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN trim(text) = '' THEN 0 ELSE len($tokensSql) END AS n_ws_tokens,
+         |  CASE WHEN strlen(text) = 0 THEN 0
+         |       ELSE len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) END AS n_word_pieces
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q55_quality_filter" -> {
+      val sw = TextAnalysis.EnglishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH m AS (SELECT doc_id,
+         |  CASE WHEN trim(text) = '' THEN 0 ELSE len($tokensSql) END AS n_tokens,
+         |  CASE WHEN trim(text) = '' THEN 0.0
+         |       ELSE list_sum(list_transform($tokensSql, t -> strlen(t)))::DOUBLE / len($tokensSql) END AS mean_tok_len,
+         |  CASE WHEN strlen(text) = 0 THEN 0.0
+         |       ELSE len(regexp_extract_all(text, '[!-/:-@\\[-`{-~]'))::DOUBLE / strlen(text) END AS punct_ratio,
+         |  CASE WHEN len($tokensLowerSql) = 0 THEN 0.0
+         |       ELSE len(list_filter($tokensLowerSql, t -> list_contains($sw, t)))::DOUBLE
+         |            / len($tokensLowerSql) END AS en_score
+         |  FROM documents)
+         |SELECT doc_id, n_tokens, mean_tok_len, punct_ratio, en_score,
+         |       (n_tokens >= $QfMinTokens AND mean_tok_len >= $QfMinMeanTokLen AND mean_tok_len <= $QfMaxMeanTokLen
+         |        AND punct_ratio <= $QfMaxPunctRatio AND en_score >= $QfMinStopwordRatio) AS keep
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
+
+    "q56_top_ngrams" ->
+      s"""WITH t AS (SELECT $tokensLowerSql AS toks FROM documents WHERE trim(text) <> ''),
+         |b AS (SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i::INT] || ' ' || toks[(i::INT)+1])) AS ng FROM t)
+         |SELECT ng, count(*) AS cnt FROM b GROUP BY ng ORDER BY cnt DESC, ng ASC LIMIT 50""".stripMargin,
+
+    "q57_source_stats" ->
+      """SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
+        |       sum(strlen(text))::BIGINT AS sum_bytes,
+        |       (sum(strlen(text))::BIGINT)::DOUBLE / count(*) AS avg_bytes
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q58_tfidf_top_terms" ->
+      s"""WITH t AS (SELECT doc_id, unnest($tokensLowerSql) AS term FROM documents WHERE trim(text) <> ''),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |sc AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+         |         (tf.tf * (SELECT count(*) FROM documents))::DOUBLE / dfq.df AS score
+         |       FROM tf JOIN dfq USING (term)),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank FROM sc)
+         |SELECT doc_id, term, tf, df, score, rank FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+
+    "q106_pii_redact" ->
+      """WITH d AS (SELECT doc_id,
+        |  text || ' contact user' || doc_id || '@example.com or +1-555-'
+        |       || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS dirty
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS clean,
+        |  len(regexp_extract_all(dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+        |  len(regexp_extract_all(dirty, '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}'))::BIGINT AS n_phones
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q111_rare_token_score" ->
+      s"""WITH t AS (SELECT doc_id, unnest($tokensLowerSql) AS term FROM documents),
+         |c AS (SELECT term, count(*) AS cnt FROM t GROUP BY term)
+         |SELECT doc_id,
+         |       count(*)::BIGINT AS n_tokens,
+         |       sum(CASE WHEN cnt <= $RareMaxFreq THEN 1 ELSE 0 END)::BIGINT AS n_rare,
+         |       sum(cnt)::BIGINT AS sum_freq,
+         |       (sum(CASE WHEN cnt <= $RareMaxFreq THEN 1 ELSE 0 END)::BIGINT)::DOUBLE
+         |         / count(*) AS rare_ratio,
+         |       (sum(cnt)::BIGINT)::DOUBLE / count(*) AS mean_freq
+         |FROM t JOIN c USING (term) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q112_source_mix_sample" ->
+      s"""WITH q AS (
+         |  SELECT source,
+         |         least(count(*), floor(sqrt(count(*)::DOUBLE) * $MixSqrtScale)::BIGINT) AS quota
+         |  FROM documents GROUP BY source),
+         |r AS (
+         |  SELECT source, doc_id,
+         |         row_number() OVER (PARTITION BY source
+         |                            ORDER BY md5('mix-' || doc_id), doc_id) AS rk
+         |  FROM documents)
+         |SELECT r.source, doc_id, rk::BIGINT AS rk
+         |FROM r JOIN q USING (source) WHERE rk <= quota ORDER BY source, rk""".stripMargin,
+
+    "q113_prep_pipeline" -> {
+      val sw = TextAnalysis.EnglishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH m AS (SELECT doc_id,
+         |  CASE WHEN trim(text) = '' THEN 0 ELSE len($tokensSql) END AS n_tokens,
+         |  CASE WHEN trim(text) = '' THEN 0.0
+         |       ELSE list_sum(list_transform($tokensSql, t -> strlen(t)))::DOUBLE / len($tokensSql) END AS mean_tok_len,
+         |  CASE WHEN strlen(text) = 0 THEN 0.0
+         |       ELSE len(regexp_extract_all(text, '[!-/:-@\\[-`{-~]'))::DOUBLE / strlen(text) END AS punct_ratio,
+         |  CASE WHEN len($tokensLowerSql) = 0 THEN 0.0
+         |       ELSE len(list_filter($tokensLowerSql, t -> list_contains($sw, t)))::DOUBLE
+         |            / len($tokensLowerSql) END AS en_score
+         |  FROM documents),
+         |kept AS (SELECT doc_id, n_tokens FROM m
+         |  WHERE n_tokens >= $QfMinTokens AND mean_tok_len >= $QfMinMeanTokLen
+         |    AND mean_tok_len <= $QfMaxMeanTokLen AND punct_ratio <= $QfMaxPunctRatio
+         |    AND en_score >= $QfMinStopwordRatio),
+         |dd AS (SELECT doc_id, n_tokens FROM (
+         |  SELECT k.doc_id, k.n_tokens,
+         |         row_number() OVER (PARTITION BY md5(d.text) ORDER BY k.doc_id) AS rn
+         |  FROM kept k JOIN documents d USING (doc_id)) WHERE rn = 1),
+         |sh AS (SELECT doc_id,
+         |  unnest(list_distinct(list_transform(${docShinglesSql(DecontamSpanN)},
+         |    g -> ('0x' || substr(md5(g), 1, 15))::BIGINT))) AS h
+         |  FROM documents),
+         |bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 50 = 0),
+         |contaminated AS (SELECT DISTINCT doc_id FROM sh JOIN bench USING (h)),
+         |clean AS (SELECT doc_id, n_tokens FROM dd
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         |c AS (SELECT d.doc_id, d.lang, cl.n_tokens,
+         |        (sum(cl.n_tokens) OVER (PARTITION BY d.lang ORDER BY d.n_chars DESC, d.doc_id ASC
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum_tokens
+         |      FROM clean cl JOIN documents d USING (doc_id))
+         |SELECT doc_id, lang, n_tokens, cum_tokens FROM c
+         |WHERE cum_tokens <= $TokenBudgetPerLang ORDER BY doc_id""".stripMargin
+    },
+
+    "q114_bigram_lm_score" ->
+      s"""WITH t AS (SELECT doc_id, $tokensLowerSql AS toks FROM documents WHERE trim(text) <> ''),
+         |bb AS (SELECT doc_id,
+         |         unnest(list_transform(range(1, len(toks)),
+         |           i -> {'w1': toks[i::INT], 'w2': toks[(i::INT)+1]})) AS b
+         |       FROM t WHERE len(toks) >= 2),
+         |bi AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bb),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM (SELECT unnest(toks) AS w1 FROM t) GROUP BY w1),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2)
+         |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+         |       sum(CASE WHEN c12.c12 * 100 < c1.c1 THEN 1 ELSE 0 END)::BIGINT AS n_rare,
+         |       min(c12.c12::DOUBLE / c1.c1) AS min_prob
+         |FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q151_quality_checks" ->
+      """WITH checks AS (
+        |  SELECT 'orders_pk_unique' AS check_name,
+        |         (count(*) - count(DISTINCT o_orderkey))::BIGINT AS violations FROM orders
+        |  UNION ALL SELECT 'orders_custkey_not_null',
+        |         sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT FROM orders
+        |  UNION ALL SELECT 'orders_fk_customer',
+        |         (SELECT count(*) FROM orders o LEFT JOIN customer c
+        |            ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL)::BIGINT
+        |  UNION ALL SELECT 'orders_totalprice_positive',
+        |         sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)::BIGINT FROM orders
+        |  UNION ALL SELECT 'orders_status_accepted',
+        |         sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END)::BIGINT FROM orders
+        |  UNION ALL SELECT 'lineitem_qty_range',
+        |         sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END)::BIGINT FROM lineitem
+        |  UNION ALL SELECT 'lineitem_fk_orders',
+        |         (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+        |            ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL)::BIGINT
+        |  UNION ALL SELECT 'lineitem_discount_range',
+        |         sum(CASE WHEN l_discount < 0 OR l_discount > 0.5 THEN 1 ELSE 0 END)::BIGINT FROM lineitem)
+        |SELECT check_name, violations, violations = 0 AS passed
+        |FROM checks ORDER BY check_name""".stripMargin,
+
+    "q119_contamination_overlap" -> contaminationOracle,
+
+    "q127_bpe_train_merges" ->
+      s"""WITH bw AS (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest($tokensLowerSql) AS word FROM documents)
+         |  GROUP BY word),
+         |bs0 AS (
+         |  SELECT word, freq,
+         |         array_to_string(list_transform(regexp_extract_all(word, '.'),
+         |           c -> chr(31) || c || chr(31)), ' ') AS seq
+         |  FROM bw),
+         |${bpeCtesSql(BpeSteps)}
+         |SELECT * FROM (
+         |${(1 to BpeSteps).map(t =>
+             s"""  SELECT CAST($t AS BIGINT) AS step, replace(a, chr(31), '') AS "left",
+                |         replace(b, chr(31), '') AS "right", pair_count FROM bb$t""".stripMargin)
+             .mkString("\n  UNION ALL\n")}
+         |)
+         |ORDER BY step""".stripMargin,
+
+    // the encode half re-derives the same merge chain, then reads the
+    // per-word piece count off the FINAL segmentation state
+    "q134_bpe_encode" ->
+      s"""WITH bw AS (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest($tokensLowerSql) AS word FROM documents)
+         |  GROUP BY word),
+         |bs0 AS (
+         |  SELECT word, freq,
+         |         array_to_string(list_transform(regexp_extract_all(word, '.'),
+         |           c -> chr(31) || c || chr(31)), ' ') AS seq
+         |  FROM bw),
+         |${bpeCtesSql(BpeSteps)},
+         |vocab AS (
+         |  SELECT word, CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_pieces
+         |  FROM bs$BpeSteps),
+         |toks AS (SELECT doc_id, unnest($tokensLowerSql) AS word FROM documents)
+         |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |       CAST(sum(v.n_pieces) AS BIGINT) AS n_pieces,
+         |       CAST(sum(v.n_pieces) AS BIGINT)::DOUBLE / count(*) AS pieces_per_word
+         |FROM toks t JOIN vocab v USING (word)
+         |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
+
+    "q128_sequence_packing" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         CASE WHEN trim(text) = '' THEN 0
+         |              ELSE len($tokensLowerSql) END::BIGINT AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, n_tokens,
+         |         CAST(sum(n_tokens) OVER (ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens AS "offset"
+         |  FROM t)
+         |SELECT doc_id, n_tokens, "offset",
+         |       "offset" // $PackSeqLen AS first_seq,
+         |       ("offset" + greatest(n_tokens, 1) - 1) // $PackSeqLen AS last_seq,
+         |       ("offset" + greatest(n_tokens, 1) - 1) // $PackSeqLen - "offset" // $PackSeqLen + 1 AS n_seqs
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q125_lang_upsample_epochs" ->
+      """WITH s AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n, CAST(floor(sqrt(n::DOUBLE) * 1000) AS BIGINT) AS w FROM s),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot, CAST(sum(w) AS BIGINT) AS sum_w FROM w),
+        |plan AS (
+        |  SELECT lang, n, w,
+        |         (n_tot // sum_w) * w + ((n_tot % sum_w) * w + sum_w - 1) // sum_w AS target
+        |  FROM w, t),
+        |plan2 AS (SELECT *, (target + n - 1) // n AS f,
+        |                 target - ((target + n - 1) // n - 1) * n AS quota
+        |          FROM plan),
+        |fulle AS (
+        |  SELECT d.lang, d.doc_id, unnest(range(1, p.f)) AS epoch
+        |  FROM documents d JOIN plan2 p USING (lang) WHERE p.f >= 2),
+        |ranked AS (
+        |  SELECT d.lang, d.doc_id,
+        |         row_number() OVER (PARTITION BY d.lang
+        |                            ORDER BY md5('mix-' || d.doc_id), d.doc_id) AS rk
+        |  FROM documents d),
+        |partial AS (
+        |  SELECT r.lang, r.doc_id, p.f AS epoch
+        |  FROM ranked r JOIN plan2 p USING (lang) WHERE r.rk <= p.quota)
+        |SELECT lang, doc_id, epoch
+        |FROM (SELECT * FROM fulle UNION ALL SELECT * FROM partial)
+        |ORDER BY lang, epoch, doc_id""".stripMargin,
+
+    "q73_text_normalize" ->
+      """SELECT doc_id,
+        |       array_to_string(list_filter(string_split(text, ' '), t -> strlen(t) > 1), ' ') AS clean,
+        |       len(list_filter(string_split(text, ' '), t -> strlen(t) <= 1))::BIGINT AS n_dropped
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q74_boilerplate_strip" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |tok AS (SELECT DISTINCT doc_id, unnest(toks) AS tok FROM d),
+         |dfreq AS (SELECT tok, count(*) AS df FROM tok GROUP BY tok),
+         |tot AS (SELECT count(*) AS n_docs FROM d),
+         |common AS (SELECT coalesce(list(tok), []) AS cl FROM dfreq, tot WHERE df * 100 > n_docs * $BoilerplateDfPct)
+         |SELECT doc_id,
+         |       coalesce(array_to_string(list_filter(toks, t -> NOT list_contains(cl, t)), ' '), '') AS clean
+         |FROM d, common ORDER BY doc_id""".stripMargin,
+
+    "q92_token_budget" ->
+      s"""WITH t AS (SELECT doc_id, lang, n_chars,
+         |  len(CASE WHEN trim(text) = '' THEN []::VARCHAR[] ELSE $tokensLowerSql END)::BIGINT AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT *, (sum(n_tokens) OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum_tokens
+         |      FROM t)
+         |SELECT doc_id, lang, n_tokens, cum_tokens FROM c
+         |WHERE cum_tokens <= $TokenBudgetPerLang ORDER BY doc_id""".stripMargin,
+
+    "q87_repetition_signals" ->
+      s"""WITH d AS (SELECT doc_id,
+         |  CASE WHEN trim(text) = '' THEN []::VARCHAR[] ELSE $tokensLowerSql END AS toks
+         |  FROM documents),
+         |s AS (SELECT doc_id, len(toks)::BIGINT AS n_words,
+         |             len(list_distinct(toks))::BIGINT AS n_distinct FROM d),
+         |b AS (SELECT doc_id,
+         |  unnest(list_transform(range(1, len(toks)), i -> toks[i::INT] || ' ' || toks[(i::INT)+1])) AS ng
+         |  FROM d),
+         |c AS (SELECT doc_id, ng, count(*) AS cnt FROM b GROUP BY doc_id, ng),
+         |r AS (SELECT doc_id, ng, cnt,
+         |        row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, ng ASC) AS rn FROM c)
+         |SELECT s.doc_id, s.n_words,
+         |       CASE WHEN s.n_words = 0 THEN 0.0
+         |            ELSE (s.n_words - s.n_distinct)::DOUBLE / s.n_words END AS dup_word_frac,
+         |       coalesce(r.ng, '') AS top_bigram,
+         |       CASE WHEN s.n_words < 2 THEN 0.0
+         |            ELSE r.cnt::DOUBLE / (s.n_words - 1) END AS top_bigram_frac
+         |FROM s LEFT JOIN (SELECT * FROM r WHERE rn = 1) r USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q85_decontaminate" ->
+      s"""WITH sh AS (SELECT doc_id,
+         |  unnest(list_distinct(list_transform(${docShinglesSql(8)},
+         |    g -> ('0x' || substr(md5(g), 1, 15))::BIGINT))) AS h
+         |  FROM documents),
+         |bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 50 = 0),
+         |contaminated AS (SELECT DISTINCT doc_id FROM sh JOIN bench USING (h))
+         |SELECT d.doc_id, d.source FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // bloom build + probe re-derived with the same integer bit ops: 3
+    // 16-bit probes sliced from the 60-bit md5 span key, 32-bit words
+    "q136_bloom_decontaminate" ->
+      s"""WITH sh AS (SELECT doc_id,
+         |  unnest(list_distinct(list_transform(${docShinglesSql(DecontamSpanN)},
+         |    g -> ('0x' || substr(md5(g), 1, 15))::BIGINT))) AS h
+         |  FROM documents),
+         |bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % $ContamBenchMod = 0),
+         |bp AS (SELECT unnest([h & 65535, (h >> 16) & 65535, (h >> 32) & 65535]) AS p FROM bench),
+         |bloom AS (SELECT p >> 5 AS word, bit_or(1::BIGINT << ((p & 31)::INT)) AS bits
+         |          FROM bp GROUP BY 1),
+         |cp AS (SELECT doc_id, h,
+         |         unnest([h & 65535, (h >> 16) & 65535, (h >> 32) & 65535]) AS p
+         |       FROM sh WHERE doc_id % $ContamBenchMod <> 0),
+         |m AS (SELECT doc_id, h,
+         |        (sum(CASE WHEN bits IS NOT NULL
+         |                   AND (bits & (1::BIGINT << ((p & 31)::INT))) <> 0
+         |             THEN 1 ELSE 0 END) = 3) AS bloom_pos
+         |      FROM cp LEFT JOIN bloom ON (p >> 5) = word GROUP BY doc_id, h),
+         |a AS (SELECT m.doc_id, count(*) AS n_spans,
+         |        sum(CASE WHEN bloom_pos THEN 1 ELSE 0 END) AS n_bloom_pos,
+         |        sum(CASE WHEN b.h IS NULL THEN 0 ELSE 1 END) AS n_hit
+         |      FROM m LEFT JOIN bench b ON b.h = m.h GROUP BY m.doc_id)
+         |SELECT doc_id, n_spans::BIGINT AS n_spans, n_bloom_pos::BIGINT AS n_bloom_pos,
+         |       n_hit::BIGINT AS n_hit, (n_bloom_pos - n_hit)::BIGINT AS n_false_pos,
+         |       (n_bloom_pos - n_hit)::DOUBLE / nullif(n_spans - n_hit, 0) AS fp_rate
+         |FROM a ORDER BY doc_id""".stripMargin,
+
+    // same contribution expression text as the Spark side (Bm25ContribSql)
+    "q137_bm25_topk" ->
+      s"""WITH t AS (SELECT doc_id, unnest($tokensLowerSql) AS term FROM documents),
+         |c AS (SELECT doc_id, term FROM t WHERE doc_id % $Bm25QueryMod <> 0),
+         |d AS (SELECT doc_id, count(*) AS dl FROM c GROUP BY doc_id),
+         |st AS (SELECT count(*) AS n_docs, sum(dl)::BIGINT AS tot FROM d),
+         |p AS (SELECT doc_id, term, count(*) AS tf FROM c GROUP BY doc_id, term),
+         |f AS (SELECT term, count(*) AS df FROM p GROUP BY term),
+         |q AS (SELECT DISTINCT doc_id AS q_id, term FROM t WHERE doc_id % $Bm25QueryMod = 0),
+         |sc AS (SELECT q_id, p.doc_id,
+         |         sum(($Bm25ContribSql)::BIGINT)::BIGINT AS score
+         |       FROM p JOIN q USING (term) JOIN f USING (term)
+         |            JOIN d ON d.doc_id = p.doc_id CROSS JOIN st
+         |       GROUP BY 1, 2),
+         |r AS (SELECT q_id, doc_id, score,
+         |        row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rk
+         |      FROM sc)
+         |SELECT q_id, doc_id, score, rk::BIGINT AS rk FROM r
+         |WHERE rk <= $Bm25TopK ORDER BY q_id, rk""".stripMargin,
+
+    // same quantized component expression text (ChiSqSql) on exact counts
+    "q144_source_drift" ->
+      s"""WITH t AS (SELECT source, unnest($tokensLowerSql) AS term FROM documents),
+         |o AS (SELECT source, term, count(*) AS obs FROM t GROUP BY 1, 2),
+         |tc AS (SELECT term, count(*) AS tt FROM t GROUP BY 1),
+         |sc AS (SELECT source, count(*) AS st FROM t GROUP BY 1),
+         |n AS (SELECT count(*) AS tot FROM t),
+         |z AS (SELECT o.source, ($ChiSqSql)::BIGINT AS contrib
+         |      FROM o JOIN tc USING (term) JOIN sc USING (source) CROSS JOIN n)
+         |SELECT source, count(*)::BIGINT AS n_terms, sum(contrib)::BIGINT AS drift_q
+         |FROM z GROUP BY source ORDER BY source""".stripMargin,
+
+    // lockstep unnest zips (token, 0-based position); anchors re-derived
+    // with the same pos - off arithmetic
+    "q152_phrase_search" -> {
+      val vals = TrigramPatterns.map(p => s"('${p}')").mkString(", ")
+      s"""WITH p AS (SELECT * FROM (VALUES $vals) v(phrase)),
+         |pt AS (SELECT phrase, unnest(tk) AS term, unnest(range(0, len(tk))) AS "off"
+         |       FROM (SELECT phrase, string_split_regex(trim(phrase), '\\s+') AS tk FROM p)),
+         |nt AS (SELECT phrase,
+         |         len(string_split_regex(trim(phrase), '\\s+'))::BIGINT AS nt FROM p),
+         |post AS (SELECT doc_id, unnest(tk) AS term, unnest(range(0, len(tk))) AS pos
+         |         FROM (SELECT doc_id, $tokensLowerSql AS tk FROM documents)),
+         |hit AS (SELECT pt.phrase, post.doc_id, post.pos - pt."off" AS anchor,
+         |          count(DISTINCT pt."off") AS nmatch
+         |        FROM post JOIN pt USING (term) GROUP BY 1, 2, 3)
+         |SELECT h.phrase, h.doc_id, count(*)::BIGINT AS n_occurrences
+         |FROM hit h JOIN nt USING (phrase) WHERE h.nmatch = nt.nt
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+
+    // the brute-force scan the trigram index avoids — exact by definition
+    "q142_trigram_search" -> {
+      val vals = TrigramPatterns.map(p => s"('${p}')").mkString(", ")
+      s"""SELECT p.pattern, d.doc_id
+         |FROM documents d CROSS JOIN (VALUES $vals) p(pattern)
+         |WHERE contains(lower(d.text), p.pattern)
+         |ORDER BY p.pattern, d.doc_id""".stripMargin
+    },
+
+    // lockstep unnest zips the two shifted slices into adjacent pairs;
+    // same quantized-ratio expression text as the Spark side (PmiScoreSql)
+    "q139_pmi_collocations" ->
+      s"""WITH t AS (SELECT $tokensLowerSql AS tk FROM documents),
+         |f AS (SELECT tk FROM t WHERE len(tk) >= 2),
+         |bg AS (SELECT unnest(tk[1:len(tk)-1]) AS t1, unnest(tk[2:len(tk)]) AS t2 FROM f),
+         |pr AS (SELECT t1, t2, count(*) AS c_xy FROM bg GROUP BY 1, 2
+         |       HAVING count(*) >= $PmiMinCount),
+         |u AS (SELECT unnest(tk) AS term FROM f),
+         |uc AS (SELECT term, count(*) AS c FROM u GROUP BY term),
+         |n AS (SELECT count(*) AS n_tok FROM u),
+         |z AS (SELECT pr.t1, pr.t2, pr.c_xy, a.c AS cx, b.c AS cy, n.n_tok
+         |      FROM pr JOIN uc a ON a.term = pr.t1 JOIN uc b ON b.term = pr.t2 CROSS JOIN n)
+         |SELECT t1, t2, c_xy::BIGINT AS c_xy, ($PmiScoreSql)::BIGINT AS pmi_q
+         |FROM z ORDER BY pmi_q DESC, t1, t2 LIMIT $PmiTopK""".stripMargin
+  )
+}
