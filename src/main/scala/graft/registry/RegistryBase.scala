@@ -170,7 +170,19 @@ trait RegistryBase {
     // staging is discarded on EVERY exit path (timeout, stream failure,
     // analysis error) — a failed gate must not leak scratch dirs or a
     // half-filled sink until JVM shutdown
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     try {
+      // State partitions are baked into the checkpoint at query start and
+      // every (partition x store) instance pays a fixed commit/coordinator
+      // cost per micro-batch (~0.4 s measured, independent of rows) — so
+      // size them to STATE VOLUME, not the session's batch-shuffle width.
+      // Gate state is watermark-bounded to ~10^4-10^5 rows; 8 partitions
+      // keeps per-partition state far under memory while cutting the
+      // fixed per-instance overhead 4x (q95: 128 -> 32 instances). At
+      // production volume this knob is a deliberate per-stream sizing
+      // decision, not the batch default.
+      s.conf.set("spark.sql.shuffle.partitions",
+        math.min(8, prevShuffle.toInt).toString)
       java.nio.file.Files.createSymbolicLink(
         stage.resolve("events.parquet"),
         java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath.normalize())
@@ -181,13 +193,36 @@ trait RegistryBase {
         .queryName(sinkTable)
         .outputMode(outputMode)
         .trigger(Trigger.AvailableNow())
+        // state-store deltas/snapshots + offset log on the fast scratch
+        // root — see Staging.fastDir: state COMMIT latency to disk-backed
+        // /tmp, not compute, dominated the stateful gates' wall-clock
+        .option("checkpointLocation", Staging.fastDir("ckpt-").toString)
         .start()
-      try {
-        if (!q.awaitTermination(300000))
-          throw new IllegalStateException(s"$sinkTable stream did not finish within 300s")
-      } finally if (q.isActive) q.stop()
+      awaitGate(sinkTable, q)
       s.table(sinkTable)
-    } finally Staging.discard(stage)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      Staging.discard(stage)
+    }
+  }
+
+  /** Drain a streaming gate: await AvailableNow completion (bounded),
+    * record its StreamingQueryProgress rollup for the bench JSON, and
+    * stop it on every exit path.
+    */
+  protected def awaitGate(
+      name: String, q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    try {
+      if (!q.awaitTermination(300000))
+        throw new IllegalStateException(s"$name stream did not finish within 300s")
+    } finally {
+      graft.streaming.StreamMetrics.record(name, q)
+      // raw per-batch progress for gate debugging (batch boundaries,
+      // state metrics, duration breakdown) — opt-in, stderr
+      if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG"))
+        q.recentProgress.foreach(p => System.err.println(s"[gate $name] ${p.json}"))
+      if (q.isActive) q.stop()
+    }
   }
 
   /** Corpus-scaled embedding clustering shared by q46/q117/q122: the

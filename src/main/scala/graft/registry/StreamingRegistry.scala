@@ -126,10 +126,7 @@ trait StreamingRegistry extends RegistryBase {
             expr("ts div 1000").as("tsn"), col("value")))
         ) { (winners, _) => winners.write.mode("append").parquet(outDir) }
           .start()
-        try {
-          if (!q.awaitTermination(300000))
-            throw new IllegalStateException("q104 stream did not finish within 300s")
-        } finally if (q.isActive) q.stop()
+        awaitGate("q104", q)
         // materialize off the staging files before they are discarded
         keepLatest(s.read.parquet(outDir)).localCheckpoint(true)
           .orderBy("user_id", "event_type")
@@ -163,10 +160,7 @@ trait StreamingRegistry extends RegistryBase {
             Sketches.hllRegisters(userDay(spreadBatch(s, batch)), "event_type", "user_day")
               .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
         }.start()
-        try {
-          if (!q.awaitTermination(300000))
-            throw new IllegalStateException("q148 stream did not finish within 300s")
-        } finally if (q.isActive) q.stop()
+        awaitGate("q148", q)
         val merged = s.read.parquet(outDir).drop("batch")
           .groupBy("event_type", "j").agg(max(col("mj")).as("mj"))
         val exact = userDay(spread(s, rd(s, dir, "events")))
@@ -213,10 +207,7 @@ trait StreamingRegistry extends RegistryBase {
                 shingleN = 4, numHashes = 8, rowsPerBand = 4, threshold = 0.4)
               .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
         }.start()
-        try {
-          if (!q.awaitTermination(300000))
-            throw new IllegalStateException("q121 stream did not finish within 300s")
-        } finally if (q.isActive) q.stop()
+        awaitGate("q121", q)
         // materialize off the staging files before they are discarded
         // (drop the batch=<id> partition-discovery column — it is a sink
         // idempotency key, not part of the operator's answer)
@@ -264,10 +255,7 @@ trait StreamingRegistry extends RegistryBase {
               .withColumn("overlap_ratio", col("n_hit").cast("double") / col("n_spans"))
               .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
         }.start()
-        try {
-          if (!q.awaitTermination(300000))
-            throw new IllegalStateException("q140 stream did not finish within 300s")
-        } finally if (q.isActive) q.stop()
+        awaitGate("q140", q)
         s.read.parquet(outDir).drop("batch").orderBy("doc_id").localCheckpoint(true)
       } finally Staging.discard(stage)
     }),
@@ -298,10 +286,7 @@ trait StreamingRegistry extends RegistryBase {
               .select(col("centroid_id"), col("dim").cast("long").as("dim"), col("cval"))
               .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
         }.start()
-        try {
-          if (!q.awaitTermination(300000))
-            throw new IllegalStateException("q130 stream did not finish within 300s")
-        } finally if (q.isActive) q.stop()
+        awaitGate("q130", q)
         s.read.parquet(outDir).drop("batch")
           .orderBy("centroid_id", "dim").localCheckpoint(true)
       } finally Staging.discard(stage)

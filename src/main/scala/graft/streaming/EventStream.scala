@@ -133,6 +133,9 @@ object EventStream {
     stream.writeStream
       .outputMode(OutputMode.Update())
       .trigger(Trigger.AvailableNow())
+      // checkpoint (offset/commit log) on the fast scratch root — see
+      // Staging.fastDir: commit latency, not compute, dominated gate time
+      .option("checkpointLocation", graft.Staging.fastDir("ckpt-").toString)
       .foreachBatch { (batch: DataFrame, id: Long) => handle(transform(batch), id) }
 
   /** Gap-based per-user session aggregate via Spark's native
