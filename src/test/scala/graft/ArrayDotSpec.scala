@@ -45,6 +45,23 @@ class ArrayDotSpec extends SparkSpec {
     assert(r.isNullAt(0))
   }
 
+  test("ragged (length-mismatched) arrays yield null, not a prefix score") {
+    // the HOF form (zip_with pads with nulls, sum propagates) returns
+    // null on ragged input; a corrupt vector must surface, not produce a
+    // plausible-looking truncated dot/distance — interpreted path
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(1.0, 2.0))).toDF("a", "b")
+    assert(df.select(ArrayDot.doubleDot(col("a"), col("b"))).head().isNullAt(0))
+    val dl = Seq((Array(1L, 2L, 3L), Array(1L, 2L))).toDF("a", "b")
+    assert(dl.select(ArrayDot.longDot(col("a"), col("b"))).head().isNullAt(0))
+    assert(dl.select(ArrayDot.longSqDist(col("a"), col("b"))).head().isNullAt(0))
+    // codegen path: range source keeps a real codegen stage
+    val cg = spark.range(3).select(
+      transform(sequence(lit(1), lit(4)), i => (col("id") + i).cast("double")).as("a"),
+      transform(sequence(lit(1), lit(3)), i => (col("id") * i).cast("double")).as("b"))
+      .select(ArrayDot.doubleDot(col("a"), col("b")).as("d"))
+    assert(cg.collect().forall(_.isNullAt(0)))
+  }
+
   test("the kernel participates in whole-stage codegen (no HOF barrier)") {
     // a local fixture would be constant-folded into a LocalTableScan by
     // ConvertToLocalRelation (which exercises the interpreted path); a
