@@ -703,8 +703,23 @@ object Dedup {
       shCol: String,
       bits: Int = 16,
       maxHamming: Int = 2
+  ): DataFrame =
+    simhashBandPairs(docs, idCol, shCol, bits, numBands = maxHamming + 1)
+      .filter(col("hamming") <= maxHamming)
+
+  /** Distinct band-collision pairs (id_a < id_b, exact hamming attached)
+    * for ONE contiguous-band layout of a simhash column — the shared
+    * candidate stage of `simhashCandidates` (filtered) and
+    * `simhashTuningAudit` (counted raw: the candidate volume IS the
+    * shuffle cost a banding decision is buying).
+    */
+  private def simhashBandPairs(
+      docs: DataFrame,
+      idCol: String,
+      shCol: String,
+      bits: Int,
+      numBands: Int
   ): DataFrame = {
-    val numBands = maxHamming + 1
     val banded = docs.select(
       col(idCol), col(shCol),
       posexplode(
@@ -727,9 +742,68 @@ object Dedup {
         col(s"a.$idCol").as("id_a"), col(s"a.$shCol").as("sh_a"),
         col(s"b.$idCol").as("id_b"), col(s"b.$shCol").as("sh_b")
       )
-      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
-      .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
       .distinct()
+  }
+
+  /** SimHash BANDING-PARAMETER AUDIT — the `lshTuningAudit` shape applied
+    * to the hamming-banding family: for each band count over ONE shared
+    * simhash table, the candidate-pair volume (the shuffle-cost knob) vs
+    * how many true hamming<=maxHamming pairs it captures (the recall
+    * knob) and the false-positive fraction of its candidates (the verify-
+    * cost knob). Unlike MinHash banding, truth here is EXACT, not a
+    * sample estimate of itself: `maxHamming + 1` contiguous bands are a
+    * provably lossless index for the hamming<=maxHamming ball
+    * (pigeonhole — at most maxHamming bands differ, so one is
+    * bit-identical), so the truth set = that layout's candidates filtered
+    * by exact hamming, and every config's recall is measured against the
+    * complete true pair set of the sampled docs. Fewer bands than
+    * maxHamming+1 trade recall for radically smaller band keys; more
+    * bands keep recall 1.0 but widen every bucket (shorter keys -> more
+    * collisions -> more exact-hamming verifies). The audit runs on a
+    * corpus-scaled 1-in-m doc sample (m = max(1, N div sampleTarget),
+    * broadcast 1-row m, identity at oracle scales) because EVERY banding's
+    * pair volume is corpus-quadratic in the worst case — bounded
+    * O(target^2) audit cost at any corpus size, the q147 convention.
+    */
+  def simhashTuningAudit(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      bits: Int,
+      bandConfigs: Seq[Int],
+      maxHamming: Int,
+      sampleTarget: Long = 1000L
+  ): DataFrame = {
+    require(bandConfigs.forall(_ >= 1) && maxHamming + 1 <= bits,
+      "band configs must be >= 1 band and the truth layout needs one bit per band")
+    // sample FIRST and checkpoint: the barrier keeps the per-doc simhash
+    // fold above the broadcast-m filter (the lshTuningAudit lesson —
+    // without it the optimizer inlines the hashing below the join and
+    // hashes the whole corpus for a bounded audit)
+    val mRow = docs.agg(count(lit(1)).as("n"))
+      .select(greatest(lit(1L), expr(s"n div $sampleTarget")).as("m"))
+    val docsS = docs.crossJoin(broadcast(mRow))
+      .filter(col(idCol) % col("m") === 0)
+      .localCheckpoint(false)
+    // one signature table feeds every config's band explode + the truth
+    val sh = docsS.select(col(idCol), simhash(col(textCol), bits).as("sh"))
+      .localCheckpoint(false)
+    val truth = simhashBandPairs(sh, idCol, "sh", bits, numBands = maxHamming + 1)
+      .filter(col("hamming") <= maxHamming)
+    val totals = truth.agg(count(lit(1)).as("n_true_total"))
+    bandConfigs.map { nb =>
+      simhashBandPairs(sh, idCol, "sh", bits, nb)
+        .agg(
+          count(lit(1)).as("n_candidates"),
+          sum(when(col("hamming") <= maxHamming, 1L).otherwise(0L)).as("n_true_found"))
+        .select(lit(nb.toLong).as("bands"), col("n_candidates"), col("n_true_found"))
+        .crossJoin(broadcast(totals))
+        .withColumn("recall",
+          expr("CAST(n_true_found AS DOUBLE) / nullif(n_true_total, 0)"))
+        .withColumn("fp_rate",
+          expr("CAST(n_candidates - n_true_found AS DOUBLE) / nullif(n_candidates, 0)"))
+    }.reduce(_.unionAll(_))
   }
 }

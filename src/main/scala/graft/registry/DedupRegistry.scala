@@ -392,7 +392,28 @@ trait DedupRegistry extends RegistryBase {
           configs = Seq((8, 1), (4, 2), (2, 4)), threshold = 0.4,
           sampleTarget = LshAuditSampleTarget)
         .localCheckpoint(true)
-        .orderBy(col("bands").desc))
+        .orderBy(col("bands").desc)),
+
+    // pillar dedup: SIMHASH BANDING-PARAMETER AUDIT — q147's tuning-table
+    // shape applied to the q47 hamming-banding config (16 bits, 3 bands,
+    // maxHamming 2), the one candidate-generation family that shipped
+    // untuned: per band count, candidate volume (shuffle cost), recall
+    // against the EXACT hamming<=2 pair set (3 contiguous bands are a
+    // lossless index for that ball by pigeonhole, so truth is complete,
+    // not a sample of itself), and the false-positive fraction the exact-
+    // hamming verify pays for. 2 bands = 8-bit keys (cheapest, lossy);
+    // 3 bands = the shipped config (provably recall 1.0, the audit
+    // MEASURES its fp cost); 4 bands = recall 1.0 at wider buckets.
+    // Same corpus-scaled 1-in-m doc sample as q147 (bounded audit cost).
+    "q154_simhash_tuning_audit" -> ((s, dir) =>
+      // eager-checkpoint the 3-row audit before the sort (the q147
+      // lesson: orderBy's range-partitioner sampling re-executes the
+      // whole multi-branch union otherwise)
+      Dedup.simhashTuningAudit(spread(s, rd(s, dir, "documents")), "doc_id", "text",
+          bits = 16, bandConfigs = Seq(2, 3, 4), maxHamming = 2,
+          sampleTarget = LshAuditSampleTarget)
+        .localCheckpoint(true)
+        .orderBy("bands"))
   )
 
   protected def dedupOracle: Map[String, String] = Map(
@@ -533,6 +554,58 @@ trait DedupRegistry extends RegistryBase {
          |SELECT r.*, tot.n_true_total,
          |       CAST(n_true_found AS DOUBLE) / nullif(n_true_total, 0) AS recall
          |FROM r CROSS JOIN tot ORDER BY bands DESC""".stripMargin
+    },
+
+    // simhash banding audit: same md5 simhash CTE as q32/q47, q147's
+    // sample CTE, one band layout per audited config with the SAME
+    // integer bit-split (lo = b*bits/n) as the Spark side, exact hamming
+    // attached per candidate pair; truth = the 3-band (lossless) layout's
+    // pairs at hamming <= 2
+    "q154_simhash_tuning_audit" -> {
+      val bits = 16
+      val bitSums = (0 until bits).map(b => s"sum(((hv >> $b) & 1) * 2 - 1) AS s$b").mkString(",\n  ")
+      val bitsExpr = (0 until bits).map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+      def bandCte(name: String, nb: Int): String = {
+        val sels = (0 until nb).map { b =>
+          val lo = b * bits / nb
+          val hi = (b + 1) * bits / nb
+          val mask = (1L << (hi - lo)) - 1
+          s"SELECT doc_id, $b AS band, ((sh >> $lo) & $mask) AS key FROM shs"
+        }.mkString("\n  UNION ALL ")
+        s"$name AS (\n  $sels)"
+      }
+      def candCte(name: String, bandName: String): String =
+        s"""$name AS (SELECT id_a, id_b, bit_count(xor(a.sh, b.sh))::BIGINT AS hamming
+           |  FROM (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+           |        FROM $bandName x JOIN $bandName y
+           |        ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id) c
+           |  JOIN shs a ON a.doc_id = c.id_a JOIN shs b ON b.doc_id = c.id_b)""".stripMargin
+      def cfgRow(cand: String, nb: Int): String =
+        s"""SELECT $nb::BIGINT AS bands, count(*)::BIGINT AS n_candidates,
+           |  sum(CASE WHEN hamming <= 2 THEN 1 ELSE 0 END)::BIGINT AS n_true_found
+           |FROM $cand""".stripMargin
+      s"""WITH kpa AS (SELECT greatest(1, count(*) // $LshAuditSampleTarget) AS m FROM documents),
+         |d AS (SELECT doc_id, text FROM documents, kpa WHERE doc_id % kpa.m = 0),
+         |t AS (SELECT doc_id, unnest($tokensLowerSql) AS tok FROM d),
+         |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM t),
+         |bs AS (SELECT doc_id,
+         |  $bitSums
+         |  FROM h GROUP BY doc_id),
+         |shs AS (SELECT doc_id, CAST($bitsExpr AS BIGINT) AS sh FROM bs),
+         |${bandCte("band2", 2)},
+         |${bandCte("band3", 3)},
+         |${bandCte("band4", 4)},
+         |${candCte("cand2", "band2")},
+         |${candCte("cand3", "band3")},
+         |${candCte("cand4", "band4")},
+         |tot AS (SELECT count(*)::BIGINT AS n_true_total FROM cand3 WHERE hamming <= 2),
+         |r AS (${cfgRow("cand2", 2)}
+         |  UNION ALL ${cfgRow("cand3", 3)}
+         |  UNION ALL ${cfgRow("cand4", 4)})
+         |SELECT r.*, tot.n_true_total,
+         |       CAST(n_true_found AS DOUBLE) / nullif(n_true_total, 0) AS recall,
+         |       CAST(n_candidates - n_true_found AS DOUBLE) / nullif(n_candidates, 0) AS fp_rate
+         |FROM r CROSS JOIN tot ORDER BY bands""".stripMargin
     },
 
     // q52's recursive-CC oracle form over the q116 pair graph

@@ -213,6 +213,29 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((0L, 3L)))
   }
 
+  test("simhashTuningAudit: truth matches brute force; bands >= maxHamming+1 reach recall 1.0") {
+    val audit = Dedup.simhashTuningAudit(docs, "doc_id", "text",
+        bits = 16, bandConfigs = Seq(2, 3, 4), maxHamming = 2)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), Option(r.get(4)).map(_ => r.getDouble(4)))))
+      .toMap
+    assert(audit.keySet == Set(2L, 3L, 4L))
+    // brute-force truth over the same simhash values
+    val sh = docs.select(Dedup.simhash(col("text"), 16)).collect().map(_.getLong(0))
+    val nTrue = (for {
+      i <- sh.indices; j <- (i + 1) until sh.length
+      if java.lang.Long.bitCount(sh(i) ^ sh(j)) <= 2
+    } yield 1).size.toLong
+    assert(nTrue > 0, "fixture must contain at least one true hamming<=2 pair")
+    for ((bands, (nCand, nFound, nTotal, recall)) <- audit) {
+      assert(nTotal == nTrue, s"bands=$bands truth total")
+      assert(nFound <= nCand && nFound <= nTotal)
+      // pigeonhole: >= maxHamming+1 contiguous bands are a lossless index
+      if (bands >= 3L) assert(recall.contains(1.0), s"bands=$bands must reach recall 1.0")
+    }
+  }
+
   test("dupSpanStats: spans shared across docs count; unique and too-short docs report zero") {
     val d = Seq(
       (1L, "abcdefgh"),    // 5 distinct 4-spans, all inside doc 2 -> ratio 1.0
