@@ -270,19 +270,8 @@ trait EventsRegistry extends RegistryBase {
          |       count(*) AS n_events
          |FROM c GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin,
 
-    "q149_event_funnel" ->
-      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
-        |            WHERE event_type = 'signup' GROUP BY 1),
-        |s2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e JOIN s1 USING (user_id)
-        |       WHERE event_type = 'view' AND ts > t1 GROUP BY 1),
-        |s3 AS (SELECT e.user_id, min(ts) AS t3 FROM events e JOIN s2 USING (user_id)
-        |       WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1)
-        |SELECT * FROM (
-        |  SELECT 1::BIGINT AS stage, 'signup' AS event_type,
-        |         (SELECT count(*) FROM s1)::BIGINT AS n_users
-        |  UNION ALL SELECT 2::BIGINT, 'view', (SELECT count(*) FROM s2)::BIGINT
-        |  UNION ALL SELECT 3::BIGINT, 'purchase', (SELECT count(*) FROM s3)::BIGINT)
-        |ORDER BY stage""".stripMargin,
+    // shared with the streaming q155 gate — see RegistryBase.funnelOracle
+    "q149_event_funnel" -> funnelOracle,
 
     // week index = floor-seconds // 604800 — date_trunc('second') makes
     // epoch() integral so the ::BIGINT cast is exact (q133's trick);

@@ -15,11 +15,16 @@ import graft.operators.{Dedup, HeurFuzz, Multimodal, Quota, Similarity, Sketches
 trait RegistryBase {
 
   protected def rd(s: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet carries INT64 TIMESTAMP(NANOS), which Spark rejects
-    // unless nanos are surfaced as long (the driver's session may not set
-    // this, so set it defensively at read time).
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/$name.parquet")
+    // events.ts is normalized to the engine-wide long-NANOS convention at
+    // this boundary (the driver's files moved from INT64 TIMESTAMP(NANOS)
+    // to TIMESTAMP(MICROS); see EventStream.readEvents) — downstream
+    // operators and the epoch_us-parity oracles are unchanged.
+    if (name == "events") graft.streaming.EventStream.readEvents(s, s"$dir/$name.parquet")
+    else {
+      // defensive: nanos-era parquet is unreadable without nanosAsLong
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.read.parquet(s"$dir/$name.parquet")
+    }
   }
 
   /** The testdata's small tables arrive as one parquet file = one input
@@ -378,6 +383,24 @@ trait RegistryBase {
     * docs with doc_id % this == 0 play the held-out benchmark role.
     */
   protected val ContamBenchMod = 50L
+
+  /** q149's ordered-funnel oracle — shared verbatim with the streaming
+    * q155 gate (the per-batch digest merge provably equals the batch
+    * funnel for any micro-batch split, so both run against the same SQL).
+    */
+  protected lazy val funnelOracle: String =
+    """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+      |            WHERE event_type = 'signup' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e JOIN s1 USING (user_id)
+      |       WHERE event_type = 'view' AND ts > t1 GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(ts) AS t3 FROM events e JOIN s2 USING (user_id)
+      |       WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1)
+      |SELECT * FROM (
+      |  SELECT 1::BIGINT AS stage, 'signup' AS event_type,
+      |         (SELECT count(*) FROM s1)::BIGINT AS n_users
+      |  UNION ALL SELECT 2::BIGINT, 'view', (SELECT count(*) FROM s2)::BIGINT
+      |  UNION ALL SELECT 3::BIGINT, 'purchase', (SELECT count(*) FROM s3)::BIGINT)
+      |ORDER BY stage""".stripMargin
 
   /** q119's graded-contamination oracle — shared verbatim with the
     * streaming q140 gate (the foreachBatch bridge provably doesn't

@@ -153,8 +153,9 @@ trait StreamingRegistry extends RegistryBase {
         def userDay(df: DataFrame) = df.select(col("event_type"),
           concat(col("user_id").cast("string"), lit(":"),
             expr("ts div 86400000000000").cast("string")).as("user_day"))
-        val schema = rd(s, dir, "events").schema
-        val stream = s.readStream.schema(schema).parquet(inDir.toString)
+        // readEventStream owns the events read schema + the micros->nanos
+        // rescale (rd's output schema no longer matches the raw file)
+        val stream = graft.streaming.EventStream.readEventStream(s, inDir.toString)
         val q = graft.streaming.EventStream.foreachBatchSink(stream, identity) {
           (batch, batchId) =>
             Sketches.hllRegisters(userDay(spreadBatch(s, batch)), "event_type", "user_day")
@@ -290,6 +291,45 @@ trait StreamingRegistry extends RegistryBase {
         s.read.parquet(outDir).drop("batch")
           .orderBy("centroid_id", "dim").localCheckpoint(true)
       } finally Staging.discard(stage)
+    }),
+
+    // pillar events + streaming (12th gate): ORDERED FUNNEL ON A STREAM —
+    // q149's signup -> view -> purchase conversion maintained across
+    // micro-batches. The funnel is NOT decomposable into per-batch
+    // (t1,t2,t3) triples (a later batch's earlier signup can resurrect a
+    // view an eager state discarded), so each micro-batch emits the
+    // provably-mergeable PRUNED CANDIDATE digest
+    // (EventStream.funnelBatchSummary) and the digests merge after the
+    // drain — same oracle as q149 for ANY batch split. Unlike the q104
+    // doubled-symlink trick, the staged snapshot is genuinely SPLIT into
+    // 4 files (maxFilesPerTrigger=1 -> 4 partial batches whose per-user
+    // event sets interleave), so the merge proof is what the gate tests.
+    "q155_stream_funnel" -> ((s, dir) => {
+      val stage = Staging.dir("q155-")
+      try {
+        val inDir = stage.resolve("in").toString
+        // written in the RAW driver format (physical micros int64, no
+        // rescale) so readEventStream's boundary rescale applies once
+        s.read.schema(graft.streaming.EventStream.eventsSchemaDdl)
+          .parquet(s"$dir/events.parquet")
+          .repartition(4).write.mode("overwrite").parquet(inDir)
+        val outDir = stage.resolve("out").toString
+        val q = graft.streaming.EventStream.foreachBatchSink(
+          graft.streaming.EventStream.readEventStream(s, inDir, maxFilesPerTrigger = Some(1)),
+          batch => graft.streaming.EventStream.funnelBatchSummary(batch)
+        ) { (digest, batchId) =>
+          // foreachBatch is at-least-once: batchId-keyed overwrite makes
+          // a retried micro-batch replace its own partial digest
+          digest.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        }.start()
+        awaitGate("q155", q)
+        graft.streaming.EventStream.funnelStageCounts(
+          graft.streaming.EventStream.funnelUserStages(
+              s.read.parquet(outDir).drop("batch"))
+            .localCheckpoint(false)) // three stage counts read one frame
+          .localCheckpoint(true)
+          .orderBy("stage")
+      } finally Staging.discard(stage)
     })
   )
 
@@ -312,6 +352,10 @@ trait StreamingRegistry extends RegistryBase {
     // 11th streaming gate: micro-batch register tables max-merge into
     // the identical sketch (max is associative) — same oracle as q133
     "q148_stream_hll_distinct" -> hllOracle,
+
+    // 12th streaming gate: pruned-candidate digests merge to the exact
+    // batch funnel for any micro-batch split — same oracle as q149
+    "q155_stream_funnel" -> funnelOracle,
 
     "q130_stream_kmeans_update" ->
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> floor(x::DOUBLE * 1000)::BIGINT) AS qv FROM embeddings),

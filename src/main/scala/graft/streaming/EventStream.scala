@@ -22,11 +22,24 @@ import org.apache.spark.sql.Row
   */
 object EventStream {
 
-  /** Event schema as the driver's events.parquet provides it (ts read as
-    * long nanoseconds under nanosAsLong).
+  /** Read schema forced onto the driver's events.parquet: `ts BIGINT`
+    * reads the physical INT64 of the parquet TIMESTAMP(MICROS) column
+    * directly (timezone-free — no session-zone reinterpretation on the
+    * NTZ logical type), yielding raw epoch MICROSECONDS.
     */
   def eventsSchemaDdl: String =
     "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+
+  /** Engine-boundary events reader: the driver's testdata carries ts as
+    * TIMESTAMP(MICROS) int64 (it carried TIMESTAMP(NANOS) when the
+    * engine's long-nanos ts convention was set); read the physical
+    * micros and rescale once here, so every downstream operator and
+    * every epoch_us-parity oracle stays on long nanoseconds unchanged.
+    * Exact: micros * 1000 fits int64 until year 2262.
+    */
+  def readEvents(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(eventsSchemaDdl).parquet(path)
+      .withColumn("ts", col("ts") * lit(1000L))
 
   /** Normalize the raw events frame: nanosecond-long ts -> timestamp. */
   def withEventTime(events: DataFrame): DataFrame =
@@ -59,9 +72,11 @@ object EventStream {
       dir: String,
       maxFilesPerTrigger: Option[Int] = None
   ): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val r = spark.readStream.schema(eventsSchemaDdl)
+    // same micros-int64 readout + rescale as `readEvents`: the stream
+    // yields ts as long NANOS, matching every batch-side oracle
     maxFilesPerTrigger.fold(r)(n => r.option("maxFilesPerTrigger", n)).parquet(dir)
+      .withColumn("ts", col("ts") * lit(1000L))
   }
 
   /** Streaming hourly aggregate with a 2-hour watermark, update mode. */
@@ -194,6 +209,91 @@ object EventStream {
           state.update(n)
           UserCount(user, n)
       }
+  }
+
+  /** FUNNEL ON A STREAM, part 1: the mergeable per-micro-batch digest.
+    *
+    * The ordered funnel (t1 = min signup, t2 = min view AFTER t1, t3 =
+    * min purchase AFTER t2) is NOT decomposable into per-batch
+    * (t1, t2, t3) triples — a later batch's earlier signup can lower t1
+    * and make a view this batch discarded (because it preceded the
+    * batch-local t1) the true t2. The correct mergeable state is a
+    * pruned candidate set per user:
+    *
+    *   - `t1`: min signup ts in the batch (a plain min — associative).
+    *   - `views`: every distinct view ts `<=` the batch-local t2.
+    *     Safe to drop views `v >` local t2: local t2 is itself a view
+    *     with local t2 `>` local t1 `>=` final t1 (a subset's min is
+    *     `>=` the full min), so local t2 stays eligible under ANY final
+    *     threshold and beats `v`. Views `<=` local t1 are KEPT — a late
+    *     lower signup can make them eligible.
+    *   - `purchases`: every distinct purchase ts `<=` the batch-local
+    *     t3, by the same argument one stage down (final t2 `<=` local
+    *     t2, so local t3 stays eligible).
+    *
+    * When a stage threshold doesn't exist in the batch (no signup / no
+    * post-signup view), nothing downstream of it can be pruned and the
+    * full distinct set is kept. Digest size per (user, batch) is the
+    * few events preceding the user's first conversion — not the event
+    * volume — and merging digests (min the t1s, union the arrays,
+    * re-derive t2/t3) provably equals the batch funnel over the union.
+    */
+  def funnelBatchSummary(events: DataFrame): DataFrame =
+    events
+      .filter(col("event_type").isin("signup", "view", "purchase"))
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "signup", col("ts"))).as("t1"),
+        sort_array(array_distinct(collect_list(
+          when(col("event_type") === "view", col("ts"))))).as("views"),
+        sort_array(array_distinct(collect_list(
+          when(col("event_type") === "purchase", col("ts"))))).as("purchases"))
+      // null-threshold filters drop every element (comparison with a null
+      // t yields null = not kept), so array_min over them is null and the
+      // `when` keeps the full array — exactly the no-pruning case above
+      .withColumn("t2", array_min(filter(col("views"), v => v > col("t1"))))
+      .withColumn("views",
+        when(col("t2").isNotNull, filter(col("views"), v => v <= col("t2")))
+          .otherwise(col("views")))
+      .withColumn("t3", array_min(filter(col("purchases"), p => p > col("t2"))))
+      .withColumn("purchases",
+        when(col("t3").isNotNull, filter(col("purchases"), p => p <= col("t3")))
+          .otherwise(col("purchases")))
+      .select("user_id", "t1", "views", "purchases")
+
+  /** FUNNEL ON A STREAM, part 2: merge per-batch digests into per-user
+    * stage times (t1, t2, t3) — min the signup mins, union the pruned
+    * candidate arrays, re-derive the stage thresholds. Equals the batch
+    * funnel over the union of the digested batches for ANY batch split
+    * (see `funnelBatchSummary` for the pruning-safety argument).
+    */
+  def funnelUserStages(summaries: DataFrame): DataFrame =
+    summaries
+      .groupBy("user_id")
+      .agg(
+        min(col("t1")).as("t1"),
+        array_distinct(flatten(collect_list(col("views")))).as("views"),
+        array_distinct(flatten(collect_list(col("purchases")))).as("purchases"))
+      .withColumn("t2", array_min(filter(col("views"), v => v > col("t1"))))
+      .withColumn("t3", array_min(filter(col("purchases"), p => p > col("t2"))))
+      .select("user_id", "t1", "t2", "t3")
+
+  /** FUNNEL ON A STREAM, part 3: the q149-shaped conversion table
+    * (stage, event_type, n_users) from per-user stage times. `count`
+    * skips nulls, so each row counts the users that reached that stage.
+    */
+  def funnelStageCounts(userStages: DataFrame): DataFrame = {
+    val counts = userStages.agg(
+      count(col("t1")).as("n1"),
+      count(col("t2")).as("n2"),
+      count(col("t3")).as("n3"))
+    counts
+      .select(lit(1L).as("stage"), lit("signup").as("event_type"),
+        col("n1").as("n_users"))
+      .unionAll(counts.select(lit(2L).as("stage"), lit("view").as("event_type"),
+        col("n2").as("n_users")))
+      .unionAll(counts.select(lit(3L).as("stage"), lit("purchase").as("event_type"),
+        col("n3").as("n_users")))
   }
 }
 

@@ -10,11 +10,9 @@ import graft.operators.AsofJoin
 class AsofJoinNativeSpec extends SparkSpec {
   import spark.implicits._
 
-  private def events = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+  private def events =
+    graft.streaming.EventStream.readEvents(spark, "/root/testdata/sf0.001/events.parquet")
       .select(col("event_id"), col("user_id"), expr("ts div 1000").as("tsn"), col("event_type"))
-  }
 
   test("native matches the composed operator on the events fixture (self-join shape)") {
     val clicks = events.filter(col("event_type") === "click").drop("event_type")

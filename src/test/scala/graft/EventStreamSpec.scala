@@ -34,7 +34,7 @@ class EventStreamSpec extends SparkSpec {
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val batch = EventStream
-      .hourlyAggregate(spark.read.parquet(s"$dir/events.parquet"))
+      .hourlyAggregate(EventStream.readEvents(spark, s"$dir/events.parquet"))
       .orderBy("hour_epoch", "event_type")
       .collect()
       .toSeq
@@ -58,8 +58,7 @@ class EventStreamSpec extends SparkSpec {
       .start()
     assert(q.awaitTermination(120000), "stream did not finish within 120s")
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val expected = spark.read.parquet(s"$dir/events.parquet")
+    val expected = EventStream.readEvents(spark, s"$dir/events.parquet")
       .filter(col("event_type") === "click").count()
     assert(seen.get() == expected)
     assert(expected > 0)
@@ -81,7 +80,7 @@ class EventStreamSpec extends SparkSpec {
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val batch = EventStream
-      .sessionAggregate(spark.read.parquet(s"$dir/events.parquet"), "4 hours")
+      .sessionAggregate(EventStream.readEvents(spark, s"$dir/events.parquet"), "4 hours")
       .orderBy("user_id", "session_start")
       .collect()
       .toSeq
@@ -107,8 +106,7 @@ class EventStreamSpec extends SparkSpec {
       .start()
     assert(q.awaitTermination(120000), "stream did not finish within 120s")
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val expected = spark.read.parquet(s"$dir/events.parquet")
+    val expected = EventStream.readEvents(spark, s"$dir/events.parquet")
       .groupBy("user_id").count()
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // update mode re-emits a user's total each batch; the LAST emission
@@ -159,8 +157,7 @@ class EventStreamSpec extends SparkSpec {
       .start()
     assert(q.awaitTermination(120000), "stream did not finish within 120s")
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = EventStream.withEventTime(spark.read.parquet(s"$dir/events.parquet"))
+    val ev = EventStream.withEventTime(EventStream.readEvents(spark, s"$dir/events.parquet"))
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("event_id"), col("user_id"), col("event_time").as("c_time"))
     val views = ev.filter(col("event_type") === "view")
@@ -195,7 +192,7 @@ class EventStreamSpec extends SparkSpec {
       .start()
     assert(q.awaitTermination(120000), "stream did not finish within 120s")
 
-    val ev = EventStream.withEventTime(spark.read.parquet(s"$dir/events.parquet"))
+    val ev = EventStream.withEventTime(EventStream.readEvents(spark, s"$dir/events.parquet"))
     val batch = ev
       .join(dim.select(col("c_custkey"), col("c_mktsegment")), col("user_id") === col("c_custkey"))
       .groupBy(
@@ -213,5 +210,58 @@ class EventStreamSpec extends SparkSpec {
       .orderBy("hour_epoch", "c_mktsegment").collect().toSeq
     assert(batch.nonEmpty)
     assert(streamed == batch)
+  }
+
+  test("funnel digests: any batch split merges to the exact batch funnel") {
+    import org.apache.spark.sql.functions.{count, lit, min}
+    val ev = EventStream
+      .readEvents(spark, "/root/testdata/sf0.001/events.parquet")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+    // the q149 batch funnel, computed directly
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "view").join(s1, Seq("user_id"))
+      .filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min(col("ts")).as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase").join(s2, Seq("user_id"))
+      .filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min(col("ts")).as("t3"))
+    val expected = Seq(s1.count(), s2.count(), s3.count())
+    assert(expected.last > 0, "fixture must convert some users to stage 3")
+
+    def counts(summaries: org.apache.spark.sql.DataFrame): Seq[Long] =
+      EventStream.funnelStageCounts(EventStream.funnelUserStages(summaries))
+        .orderBy("stage").collect().toSeq.map(_.getLong(2))
+
+    // one digest over everything
+    assert(counts(EventStream.funnelBatchSummary(ev)) == expected)
+    // 3-way interleaved split: per-user event sets genuinely straddle
+    // the parts, the situation the pruning proof is about
+    val parts = (0 until 3).map(i =>
+      EventStream.funnelBatchSummary(ev.filter(col("event_id") % 3 === i)))
+    assert(counts(parts.reduce(_ unionAll _)) == expected)
+  }
+
+  test("funnel digest pruning survives a late lower signup") {
+    import spark.implicits._
+    // batch 1 alone: t1=5 -> t2=10 (the view at 3 precedes the local
+    // signup); an eager (t1,t2,t3) state would discard ts=3 and a
+    // min-merge would keep t2=10. The digest keeps every view <= the
+    // local t2, so batch 2's earlier signup resurrects ts=3 as the true
+    // t2 — and the purchase at 4 (pruned-safe: <= local t3=20) as t3.
+    val b1 = Seq(
+      (1L, "signup", 5L), (1L, "view", 3L), (1L, "view", 10L),
+      (1L, "purchase", 20L), (1L, "purchase", 4L)
+    ).toDF("user_id", "event_type", "ts")
+    val b2 = Seq((1L, "signup", 1L)).toDF("user_id", "event_type", "ts")
+    val merged = EventStream.funnelUserStages(
+      EventStream.funnelBatchSummary(b1)
+        .unionAll(EventStream.funnelBatchSummary(b2)))
+      .collect()
+    assert(merged.length == 1)
+    val r = merged.head
+    assert(r.getLong(r.fieldIndex("t1")) == 1L)
+    assert(r.getLong(r.fieldIndex("t2")) == 3L)
+    assert(r.getLong(r.fieldIndex("t3")) == 4L)
   }
 }
