@@ -317,6 +317,38 @@ object Dedup {
       .withColumn("kept", when(col("n_dups") === 0, 1L).otherwise(0L))
   }
 
+  /** As `nearDuplicates`, but the WHOLE corpus arrives as a pre-built
+    * band table in `signatureBands` shape — the full-corpus twin of
+    * `incrementalNearDupFilterOnBands`. The candidate stage is a SELF
+    * join on (band, key): feed it `spark.table("sig_table")` where the
+    * table was written `bucketBy(band, key)` + `sortBy` and the join
+    * plans with NO exchange (and no re-sort) on EITHER side — at 100 TB
+    * the signature table is maintained once by ingest and every
+    * pair-generation consumer (dedup sweeps, leakage checks) reads it
+    * back shuffle-free instead of re-hashing the corpus. The exact
+    * Jaccard verify runs off the `hs` arrays the table already carries.
+    */
+  def nearDupPairsOnBands(
+      bands: DataFrame,
+      idCol: String,
+      threshold: Double = 0.4
+  ): DataFrame = {
+    val inter = org.apache.spark.sql.graft.LongArrayIntersectSize
+      .column(col("hs_a"), col("hs_b")).cast("double")
+    bands.alias("a")
+      .join(
+        bands.alias("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(
+        col(s"a.$idCol").as("id_a"), col("a.hs").as("hs_a"),
+        col(s"b.$idCol").as("id_b"), col("b.hs").as("hs_b"))
+      .withColumn("jacc", inter / (size(col("hs_a")) + size(col("hs_b")) - inter))
+      .filter(col("jacc") >= threshold)
+      .select("id_a", "id_b", "jacc")
+      .distinct()
+  }
+
   /** LSH banding-parameter AUDIT: for each (numBands, rowsPerBand)
     * config over ONE shared signature table, the candidate-pair count
     * (the shuffle-cost knob) and how many true near-dup pairs it

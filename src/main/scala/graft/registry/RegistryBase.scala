@@ -634,6 +634,12 @@ trait RegistryBase {
   protected val sigStagedFor =
     new java.util.concurrent.atomic.AtomicReference[String](null)
 
+  /** Source dir whose persisted FULL-corpus signature table (the q126
+    * pair-generation input) is currently live in this JVM's catalog.
+    */
+  protected val sigAllStagedFor =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
   /** Trained-artifact registry: a coarse quantizer / PQ codebook is a
     * CORPUS-level artifact — trained once per ingest, then read by every
     * serving query — not something an ANN deployment retrains per query.

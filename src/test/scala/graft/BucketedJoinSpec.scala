@@ -44,4 +44,32 @@ class BucketedJoinSpec extends SparkSpec {
         s"expected exactly one (band, key) exchange (incoming side only), got $bandExchanges:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("q126 pair stage: bucketed signature SELF-join plans with no exchange at all") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // the q126 production shape: the full-corpus band table persisted
+      // bucketed+sorted on the (band, key) join key, pair generation a
+      // self-join reading it back — NEITHER side may shuffle or re-sort
+      val tmp = java.nio.file.Files.createTempDirectory("sigall-spec")
+      spark.sql("DROP TABLE IF EXISTS sigall_spec_bkt")
+      graft.operators.Dedup.signatureBands(
+          spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+          "doc_id", "text", shingleN = 4, numHashes = 8, rowsPerBand = 4)
+        .write.format("parquet")
+        .bucketBy(8, "band", "key").sortBy("band", "key")
+        .option("path", s"$tmp/sig").mode("overwrite")
+        .saveAsTable("sigall_spec_bkt")
+      val df = graft.operators.Dedup.nearDupPairsOnBands(
+        spark.table("sigall_spec_bkt"), "doc_id", threshold = 0.4)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join:\n$plan")
+      assert(plan.contains("SelectedBucketsCount"), s"scan is not bucket-aware:\n$plan")
+      val bandExchanges = "Exchange hashpartitioning\\(band#".r
+        .findAllMatchIn(plan).size
+      assert(bandExchanges == 0,
+        s"bucketed self-join must not shuffle either side, got $bandExchanges:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }

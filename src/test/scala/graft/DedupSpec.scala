@@ -33,6 +33,19 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L }) // unrelated doc never pairs
   }
 
+  test("nearDupPairsOnBands: band-table self-join equals nearDuplicates") {
+    val direct = Dedup.nearDuplicates(docs, "doc_id", "text",
+        shingleN = 4, numHashes = 8, rowsPerBand = 4, threshold = 0.4)
+      .orderBy("id_a", "id_b").collect().toSeq
+    val viaBands = Dedup.nearDupPairsOnBands(
+        Dedup.signatureBands(docs, "doc_id", "text",
+          shingleN = 4, numHashes = 8, rowsPerBand = 4),
+        "doc_id", threshold = 0.4)
+      .orderBy("id_a", "id_b").collect().toSeq
+    assert(direct.nonEmpty)
+    assert(viaBands == direct)
+  }
+
   test("nearDuplicates: exact dup pair has jaccard exactly 1.0") {
     val nd = Dedup.nearDuplicates(docs, "doc_id", "text")
     val j = nd.filter(col("id_a") === 0 && col("id_b") === 1).select("jacc").head().getDouble(0)
