@@ -273,17 +273,8 @@ trait EventsRegistry extends RegistryBase {
     // shared with the streaming q155 gate — see RegistryBase.funnelOracle
     "q149_event_funnel" -> funnelOracle,
 
-    // week index = floor-seconds // 604800 — date_trunc('second') makes
-    // epoch() integral so the ::BIGINT cast is exact (q133's trick);
-    // Spark's micros div 604800000000 floors to the same index
-    "q150_cohort_retention" ->
-      """WITH w AS (SELECT DISTINCT user_id,
-        |             (epoch(date_trunc('second', ts))::BIGINT // 604800) AS wk
-        |           FROM events),
-        |f AS (SELECT user_id, min(wk) AS cohort_week FROM w GROUP BY 1)
-        |SELECT f.cohort_week, (w.wk - f.cohort_week)::BIGINT AS week_offset,
-        |       count(*)::BIGINT AS n_active
-        |FROM w JOIN f USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // shared with the streaming q156 gate — see RegistryBase.cohortOracle
+    "q150_cohort_retention" -> cohortOracle,
 
     "q79_event_deltas" ->
       """SELECT event_id, user_id, epoch_us(ts) AS tsn,

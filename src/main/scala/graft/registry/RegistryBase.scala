@@ -402,6 +402,21 @@ trait RegistryBase {
       |  UNION ALL SELECT 3::BIGINT, 'purchase', (SELECT count(*) FROM s3)::BIGINT)
       |ORDER BY stage""".stripMargin
 
+  /** q150's cohort-retention oracle — shared verbatim with the streaming
+    * q156 gate (per-user week-set digests union-merge exactly, so both
+    * run against the same SQL). Week index = floor-seconds // 604800
+    * (date_trunc('second') makes epoch() integral, q133's trick); Spark's
+    * nanos div 604800e9 floors to the same index.
+    */
+  protected lazy val cohortOracle: String =
+    """WITH w AS (SELECT DISTINCT user_id,
+      |             (epoch(date_trunc('second', ts))::BIGINT // 604800) AS wk
+      |           FROM events),
+      |f AS (SELECT user_id, min(wk) AS cohort_week FROM w GROUP BY 1)
+      |SELECT f.cohort_week, (w.wk - f.cohort_week)::BIGINT AS week_offset,
+      |       count(*)::BIGINT AS n_active
+      |FROM w JOIN f USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** q119's graded-contamination oracle — shared verbatim with the
     * streaming q140 gate (the foreachBatch bridge provably doesn't
     * change per-doc scores, so both run against the same SQL).

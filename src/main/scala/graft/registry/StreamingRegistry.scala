@@ -330,6 +330,35 @@ trait StreamingRegistry extends RegistryBase {
           .localCheckpoint(true)
           .orderBy("stage")
       } finally Staging.discard(stage)
+    }),
+
+    // pillar events + streaming (13th gate): COHORT RETENTION ON A
+    // STREAM — q150's retention matrix maintained across micro-batches.
+    // The digest is each user's distinct week-index SET (bounded by
+    // weeks-in-horizon, not event volume); set union is associative,
+    // commutative and IDEMPOTENT, so digests merge exactly for any batch
+    // split and survive at-least-once replays. Staged as a genuine
+    // 4-file split (the q155 convention); same oracle as q150.
+    "q156_stream_cohort" -> ((s, dir) => {
+      val stage = Staging.dir("q156-")
+      try {
+        val inDir = stage.resolve("in").toString
+        s.read.schema(graft.streaming.EventStream.eventsSchemaDdl)
+          .parquet(s"$dir/events.parquet")
+          .repartition(4).write.mode("overwrite").parquet(inDir)
+        val outDir = stage.resolve("out").toString
+        val q = graft.streaming.EventStream.foreachBatchSink(
+          graft.streaming.EventStream.readEventStream(s, inDir, maxFilesPerTrigger = Some(1)),
+          batch => graft.streaming.EventStream.cohortBatchSummary(batch)
+        ) { (digest, batchId) =>
+          digest.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        }.start()
+        awaitGate("q156", q)
+        graft.streaming.EventStream.cohortRetention(
+            s.read.parquet(outDir).drop("batch"))
+          .localCheckpoint(true)
+          .orderBy("cohort_week", "week_offset")
+      } finally Staging.discard(stage)
     })
   )
 
@@ -356,6 +385,10 @@ trait StreamingRegistry extends RegistryBase {
     // 12th streaming gate: pruned-candidate digests merge to the exact
     // batch funnel for any micro-batch split — same oracle as q149
     "q155_stream_funnel" -> funnelOracle,
+
+    // 13th streaming gate: per-user week-set digests union-merge exactly
+    // (idempotent, replay-safe) — same oracle as q150
+    "q156_stream_cohort" -> cohortOracle,
 
     "q130_stream_kmeans_update" ->
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> floor(x::DOUBLE * 1000)::BIGINT) AS qv FROM embeddings),

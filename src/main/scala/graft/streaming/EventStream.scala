@@ -278,6 +278,33 @@ object EventStream {
       .withColumn("t3", array_min(filter(col("purchases"), p => p > col("t2"))))
       .select("user_id", "t1", "t2", "t3")
 
+  /** COHORT RETENTION ON A STREAM, part 1: the mergeable per-batch
+    * digest — each user's sorted distinct week-index set. State is
+    * bounded by weeks-in-horizon per user, not event volume, and set
+    * union is associative, commutative AND idempotent: digests merge
+    * exactly for any micro-batch split, and an at-least-once replay of
+    * a batch cannot change the answer (unlike a count-based digest).
+    */
+  def cohortBatchSummary(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"), expr("ts div 604800000000000").as("wk"))
+      .groupBy("user_id")
+      .agg(sort_array(array_distinct(collect_list(col("wk")))).as("weeks"))
+
+  /** COHORT RETENTION ON A STREAM, part 2: union the per-batch week
+    * sets per user, derive each user's cohort (min week), and count
+    * distinct active users per (cohort_week, week_offset) — the q150
+    * retention matrix, exactly, for any batch split.
+    */
+  def cohortRetention(summaries: DataFrame): DataFrame =
+    summaries
+      .groupBy("user_id")
+      .agg(array_distinct(flatten(collect_list(col("weeks")))).as("weeks"))
+      .select(col("user_id"), array_min(col("weeks")).as("cohort_week"),
+        explode(col("weeks")).as("wk"))
+      .groupBy(col("cohort_week"), (col("wk") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+
   /** FUNNEL ON A STREAM, part 3: the q149-shaped conversion table
     * (stage, event_type, n_users) from per-user stage times. `count`
     * skips nulls, so each row counts the users that reached that stage.

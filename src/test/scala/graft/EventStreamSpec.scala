@@ -242,6 +242,32 @@ class EventStreamSpec extends SparkSpec {
     assert(counts(parts.reduce(_ unionAll _)) == expected)
   }
 
+  test("cohort digests: any batch split (and replays) merge to the batch retention matrix") {
+    val ev = EventStream
+      .readEvents(spark, "/root/testdata/sf0.001/events.parquet")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    import org.apache.spark.sql.functions.{count, expr, lit, min}
+    // the q150 batch matrix, computed directly
+    val w = ev.select(col("user_id"), expr("ts div 604800000000000").as("wk")).distinct()
+    val f = w.groupBy("user_id").agg(min(col("wk")).as("cohort_week"))
+    val expected = w.join(f, Seq("user_id"))
+      .groupBy(col("cohort_week"), (col("wk") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy("cohort_week", "week_offset").collect().toSeq
+    assert(expected.nonEmpty)
+
+    val parts = (0 until 3).map(i =>
+      EventStream.cohortBatchSummary(ev.filter(col("event_id") % 3 === i)))
+    val merged = EventStream.cohortRetention(parts.reduce(_ unionAll _))
+      .orderBy("cohort_week", "week_offset").collect().toSeq
+    assert(merged == expected)
+    // idempotence: replaying a digest (at-least-once delivery) changes nothing
+    val replayed = EventStream.cohortRetention(
+        (parts :+ parts.head).reduce(_ unionAll _))
+      .orderBy("cohort_week", "week_offset").collect().toSeq
+    assert(replayed == expected)
+  }
+
   test("funnel digest pruning survives a late lower signup") {
     import spark.implicits._
     // batch 1 alone: t1=5 -> t2=10 (the view at 3 precedes the local
