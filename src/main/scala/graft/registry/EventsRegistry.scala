@@ -187,6 +187,23 @@ trait EventsRegistry extends RegistryBase {
         .orderBy("stage")
     }),
 
+    // pillar events: WINDOWED FUNNEL — q149's conversion funnel with a
+    // 1-day conversion window per stage (the product-analytics default:
+    // a purchase three weeks after the first view is not "conversion").
+    // Runs the q155 digest operators on the whole frame: windowing is a
+    // pure post-map over exact unwindowed stage times (see
+    // EventStream.funnelWindowed), so batch and streaming share one
+    // implementation AND one proof.
+    "q157_funnel_window" -> ((s, dir) =>
+      graft.streaming.EventStream.funnelStageCounts(
+        graft.streaming.EventStream.funnelWindowed(
+          graft.streaming.EventStream.funnelUserStages(
+            graft.streaming.EventStream.funnelBatchSummary(
+              spread(s, rd(s, dir, "events"))))
+            .localCheckpoint(false), // three stage counts read one frame
+          FunnelWindowNanos))
+        .orderBy("stage")),
+
     // pillar events: COHORT RETENTION — users grouped by first-seen
     // week, activity counted per (cohort, week-offset): the retention
     // matrix every growth dashboard draws. Distinct (user, week) rows
@@ -272,6 +289,9 @@ trait EventsRegistry extends RegistryBase {
 
     // shared with the streaming q155 gate — see RegistryBase.funnelOracle
     "q149_event_funnel" -> funnelOracle,
+
+    // shared with the streaming q158 gate — see RegistryBase.funnelWindowOracle
+    "q157_funnel_window" -> funnelWindowOracle,
 
     // shared with the streaming q156 gate — see RegistryBase.cohortOracle
     "q150_cohort_retention" -> cohortOracle,

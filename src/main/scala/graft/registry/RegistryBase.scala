@@ -402,6 +402,35 @@ trait RegistryBase {
       |  UNION ALL SELECT 3::BIGINT, 'purchase', (SELECT count(*) FROM s3)::BIGINT)
       |ORDER BY stage""".stripMargin
 
+  /** Conversion window for the windowed funnel (q157/q158): 1 day in
+    * nanos. The sf events span ~30 days with a median signup->view lag
+    * of ~1.8 days, so the window genuinely bins out ~half the stage-2
+    * conversions (a window wider than the span would make the windowed
+    * funnel indistinguishable from q149).
+    */
+  protected val FunnelWindowNanos = 86400000000000L
+
+  /** The q149 funnel oracle with a conversion window: stage n counts
+    * only within INTERVAL 1 DAY of stage n-1 — shared by the batch q157
+    * and the streaming q158 gate (same digests as q149/q155; windowing
+    * is a pure post-map over exact stage times).
+    */
+  protected lazy val funnelWindowOracle: String =
+    """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+      |            WHERE event_type = 'signup' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e JOIN s1 USING (user_id)
+      |       WHERE event_type = 'view' AND ts > t1
+      |         AND ts <= t1 + INTERVAL 1 DAY GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(ts) AS t3 FROM events e JOIN s2 USING (user_id)
+      |       WHERE event_type = 'purchase' AND ts > t2
+      |         AND ts <= t2 + INTERVAL 1 DAY GROUP BY 1)
+      |SELECT * FROM (
+      |  SELECT 1::BIGINT AS stage, 'signup' AS event_type,
+      |         (SELECT count(*) FROM s1)::BIGINT AS n_users
+      |  UNION ALL SELECT 2::BIGINT, 'view', (SELECT count(*) FROM s2)::BIGINT
+      |  UNION ALL SELECT 3::BIGINT, 'purchase', (SELECT count(*) FROM s3)::BIGINT)
+      |ORDER BY stage""".stripMargin
+
   /** q150's cohort-retention oracle — shared verbatim with the streaming
     * q156 gate (per-user week-set digests union-merge exactly, so both
     * run against the same SQL). Week index = floor-seconds // 604800
@@ -621,6 +650,18 @@ trait RegistryBase {
     "floor(1000000.0 * ((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) * " +
       "((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + 1.2 * " +
       "(0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(tot AS DOUBLE) / CAST(n_docs AS DOUBLE)))))))"
+
+  /** q159's selective-term gate: a query term joins the postings only if
+    * its document frequency is under 1/Bm25DfStopMult of the corpus (a
+    * stop term's postings list is the corpus — joining it is the
+    * candidate-volume bomb at 100 TB) OR it is one of the query's
+    * Bm25KeepRarest most selective terms (ties by term text), which
+    * keeps results meaningful even when every term is frequent (the
+    * sf0.01 synthetic vocabulary is the degenerate case: 31 terms, df
+    * 75-80% — all stop terms under any absolute cut).
+    */
+  protected val Bm25DfStopMult = 5L
+  protected val Bm25KeepRarest = 4L
 
   /** q139 PMI collocations: minimum bigram count, result depth, and the
     * oracle-shared integer-micro-point PMI ratio (exact BIGINT products,

@@ -359,6 +359,38 @@ trait StreamingRegistry extends RegistryBase {
           .localCheckpoint(true)
           .orderBy("cohort_week", "week_offset")
       } finally Staging.discard(stage)
+    }),
+
+    // pillar events + streaming (14th gate): WINDOWED FUNNEL ON A STREAM
+    // — q157's 1-day-conversion-window funnel over the q155 digests:
+    // windowing is a pure post-map over exact unwindowed stage times
+    // (EventStream.funnelWindowed), so the SAME per-batch digests and
+    // the same pruning proof serve both gates; only the final merge
+    // differs. Staged as the genuine 4-file split; q157's oracle.
+    "q158_stream_funnel_window" -> ((s, dir) => {
+      val stage = Staging.dir("q158-")
+      try {
+        val inDir = stage.resolve("in").toString
+        s.read.schema(graft.streaming.EventStream.eventsSchemaDdl)
+          .parquet(s"$dir/events.parquet")
+          .repartition(4).write.mode("overwrite").parquet(inDir)
+        val outDir = stage.resolve("out").toString
+        val q = graft.streaming.EventStream.foreachBatchSink(
+          graft.streaming.EventStream.readEventStream(s, inDir, maxFilesPerTrigger = Some(1)),
+          batch => graft.streaming.EventStream.funnelBatchSummary(batch)
+        ) { (digest, batchId) =>
+          digest.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        }.start()
+        awaitGate("q158", q)
+        graft.streaming.EventStream.funnelStageCounts(
+          graft.streaming.EventStream.funnelWindowed(
+            graft.streaming.EventStream.funnelUserStages(
+                s.read.parquet(outDir).drop("batch"))
+              .localCheckpoint(false),
+            FunnelWindowNanos))
+          .localCheckpoint(true)
+          .orderBy("stage")
+      } finally Staging.discard(stage)
     })
   )
 
@@ -389,6 +421,10 @@ trait StreamingRegistry extends RegistryBase {
     // 13th streaming gate: per-user week-set digests union-merge exactly
     // (idempotent, replay-safe) — same oracle as q150
     "q156_stream_cohort" -> cohortOracle,
+
+    // 14th streaming gate: q155's digests + the 1-day-window post-map —
+    // same oracle as the batch q157
+    "q158_stream_funnel_window" -> funnelWindowOracle,
 
     "q130_stream_kmeans_update" ->
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> floor(x::DOUBLE * 1000)::BIGINT) AS qv FROM embeddings),

@@ -595,6 +595,50 @@ trait TextRegistry extends RegistryBase {
         .orderBy("q_id", "rk")
     }),
 
+    // pillar text analysis: SELECTIVE-TERM BM25 — q137 with the df stop
+    // cut every term-at-a-time engine ships: a stop term's postings list
+    // IS the corpus, so joining it makes per-query cost corpus-linear
+    // regardless of banding (q137's measured flat-vocab superlinearity).
+    // A query term reaches the postings join only if df < corpus/5 OR it
+    // is one of the query's 4 rarest terms (never-empty results even on
+    // the all-stop-terms synthetic vocab). The gate runs on the TINY
+    // (query term x df) frame — a window over at most a few hundred
+    // rows — before anything touches the postings table, so candidate
+    // volume is bounded by the rare tail, not the head.
+    "q159_bm25_selective" -> ((s, dir) => {
+      val toks = spread(s, rd(s, dir, "documents"))
+        .select(col("doc_id"),
+          explode(TextFunctions.whitespaceTokens(lower(col("text")))).as("term"))
+        .localCheckpoint(false) // feeds postings, doc lengths, AND the query side
+      val corpus = toks.filter(col("doc_id") % Bm25QueryMod =!= 0)
+      val dl = corpus.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        .localCheckpoint(false) // feeds the 1-row corpus stats AND the scoring join
+      val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
+      val postings = corpus.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(false) // feeds document frequencies AND the scoring join
+      val dfT = postings.groupBy("term").agg(count(lit(1)).as("df"))
+      val qterms = toks.filter(col("doc_id") % Bm25QueryMod === 0)
+        .select(col("doc_id").as("q_id"), col("term")).distinct()
+      val qkeep = dfT.join(broadcast(qterms), Seq("term"))
+        .crossJoin(broadcast(stats.select(col("n_docs"))))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("df"), col("term"))).cast("long"))
+        .filter(col("rnk") <= Bm25KeepRarest ||
+          col("df") * Bm25DfStopMult < col("n_docs"))
+        .select("term", "q_id", "df")
+      val scored = postings.join(broadcast(qkeep), Seq("term"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .withColumn("contrib", expr(Bm25ContribSql).cast("long"))
+        .groupBy("q_id", "doc_id").agg(sum(col("contrib")).as("score"))
+      scored
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("score").desc, col("doc_id")))
+          .cast("long"))
+        .filter(col("rk") <= Bm25TopK)
+        .orderBy("q_id", "rk")
+    }),
+
     // pillar text analysis: PMI collocations (phrase mining) — top
     // adjacent-token pairs by pointwise mutual information, the classic
     // "merge these into one token / glossary term" signal. Bigram and
@@ -1147,6 +1191,32 @@ trait TextRegistry extends RegistryBase {
          |sc AS (SELECT q_id, p.doc_id,
          |         sum(($Bm25ContribSql)::BIGINT)::BIGINT AS score
          |       FROM p JOIN q USING (term) JOIN f USING (term)
+         |            JOIN d ON d.doc_id = p.doc_id CROSS JOIN st
+         |       GROUP BY 1, 2),
+         |r AS (SELECT q_id, doc_id, score,
+         |        row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rk
+         |      FROM sc)
+         |SELECT q_id, doc_id, score, rk::BIGINT AS rk FROM r
+         |WHERE rk <= $Bm25TopK ORDER BY q_id, rk""".stripMargin,
+
+    // q137's CTE chain with the selective-term gate applied on the tiny
+    // (query term x df) frame before the postings join
+    "q159_bm25_selective" ->
+      s"""WITH t AS (SELECT doc_id, unnest($tokensLowerSql) AS term FROM documents),
+         |c AS (SELECT doc_id, term FROM t WHERE doc_id % $Bm25QueryMod <> 0),
+         |d AS (SELECT doc_id, count(*) AS dl FROM c GROUP BY doc_id),
+         |st AS (SELECT count(*) AS n_docs, sum(dl)::BIGINT AS tot FROM d),
+         |p AS (SELECT doc_id, term, count(*) AS tf FROM c GROUP BY doc_id, term),
+         |f AS (SELECT term, count(*) AS df FROM p GROUP BY term),
+         |q AS (SELECT DISTINCT doc_id AS q_id, term FROM t WHERE doc_id % $Bm25QueryMod = 0),
+         |qk AS (SELECT term, q_id, df FROM (
+         |         SELECT f.term, q.q_id, f.df, st.n_docs,
+         |                row_number() OVER (PARTITION BY q_id ORDER BY df, term) AS rnk
+         |         FROM f JOIN q USING (term) CROSS JOIN st)
+         |       WHERE rnk <= $Bm25KeepRarest OR df * $Bm25DfStopMult < n_docs),
+         |sc AS (SELECT q_id, p.doc_id,
+         |         sum(($Bm25ContribSql)::BIGINT)::BIGINT AS score
+         |       FROM p JOIN qk USING (term)
          |            JOIN d ON d.doc_id = p.doc_id CROSS JOIN st
          |       GROUP BY 1, 2),
          |r AS (SELECT q_id, doc_id, score,

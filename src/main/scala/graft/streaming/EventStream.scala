@@ -278,6 +278,22 @@ object EventStream {
       .withColumn("t3", array_min(filter(col("purchases"), p => p > col("t2"))))
       .select("user_id", "t1", "t2", "t3")
 
+  /** CONVERSION-WINDOW overlay on funnel stage times: stage n counts
+    * only if it happened within `windowNanos` of stage n-1. This is a
+    * pure post-map over the UNWINDOWED stage times — the windowed
+    * stage-2 time is the unwindowed one when `t2 - t1 <= W` and does
+    * not exist otherwise (the first view after t1 is the minimum; if
+    * it overshoots the window, every later view does too), and nulling
+    * t2 cascades to t3. Because it is a function of the exact
+    * unwindowed (t1, t2, t3), the same per-batch digests (and the same
+    * pruning-safety proof) serve every window length, including none.
+    */
+  def funnelWindowed(userStages: DataFrame, windowNanos: Long): DataFrame =
+    userStages
+      .withColumn("t2", when(col("t2") - col("t1") <= windowNanos, col("t2")))
+      .withColumn("t3",
+        when(col("t2").isNotNull && col("t3") - col("t2") <= windowNanos, col("t3")))
+
   /** COHORT RETENTION ON A STREAM, part 1: the mergeable per-batch
     * digest — each user's sorted distinct week-index set. State is
     * bounded by weeks-in-horizon per user, not event volume, and set

@@ -242,6 +242,37 @@ class EventStreamSpec extends SparkSpec {
     assert(counts(parts.reduce(_ unionAll _)) == expected)
   }
 
+  test("funnelWindowed: digest path equals the directly-computed windowed funnel; split-invariant") {
+    import org.apache.spark.sql.functions.{count, lit, min}
+    val W = 86400000000000L // 1 day in nanos
+    val ev = EventStream
+      .readEvents(spark, "/root/testdata/sf0.001/events.parquet")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+    // windowed funnel computed directly (min within each stage window)
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "view").join(s1, Seq("user_id"))
+      .filter(col("ts") > col("t1") && col("ts") <= col("t1") + lit(W))
+      .groupBy("user_id").agg(min(col("ts")).as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase").join(s2, Seq("user_id"))
+      .filter(col("ts") > col("t2") && col("ts") <= col("t2") + lit(W))
+      .groupBy("user_id").agg(min(col("ts")).as("t3"))
+    val expected = Seq(s1.count(), s2.count(), s3.count())
+    // the window must BIND on this fixture or the test is vacuous
+    val unwindowed = EventStream.funnelUserStages(EventStream.funnelBatchSummary(ev))
+    assert(expected(1) < unwindowed.filter(col("t2").isNotNull).count())
+
+    def counts(summaries: org.apache.spark.sql.DataFrame): Seq[Long] =
+      EventStream.funnelStageCounts(EventStream.funnelWindowed(
+          EventStream.funnelUserStages(summaries), W))
+        .orderBy("stage").collect().toSeq.map(_.getLong(2))
+
+    assert(counts(EventStream.funnelBatchSummary(ev)) == expected)
+    val parts = (0 until 3).map(i =>
+      EventStream.funnelBatchSummary(ev.filter(col("event_id") % 3 === i)))
+    assert(counts(parts.reduce(_ unionAll _)) == expected)
+  }
+
   test("cohort digests: any batch split (and replays) merge to the batch retention matrix") {
     val ev = EventStream
       .readEvents(spark, "/root/testdata/sf0.001/events.parquet")
