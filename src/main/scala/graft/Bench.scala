@@ -50,7 +50,8 @@ object Bench {
     val registryBacked = Set(
       "q35_embed_ivf_assign", "q43_embed_ivf_topk", "q109_pq_encode",
       "q110_pq_adc_topk", "q124_ivfpq_residual_topk",
-      "q131_ann_quality_report", "q132_persisted_sig_dedup")
+      "q131_ann_quality_report", "q132_persisted_sig_dedup",
+      "q126_leakage_safe_split")
     var times = Vector.empty[(String, Double)]
     var errors = Vector.empty[(String, String)]
     var streamStats = Map.empty[String, graft.streaming.StreamMetrics.GateStats]
