@@ -67,7 +67,11 @@ class PlanAuditSpec extends SparkSpec {
     "q58_tfidf_top_terms", "q105_scorer_long_needle",
     // q117: same corpus-scaled IVF coarse phase as q46 (every vector vs
     // the broadcast centroid set + the 1-row broadcast k total)
-    "q117_semdedup"
+    "q117_semdedup",
+    // q159: q137's 1-row corpus-stats broadcast, twice — the selective-
+    // term gate ALSO crossJoins n_docs onto the tiny (query term, df)
+    // frame before the postings join (the q74/q97 shape, not all-pairs)
+    "q159_bm25_selective"
   )
 
   // q52 runs its propagation loop eagerly (actions inside the builder),
