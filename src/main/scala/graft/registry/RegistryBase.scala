@@ -631,6 +631,18 @@ trait RegistryBase {
   protected val TrigramPatterns =
     Seq("merge batch", "customer stream window", "no such phrase anywhere")
 
+  /** q160 proximity search: all of a pattern's distinct terms must
+    * co-occur within this many token positions (any order). 8 ~ a
+    * clause; the exact-phrase q152 is the K = pattern-length special
+    * case of the same posting machinery.
+    */
+  protected val ProximityWindowK = 8
+
+  /** q161 shuffle-shard count (the training-shard fan-out; a real run
+    * sizes this to files-per-epoch — the assignment logic is identical).
+    */
+  protected val ShardCount = 16L
+
   /** Query-document selector for q137's BM25 retrieval: docs with
     * doc_id % this == 0 play the probe-query role; everything else is
     * the searched corpus. Top-k depth shared with the oracle SQL.

@@ -237,6 +237,26 @@ trait RelationalRegistry extends RegistryBase {
         .withColumn("split", when(col("bucket") < 90, "train").otherwise("val"))
         .orderBy("doc_id")),
 
+    // pipeline: DETERMINISTIC SHUFFLE-SHARD assignment — the last step
+    // before training: a content-stable md5 rank gives every document a
+    // reproducible pseudo-random order (re-runs and re-shards agree,
+    // unlike rand()), shard = hash % ShardCount, position = hash rank
+    // WITHIN the shard. One hash shuffle on the shard key; the
+    // within-shard window never sees more than corpus/ShardCount rows
+    // and there is NO global sort — at 100 TB each shard's order is
+    // resolved independently (collisions broken by doc_id).
+    "q161_shuffle_shards" -> ((s, dir) => {
+      val h = spread(s, rd(s, dir, "documents"))
+        .select(col("doc_id"),
+          conv(substring(md5(concat(lit("shard-"), col("doc_id"))), 1, 15), 16, 10)
+            .cast("long").as("h"))
+      h.withColumn("shard", (col("h") % ShardCount).cast("long"))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy("shard").orderBy(col("h"), col("doc_id"))).cast("long"))
+        .select("doc_id", "shard", "pos")
+        .orderBy("doc_id")
+    }),
+
     // relational: PIVOT — month x order-priority count matrix. The value
     // list is declared explicitly, so Spark skips the extra
     // collect-distinct job a bare pivot() would run (one job, one
@@ -643,6 +663,15 @@ trait RelationalRegistry extends RegistryBase {
         |       ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 AS bucket,
         |       CASE WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 < 90 THEN 'train' ELSE 'val' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // same md5-rank idiom as q75/q112 ('shard-' || doc_id), 60-bit hash
+    "q161_shuffle_shards" ->
+      s"""WITH h AS (SELECT doc_id,
+         |  ('0x' || substr(md5('shard-' || doc_id), 1, 15))::BIGINT AS h
+         |  FROM documents)
+         |SELECT doc_id, (h % $ShardCount)::BIGINT AS shard,
+         |       row_number() OVER (PARTITION BY h % $ShardCount ORDER BY h, doc_id)::BIGINT AS pos
+         |FROM h ORDER BY doc_id""".stripMargin,
 
     "q70_pivot_orders" ->
       """SELECT epoch(date_trunc('month', o_orderdate))::BIGINT AS month_epoch,

@@ -794,6 +794,39 @@ trait TextRegistry extends RegistryBase {
         .filter(col("nmatch") === col("nt"))
         .groupBy("phrase", "doc_id").agg(count(lit(1)).as("n_occurrences"))
         .orderBy("phrase", "doc_id")
+    }),
+
+    // pillar text analysis: PROXIMITY SEARCH — all of a pattern's terms
+    // within a K-token window, ANY order: the retrieval operator between
+    // q142's whole-document AND-match and q152's exact-phrase adjacency.
+    // A window covering all terms has a minimal form starting at a term
+    // occurrence, so "qualifying anchors" (term positions whose
+    // [pos, pos+K) span holds every distinct pattern term) is a
+    // well-defined occurrence count both engines compute identically.
+    // The anchor x occurrence pairing equi-joins on (phrase, doc) with a
+    // bounded position range — per-doc occurrence lists, never all-pairs
+    // — and pattern terms broadcast (the q152 posting machinery).
+    "q160_proximity_search" -> ((s, dir) => {
+      import s.implicits._
+      val docs = spread(s, rd(s, dir, "documents"))
+      val pterms = TrigramPatterns.toDF("phrase").select(col("phrase"),
+        explode(array_distinct(TextFunctions.whitespaceTokens(col("phrase")))).as("term"))
+      val nterms = pterms.groupBy("phrase").agg(countDistinct(col("term")).as("nt"))
+      val post = docs.select(col("doc_id"),
+        posexplode(TextFunctions.whitespaceTokens(lower(col("text")))).as(Seq("pos", "term")))
+      val occ = post.join(broadcast(pterms), Seq("term"))
+        .select(col("phrase"), col("doc_id"), col("pos"), col("term"))
+        .localCheckpoint(false) // anchor side AND window side of one join
+      occ.select(col("phrase"), col("doc_id"), col("pos").as("anchor"))
+        .join(occ, Seq("phrase", "doc_id"))
+        .filter(col("pos") >= col("anchor") &&
+          col("pos") < col("anchor") + lit(ProximityWindowK))
+        .groupBy("phrase", "doc_id", "anchor")
+        .agg(countDistinct(col("term")).as("nm"))
+        .join(broadcast(nterms), Seq("phrase"))
+        .filter(col("nm") === col("nt"))
+        .groupBy("phrase", "doc_id").agg(count(lit(1)).as("n_windows"))
+        .orderBy("phrase", "doc_id")
     })
   )
 
@@ -1224,6 +1257,28 @@ trait TextRegistry extends RegistryBase {
          |      FROM sc)
          |SELECT q_id, doc_id, score, rk::BIGINT AS rk FROM r
          |WHERE rk <= $Bm25TopK ORDER BY q_id, rk""".stripMargin,
+
+    // q152's posting CTEs; qualifying anchors via the same bounded
+    // range self-join over per-(phrase, doc) occurrences
+    "q160_proximity_search" -> {
+      val vals = TrigramPatterns.map(p => s"('${p}')").mkString(", ")
+      s"""WITH p AS (SELECT * FROM (VALUES $vals) v(phrase)),
+         |pt AS (SELECT DISTINCT phrase,
+         |         unnest(string_split_regex(trim(phrase), '\\s+')) AS term FROM p),
+         |nt AS (SELECT phrase, count(DISTINCT term) AS nt FROM pt GROUP BY 1),
+         |post AS (SELECT doc_id, unnest(tk) AS term, unnest(range(0, len(tk))) AS pos
+         |         FROM (SELECT doc_id, $tokensLowerSql AS tk FROM documents)),
+         |occ AS (SELECT pt.phrase, post.doc_id, post.pos, post.term
+         |        FROM post JOIN pt USING (term)),
+         |m AS (SELECT a.phrase, a.doc_id, a.pos AS anchor, b.term
+         |      FROM occ a JOIN occ b ON a.phrase = b.phrase AND a.doc_id = b.doc_id
+         |       AND b.pos >= a.pos AND b.pos < a.pos + $ProximityWindowK),
+         |q AS (SELECT phrase, doc_id, anchor, count(DISTINCT term) AS nm
+         |      FROM m GROUP BY 1, 2, 3)
+         |SELECT q.phrase, q.doc_id, count(*)::BIGINT AS n_windows
+         |FROM q JOIN nt USING (phrase) WHERE nm = nt
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
 
     // same quantized component expression text (ChiSqSql) on exact counts
     "q144_source_drift" ->
