@@ -257,6 +257,24 @@ trait RelationalRegistry extends RegistryBase {
         .orderBy("doc_id")
     }),
 
+    // pipeline: SHARD BALANCE REPORT — the check run on q161's
+    // assignment before training starts: per shard, document count and
+    // token mass. A content-hash shard key balances in expectation;
+    // this query is the evidence (and at 100 TB, the alert when one
+    // shard drifts). One map-side-combined shuffle on 16 keys.
+    "q162_shard_stats" -> ((s, dir) => {
+      val docs = spread(s, rd(s, dir, "documents"))
+      docs
+        .select(
+          (conv(substring(md5(concat(lit("shard-"), col("doc_id"))), 1, 15), 16, 10)
+            .cast("long") % ShardCount).as("shard"),
+          size(graft.functions.TextFunctions.whitespaceTokens(col("text")))
+            .cast("long").as("n_tok"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .orderBy("shard")
+    }),
+
     // relational: PIVOT — month x order-priority count matrix. The value
     // list is declared explicitly, so Spark skips the extra
     // collect-distinct job a bare pivot() would run (one job, one
@@ -663,6 +681,16 @@ trait RelationalRegistry extends RegistryBase {
         |       ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 AS bucket,
         |       CASE WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 < 90 THEN 'train' ELSE 'val' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q161's shard key; q37's blank-text token-count guard
+    "q162_shard_stats" ->
+      s"""WITH h AS (SELECT
+         |  ('0x' || substr(md5('shard-' || doc_id), 1, 15))::BIGINT % $ShardCount AS shard,
+         |  CASE WHEN trim(text) = '' THEN 0 ELSE len($tokensSql) END AS n_tok
+         |  FROM documents)
+         |SELECT shard::BIGINT AS shard, count(*)::BIGINT AS n_docs,
+         |       sum(n_tok)::BIGINT AS n_tokens
+         |FROM h GROUP BY 1 ORDER BY shard""".stripMargin,
 
     // same md5-rank idiom as q75/q112 ('shard-' || doc_id), 60-bit hash
     "q161_shuffle_shards" ->
