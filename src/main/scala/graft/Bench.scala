@@ -98,8 +98,15 @@ object Bench {
         s""""state_commit_ms":${g.stateCommitMs}}"""
     }.mkString("{", ",", "}")
     val total = times.collect { case (_, v) if v >= 0 => v }.sum
-    println(
-      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"errors":$es,"stream":$ss,"sf":${jstr(sfDir)}}""")
+    val line =
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"errors":$es,"stream":$ss,"sf":${jstr(sfDir)}}"""
+    println(line)
+    // the stdout line dies under sbt's [info] prefix + the driver's tail
+    // truncation (ten rounds of "parsed": null) — also persist it where
+    // both the driver and the next round can read it back
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -808,8 +808,10 @@ object Dedup {
       maxHamming: Int,
       sampleTarget: Long = 1000L
   ): DataFrame = {
-    require(bandConfigs.forall(_ >= 1) && maxHamming + 1 <= bits,
-      "band configs must be >= 1 band and the truth layout needs one bit per band")
+    require(bandConfigs.forall(nb => nb >= 1 && nb <= bits) && maxHamming + 1 <= bits,
+      "band configs must be 1..bits bands (above bits every band is zero-width: " +
+        "all docs share key 0 and the candidate stage goes all-pairs) and the " +
+        "truth layout needs one bit per band")
     // sample FIRST and checkpoint: the barrier keeps the per-doc simhash
     // fold above the broadcast-m filter (the lshTuningAudit lesson —
     // without it the optimizer inlines the hashing below the join and

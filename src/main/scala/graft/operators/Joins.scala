@@ -70,4 +70,37 @@ object Joins {
       .where(col(rightTs) >= col(leftTs) - window && col(rightTs) <= col(leftTs))
       .drop("__probe")
   }
+
+  /** Banded FORWARD range join: pairs each left row with every right row
+    * whose `rightPos` lies in the half-open window [leftPos, leftPos +
+    * window), same (multi-column) key.
+    *
+    * Same banding as rangeJoinBackWindow, mirrored: a forward window of
+    * length `window` starting at bucket b = leftPos div window is fully
+    * covered by buckets {b, b+1}, so the left row probes those two and
+    * the exact predicate refines after the equi-join. Pairs per left row
+    * are bounded by occupancy of two buckets (<= 2*window partner rows
+    * when positions are distinct) — never the full per-key occurrence
+    * list, which is what makes a dense long document (n_occ^2 blowup)
+    * survivable.
+    */
+  def rangeJoinForwardWindow(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftPos: String,
+      rightPos: String,
+      window: Long
+  ): DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
+    require(leftPos != rightPos, "leftPos and rightPos must be distinct column names")
+    val l = left
+      .withColumn("__b", expr(s"$leftPos div $window"))
+      .withColumn("__probe", explode(array(col("__b"), col("__b") + 1)))
+      .drop("__b")
+    val r = right.withColumn("__probe", expr(s"$rightPos div $window"))
+    l.join(r, keys :+ "__probe")
+      .where(col(rightPos) >= col(leftPos) && col(rightPos) < col(leftPos) + window)
+      .drop("__probe")
+  }
 }

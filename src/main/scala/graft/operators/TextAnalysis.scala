@@ -140,6 +140,50 @@ object TextAnalysis {
           .as("top_bigram_frac"))
   }
 
+  /** Proximity search: per (pattern, doc), the number of "qualifying
+    * anchors" — term positions whose half-open [pos, pos + windowK) span
+    * contains every distinct term of the pattern (any order). A window
+    * covering all terms has a minimal form starting at some term
+    * occurrence, so this count is well-defined and both engines compute
+    * it identically (the q160 gate's oracle recomputes it in SQL).
+    *
+    * Scale shape: pattern terms broadcast onto the posting explode; the
+    * anchor x occurrence pairing is a BANDED forward range join
+    * (Joins.rangeJoinForwardWindow — pos div K joins as part of the
+    * equi-key, anchors probe buckets {b, b+1}), so pairs per anchor are
+    * bounded by two buckets' occupancy (<= 2K rows), never the per-doc
+    * occurrence list. A head-term-dense 100k-token document is linear in
+    * occurrences, not n_occ^2 (TextAnalysisSpec's long-doc fixture).
+    */
+  def proximitySearch(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      patterns: Seq[String],
+      windowK: Int
+  ): DataFrame = {
+    require(windowK >= 1, s"windowK must be >= 1, got $windowK")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pats = patterns.toDF("phrase")
+    val pterms = pats.select(col("phrase"),
+      explode(array_distinct(TextFunctions.whitespaceTokens(col("phrase")))).as("term"))
+    val nterms = pterms.groupBy("phrase").agg(countDistinct(col("term")).as("nt"))
+    val post = docs.select(col(idCol).as("doc_id"),
+      posexplode(TextFunctions.whitespaceTokens(lower(col(textCol)))).as(Seq("pos", "term")))
+    val occ = post.join(broadcast(pterms), Seq("term"))
+      .select(col("phrase"), col("doc_id"), col("pos"), col("term"))
+      .localCheckpoint(false) // anchor side AND window side of one join
+    Joins.rangeJoinForwardWindow(
+        occ.select(col("phrase"), col("doc_id"), col("pos").as("anchor")),
+        occ, Seq("phrase", "doc_id"), "anchor", "pos", windowK.toLong)
+      .groupBy("phrase", "doc_id", "anchor")
+      .agg(countDistinct(col("term")).as("nm"))
+      .join(broadcast(nterms), Seq("phrase"))
+      .filter(col("nm") === col("nt"))
+      .groupBy("phrase", "doc_id").agg(count(lit(1)).as("n_windows"))
+  }
+
   /** Document fingerprint: the `k` lexicographically-smallest md5 hashes of
     * the distinct lowercase char n-gram shingles, joined with ','. A
     * winnowing-style content signature: stable under word reordering at

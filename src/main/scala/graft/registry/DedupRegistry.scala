@@ -274,7 +274,7 @@ trait DedupRegistry extends RegistryBase {
         Dedup.signatureBands(corpus, "doc_id", "text",
             shingleN = 4, numHashes = 8, rowsPerBand = 4)
           .write.format("parquet")
-          .bucketBy(8, "band", "key").sortBy("band", "key")
+          .bucketBy(SigTableBuckets, "band", "key").sortBy("band", "key")
           .option("path", s"$tmp/sig").mode("overwrite")
           .saveAsTable("graft_sig_bkt")
         sigStagedFor.set(dir)
@@ -432,7 +432,7 @@ trait DedupRegistry extends RegistryBase {
       Dedup.signatureBands(spread(s, rd(s, dir, "documents")), "doc_id", "text",
           shingleN = 4, numHashes = 8, rowsPerBand = 4)
         .write.format("parquet")
-        .bucketBy(8, "band", "key").sortBy("band", "key")
+        .bucketBy(SigTableBuckets, "band", "key").sortBy("band", "key")
         .option("path", s"$tmp/sig").mode("overwrite")
         .saveAsTable("graft_sig_all_bkt")
       sigAllStagedFor.set(dir)

@@ -598,6 +598,17 @@ trait RegistryBase {
     */
   protected val LshAuditSampleTarget = 1000L
 
+  /** Bucket count for the persisted full-corpus signature table that
+    * q126's pair generation self-joins (fullSigBands). Sized to local
+    * parallelism (local[32]): the bucketed self-join runs one task per
+    * bucket with zero exchange, so fewer buckets than cores caps the
+    * join at buckets/cores of the machine — the measured 8-bucket
+    * layout served q126 22% slower (SCALE.md round-10 A/B). On a real
+    * cluster this is the ingest-time layout choice: size to the
+    * serving cluster's total cores.
+    */
+  protected val SigTableBuckets = 32
+
   /** q144's quantized chi-square drift component — SAME expression text
     * on both engines: the BIGINT products obs*tot and tt*st are exact in
     * int64 up to multi-billion-token corpora, every int64->double

@@ -803,31 +803,18 @@ trait TextRegistry extends RegistryBase {
     // occurrence, so "qualifying anchors" (term positions whose
     // [pos, pos+K) span holds every distinct pattern term) is a
     // well-defined occurrence count both engines compute identically.
-    // The anchor x occurrence pairing equi-joins on (phrase, doc) with a
-    // bounded position range — per-doc occurrence lists, never all-pairs
-    // — and pattern terms broadcast (the q152 posting machinery).
-    "q160_proximity_search" -> ((s, dir) => {
-      import s.implicits._
-      val docs = spread(s, rd(s, dir, "documents"))
-      val pterms = TrigramPatterns.toDF("phrase").select(col("phrase"),
-        explode(array_distinct(TextFunctions.whitespaceTokens(col("phrase")))).as("term"))
-      val nterms = pterms.groupBy("phrase").agg(countDistinct(col("term")).as("nt"))
-      val post = docs.select(col("doc_id"),
-        posexplode(TextFunctions.whitespaceTokens(lower(col("text")))).as(Seq("pos", "term")))
-      val occ = post.join(broadcast(pterms), Seq("term"))
-        .select(col("phrase"), col("doc_id"), col("pos"), col("term"))
-        .localCheckpoint(false) // anchor side AND window side of one join
-      occ.select(col("phrase"), col("doc_id"), col("pos").as("anchor"))
-        .join(occ, Seq("phrase", "doc_id"))
-        .filter(col("pos") >= col("anchor") &&
-          col("pos") < col("anchor") + lit(ProximityWindowK))
-        .groupBy("phrase", "doc_id", "anchor")
-        .agg(countDistinct(col("term")).as("nm"))
-        .join(broadcast(nterms), Seq("phrase"))
-        .filter(col("nm") === col("nt"))
-        .groupBy("phrase", "doc_id").agg(count(lit(1)).as("n_windows"))
-        .orderBy("phrase", "doc_id")
-    })
+    // The anchor x occurrence pairing is the q49 BANDED range join
+    // (pos div K added to the equi-key, anchors probe buckets {b, b+1},
+    // exact window predicate refines after): pairs per anchor are
+    // bounded by two buckets' occupancy (<= 2K rows), NOT the per-doc
+    // occurrence list — a head-term-dense 100k-token document would pay
+    // n_occ^2 on a bare (phrase, doc) key. Pattern terms broadcast (the
+    // q152 posting machinery).
+    "q160_proximity_search" -> ((s, dir) =>
+      graft.operators.TextAnalysis.proximitySearch(
+          spread(s, rd(s, dir, "documents")), "doc_id", "text",
+          TrigramPatterns, ProximityWindowK)
+        .orderBy("phrase", "doc_id"))
   )
 
   protected def textOracle: Map[String, String] = Map(

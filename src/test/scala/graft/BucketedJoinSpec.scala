@@ -58,18 +58,34 @@ class BucketedJoinSpec extends SparkSpec {
           spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
           "doc_id", "text", shingleN = 4, numHashes = 8, rowsPerBand = 4)
         .write.format("parquet")
-        .bucketBy(8, "band", "key").sortBy("band", "key")
+        .bucketBy(32, "band", "key").sortBy("band", "key")
         .option("path", s"$tmp/sig").mode("overwrite")
         .saveAsTable("sigall_spec_bkt")
       val df = graft.operators.Dedup.nearDupPairsOnBands(
         spark.table("sigall_spec_bkt"), "doc_id", threshold = 0.4)
       val plan = df.queryExecution.executedPlan.toString
       assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join:\n$plan")
-      assert(plan.contains("SelectedBucketsCount"), s"scan is not bucket-aware:\n$plan")
+      // bucket count is load-bearing: the zero-exchange self-join runs one
+      // task per bucket, so fewer buckets than cores caps the machine
+      // (SCALE.md round-10 A/B: 8 buckets served q126 22% slower on
+      // local[32]) — pin both bucket-awareness AND the count
+      assert(plan.contains("SelectedBucketsCount: 32 out of 32"),
+        s"scan is not bucket-aware at 32 buckets:\n$plan")
       val bandExchanges = "Exchange hashpartitioning\\(band#".r
         .findAllMatchIn(plan).size
       assert(bandExchanges == 0,
         s"bucketed self-join must not shuffle either side, got $bandExchanges:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q126 registry table: fullSigBands persists at 32 buckets (the benched layout)") {
+    // run the shipped query so the registry stages graft_sig_all_bkt
+    // exactly as production would, then read the bucket spec off the
+    // catalog — this pins the SHIPPED constant, not a spec-local copy
+    SparkEntry.queries("q126_leakage_safe_split")(spark, "/root/testdata/sf0.001").count()
+    val desc = spark.sql("DESCRIBE TABLE EXTENDED graft_sig_all_bkt")
+      .collect().map(r => s"${r.getString(0)}|${r.getString(1)}").mkString("\n")
+    assert(desc.contains("Num Buckets|32"),
+      s"graft_sig_all_bkt is not bucketed at 32:\n$desc")
   }
 }

@@ -47,6 +47,32 @@ class JoinsSpec extends SparkSpec {
     assert(got == Seq(10L, 11L)) // [lts-500, lts] inclusive both ends
   }
 
+  test("rangeJoinForwardWindow: matches an unbanded inequality join exactly") {
+    val rnd = new scala.util.Random(11)
+    val left = (1 to 200).map(i => (i.toLong, s"u${i % 5}", i % 3, rnd.nextInt(5000).toLong))
+      .toDF("lid", "k1", "k2", "lp")
+    val right = (1 to 300).map(i => (i.toLong, s"u${i % 5}", i % 3, rnd.nextInt(5000).toLong))
+      .toDF("rid", "k1", "k2", "rp")
+    val banded = Joins
+      .rangeJoinForwardWindow(left, right, Seq("k1", "k2"), "lp", "rp", window = 40L)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val plain = left.join(right, Seq("k1", "k2"))
+      .where(col("rp") >= col("lp") && col("rp") < col("lp") + 40L)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(banded == plain)
+    assert(plain.nonEmpty)
+  }
+
+  test("rangeJoinForwardWindow: half-open [lp, lp+w) — start included, end excluded") {
+    val left = Seq((1L, "u", 1000L)).toDF("lid", "k", "lp")
+    val right = Seq((10L, "u", 999L), (11L, "u", 1000L), (12L, "u", 1499L), (13L, "u", 1500L))
+      .toDF("rid", "k", "rp")
+    val got = Joins
+      .rangeJoinForwardWindow(left, right, Seq("k"), "lp", "rp", window = 500L)
+      .select("rid").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(11L, 12L))
+  }
+
   test("saltedJoin: salt spreads the hot key across buckets") {
     val large = (1 to 1000).map(i => (1L, i.toLong)).toDF("k", "row_id")
     val saltCounts = large

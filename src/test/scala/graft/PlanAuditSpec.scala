@@ -215,6 +215,17 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q160 proximity: occurrence self-join carries the position band in its keys") {
+    val p = plan("q160_proximity_search")
+    // the anchor x occurrence pairing must equi-join on (phrase, doc,
+    // __probe) — a bare (phrase, doc) key materializes n_occ^2 pairs per
+    // document before the window filter, quadratic in per-doc term
+    // occurrences on a head-term-dense long document
+    val probeKeyed = """(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)[^\n]*__probe#""".r
+    assert(probeKeyed.findFirstIn(p).nonEmpty,
+      s"q160's occ self-join is not banded on pos div K:\n$p")
+  }
+
   test("q100 edit-distance join: candidates keyed on segment CONTENT, not length alone") {
     val p = plan("q100_edit_distance_join")
     // the main candidate join must carry the segment text in its keys —

@@ -34,7 +34,12 @@ class StreamGateGuardSpec extends SparkSpec {
           s"$gate/$name recorded no batches/rows — the guard would be vacuous")
         assert(st.stateRows > 0,
           s"$gate/$name recorded no state rows — gate is not actually stateful")
-        val bound = 8000L + 4L * st.addBatchMs
+        // the pathology's cost is PER MICRO-BATCH (a fixed per-store-
+        // instance commit overhead each batch), so scale the fixed
+        // allowance with batch count instead of one wall-clock constant:
+        // less spurious on a loaded machine, still an order of magnitude
+        // under the 86-295 s pathological regime
+        val bound = 4000L + 3000L * st.batches + 4L * st.addBatchMs
         assert(st.stateCommitMs <= bound,
           s"$gate/$name state commit ${st.stateCommitMs} ms exceeds $bound ms " +
             s"(addBatch ${st.addBatchMs} ms) — the per-store-instance commit " +

@@ -119,6 +119,47 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows == Seq(1L), "one fingerprint for doc 1, none for doc 2")
   }
 
+  test("proximitySearch: brute-force match on small docs incl. edge windows") {
+    val docs = Seq(
+      (1L, "alpha x beta"),             // both terms within K=4 of pos 0
+      (2L, "alpha x y z beta"),         // beta at offset 4 — outside [0, 4)
+      (3L, "beta alpha"),               // order-free: anchor at beta covers both
+      (4L, "alpha alpha beta alpha"),   // multiple qualifying anchors
+      (5L, "gamma delta")               // no pattern terms at all
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.proximitySearch(docs, "doc_id", "text",
+        Seq("alpha beta"), windowK = 4)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // doc 1: anchor 0 [0,4) holds alpha+beta -> 1 (anchor at beta lacks alpha)
+    // doc 2: no 4-window holds both -> absent
+    // doc 3: anchor 0 (beta) holds both -> 1
+    // doc 4: anchors 0,1,2 qualify ([2,6) holds beta+alpha@3); anchor 3 lacks beta -> 3
+    assert(got == Map(1L -> 1L, 3L -> 1L, 4L -> 3L))
+  }
+
+  test("proximitySearch: head-term-dense LONG document stays linear (banded join)") {
+    // 50k tokens, ~2/3 of them pattern terms: an unbanded (phrase, doc)
+    // self-join materializes ~1.1e9 occurrence pairs for this ONE doc
+    // (the q160 scale hazard); the banded join is bounded by 2K per
+    // anchor (~530k pairs) and finishes in seconds. Correctness checked
+    // against an exact brute-force scan of the same token stream.
+    val k = 8
+    val rnd = new scala.util.Random(42)
+    val vocab = Array("alpha", "beta", "filler")
+    val toks = Array.fill(50000)(vocab(rnd.nextInt(3)))
+    val docs = Seq((7L, toks.mkString(" "))).toDF("doc_id", "text")
+    val expected = toks.indices.count { i =>
+      (toks(i) == "alpha" || toks(i) == "beta") && {
+        val win = toks.slice(i, math.min(i + k, toks.length))
+        win.contains("alpha") && win.contains("beta")
+      }
+    }.toLong
+    val got = TextAnalysis.proximitySearch(docs, "doc_id", "text",
+        Seq("alpha beta"), windowK = k)
+      .collect().map(r => r.getLong(2)).toSeq
+    assert(got == Seq(expected), s"expected $expected qualifying anchors")
+  }
+
   test("winnowing: fingerprint density is bounded (distinct minima << positions)") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
