@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -119,6 +119,81 @@ object Multimodal {
     * content is not an image); this decoder is gated by MultimodalSpec on
     * generated PNG/BMP fixtures.
     */
+  /** Pseudo perceptual hash for the STUB decode path: `hexChars * 4`
+    * md5-derived bits of the opaque content. The testdata's stand-in
+    * bytes are not images, so no locality is possible — this column
+    * exists to drive the banding + exact-hamming-verify machinery
+    * through the DuckDB oracle gate bit-for-bit (q164). The gate uses 24
+    * bits: random 48-bit hashes sit >= hamming 9 apart at oracle scale
+    * (an always-empty gate proves nothing), while 24 bits give a
+    * deterministic non-empty near-collision set. The REAL perceptual
+    * hash is the 64-bit `imageDHash` below — width is a banding
+    * parameter, not a property of the operator.
+    */
+  def pseudoDHash(content: Column, hexChars: Int = 6): Column =
+    conv(substring(md5(content), 1, hexChars), 16, 10).cast("long")
+
+  /** REAL 64-bit difference hash (dHash) — the standard LAION-style
+    * image near-dup signature: decode (pure-JVM javax.imageio), integer
+    * luma (299r + 587g + 114b), average-pool onto a 9x8 grid, one bit
+    * per horizontally-adjacent cell pair (set iff left cell is darker).
+    * Integer sums + integer division make the hash bit-reproducible
+    * across JVMs and partitionings for lossless formats. Invariant to
+    * uniform brightness shift (comparisons unchanged short of clipping)
+    * and to rescaling that preserves the pooled gradient structure;
+    * MultimodalSpec gates both properties plus the banded near-dup
+    * retrieval on generated PNG/BMP fixtures.
+    */
+  def imageDHash(content: Array[Byte]): Long = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+    require(img != null, "bytes are not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    val gw = 9; val gh = 8
+    require(w >= gw && h >= gh, s"image ${w}x$h smaller than the ${gw}x$gh dhash grid")
+    val sums = new Array[Long](gh * gw)
+    val cnts = new Array[Long](gh * gw)
+    var y = 0
+    while (y < h) {
+      val cell0 = (y * gh / h) * gw
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        val luma = 299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) + 114L * (p & 0xff)
+        val i = cell0 + x * gw / w
+        sums(i) += luma
+        cnts(i) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var bits = 0L
+    var r = 0
+    while (r < gh) {
+      var c = 0
+      while (c < gw - 1) {
+        val left = sums(r * gw + c) / cnts(r * gw + c)
+        val right = sums(r * gw + c + 1) / cnts(r * gw + c + 1)
+        if (left < right) bits |= 1L << (r * (gw - 1) + c)
+        c += 1
+      }
+      r += 1
+    }
+    bits
+  }
+
+  /** Distributed dHash extraction — same mapPartitions batch shape as
+    * `decodeFeatures` (per-partition codec setup amortized, Tungsten
+    * encoders, no shuffle). Output: (idCol, dhash: long).
+    */
+  def imageDHashes(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, c) => (id, imageDHash(c)) })
+      .toDF(idCol, "dhash")
+  }
+
   def imageDecode(id: Long, content: Array[Byte]): MediaFeatures = {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
     require(img != null, s"id=$id: bytes are not a decodable image")

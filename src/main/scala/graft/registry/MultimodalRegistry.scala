@@ -61,6 +61,25 @@ trait MultimodalRegistry extends RegistryBase {
           (conv(substring(md5(concat(col("text"), lit(":"), col("frame_idx"))), 1, 4), 16, 10)
             .cast("long") % 256).as("frame_sig"))
         .orderBy("doc_id", "frame_idx")
+    }),
+
+    // pillar multimodal x dedup: IMAGE NEAR-DUP — perceptual hash +
+    // hamming banding + exact verify, the LAION-style pipeline step that
+    // pairs the two pillars. The hash column on this parquet path is the
+    // 24-bit md5 pseudo-dHash (testdata content bytes are not images; the
+    // REAL 64-bit javax.imageio dHash runs through the same banding in
+    // MultimodalSpec's fixture gate, with 16-bit bands — the 100 TB
+    // config); candidate generation is the q47 pigeonhole machinery —
+    // maxHamming+1 contiguous bands are a LOSSLESS index for the
+    // hamming<=maxHamming ball (q154's audited recall-1.0 argument
+    // applies verbatim), exact bit_count verify prunes band false
+    // positives, no cross join in the plan.
+    "q164_image_neardup" -> ((s, dir) => {
+      val withC = Multimodal.withContent(spread(s, rd(s, dir, "documents")), "text")
+      val hashed = withC.select(col("doc_id"),
+        Multimodal.pseudoDHash(col("content")).as("dhash"))
+      Dedup.simhashCandidates(hashed, "doc_id", "dhash", bits = 24, maxHamming = 3)
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -96,6 +115,17 @@ trait MultimodalRegistry extends RegistryBase {
         |  width * 256 // greatest(greatest(width, height), 1) AS out_w,
         |  height * 256 // greatest(greatest(width, height), 1) AS out_h,
         |  ('0x' || substr(md5(text || ':' || frame_idx), 1, 4))::BIGINT % 256 AS frame_sig
-        |FROM e ORDER BY doc_id, frame_idx""".stripMargin
+        |FROM e ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // all-pairs + exact hamming: the oracle recomputes the candidate set
+    // the lossless banding is provably equal to (pigeonhole over 4 bands)
+    "q164_image_neardup" ->
+      """WITH d AS (SELECT doc_id, ('0x' || substr(md5(text), 1, 6))::BIGINT AS dh
+        |           FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       bit_count(xor(a.dh, b.dh))::BIGINT AS hamming
+        |FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.dh, b.dh)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin
   )
 }

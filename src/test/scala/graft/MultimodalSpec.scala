@@ -111,6 +111,71 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  /** Horizontal luma ramp with a base offset: red = base + x*200/(w-1)
+    * (base <= 55 keeps the channel unclipped, so a brightness shift
+    * changes every pixel but no left-vs-right comparison).
+    */
+  private def rampImage(w: Int, h: Int, base: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, (base + x * 200 / (w - 1)) << 16); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", out))
+    out.toByteArray
+  }
+
+  /** rampImage with one 10x10 block (exactly dhash cell r=3, c=4 on a
+    * 90x80 canvas) blacked out — perturbs ONE pooled cell.
+    */
+  private def rampWithHole(w: Int, h: Int): Array[Byte] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(rampImage(w, h, 0)))
+    for (y <- 30 until 40; x <- 40 until 50) img.setRGB(x, y, 0)
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", out))
+    out.toByteArray
+  }
+
+  test("imageDHash: invariant to brightness shift and rescale; far from flat") {
+    val base = Multimodal.imageDHash(rampImage(90, 80, 0))
+    // uniform brightness shift: every pixel changes, no comparison does
+    assert(Multimodal.imageDHash(rampImage(90, 80, 40)) == base)
+    // rescale preserving the pooled gradient structure
+    assert(Multimodal.imageDHash(rampImage(45, 16, 0)) == base)
+    // a monotone ramp sets every left<right bit; a flat image sets none
+    assert(java.lang.Long.bitCount(base) == 64)
+    val flat = Multimodal.imageDHash(solidImage(90, 80, 0x808080, "png"))
+    assert(java.lang.Long.bitCount(base ^ flat) == 64)
+  }
+
+  test("imageDHash: a single-cell perturbation flips at most its two comparisons") {
+    val base = Multimodal.imageDHash(rampImage(90, 80, 0))
+    val holed = Multimodal.imageDHash(rampWithHole(90, 80))
+    val d = java.lang.Long.bitCount(base ^ holed)
+    assert(d >= 1 && d <= 2, s"one perturbed cell should flip 1-2 bits, got $d")
+  }
+
+  test("imageDHash: banded near-dup retrieval finds real near-dup images only") {
+    // the q164 machinery on REAL decoded images: 64-bit dHash through the
+    // same pigeonhole banding + exact-hamming verify as the parquet gate
+    val fixtures = Seq(
+      (0L, rampImage(90, 80, 0)),    // base
+      (1L, rampImage(90, 80, 40)),   // brightness-shifted near-dup (hamming 0)
+      (2L, rampWithHole(90, 80)),    // locally-perturbed near-dup (hamming 1-2)
+      (3L, solidImage(90, 80, 0x406080, "png")) // unrelated (hamming 64 from base)
+    ).toDF("doc_id", "content")
+    val hashed = Multimodal.imageDHashes(spark, fixtures, "doc_id")
+    val pairs = graft.operators.Dedup
+      .simhashCandidates(hashed, "doc_id", "dhash", bits = 64, maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(p => (p._1, p._2))
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((0L, 1L), (0L, 2L), (1L, 2L)),
+      s"expected exactly the three near-dup pairs, got ${pairs.mkString(", ")}")
+    assert(pairs.forall(_._3 <= 2), s"near-dup hammings should be tiny: ${pairs.mkString(", ")}")
+  }
+
   test("imageDecode: undecodable bytes fail loudly, not silently") {
     val bad = Seq((7L, Array[Byte](1, 2, 3))).toDF("doc_id", "content")
     val e = intercept[org.apache.spark.SparkException] {
