@@ -410,6 +410,15 @@ trait RegistryBase {
     */
   protected val FunnelWindowNanos = 86400000000000L
 
+  /** q163's allowed lateness W (1 day, in nanos): state candidates older
+    * than (running max ts - W) are pruned each micro-batch. Any W >= the
+    * actual cross-batch lateness gives the exact funnel; the staged
+    * time-range replay has lateness 0, so W here only sets how much
+    * state the bound retains (the corpus spans ~30 days — a 1-day
+    * horizon prunes hard).
+    */
+  protected val FunnelLatenessNanos = 86400000000000L
+
   /** The q149 funnel oracle with a conversion window: stage n counts
     * only within INTERVAL 1 DAY of stage n-1 — shared by the batch q157
     * and the streaming q158 gate (same digests as q149/q155; windowing

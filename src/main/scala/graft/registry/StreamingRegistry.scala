@@ -1,5 +1,6 @@
 package graft
 
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -391,6 +392,75 @@ trait StreamingRegistry extends RegistryBase {
           .localCheckpoint(true)
           .orderBy("stage")
       } finally Staging.discard(stage)
+    }),
+
+    // pillar events + streaming (15th gate): WATERMARK-BOUNDED FUNNEL —
+    // q155's pruned-candidate digest is exact under arbitrary lateness
+    // but event-volume-bounded for signup-less users; this gate runs the
+    // PRODUCTION state shape instead: per micro-batch, merge the new
+    // digest into the running state and prune candidates older than
+    // (running max ts - W) that provably cannot matter under the
+    // watermark contract (EventStream.funnelStatePruned — the pruning
+    // must see the RUNNING t1/horizon; batch-local pruning is unsound,
+    // see its scaladoc). The input is staged as 4 TIME-RANGE files with
+    // strictly increasing mtimes, so the stream replays history in
+    // order (cross-batch lateness 0 <= W) and merge+prune provably
+    // equals the exact batch funnel — same oracle as q149/q155. State
+    // after every batch is horizon-bounded (EventStreamSpec).
+    "q163_stream_funnel_watermarked" -> ((s, dir) => {
+      val stage = Staging.dir("q163-")
+      try {
+        val inDir = stage.resolve("in")
+        s.read.schema(graft.streaming.EventStream.eventsSchemaDdl)
+          .parquet(s"$dir/events.parquet")
+          .repartitionByRange(4, col("ts"))
+          .write.mode("overwrite").parquet(inDir.toString)
+        // range partition i lands in part-0000i; pin mtimes 1 s apart in
+        // that order so the file source's oldest-first scheduling replays
+        // time order deterministically (mtime ties would leave it to
+        // listing luck)
+        val parts = java.nio.file.Files.list(inDir).iterator().asScala
+          .filter(_.getFileName.toString.startsWith("part-")).toSeq
+          .sortBy(_.getFileName.toString)
+        val t0 = java.nio.file.Files.getLastModifiedTime(parts.head).toMillis
+        parts.zipWithIndex.foreach { case (p, i) =>
+          java.nio.file.Files.setLastModifiedTime(p,
+            java.nio.file.attribute.FileTime.fromMillis(t0 + i * 1000L))
+        }
+        val stateDir = stage.resolve("state").toString
+        val q = graft.streaming.EventStream.foreachBatchSink(
+          graft.streaming.EventStream.readEventStream(s, inDir.toString, maxFilesPerTrigger = Some(1)),
+          identity
+        ) { (batch, batchId) =>
+          val digest = graft.streaming.EventStream.funnelBatchSummary(batch)
+          // prev state: stable under an at-least-once retry of THIS batch
+          val prev =
+            if (batchId == 0) digest.filter(lit(false))
+            else s.read.parquet(s"$stateDir/data/batch=${batchId - 1}")
+          val prevMax =
+            if (batchId == 0) batch.select(col("ts")).filter(lit(false))
+            else s.read.parquet(s"$stateDir/meta/batch=${batchId - 1}")
+          // running horizon = max ts seen over ALL batches so far - W,
+          // as a broadcast 1-row frame (no driver-side collect)
+          val seenMax = batch.select(col("ts")).unionByName(prevMax)
+            .agg(max(col("ts")).as("ts"))
+          seenMax.write.mode("overwrite").parquet(s"$stateDir/meta/batch=$batchId")
+          val horizon1 = s.read.parquet(s"$stateDir/meta/batch=$batchId")
+            .select((col("ts") - FunnelLatenessNanos).as("horizon"))
+          graft.streaming.EventStream.funnelStatePruned(prev, digest, horizon1)
+            .write.mode("overwrite").parquet(s"$stateDir/data/batch=$batchId")
+        }.start()
+        awaitGate("q163", q)
+        val last = java.nio.file.Files.list(java.nio.file.Paths.get(s"$stateDir/data"))
+          .iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong).max
+        graft.streaming.EventStream.funnelStageCounts(
+          graft.streaming.EventStream.funnelUserStages(
+              s.read.parquet(s"$stateDir/data/batch=$last"))
+            .localCheckpoint(false))
+          .localCheckpoint(true)
+          .orderBy("stage")
+      } finally Staging.discard(stage)
     })
   )
 
@@ -417,6 +487,11 @@ trait StreamingRegistry extends RegistryBase {
     // 12th streaming gate: pruned-candidate digests merge to the exact
     // batch funnel for any micro-batch split — same oracle as q149
     "q155_stream_funnel" -> funnelOracle,
+
+    // 15th streaming gate: watermark-bounded incremental state merge ==
+    // the exact batch funnel when cross-batch lateness <= W (the staged
+    // time-range replay has lateness 0) — same oracle as q149/q155
+    "q163_stream_funnel_watermarked" -> funnelOracle,
 
     // 13th streaming gate: per-user week-set digests union-merge exactly
     // (idempotent, replay-safe) — same oracle as q150

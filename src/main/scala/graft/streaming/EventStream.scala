@@ -321,6 +321,65 @@ object EventStream {
       .groupBy(col("cohort_week"), (col("wk") - col("cohort_week")).as("week_offset"))
       .agg(count(lit(1)).as("n_active"))
 
+  /** FUNNEL ON A STREAM, part 4: WATERMARK-BOUNDED incremental state —
+    * the production shape. `funnelBatchSummary`'s digest is exact under
+    * ARBITRARY lateness, but for users with no signup yet it must retain
+    * every distinct view/purchase ts (any of them could become t2/t3
+    * under a late signup), so that cohort's state is event-volume-
+    * bounded. Under the standard watermark contract — every event in a
+    * future micro-batch has ts > horizon, where horizon = (max ts seen
+    * across ALL batches so far) - allowed lateness W — older candidates
+    * provably cannot matter and are dropped:
+    *
+    *   - view v with v <= horizon and v <= t1: a future signup s has
+    *     s > horizon >= v, so the future t1' = min(t1, s) still
+    *     satisfies v <= t1' — v is never eligible as t2. DROP.
+    *   - view v with v > t1: eligible under the CURRENT t1; a late
+    *     signup can only add eligible views > horizon, never retire v
+    *     below the local-t2 prune. KEEP (bounded by first conversion).
+    *   - purchase p with p <= horizon and p <= t2: p becomes eligible
+    *     only if the final t2' < p <= t2; t2' < t2 requires a late
+    *     signup s > horizon lowering t1, making t2' a view > s >
+    *     horizon >= p — contradiction. DROP.
+    *
+    * The pruning MUST run against the RUNNING state and RUNNING max-ts
+    * horizon, not per batch: batch-locally a user looks signup-less even
+    * when an EARLIER batch already delivered their signup, and dropping
+    * their views on that evidence is unsound (the late-lower-signup
+    * resurrection the unbounded digest exists for). EventStreamSpec
+    * proves merge+prune == the exact batch funnel whenever cross-batch
+    * lateness <= W, and that signup-less state is horizon-bounded.
+    *
+    * `state` is the previous merged state ((user_id, t1, views,
+    * purchases), empty on the first batch), `digest` the new batch's
+    * `funnelBatchSummary`, `horizon1` a 1-ROW frame (`horizon` long) =
+    * running max ts - W, broadcast onto the merge — no driver-side
+    * collect. Output: the new state, same schema.
+    */
+  def funnelStatePruned(state: DataFrame, digest: DataFrame, horizon1: DataFrame): DataFrame =
+    state.unionByName(digest)
+      .groupBy("user_id")
+      .agg(
+        min(col("t1")).as("t1"),
+        sort_array(array_distinct(flatten(collect_list(col("views"))))).as("views"),
+        sort_array(array_distinct(flatten(collect_list(col("purchases"))))).as("purchases"))
+      .crossJoin(broadcast(horizon1))
+      // watermark drop, then the funnelBatchSummary local-t2/t3 prune on
+      // the merged arrays (null comparisons keep the no-threshold case)
+      .withColumn("views",
+        filter(col("views"), v => v > col("t1") || v > col("horizon")))
+      .withColumn("t2m", array_min(filter(col("views"), v => v > col("t1"))))
+      .withColumn("views",
+        when(col("t2m").isNotNull, filter(col("views"), v => v <= col("t2m")))
+          .otherwise(col("views")))
+      .withColumn("purchases",
+        filter(col("purchases"), p => p > col("t2m") || p > col("horizon")))
+      .withColumn("t3m", array_min(filter(col("purchases"), p => p > col("t2m"))))
+      .withColumn("purchases",
+        when(col("t3m").isNotNull, filter(col("purchases"), p => p <= col("t3m")))
+          .otherwise(col("purchases")))
+      .select("user_id", "t1", "views", "purchases")
+
   /** FUNNEL ON A STREAM, part 3: the q149-shaped conversion table
     * (stage, event_type, n_users) from per-user stage times. `count`
     * skips nulls, so each row counts the users that reached that stage.

@@ -299,6 +299,66 @@ class EventStreamSpec extends SparkSpec {
     assert(replayed == expected)
   }
 
+  test("funnelStatePruned: in-order replay with pruning equals the exact batch funnel") {
+    import org.apache.spark.sql.functions.{lit, max, ntile}
+    import org.apache.spark.sql.expressions.Window
+    val ev = EventStream
+      .readEvents(spark, "/root/testdata/sf0.001/events.parquet")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+    val expected = EventStream.funnelStageCounts(
+        EventStream.funnelUserStages(EventStream.funnelBatchSummary(ev)))
+      .orderBy("stage").collect().toSeq.map(_.getLong(2))
+    assert(expected.last > 0)
+
+    // 4 time-ordered batches (cross-batch lateness 0); W much smaller
+    // than a batch span so the horizon prunes hard inside every merge
+    val W = 86400000000000L // 1 day; the fixture spans ~30
+    val batches = (1 to 4).map(i =>
+      ev.withColumn("q", ntile(4).over(Window.orderBy("ts", "event_id")))
+        .filter(col("q") === i).drop("q"))
+    var state = EventStream.funnelBatchSummary(ev).filter(lit(false))
+    var seenMax = Long.MinValue
+    for (b <- batches) {
+      seenMax = math.max(seenMax, b.agg(max(col("ts"))).head().getLong(0))
+      val horizon1 = spark.range(1).select(lit(seenMax - W).as("horizon"))
+      state = EventStream.funnelStatePruned(state, EventStream.funnelBatchSummary(b), horizon1)
+        .localCheckpoint(true)
+    }
+    val got = EventStream.funnelStageCounts(EventStream.funnelUserStages(state))
+      .orderBy("stage").collect().toSeq.map(_.getLong(2))
+    assert(got == expected, s"watermarked state $got != batch funnel $expected")
+
+    // the bound the variant exists for: signup-less users retain ONLY
+    // candidates inside the lateness horizon
+    import org.apache.spark.sql.functions.{array_min, col => c}
+    val unbounded = state.filter(c("t1").isNull)
+      .select(array_min(c("views")).as("mv"), array_min(c("purchases")).as("mp"))
+      .filter(c("mv") <= seenMax - W || c("mp") <= seenMax - W)
+    assert(unbounded.count() == 0, "signup-less state must be horizon-bounded")
+  }
+
+  test("funnelStatePruned: a late lower signup WITHIN the horizon still resurrects") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    // same fixture as the digest resurrection test, replayed through the
+    // stateful path: batch 2's signup at ts=1 is late but within W of the
+    // running max (20), so the state kept the view at 3 / purchase at 4
+    val b1 = Seq(
+      (1L, "signup", 5L), (1L, "view", 3L), (1L, "view", 10L),
+      (1L, "purchase", 20L), (1L, "purchase", 4L)
+    ).toDF("user_id", "event_type", "ts")
+    val b2 = Seq((1L, "signup", 1L)).toDF("user_id", "event_type", "ts")
+    val W = 100L
+    val empty = EventStream.funnelBatchSummary(b1).filter(lit(false))
+    val h1 = spark.range(1).select(lit(20L - W).as("horizon"))
+    val s1 = EventStream.funnelStatePruned(empty, EventStream.funnelBatchSummary(b1), h1)
+    val s2 = EventStream.funnelStatePruned(s1, EventStream.funnelBatchSummary(b2), h1)
+    val r = EventStream.funnelUserStages(s2).collect().head
+    assert(r.getLong(r.fieldIndex("t1")) == 1L)
+    assert(r.getLong(r.fieldIndex("t2")) == 3L)
+    assert(r.getLong(r.fieldIndex("t3")) == 4L)
+  }
+
   test("funnel digest pruning survives a late lower signup") {
     import spark.implicits._
     // batch 1 alone: t1=5 -> t2=10 (the view at 3 precedes the local
