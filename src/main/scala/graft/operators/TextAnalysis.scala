@@ -140,6 +140,59 @@ object TextAnalysis {
           .as("top_bigram_frac"))
   }
 
+  /** TRAINED language identification: char-trigram profiles per language
+    * learned from the corpus's own labels, broadcast, and argmax-scored
+    * per document — the "derive the lang column instead of trusting it"
+    * operator the per-language sampling/budget family (q75/q92) sits on.
+    * Unlike `predictedLang` (fixed stopword lists), the model here is
+    * data-derived: each language's profile is its `topM` most frequent
+    * trigrams (ties broken lexicographically), and a document's score
+    * for a language is the NUMBER of its trigram occurrences that land
+    * in that profile — all integer counts, so both engines reproduce the
+    * scores and the (score desc, lang asc) argmax bit-for-bit. Documents
+    * matching no profile fall back to the alphabetically-first label
+    * with score 0 (the all-zero argmax under the same tie-break).
+    *
+    * Scale shape: trigram counting is one (lang, trigram) hash aggregate
+    * (map-side combined); the profile table is langs x topM rows —
+    * always broadcast; scoring re-explodes the checkpointed per-doc
+    * shingle arrays (the q114 tokenize-diamond rule) against the
+    * broadcast profile, then one (doc, lang) aggregate and a per-doc
+    * WindowGroupLimit argmax. In production the profile is an ingest
+    * artifact (the q144 drift-model shape) rather than retrained per
+    * query; the training stage here is the same plan that would build it.
+    */
+  def langIdTrigram(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      langCol: String,
+      topM: Int = 64
+  ): DataFrame = {
+    require(topM >= 1, s"topM must be >= 1, got $topM")
+    val d = docs.select(col(idCol), col(langCol),
+        TextFunctions.charShingles(lower(col(textCol)), 3).as("gs"))
+      .localCheckpoint(false)
+    val tri = d.select(col(idCol), col(langCol), explode(col("gs")).as("g"))
+    val counts = tri.groupBy(col(langCol).as("plang"), col("g"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("plang").orderBy(col("c").desc, col("g").asc)
+    val prof = counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topM).select("plang", "g")
+    val scores = tri.join(broadcast(prof), Seq("g"))
+      .groupBy(col(idCol), col("plang")).agg(count(lit(1)).as("score"))
+    val wd = Window.partitionBy(idCol).orderBy(col("score").desc, col("plang").asc)
+    val best = scores.withColumn("rn", row_number().over(wd))
+      .filter(col("rn") === 1).drop("rn")
+    val fallback = d.agg(min(col(langCol)).as("fb"))
+    d.select(col(idCol), col(langCol))
+      .join(best, Seq(idCol), "left")
+      .crossJoin(broadcast(fallback))
+      .select(col(idCol), col(langCol),
+        coalesce(col("plang"), col("fb")).as("pred_lang"),
+        coalesce(col("score"), lit(0L)).as("best_score"))
+  }
+
   /** Proximity search: per (pattern, doc), the number of "qualifying
     * anchors" — term positions whose half-open [pos, pos + windowK) span
     * contains every distinct term of the pattern (any order). A window

@@ -21,6 +21,20 @@ trait TextRegistry extends RegistryBase {
           TextAnalysis.bestLangScore(col("text")).as("best_score"))
         .orderBy("doc_id")),
 
+    // pillar text analysis: TRAINED language-ID — char-trigram profiles
+    // learned from the corpus's own labels (q44's fixed stopword lists
+    // replaced by a data-derived model; the q144 broadcast-model shape),
+    // integer profile-hit scoring, deterministic argmax. On this
+    // synthetic corpus the label is independent of the text (all langs
+    // share one vocabulary), so pred_lang measures the MACHINERY, not
+    // corpus agreement — TextAnalysisSpec proves full-agreement
+    // discrimination on a fixture whose languages have disjoint
+    // character distributions.
+    "q165_langid_trigram" -> ((s, dir) =>
+      TextAnalysis.langIdTrigram(spread(s, rd(s, dir, "documents")),
+          "doc_id", "text", "lang", topM = 64)
+        .orderBy("doc_id")),
+
     // pillar text analysis: language-ID stopword heuristic
     "q36_lang_stopword_ratio" -> ((s, dir) =>
       spread(s, rd(s, dir, "documents"))
@@ -841,6 +855,29 @@ trait TextRegistry extends RegistryBase {
          |       CASE $predCases ELSE '${langs.head}' END AS pred_lang,
          |       greatest(${langs.map(l => s"s_$l").mkString(", ")}) AS best_score
          |FROM sc ORDER BY doc_id""".stripMargin
+    },
+
+    "q165_langid_trigram" -> {
+      // multiplicity-preserving char trigrams (docShinglesSql minus the
+      // list_distinct): position i valid while i + 2 <= strlen
+      val tri3 = "list_transform(range(1, greatest(strlen(lower(text)) - 1, 1)), " +
+        "i -> substr(lower(text), i::INT, 3))"
+      s"""WITH tri AS (SELECT doc_id, lang, unnest($tri3) AS g FROM documents),
+         |cnt AS (SELECT lang AS plang, g, count(*) AS c FROM tri GROUP BY 1, 2),
+         |prof AS (SELECT plang, g FROM (
+         |  SELECT plang, g, row_number() OVER (PARTITION BY plang ORDER BY c DESC, g ASC) AS rn
+         |  FROM cnt) WHERE rn <= 64),
+         |sc AS (SELECT t.doc_id, p.plang, count(*)::BIGINT AS score
+         |       FROM tri t JOIN prof p USING (g) GROUP BY 1, 2),
+         |best AS (SELECT doc_id, plang, score FROM (
+         |  SELECT doc_id, plang, score,
+         |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang ASC) AS rn
+         |  FROM sc) WHERE rn = 1)
+         |SELECT d.doc_id, d.lang,
+         |       coalesce(b.plang, (SELECT min(lang) FROM documents)) AS pred_lang,
+         |       coalesce(b.score, 0)::BIGINT AS best_score
+         |FROM documents d LEFT JOIN best b USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
     },
 
     "q36_lang_stopword_ratio" -> {

@@ -119,6 +119,44 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows == Seq(1L), "one fingerprint for doc 1, none for doc 2")
   }
 
+  test("langIdTrigram: disjoint character distributions separate perfectly") {
+    // three constructed "languages" with disjoint alphabets: the trained
+    // trigram profiles are disjoint, so every doc must score 0 for the
+    // other two languages and match its own label
+    val rnd = new scala.util.Random(5)
+    def text(alpha: String): String =
+      (1 to 12).map(_ => (1 to 6).map(_ => alpha(rnd.nextInt(alpha.length))).mkString).mkString(" ")
+    val docs = (0 until 30).map { i =>
+      val lang = Seq("aa", "bb", "cc")(i % 3)
+      val alpha = Map("aa" -> "abcde", "bb" -> "fghij", "cc" -> "klmno")(lang)
+      (i.toLong, lang, text(alpha))
+    }.toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.langIdTrigram(docs, "doc_id", "text", "lang")
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.length == 30)
+    assert(out.forall { case (lang, pred, score) => pred == lang && score > 0 },
+      s"every doc must match its label: ${out.filterNot(t => t._1 == t._2).mkString(", ")}")
+  }
+
+  test("langIdTrigram: prediction derives from text, not from the label") {
+    // one doc labeled "aa" but written in bb's alphabet: its trigram
+    // hits land in the bb profile (its few polluting trigrams cannot
+    // displace bb's dominant ones), so the prediction contradicts the
+    // label — the model reads the text
+    val rnd = new scala.util.Random(9)
+    def text(alpha: String): String =
+      (1 to 12).map(_ => (1 to 6).map(_ => alpha(rnd.nextInt(alpha.length))).mkString).mkString(" ")
+    val base = (0 until 20).map { i =>
+      val lang = Seq("aa", "bb")(i % 2)
+      val alpha = Map("aa" -> "abcde", "bb" -> "fghij")(lang)
+      (i.toLong, lang, text(alpha))
+    }
+    val docs = (base :+ ((99L, "aa", text("fghij")))).toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.langIdTrigram(docs, "doc_id", "text", "lang")
+      .filter(col("doc_id") === 99L).collect().head
+    assert(out.getString(2) == "bb", s"mislabeled doc must be predicted from its text: $out")
+  }
+
   test("proximitySearch: brute-force match on small docs incl. edge windows") {
     val docs = Seq(
       (1L, "alpha x beta"),             // both terms within K=4 of pos 0
