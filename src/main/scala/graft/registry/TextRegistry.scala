@@ -484,6 +484,45 @@ trait TextRegistry extends RegistryBase {
         .orderBy("doc_id")
     }),
 
+    // pipeline: TOKENIZE -> PACK -> SHARD, the training-prep tail as ONE
+    // declarative plan (the q113 composite pattern): q134's BPE encode
+    // (vocab-sized broadcast join, corpus touched once) feeds q128's
+    // bucketed global prefix sum — over BPE PIECE counts now, the number
+    // a dataloader actually packs — and each document's first training
+    // sequence gets q161's content-stable md5 shard. No intermediate
+    // materialization: Catalyst plans the three stages as one job chain,
+    // so the corpus token stream is never written out between "steps".
+    // Output per (tokenizable) doc: encode stats, packed range, shard.
+    "q166_tokenize_pack_shard" -> ((s, dir) => {
+      val docs = spread(s, rd(s, dir, "documents"))
+      val vocab = TextAnalysis.bpeSegmentedVocab(docs, "text", steps = BpeSteps)
+        .select("word", "n_pieces")
+      val enc = docs.select(col("doc_id"),
+          explode(TextFunctions.whitespaceTokens(lower(col("text")))).as("word"))
+        .join(broadcast(vocab), Seq("word"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), sum(col("n_pieces")).as("n_tok"))
+      val nRow = enc.agg(count(lit(1)).as("n"))
+        .select(greatest(lit(1L), expr("n div 256")).as("bw"))
+      val cum = Quota.globalCumSum(
+          enc.crossJoin(broadcast(nRow)),
+          bucket = expr("doc_id div bw"),
+          ordCols = Seq(col("doc_id").asc),
+          weightCol = "n_tok", cumCol = "cum_tok")
+        .withColumn("offset", col("cum_tok") - col("n_tok"))
+      cum
+        .withColumn("first_seq", expr(s"offset div $PackSeqLen"))
+        .withColumn("last_seq",
+          expr(s"(offset + greatest(n_tok, 1L) - 1L) div $PackSeqLen"))
+        .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1)
+        .withColumn("shard",
+          (conv(substring(md5(concat(lit("shard-"), col("first_seq"))), 1, 15), 16, 10)
+            .cast("long") % ShardCount).cast("long"))
+        .select("doc_id", "n_words", "n_tok", "offset",
+          "first_seq", "last_seq", "n_seqs", "shard")
+        .orderBy("doc_id")
+    }),
+
     // pipeline: temperature-based LANGUAGE UPSAMPLING with epochs — the
     // other half of data mixing (q112 downsamples big sources; training
     // mixes also REPEAT low-resource languages for multiple epochs, the
@@ -1122,6 +1161,40 @@ trait TextRegistry extends RegistryBase {
          |       "offset" // $PackSeqLen AS first_seq,
          |       ("offset" + greatest(n_tokens, 1) - 1) // $PackSeqLen AS last_seq,
          |       ("offset" + greatest(n_tokens, 1) - 1) // $PackSeqLen - "offset" // $PackSeqLen + 1 AS n_seqs
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // the chained-CTE mirror of the one-plan composite: q134's vocab
+    // CTEs -> per-doc encode -> q128's running-sum packing over piece
+    // counts -> q161's md5 shard of the first sequence
+    "q166_tokenize_pack_shard" ->
+      s"""WITH bw AS (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest($tokensLowerSql) AS word FROM documents)
+         |  GROUP BY word),
+         |bs0 AS (
+         |  SELECT word, freq,
+         |         array_to_string(list_transform(regexp_extract_all(word, '.'),
+         |           c -> chr(31) || c || chr(31)), ' ') AS seq
+         |  FROM bw),
+         |${bpeCtesSql(BpeSteps)},
+         |vocab AS (
+         |  SELECT word, CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_pieces
+         |  FROM bs$BpeSteps),
+         |toks AS (SELECT doc_id, unnest($tokensLowerSql) AS word FROM documents),
+         |enc AS (
+         |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |         CAST(sum(v.n_pieces) AS BIGINT) AS n_tok
+         |  FROM toks t JOIN vocab v USING (word) GROUP BY t.doc_id),
+         |c AS (
+         |  SELECT doc_id, n_words, n_tok,
+         |         CAST(sum(n_tok) OVER (ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tok AS "offset"
+         |  FROM enc)
+         |SELECT doc_id, n_words, n_tok, "offset",
+         |       "offset" // $PackSeqLen AS first_seq,
+         |       ("offset" + greatest(n_tok, 1) - 1) // $PackSeqLen AS last_seq,
+         |       ("offset" + greatest(n_tok, 1) - 1) // $PackSeqLen - "offset" // $PackSeqLen + 1 AS n_seqs,
+         |       (('0x' || substr(md5('shard-' || ("offset" // $PackSeqLen)), 1, 15))::BIGINT % $ShardCount)::BIGINT AS shard
          |FROM c ORDER BY doc_id""".stripMargin,
 
     "q125_lang_upsample_epochs" ->

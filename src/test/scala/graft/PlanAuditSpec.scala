@@ -49,6 +49,12 @@ class PlanAuditSpec extends SparkSpec {
     "q125_lang_upsample_epochs",
     // q128: same 1-row-broadcast shape (the bucket-width aggregate)
     "q128_sequence_packing",
+    // q166: the one-plan composite inherits q128's 1-row bucket-width
+    // broadcast stage
+    "q166_tokenize_pack_shard",
+    // q165: the 1-row broadcast fallback-label aggregate (min lang) —
+    // the q74/q97 1-row-broadcast-total shape
+    "q165_langid_trigram",
     // q137/q139: the 1-row corpus-stats aggregate (n_docs/avgdl, total
     // token count) joins as a broadcast nested loop by definition —
     // the q74/q97 1-row-broadcast-total shape, not an all-pairs plan
