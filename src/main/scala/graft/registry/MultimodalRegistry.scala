@@ -80,6 +80,23 @@ trait MultimodalRegistry extends RegistryBase {
         Multimodal.pseudoDHash(col("content")).as("dhash"))
       Dedup.simhashCandidates(hashed, "doc_id", "dhash", bits = 24, maxHamming = 3)
         .orderBy("id_a", "id_b")
+    }),
+
+    // pillar multimodal x dedup: IMAGE NEAR-DUP GROUPS — q164's pair set
+    // collapsed to connected components (min-id per component via
+    // Dedup.resolveGroups pointer-jumping, the q52/q122 machinery):
+    // transitive chains a~b~c where only adjacent pairs clear the
+    // hamming threshold land in ONE keep-group, the form a dedup sweep
+    // actually consumes.
+    "q168_image_neardup_groups" -> ((s, dir) => {
+      val docs = spread(s, rd(s, dir, "documents"))
+      val hashed = Multimodal.withContent(docs, "text").select(col("doc_id"),
+        Multimodal.pseudoDHash(col("content")).as("dhash"))
+      val pairs = Dedup.simhashCandidates(hashed, "doc_id", "dhash",
+          bits = 24, maxHamming = 3)
+        .select("id_a", "id_b")
+      Dedup.resolveGroups(docs, "doc_id", pairs)
+        .orderBy("doc_id")
     })
   )
 
@@ -126,6 +143,24 @@ trait MultimodalRegistry extends RegistryBase {
         |       bit_count(xor(a.dh, b.dh))::BIGINT AS hamming
         |FROM d a JOIN d b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.dh, b.dh)) <= 3
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // q52's recursive transitive closure over the q164 pair graph
+    "q168_image_neardup_groups" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, ('0x' || substr(md5(text), 1, 6))::BIGINT AS dh FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.dh, b.dh)) <= 3),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT id_b AS src, id_a AS dst FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT doc_id::BIGINT, doc_id::BIGINT FROM documents
+        |  UNION
+        |  SELECT e.dst, w.r FROM reach w JOIN edges e ON e.src = w.id)
+        |SELECT id AS doc_id, min(r) AS keep_id FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
   )
 }

@@ -11,6 +11,35 @@ import graft.operators.{Dedup, HeurFuzz, Multimodal, Quota, Similarity, Sketches
   * (round 8); query semantics and oracle SQL unchanged.
   */
 trait TextRegistry extends RegistryBase {
+
+  /** Shared CTE chain for the q165/q167 trained language-ID oracles:
+    * multiplicity-preserving char trigrams (docShinglesSql minus the
+    * list_distinct; position i valid while i + 2 <= strlen), per-language
+    * top-64 profiles (count desc, trigram asc), integer profile-hit
+    * scores, (score desc, lang asc) argmax, alphabetical fallback.
+    * Terminal CTE: `pred(doc_id, lang, pred_lang, best_score)`.
+    */
+  protected lazy val langIdTrigramCtes: String = {
+    val tri3 = "list_transform(range(1, greatest(strlen(lower(text)) - 1, 1)), " +
+      "i -> substr(lower(text), i::INT, 3))"
+    s"""tri AS (SELECT doc_id, lang, unnest($tri3) AS g FROM documents),
+       |cnt AS (SELECT lang AS plang, g, count(*) AS c FROM tri GROUP BY 1, 2),
+       |prof AS (SELECT plang, g FROM (
+       |  SELECT plang, g, row_number() OVER (PARTITION BY plang ORDER BY c DESC, g ASC) AS rn
+       |  FROM cnt) WHERE rn <= 64),
+       |sc AS (SELECT t.doc_id, p.plang, count(*)::BIGINT AS score
+       |       FROM tri t JOIN prof p USING (g) GROUP BY 1, 2),
+       |best AS (SELECT doc_id, plang, score FROM (
+       |  SELECT doc_id, plang, score,
+       |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang ASC) AS rn
+       |  FROM sc) WHERE rn = 1),
+       |pred AS (
+       |  SELECT d.doc_id, d.lang,
+       |         coalesce(b.plang, (SELECT min(lang) FROM documents)) AS pred_lang,
+       |         coalesce(b.score, 0)::BIGINT AS best_score
+       |  FROM documents d LEFT JOIN best b USING (doc_id))""".stripMargin
+  }
+
   protected def textQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // pillar text analysis: argmax language classifier over stopword lists
     "q44_lang_id" -> ((s, dir) =>
@@ -34,6 +63,23 @@ trait TextRegistry extends RegistryBase {
       TextAnalysis.langIdTrigram(spread(s, rd(s, dir, "documents")),
           "doc_id", "text", "lang", topM = 64)
         .orderBy("doc_id")),
+
+    // pillar text analysis: LANGUAGE-ID CONFUSION MATRIX — the quality
+    // surface over q165: per (label, prediction) cell, document count
+    // and the label's agreement fraction — what a pipeline owner reads
+    // before trusting a derived lang column for q75/q92-style sampling.
+    // One 25-cell aggregate over the q165 frame; at 100 TB the matrix
+    // is langs^2 rows regardless of corpus size.
+    "q167_langid_confusion" -> ((s, dir) => {
+      val pred = TextAnalysis.langIdTrigram(spread(s, rd(s, dir, "documents")),
+        "doc_id", "text", "lang", topM = 64)
+      val w = Window.partitionBy("lang")
+      pred.groupBy("lang", "pred_lang").agg(count(lit(1)).as("n_docs"))
+        .withColumn("lang_total", sum(col("n_docs")).over(w))
+        .withColumn("frac", col("n_docs").cast("double") / col("lang_total"))
+        .select("lang", "pred_lang", "n_docs", "lang_total", "frac")
+        .orderBy("lang", "pred_lang")
+    }),
 
     // pillar text analysis: language-ID stopword heuristic
     "q36_lang_stopword_ratio" -> ((s, dir) =>
@@ -896,28 +942,19 @@ trait TextRegistry extends RegistryBase {
          |FROM sc ORDER BY doc_id""".stripMargin
     },
 
-    "q165_langid_trigram" -> {
-      // multiplicity-preserving char trigrams (docShinglesSql minus the
-      // list_distinct): position i valid while i + 2 <= strlen
-      val tri3 = "list_transform(range(1, greatest(strlen(lower(text)) - 1, 1)), " +
-        "i -> substr(lower(text), i::INT, 3))"
-      s"""WITH tri AS (SELECT doc_id, lang, unnest($tri3) AS g FROM documents),
-         |cnt AS (SELECT lang AS plang, g, count(*) AS c FROM tri GROUP BY 1, 2),
-         |prof AS (SELECT plang, g FROM (
-         |  SELECT plang, g, row_number() OVER (PARTITION BY plang ORDER BY c DESC, g ASC) AS rn
-         |  FROM cnt) WHERE rn <= 64),
-         |sc AS (SELECT t.doc_id, p.plang, count(*)::BIGINT AS score
-         |       FROM tri t JOIN prof p USING (g) GROUP BY 1, 2),
-         |best AS (SELECT doc_id, plang, score FROM (
-         |  SELECT doc_id, plang, score,
-         |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang ASC) AS rn
-         |  FROM sc) WHERE rn = 1)
-         |SELECT d.doc_id, d.lang,
-         |       coalesce(b.plang, (SELECT min(lang) FROM documents)) AS pred_lang,
-         |       coalesce(b.score, 0)::BIGINT AS best_score
-         |FROM documents d LEFT JOIN best b USING (doc_id)
-         |ORDER BY doc_id""".stripMargin
-    },
+    "q165_langid_trigram" ->
+      s"""WITH $langIdTrigramCtes
+         |SELECT doc_id, lang, pred_lang, best_score
+         |FROM pred ORDER BY doc_id""".stripMargin,
+
+    "q167_langid_confusion" ->
+      s"""WITH $langIdTrigramCtes,
+         |cm AS (SELECT lang, pred_lang, count(*)::BIGINT AS n_docs
+         |       FROM pred GROUP BY 1, 2)
+         |SELECT lang, pred_lang, n_docs,
+         |       CAST(sum(n_docs) OVER (PARTITION BY lang) AS BIGINT) AS lang_total,
+         |       n_docs::DOUBLE / sum(n_docs) OVER (PARTITION BY lang) AS frac
+         |FROM cm ORDER BY lang, pred_lang""".stripMargin,
 
     "q36_lang_stopword_ratio" -> {
       val sw = TextAnalysis.EnglishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")

@@ -52,9 +52,9 @@ class PlanAuditSpec extends SparkSpec {
     // q166: the one-plan composite inherits q128's 1-row bucket-width
     // broadcast stage
     "q166_tokenize_pack_shard",
-    // q165: the 1-row broadcast fallback-label aggregate (min lang) —
-    // the q74/q97 1-row-broadcast-total shape
-    "q165_langid_trigram",
+    // q165/q167: the 1-row broadcast fallback-label aggregate (min
+    // lang) — the q74/q97 1-row-broadcast-total shape
+    "q165_langid_trigram", "q167_langid_confusion",
     // q137/q139: the 1-row corpus-stats aggregate (n_docs/avgdl, total
     // token count) joins as a broadcast nested loop by definition —
     // the q74/q97 1-row-broadcast-total shape, not an all-pairs plan
