@@ -267,19 +267,18 @@ trait DedupRegistry extends RegistryBase {
     "q132_persisted_sig_dedup" -> ((s, dir) => {
       val docs = spread(s, rd(s, dir, "documents"))
       val incoming = docs.filter(col("doc_id") % IncrementalMod === IncrementalMod - 1)
-      if (sigStagedFor.get() != dir || !s.catalog.tableExists("graft_sig_bkt")) {
+      val tbl = dirScopedTable("graft_sig_bkt", dir)
+      if (!s.catalog.tableExists(tbl)) {
         val tmp = Staging.dir("sigtable-").toString
-        s.sql("DROP TABLE IF EXISTS graft_sig_bkt")
         val corpus = docs.filter(col("doc_id") % IncrementalMod =!= IncrementalMod - 1)
         Dedup.signatureBands(corpus, "doc_id", "text",
             shingleN = 4, numHashes = 8, rowsPerBand = 4)
           .write.format("parquet")
           .bucketBy(SigTableBuckets, "band", "key").sortBy("band", "key")
           .option("path", s"$tmp/sig").mode("overwrite")
-          .saveAsTable("graft_sig_bkt")
-        sigStagedFor.set(dir)
+          .saveAsTable(tbl)
       }
-      Dedup.incrementalNearDupFilterOnBands(incoming, s.table("graft_sig_bkt"),
+      Dedup.incrementalNearDupFilterOnBands(incoming, s.table(tbl),
           "doc_id", "text", shingleN = 4, numHashes = 8, rowsPerBand = 4,
           threshold = 0.4)
         .orderBy("doc_id")
@@ -426,18 +425,17 @@ trait DedupRegistry extends RegistryBase {
     * the table; consumers never re-hash the corpus.
     */
   protected def fullSigBands(s: SparkSession, dir: String): DataFrame = {
-    if (sigAllStagedFor.get() != dir || !s.catalog.tableExists("graft_sig_all_bkt")) {
+    val tbl = dirScopedTable("graft_sig_all_bkt", dir)
+    if (!s.catalog.tableExists(tbl)) {
       val tmp = Staging.dir("sigall-").toString
-      s.sql("DROP TABLE IF EXISTS graft_sig_all_bkt")
       Dedup.signatureBands(spread(s, rd(s, dir, "documents")), "doc_id", "text",
           shingleN = 4, numHashes = 8, rowsPerBand = 4)
         .write.format("parquet")
         .bucketBy(SigTableBuckets, "band", "key").sortBy("band", "key")
         .option("path", s"$tmp/sig").mode("overwrite")
-        .saveAsTable("graft_sig_all_bkt")
-      sigAllStagedFor.set(dir)
+        .saveAsTable(tbl)
     }
-    s.table("graft_sig_all_bkt")
+    s.table(tbl)
   }
 
   protected def dedupOracle: Map[String, String] = Map(

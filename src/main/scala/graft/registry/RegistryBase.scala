@@ -716,17 +716,16 @@ trait RegistryBase {
   protected val bucketedStagedFor =
     new java.util.concurrent.atomic.AtomicReference[String](null)
 
-  /** Source dir whose persisted q132 signature table is currently live in
-    * this JVM's catalog (null until first write).
+  /** Catalog table name scoped to a source dir: `prefix` plus 8 hex
+    * chars of md5(dir). Each dir stages into its OWN table, so the
+    * staging check is a plain idempotent tableExists — no global name,
+    * no check-then-act DROP/rebuild race if registry queries over
+    * different dirs ever run concurrently (the q126/q132 staging
+    * convention; a dir's table is built once per JVM and reused).
     */
-  protected val sigStagedFor =
-    new java.util.concurrent.atomic.AtomicReference[String](null)
-
-  /** Source dir whose persisted FULL-corpus signature table (the q126
-    * pair-generation input) is currently live in this JVM's catalog.
-    */
-  protected val sigAllStagedFor =
-    new java.util.concurrent.atomic.AtomicReference[String](null)
+  protected def dirScopedTable(prefix: String, dir: String): String =
+    prefix + "_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
 
   /** Trained-artifact registry: a coarse quantizer / PQ codebook is a
     * CORPUS-level artifact — trained once per ingest, then read by every

@@ -79,13 +79,18 @@ class BucketedJoinSpec extends SparkSpec {
   }
 
   test("q126 registry table: fullSigBands persists at 32 buckets (the benched layout)") {
-    // run the shipped query so the registry stages graft_sig_all_bkt
-    // exactly as production would, then read the bucket spec off the
-    // catalog — this pins the SHIPPED constant, not a spec-local copy
-    SparkEntry.queries("q126_leakage_safe_split")(spark, "/root/testdata/sf0.001").count()
-    val desc = spark.sql("DESCRIBE TABLE EXTENDED graft_sig_all_bkt")
+    // run the shipped query so the registry stages its dir-scoped
+    // signature table exactly as production would, then read the bucket
+    // spec off the catalog — this pins the SHIPPED constant, not a
+    // spec-local copy
+    val dir = "/root/testdata/sf0.001"
+    SparkEntry.queries("q126_leakage_safe_split")(spark, dir).count()
+    val tbl = "graft_sig_all_bkt_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    assert(spark.catalog.tableExists(tbl), s"registry did not stage $tbl")
+    val desc = spark.sql(s"DESCRIBE TABLE EXTENDED $tbl")
       .collect().map(r => s"${r.getString(0)}|${r.getString(1)}").mkString("\n")
     assert(desc.contains("Num Buckets|32"),
-      s"graft_sig_all_bkt is not bucketed at 32:\n$desc")
+      s"$tbl is not bucketed at 32:\n$desc")
   }
 }
