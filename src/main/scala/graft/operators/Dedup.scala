@@ -317,6 +317,41 @@ object Dedup {
       .withColumn("kept", when(col("n_dups") === 0, 1L).otherwise(0L))
   }
 
+  /** Incremental HAMMING-space near-dup screen — the perceptual-hash
+    * twin of `incrementalNearDupFilterOnBands`: for each incoming item,
+    * how many CORPUS items sit within `maxHamming` of its signature
+    * (dHash/simhash), found via the pigeonhole band equi-join
+    * (maxHamming+1 contiguous bands are a lossless index for the ball,
+    * so recall is exact) + exact bit_count verify — no incoming x
+    * corpus all-pairs anywhere in the plan. At 100 TB the corpus side
+    * is the persisted bucketed band table ingest maintains (the q132
+    * layout applies verbatim: one (band, key) bucketed table, incoming
+    * shuffles into it, corpus never moves). Output per incoming row:
+    * (idCol, n_dup, kept).
+    */
+  def incrementalHammingScreen(
+      incoming: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      shCol: String,
+      bits: Int,
+      maxHamming: Int
+  ): DataFrame = {
+    val nb = maxHamming + 1
+    val inc = hammingBands(incoming, idCol, shCol, bits, nb)
+    val corp = hammingBands(corpus, idCol, shCol, bits, nb)
+      .withColumnRenamed(idCol, "c_id").withColumnRenamed(shCol, "c_sh")
+    val hits = inc.join(corp, Seq("band", "key"))
+      // a pair can collide in several bands — count each neighbor once
+      .select(col(idCol), col(shCol), col("c_id"), col("c_sh")).distinct()
+      .filter(bit_count(col(shCol).bitwiseXOR(col("c_sh"))).cast("long") <= maxHamming)
+      .groupBy(idCol).agg(count(lit(1)).as("n_dup"))
+    incoming.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+      .withColumn("kept", col("n_dup") === 0)
+  }
+
   /** As `nearDuplicates`, but the WHOLE corpus arrives as a pre-built
     * band table in `signatureBands` shape — the full-corpus twin of
     * `incrementalNearDupFilterOnBands`. The candidate stage is a SELF
@@ -745,14 +780,21 @@ object Dedup {
     * `simhashTuningAudit` (counted raw: the candidate volume IS the
     * shuffle cost a banding decision is buying).
     */
-  private def simhashBandPairs(
+  /** Contiguous-band explode of a hamming-space signature column:
+    * (idCol, shCol, band, key) — the shared candidate-key stage of the
+    * simhash self-join pairs, the tuning audit, and the incremental
+    * (incoming vs corpus) screens. `shiftright` sign-extends, but the
+    * band mask bounds every key to its band width, so 64-bit signatures
+    * with the sign bit set band correctly too.
+    */
+  def hammingBands(
       docs: DataFrame,
       idCol: String,
       shCol: String,
       bits: Int,
       numBands: Int
-  ): DataFrame = {
-    val banded = docs.select(
+  ): DataFrame =
+    docs.select(
       col(idCol), col(shCol),
       posexplode(
         array((0 until numBands).map { b =>
@@ -762,6 +804,15 @@ object Dedup {
         }: _*)
       ).as(Seq("band", "key"))
     )
+
+  private def simhashBandPairs(
+      docs: DataFrame,
+      idCol: String,
+      shCol: String,
+      bits: Int,
+      numBands: Int
+  ): DataFrame = {
+    val banded = hammingBands(docs, idCol, shCol, bits, numBands)
     // self-join with the rename AFTER the join: both sides canonicalize to
     // the same plan so ReuseExchange materializes the banded shuffle once
     banded.alias("a")

@@ -97,6 +97,26 @@ trait MultimodalRegistry extends RegistryBase {
         .select("id_a", "id_b")
       Dedup.resolveGroups(docs, "doc_id", pairs)
         .orderBy("doc_id")
+    }),
+
+    // pillar multimodal x dedup x incremental: IMAGE NEAR-DUP SCREEN for
+    // NEW content — each incoming item (the q132 IncrementalMod split)
+    // counts its hamming<=3 neighbors in the existing corpus via the
+    // lossless pigeonhole band join + exact verify; kept = no neighbor.
+    // The ingest-time answer to "is this image already in the training
+    // set" — at 100 TB the corpus bands are the persisted bucketed
+    // table (q132 layout), incoming shuffles into it, corpus never
+    // moves.
+    "q169_image_neardup_incremental" -> ((s, dir) => {
+      val docs = spread(s, rd(s, dir, "documents"))
+      val hashed = Multimodal.withContent(docs, "text")
+        .select(col("doc_id"), Multimodal.pseudoDHash(col("content")).as("dhash"))
+        .localCheckpoint(false) // feeds both sides of the band join
+      val incoming = hashed.filter(col("doc_id") % IncrementalMod === IncrementalMod - 1)
+      val corpus = hashed.filter(col("doc_id") % IncrementalMod =!= IncrementalMod - 1)
+      Dedup.incrementalHammingScreen(incoming, corpus, "doc_id", "dhash",
+          bits = 24, maxHamming = 3)
+        .orderBy("doc_id")
     })
   )
 
@@ -161,6 +181,21 @@ trait MultimodalRegistry extends RegistryBase {
         |  SELECT doc_id::BIGINT, doc_id::BIGINT FROM documents
         |  UNION
         |  SELECT e.dst, w.r FROM reach w JOIN edges e ON e.src = w.id)
-        |SELECT id AS doc_id, min(r) AS keep_id FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+        |SELECT id AS doc_id, min(r) AS keep_id FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // incoming x corpus all-pairs exact hamming — the set the lossless
+    // band screen provably equals
+    "q169_image_neardup_incremental" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, ('0x' || substr(md5(text), 1, 6))::BIGINT AS dh FROM documents),
+         |inc AS (SELECT * FROM d WHERE doc_id % $IncrementalMod = ${IncrementalMod - 1}),
+         |corp AS (SELECT * FROM d WHERE doc_id % $IncrementalMod <> ${IncrementalMod - 1}),
+         |hits AS (
+         |  SELECT i.doc_id, count(*)::BIGINT AS n_dup
+         |  FROM inc i JOIN corp c ON bit_count(xor(i.dh, c.dh)) <= 3
+         |  GROUP BY i.doc_id)
+         |SELECT i.doc_id, coalesce(h.n_dup, 0)::BIGINT AS n_dup,
+         |       coalesce(h.n_dup, 0) = 0 AS kept
+         |FROM inc i LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin
   )
 }

@@ -249,6 +249,32 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incrementalHammingScreen: band screen == brute-force incoming x corpus hamming") {
+    val rnd = new scala.util.Random(17)
+    // clustered 24-bit hashes so some incoming items have close corpus
+    // neighbors and some don't
+    val centers = Array.fill(6)(rnd.nextLong() & 0xffffffL)
+    def near(c: Long): Long = {
+      var h = c
+      (0 until rnd.nextInt(5)).foreach(_ => h ^= 1L << rnd.nextInt(24))
+      h
+    }
+    val rows = (0 until 120).map(i => (i.toLong, near(centers(rnd.nextInt(6)))))
+    val df = rows.toDF("id", "sh")
+    val incoming = df.filter(col("id") % 5 === 4)
+    val corpus = df.filter(col("id") % 5 =!= 4)
+    val got = Dedup.incrementalHammingScreen(incoming, corpus, "id", "sh",
+        bits = 24, maxHamming = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    val corpusRows = rows.filter(_._1 % 5 != 4)
+    for ((id, sh) <- rows if id % 5 == 4) {
+      val n = corpusRows.count(c => java.lang.Long.bitCount(c._2 ^ sh) <= 3).toLong
+      assert(got(id) == ((n, n == 0)), s"id=$id expected $n corpus neighbors")
+    }
+    assert(got.values.exists(_._1 > 0) && got.values.exists(_._1 == 0),
+      "fixture must exercise both dup and clean incoming items")
+  }
+
   test("dupSpanStats: spans shared across docs count; unique and too-short docs report zero") {
     val d = Seq(
       (1L, "abcdefgh"),    // 5 distinct 4-spans, all inside doc 2 -> ratio 1.0
