@@ -872,14 +872,37 @@ object Dedup {
     val docsS = docs.crossJoin(broadcast(mRow))
       .filter(col(idCol) % col("m") === 0)
       .localCheckpoint(false)
+    hammingBandTuningAudit(
+      docsS.select(col(idCol), simhash(col(textCol), bits).as("sh")),
+      idCol, "sh", bits, bandConfigs, maxHamming)
+  }
+
+  /** The audit core of `simhashTuningAudit` over an ALREADY-COMPUTED
+    * hamming-space signature column — usable for any 64-bit-or-narrower
+    * signature family (simhash, perceptual dHash): per band count, the
+    * candidate volume, recall against the EXACT hamming<=maxHamming pair
+    * set (maxHamming+1 contiguous bands are lossless by pigeonhole, so
+    * the truth is complete), and the candidate false-positive fraction.
+    * Caller is responsible for bounding `sig`'s row count (the audit's
+    * pair stages are sample-quadratic in the worst case).
+    */
+  def hammingBandTuningAudit(
+      sig: DataFrame,
+      idCol: String,
+      shCol: String,
+      bits: Int,
+      bandConfigs: Seq[Int],
+      maxHamming: Int
+  ): DataFrame = {
+    require(bandConfigs.forall(nb => nb >= 1 && nb <= bits) && maxHamming + 1 <= bits,
+      "band configs must be 1..bits bands and the truth layout needs one bit per band")
     // one signature table feeds every config's band explode + the truth
-    val sh = docsS.select(col(idCol), simhash(col(textCol), bits).as("sh"))
-      .localCheckpoint(false)
-    val truth = simhashBandPairs(sh, idCol, "sh", bits, numBands = maxHamming + 1)
+    val sh = sig.localCheckpoint(false)
+    val truth = simhashBandPairs(sh, idCol, shCol, bits, numBands = maxHamming + 1)
       .filter(col("hamming") <= maxHamming)
     val totals = truth.agg(count(lit(1)).as("n_true_total"))
     bandConfigs.map { nb =>
-      simhashBandPairs(sh, idCol, "sh", bits, nb)
+      simhashBandPairs(sh, idCol, shCol, bits, nb)
         .agg(
           count(lit(1)).as("n_candidates"),
           sum(when(col("hamming") <= maxHamming, 1L).otherwise(0L)).as("n_true_found"))

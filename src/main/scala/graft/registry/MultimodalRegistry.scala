@@ -117,6 +117,33 @@ trait MultimodalRegistry extends RegistryBase {
       Dedup.incrementalHammingScreen(incoming, corpus, "doc_id", "dhash",
           bits = 24, maxHamming = 3)
         .orderBy("doc_id")
+    }),
+
+    // pillar multimodal x dedup: DHASH BANDING-PARAMETER AUDIT — q154's
+    // tuning-table shape on the q164 perceptual-hash config (24 bits,
+    // 4 bands, maxHamming 3): per band count, candidate volume (the
+    // shuffle-cost knob), recall against the EXACT hamming<=3 pair set
+    // (4 contiguous bands are lossless by pigeonhole, so the truth is
+    // complete), and the fp fraction the exact verify pays. 2 bands =
+    // 12-bit keys (cheapest, lossy); 4 = the shipped lossless config;
+    // 6 = lossless at 4-bit keys (wider buckets, more verifies). Same
+    // corpus-scaled 1-in-m sample as q147/q154.
+    "q170_dhash_tuning_audit" -> ((s, dir) => {
+      val docs = spread(s, rd(s, dir, "documents"))
+      val mRow = docs.agg(count(lit(1)).as("n"))
+        .select(greatest(lit(1L), expr(s"n div $LshAuditSampleTarget")).as("m"))
+      val sig = Multimodal.withContent(
+          docs.crossJoin(broadcast(mRow))
+            .filter(col("doc_id") % col("m") === 0)
+            .localCheckpoint(false), "text")
+        .select(col("doc_id"), Multimodal.pseudoDHash(col("content")).as("dhash"))
+      // eager-checkpoint the 3-row audit before the sort (the q147/q154
+      // lesson: orderBy's range-partitioner sampling re-executes the
+      // whole multi-branch union otherwise)
+      Dedup.hammingBandTuningAudit(sig, "doc_id", "dhash",
+          bits = 24, bandConfigs = Seq(2, 4, 6), maxHamming = 3)
+        .localCheckpoint(true)
+        .orderBy("bands")
     })
   )
 
@@ -196,6 +223,47 @@ trait MultimodalRegistry extends RegistryBase {
          |  GROUP BY i.doc_id)
          |SELECT i.doc_id, coalesce(h.n_dup, 0)::BIGINT AS n_dup,
          |       coalesce(h.n_dup, 0) = 0 AS kept
-         |FROM inc i LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin
+         |FROM inc i LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // the q154 audit-oracle pattern over the 24-bit pseudo-dhash
+    "q170_dhash_tuning_audit" -> {
+      val bits = 24
+      def bandCte(name: String, nb: Int): String = {
+        val sels = (0 until nb).map { b =>
+          val lo = b * bits / nb
+          val hi = (b + 1) * bits / nb
+          val mask = (1L << (hi - lo)) - 1
+          s"SELECT doc_id, $b AS band, ((sh >> $lo) & $mask) AS key FROM shs"
+        }.mkString("\n  UNION ALL ")
+        s"$name AS (\n  $sels)"
+      }
+      def candCte(name: String, bandName: String): String =
+        s"""$name AS (SELECT id_a, id_b, bit_count(xor(a.sh, b.sh))::BIGINT AS hamming
+           |  FROM (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+           |        FROM $bandName x JOIN $bandName y
+           |        ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id) c
+           |  JOIN shs a ON a.doc_id = c.id_a JOIN shs b ON b.doc_id = c.id_b)""".stripMargin
+      def cfgRow(cand: String, nb: Int): String =
+        s"""SELECT $nb::BIGINT AS bands, count(*)::BIGINT AS n_candidates,
+           |  sum(CASE WHEN hamming <= 3 THEN 1 ELSE 0 END)::BIGINT AS n_true_found
+           |FROM $cand""".stripMargin
+      s"""WITH kpa AS (SELECT greatest(1, count(*) // $LshAuditSampleTarget) AS m FROM documents),
+         |shs AS (SELECT doc_id, ('0x' || substr(md5(text), 1, 6))::BIGINT AS sh
+         |        FROM documents, kpa WHERE doc_id % kpa.m = 0),
+         |${bandCte("band2", 2)},
+         |${bandCte("band4", 4)},
+         |${bandCte("band6", 6)},
+         |${candCte("cand2", "band2")},
+         |${candCte("cand4", "band4")},
+         |${candCte("cand6", "band6")},
+         |tot AS (SELECT count(*)::BIGINT AS n_true_total FROM cand4 WHERE hamming <= 3),
+         |r AS (${cfgRow("cand2", 2)}
+         |  UNION ALL ${cfgRow("cand4", 4)}
+         |  UNION ALL ${cfgRow("cand6", 6)})
+         |SELECT r.*, tot.n_true_total,
+         |       CAST(n_true_found AS DOUBLE) / nullif(n_true_total, 0) AS recall,
+         |       CAST(n_candidates - n_true_found AS DOUBLE) / nullif(n_candidates, 0) AS fp_rate
+         |FROM r CROSS JOIN tot ORDER BY bands""".stripMargin
+    }
   )
 }
