@@ -211,19 +211,8 @@ trait MultimodalRegistry extends RegistryBase {
         |SELECT id AS doc_id, min(r) AS keep_id FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
 
     // incoming x corpus all-pairs exact hamming — the set the lossless
-    // band screen provably equals
-    "q169_image_neardup_incremental" ->
-      s"""WITH d AS (
-         |  SELECT doc_id, ('0x' || substr(md5(text), 1, 6))::BIGINT AS dh FROM documents),
-         |inc AS (SELECT * FROM d WHERE doc_id % $IncrementalMod = ${IncrementalMod - 1}),
-         |corp AS (SELECT * FROM d WHERE doc_id % $IncrementalMod <> ${IncrementalMod - 1}),
-         |hits AS (
-         |  SELECT i.doc_id, count(*)::BIGINT AS n_dup
-         |  FROM inc i JOIN corp c ON bit_count(xor(i.dh, c.dh)) <= 3
-         |  GROUP BY i.doc_id)
-         |SELECT i.doc_id, coalesce(h.n_dup, 0)::BIGINT AS n_dup,
-         |       coalesce(h.n_dup, 0) = 0 AS kept
-         |FROM inc i LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // band screen provably equals (shared with the streaming q171 gate)
+    "q169_image_neardup_incremental" -> imageScreenOracle,
 
     // the q154 audit-oracle pattern over the 24-bit pseudo-dhash
     "q170_dhash_tuning_audit" -> {

@@ -402,6 +402,24 @@ trait RegistryBase {
       |  UNION ALL SELECT 3::BIGINT, 'purchase', (SELECT count(*) FROM s3)::BIGINT)
       |ORDER BY stage""".stripMargin
 
+  /** q169's incremental image-screen oracle (incoming x corpus all-pairs
+    * exact hamming over the 24-bit pseudo-dhash) — shared verbatim with
+    * the streaming q171 gate: per-doc answers depend only on the doc and
+    * the static corpus, so the foreachBatch bridge cannot change them.
+    */
+  protected lazy val imageScreenOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, ('0x' || substr(md5(text), 1, 6))::BIGINT AS dh FROM documents),
+       |inc AS (SELECT * FROM d WHERE doc_id % $IncrementalMod = ${IncrementalMod - 1}),
+       |corp AS (SELECT * FROM d WHERE doc_id % $IncrementalMod <> ${IncrementalMod - 1}),
+       |hits AS (
+       |  SELECT i.doc_id, count(*)::BIGINT AS n_dup
+       |  FROM inc i JOIN corp c ON bit_count(xor(i.dh, c.dh)) <= 3
+       |  GROUP BY i.doc_id)
+       |SELECT i.doc_id, coalesce(h.n_dup, 0)::BIGINT AS n_dup,
+       |       coalesce(h.n_dup, 0) = 0 AS kept
+       |FROM inc i LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin
+
   /** Conversion window for the windowed funnel (q157/q158): 1 day in
     * nanos. The sf events span ~30 days with a median signup->view lag
     * of ~1.8 days, so the window genuinely bins out ~half the stage-2

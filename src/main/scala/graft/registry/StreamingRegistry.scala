@@ -461,6 +461,44 @@ trait StreamingRegistry extends RegistryBase {
           .localCheckpoint(true)
           .orderBy("stage")
       } finally Staging.discard(stage)
+    }),
+
+    // pillar multimodal + streaming (16th gate): IMAGE NEAR-DUP SCREEN
+    // ON ARRIVAL — q169's hamming band screen driven from the
+    // foreachBatch bridge (the q121 shape): each incoming micro-batch's
+    // perceptual hashes are screened against the STATIC corpus hash set
+    // — the crawl-ingest "is this image already in the training set"
+    // check as content lands. Per-doc answers depend only on the doc +
+    // the static corpus, so batchId-keyed overwrite makes replays
+    // idempotent and the gate shares q169's oracle verbatim.
+    "q171_stream_image_screen" -> ((s, dir) => {
+      val stage = Staging.dir("q171-")
+      try {
+        val inDir = stage.resolve("in")
+        java.nio.file.Files.createDirectories(inDir)
+        java.nio.file.Files.createSymbolicLink(
+          inDir.resolve("documents.parquet"),
+          java.nio.file.Paths.get(s"$dir/documents.parquet").toAbsolutePath.normalize())
+        val outDir = stage.resolve("out").toString
+        val corpus = Multimodal.withContent(
+            spread(s, rd(s, dir, "documents"))
+              .filter(col("doc_id") % IncrementalMod =!= IncrementalMod - 1), "text")
+          .select(col("doc_id"), Multimodal.pseudoDHash(col("content")).as("dhash"))
+          .localCheckpoint(false) // hashed once, joined by every batch
+        val schema = rd(s, dir, "documents").schema
+        val incomingStream = s.readStream.schema(schema).parquet(inDir.toString)
+          .filter(col("doc_id") % IncrementalMod === IncrementalMod - 1)
+        val q = graft.streaming.EventStream.foreachBatchSink(incomingStream, identity) {
+          (batch, batchId) =>
+            val inc = Multimodal.withContent(spreadBatch(s, batch), "text")
+              .select(col("doc_id"), Multimodal.pseudoDHash(col("content")).as("dhash"))
+            Dedup.incrementalHammingScreen(inc, corpus, "doc_id", "dhash",
+                bits = 24, maxHamming = 3)
+              .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        }.start()
+        awaitGate("q171", q)
+        s.read.parquet(outDir).drop("batch").orderBy("doc_id").localCheckpoint(true)
+      } finally Staging.discard(stage)
     })
   )
 
@@ -492,6 +530,11 @@ trait StreamingRegistry extends RegistryBase {
     // the exact batch funnel when cross-batch lateness <= W (the staged
     // time-range replay has lateness 0) — same oracle as q149/q155
     "q163_stream_funnel_watermarked" -> funnelOracle,
+
+    // 16th streaming gate: the foreachBatch bridge must not change
+    // answers — q171 shares q169's oracle verbatim (screen-on-arrival ==
+    // batch screen)
+    "q171_stream_image_screen" -> imageScreenOracle,
 
     // 13th streaming gate: per-user week-set digests union-merge exactly
     // (idempotent, replay-safe) — same oracle as q150
