@@ -250,6 +250,52 @@ object TextAnalysis {
     )
   }
 
+  /** Sliding-window token CHUNKING — the RAG / context-window prep step:
+    * each document becomes ceil((ntok - chunkSize)/stride) + 1 overlapping
+    * chunks of up to `chunkSize` whitespace tokens, starting every
+    * `stride` tokens (stride < chunkSize ⇒ chunkSize - stride tokens of
+    * overlap, so no boundary-straddling span is ever lost). Documents
+    * shorter than one chunk emit exactly one (possibly empty) chunk, so
+    * every doc_id survives into the chunk table.
+    *
+    * Output: (id, chunk_idx, start_tok, n_tokens, chunk_text) — ids are
+    * the (doc, chunk_idx) composite, stable under re-partitioning.
+    *
+    * Scale shape: a pure narrow projection (split + sequence + explode +
+    * slice), no shuffle anywhere; 100 TB of documents chunk at scan
+    * speed and the output partitioning inherits the input's. Row count
+    * inflates by ~ntok/stride per doc — the `stride` knob is the output
+    * volume control, not a shuffle knob.
+    */
+  def chunkTokens(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkSize: Int,
+      stride: Int
+  ): DataFrame = {
+    require(chunkSize >= 1, s"chunkSize must be >= 1, got $chunkSize")
+    require(stride >= 1 && stride <= chunkSize,
+      s"stride must be in [1, chunkSize], got $stride (chunkSize $chunkSize)")
+    docs
+      .select(col(idCol), TextFunctions.whitespaceTokens(col(textCol)).as("toks"))
+      .withColumn("ntok", size(col("toks")).cast("long"))
+      .withColumn("n_chunks",
+        when(col("ntok") <= chunkSize, lit(1L))
+          .otherwise(expr(s"(ntok - $chunkSize + ${stride - 1}) div $stride + 1")))
+      .select(col(idCol), col("toks"), col("ntok"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
+      .withColumn("start_tok", col("chunk_idx") * stride)
+      .withColumn("piece",
+        slice(col("toks"), (col("start_tok") + 1).cast("int"), lit(chunkSize)))
+      .select(
+        col(idCol),
+        col("chunk_idx"),
+        col("start_tok"),
+        size(col("piece")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("piece")).as("chunk_text"))
+  }
+
   /** TRUE winnowing fingerprints (Schleimer et al., SIGMOD'03 — the MOSS
     * scheme): the Karp-Rabin rolling hash of the k-gram at EVERY
     * position, then the minimum hash of each w-length window; the

@@ -41,6 +41,16 @@ trait TextRegistry extends RegistryBase {
   }
 
   protected def textQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // pillar text analysis: sliding-window token CHUNKING — the RAG /
+    // context-window prep step: 32-token chunks every 24 tokens (8-token
+    // overlap so no boundary-straddling span is lost), short docs emit
+    // one chunk so every doc_id survives. A pure narrow projection — no
+    // shuffle at any scale; `stride` is the output-volume knob.
+    "q172_chunk_overlap" -> ((s, dir) =>
+      TextAnalysis.chunkTokens(spread(s, rd(s, dir, "documents")),
+          "doc_id", "text", chunkSize = 32, stride = 24)
+        .orderBy("doc_id", "chunk_idx")),
+
     // pillar text analysis: argmax language classifier over stopword lists
     "q44_lang_id" -> ((s, dir) =>
       spread(s, rd(s, dir, "documents"))
@@ -917,6 +927,24 @@ trait TextRegistry extends RegistryBase {
   )
 
   protected def textOracle: Map[String, String] = Map(
+    // same chunk grid: n_chunks = ceil((ntok - C)/S) + 1 (min 1), chunk i
+    // covers tokens [i*S, i*S + C); DuckDB list slicing is 1-based
+    // end-inclusive
+    "q172_chunk_overlap" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  CASE WHEN trim(text) = '' THEN []::VARCHAR[] ELSE $tokensSql END AS toks
+         |  FROM documents),
+         |n AS (SELECT doc_id, toks, len(toks)::BIGINT AS ntok FROM t),
+         |c AS (SELECT doc_id, toks, ntok,
+         |        CASE WHEN ntok <= 32 THEN 1 ELSE (ntok - 32 + 23) // 24 + 1 END AS n_chunks
+         |      FROM n),
+         |e AS (SELECT doc_id, toks, ntok, unnest(range(0, n_chunks)) AS chunk_idx FROM c)
+         |SELECT doc_id, chunk_idx,
+         |       (chunk_idx * 24)::BIGINT AS start_tok,
+         |       least(ntok - chunk_idx * 24, 32)::BIGINT AS n_tokens,
+         |       array_to_string(toks[(chunk_idx * 24 + 1)::INT:(chunk_idx * 24 + 32)::INT], ' ') AS chunk_text
+         |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
+
     "q44_lang_id" -> {
       val scoreCols = TextAnalysis.LangStopwords.map { case (l, words) =>
         val list = words.map(w => s"'$w'").mkString("[", ", ", "]")

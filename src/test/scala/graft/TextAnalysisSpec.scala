@@ -7,6 +7,34 @@ import graft.operators.TextAnalysis
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("chunkTokens: grid, tail chunk, overlap reconstruction, empty doc") {
+    val toks = (1 to 40).map(i => s"w$i")
+    val docs = Seq((1L, toks.mkString(" ")), (2L, "only three tokens"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.chunkTokens(docs, "doc_id", "text", chunkSize = 8, stride = 6)
+      .orderBy("doc_id", "chunk_idx").collect()
+    val d1 = out.filter(_.getLong(0) == 1L)
+    // ceil((40 - 8) / 6) + 1 = 7 chunks; last starts at 36 with 4 tokens
+    assert(d1.length == 7)
+    assert(d1.map(_.getLong(2)).toSeq == Seq(0L, 6L, 12L, 18L, 24L, 30L, 36L))
+    assert(d1.last.getLong(3) == 4L && d1.last.getString(4) == "w37 w38 w39 w40")
+    // consecutive chunks overlap by chunkSize - stride = 2 tokens
+    for (Seq(a, b) <- d1.toSeq.sliding(2)) {
+      val ta = a.getString(4).split(" ").toSeq
+      val tb = b.getString(4).split(" ").toSeq
+      assert(ta.takeRight(math.min(2, ta.length - 6)) == tb.take(2).take(ta.length - 6))
+    }
+    // every token position is covered (union of [start, start+n) == [0, 40))
+    val covered = d1.flatMap(r => r.getLong(2) until (r.getLong(2) + r.getLong(3))).toSet
+    assert(covered == (0L until 40L).toSet)
+    // short doc: one chunk, verbatim; empty doc: one empty chunk
+    val d2 = out.filter(_.getLong(0) == 2L)
+    assert(d2.length == 1 && d2.head.getLong(3) == 3L
+      && d2.head.getString(4) == "only three tokens")
+    val d3 = out.filter(_.getLong(0) == 3L)
+    assert(d3.length == 1 && d3.head.getLong(3) == 0L && d3.head.getString(4) == "")
+  }
+
   test("stopwordRatio: exact fraction, zero for empty") {
     val out = Seq("the cat sat on a mat", "xyzzy plugh", "")
       .toDF("t")
