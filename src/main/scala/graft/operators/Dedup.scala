@@ -643,6 +643,91 @@ object Dedup {
       .select("id_a", "id_b", "jacc")
   }
 
+  /** ASYMMETRIC shingle-containment join: directed pairs (a, b) with
+    * |A ∩ B| / |A| >= t — "most of A's shingles appear in B". Jaccard
+    * (ngramJaccardPairs) misses exactly the pairs this catches: a quote,
+    * an excerpt, or a doc embedded in a much larger one has high
+    * containment but low Jaccard (the size filter t·|A| <= |B| <= |A|/t
+    * prunes them BY DESIGN there). Containment is the dedup relation for
+    * partial-copy detection (Broder's "roughly contained", SEQUENCES'97).
+    *
+    * Sub-quadratic by the one-sided prefix filter: |A ∩ B| >= ceil(t·|A|)
+    * forces the intersection to hit A's first |A| - ceil(t·|A|) + 1
+    * shingles under any total order shared by both sides (else the
+    * intersection fits inside A's last ceil(t·|A|) - 1 positions — too
+    * small). So only A's rare-first prefix joins, against B's FULL
+    * rare-first list (B is unbounded above — that is the point), with
+    * the size filter |B| >= t·|A| (intersection can't exceed |B|) and
+    * the PPJoin positional bound 1 + min(|A|-pa-1, |B|-pb-1) >= t·|A|
+    * (both lists share the global (df, h) order, so the first shared
+    * shingle's positions cap the achievable overlap). Exact intersect
+    * verifies inline; like ngramJaccardPairs the result is
+    * hash-independent, so shingles ride the codegen'd xxhash64.
+    */
+  def containmentPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int,
+      threshold: Double
+  ): DataFrame = {
+    require(threshold > 0, "prefix filtering requires a positive threshold")
+    val hashed = docs
+      .select(
+        col(idCol),
+        array_sort(
+          array_distinct(
+            transform(shingleSet(col(textCol), shingleN), g => xxhash64(g))
+          )
+        ).as("hs")
+      )
+      .withColumn("nsh", size(col("hs")))
+      .filter(col("nsh") > 0)
+      .localCheckpoint(false)
+    val ex = hashed.select(col(idCol), col("nsh"), explode(col("hs")).as("h"))
+    val freq = ex.groupBy("h").agg(count(lit(1)).as("df"))
+    // rare-first reorder under the shared (df, h) total order, kept as a
+    // plain array; checkpointed because BOTH join sides slice from it
+    val ordered = ex
+      .join(freq, Seq("h"))
+      .groupBy(col(idCol), col("nsh"))
+      .agg(transform(sort_array(collect_list(struct(col("df"), col("h")))), x => x("h")).as("sg"))
+      .localCheckpoint(false)
+    val prefixLen = (col("nsh") - ceil(lit(threshold) * col("nsh")) + 1).cast("int")
+    val prefixes = ordered.select(
+      col(idCol), col("nsh"),
+      posexplode(slice(col("sg"), lit(1), prefixLen)).as(Seq("pos", "h")))
+    val full = ordered.select(
+      col(idCol), col("nsh"),
+      posexplode(col("sg")).as(Seq("pos", "h")))
+    // candidates stay NARROW (ids/sizes/positions); arrays re-join after
+    // the pair aggregation so prefix multiplicity never shuffles an array
+    val needed = ceil(lit(threshold) * col("nsh_a"))
+    val ubound = lit(1) + least(col("nsh_a") - col("pa") - 1, col("nsh_b") - col("pb") - 1)
+    val cands = prefixes.alias("a")
+      .join(
+        full.alias("b"),
+        col("a.h") === col("b.h") && col(s"a.$idCol") =!= col(s"b.$idCol")
+          && col("b.nsh") >= lit(threshold) * col("a.nsh")
+      )
+      .select(
+        col(s"a.$idCol").as("id_a"), col("a.nsh").as("nsh_a"), col("a.pos").as("pos_a"),
+        col(s"b.$idCol").as("id_b"), col("b.nsh").as("nsh_b"), col("b.pos").as("pos_b")
+      )
+      .groupBy("id_a", "id_b", "nsh_a", "nsh_b")
+      .agg(min(col("pos_a")).as("pa"), min(col("pos_b")).as("pb"))
+      .filter(ubound.cast("double") + 1e-9 >= needed)
+      .select("id_a", "id_b")
+    val inter = org.apache.spark.sql.graft.LongArrayIntersectSize
+      .column(col("hs_a"), col("hs_b")).cast("double")
+    cands
+      .join(hashed.select(col(idCol).as("id_a"), col("hs").as("hs_a"), col("nsh").as("nsh_a")), Seq("id_a"))
+      .join(hashed.select(col(idCol).as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
+      .withColumn("containment", inter / col("nsh_a"))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "containment")
+  }
+
   /** Collapse near-dup PAIRS into duplicate groups: every doc gets
     * `keep_id` = the minimum doc id in its connected component of the
     * pair graph (keep-one dedup — the actual "dedup" a training-data

@@ -46,6 +46,17 @@ trait DedupRegistry extends RegistryBase {
           shingleN = 8, threshold = 0.8)
         .orderBy("id_a", "id_b")),
 
+    // pillar dedup: ASYMMETRIC containment join — directed pairs where
+    // >= 70% of A's 6-gram shingles appear in B (partial-copy / excerpt
+    // detection; Jaccard's size filter prunes exactly these pairs by
+    // design). One-sided prefix filter + PPJoin positional bound, exact
+    // intersect verify — no cross join at any scale.
+    "q173_containment_pairs" -> ((s, dir) =>
+      Dedup.containmentPairs(
+          spread(s, rd(s, dir, "documents")), "doc_id", "text",
+          shingleN = 6, threshold = 0.7)
+        .orderBy("id_a", "id_b")),
+
     // pillar dedup: group resolution — near-dup pairs collapsed into
     // (doc_id, keep_id) connected components via distributed min-label
     // propagation (pairs alone are an edge list; THIS is the keep-one
@@ -484,6 +495,19 @@ trait DedupRegistry extends RegistryBase {
          |           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jacc
          |  FROM ok a JOIN ok b ON a.doc_id < b.doc_id)
          |SELECT id_a, id_b, jacc FROM pairs WHERE jacc >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+
+    // exact all-pairs containment on RAW shingle strings: the operator is
+    // hash-independent (prefix filter + exact intersect), so the oracle
+    // needs no hash mirroring — set sizes are what both engines compare
+    "q173_containment_pairs" ->
+      s"""WITH d AS (SELECT doc_id, ${docShinglesSql(6)} AS sh FROM documents),
+         |ok AS (SELECT * FROM d WHERE len(sh) > 0),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh) AS containment
+         |  FROM ok a JOIN ok b ON a.doc_id <> b.doc_id)
+         |SELECT id_a, id_b, containment FROM pairs
+         |WHERE containment >= 0.7 ORDER BY id_a, id_b""".stripMargin,
 
     "q46_dedup_embed_cosine" ->
       s"""WITH $embCosPairsCtes

@@ -143,6 +143,51 @@ class DedupSpec extends SparkSpec {
     assert(fast == brute)
   }
 
+  test("containmentPairs: excerpt is found in the direction Jaccard misses") {
+    import spark.implicits._
+    val big = (0 until 30).map(i => s"tok$i").mkString(" ")
+    val excerpt = (5 until 12).map(i => s"tok$i").mkString(" ")
+    val other = "completely unrelated words here nothing shared"
+    val corpus = Seq((0L, big), (1L, excerpt), (2L, other)).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(corpus, "doc_id", "text", 3, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // excerpt -> big clears 0.9 (every excerpt shingle lives in big)
+    assert(cont.exists(p => p._1 == 1L && p._2 == 0L && p._3 == 1.0))
+    // big -> excerpt does NOT (most of big's shingles are absent)
+    assert(!cont.exists(p => p._1 == 0L && p._2 == 1L))
+    assert(!cont.exists(p => p._1 == 2L || p._2 == 2L))
+    // and Jaccard at the same bar misses the pair entirely
+    val jacc = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.9).collect()
+    assert(!jacc.exists(r => Set(r.getLong(0), r.getLong(1)) == Set(0L, 1L)))
+  }
+
+  test("containmentPairs: prefix-filtered result == brute-force all-pairs result") {
+    import spark.implicits._
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta")
+    val corpus = (0 until 40).map { i =>
+      val n = 4 + (i % 5) // varied lengths so the asymmetric size filter matters
+      val txt = (0 until n).map(j => words((i * 7 + j * 3) % words.length)).mkString(" ")
+      (i.toLong, txt)
+    }.toDF("doc_id", "text")
+    val fast = Dedup.containmentPairs(corpus, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val withSh = corpus.select(col("doc_id"), Dedup.shingleSet(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val brute = withSh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      .crossJoin(withSh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")))
+      .where(col("id_a") =!= col("id_b"))
+      .withColumn("containment",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") / size(col("sh_a")))
+      .filter(col("containment") >= 0.5)
+      .select("id_a", "id_b", "containment")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(brute.nonEmpty, "fixture should produce at least one qualifying pair")
+    // directed: at least one pair must qualify in exactly one direction
+    assert(brute.exists(p => !brute.exists(q => q._1 == p._2 && q._2 == p._1)),
+      "fixture should exercise the asymmetric case")
+    assert(fast == brute)
+  }
+
   test("simhashCandidates: banded result == brute-force hamming filter; no crossJoin in plan") {
     val h = docs.select(col("doc_id"), Dedup.simhash(col("text"), 16).as("sh"))
     val banded = Dedup.simhashCandidates(h, "doc_id", "sh", bits = 16, maxHamming = 2)
