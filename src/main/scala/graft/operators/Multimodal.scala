@@ -133,6 +133,77 @@ object Multimodal {
   def pseudoDHash(content: Column, hexChars: Int = 6): Column =
     conv(substring(md5(content), 1, hexChars), 16, 10).cast("long")
 
+  /** Per-frame content fingerprints for VIDEO-level near-dup: the q103
+    * frame grid (md5-meta frame count, evenly-spaced sample of up to
+    * `maxFrames` frames) with each sampled frame fingerprinted by its
+    * `windowBytes`-byte content window at offset frame_idx * windowBytes
+    * (the deterministic stand-in for a per-frame perceptual hash — two
+    * assets sharing raw frame bytes share the fingerprint, which is the
+    * property frame-set matching needs). Empty windows (frames past the
+    * content) drop; output is the DISTINCT (id, win) frame set.
+    */
+  def frameWindows(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowBytes: Int = 48,
+      maxFrames: Int = 4
+  ): DataFrame = {
+    val h = md5(col(textCol))
+    docs
+      .select(col(idCol), col(textCol).as("t"),
+        (conv(substring(h, 9, 2), 16, 10).cast("long") % 16 + 1).as("n_frames"))
+      .withColumn("step", expr(s"greatest((n_frames + ${maxFrames - 1}) div $maxFrames, 1)"))
+      .select(col(idCol), col("t"),
+        explode(sequence(lit(0L), col("n_frames") - 1, col("step"))).as("fi"))
+      .select(col(idCol),
+        expr(s"substring(t, cast(fi * $windowBytes + 1 as int), $windowBytes)").as("win"))
+      .filter(col("win") =!= "")
+      .distinct()
+  }
+
+  /** VIDEO near-dup by frame-set overlap: assets sharing >= `minShared`
+    * frame fingerprints pair, scored by frame-set Jaccard — the standard
+    * video dedup shape (per-frame perceptual hashes, set overlap), and
+    * the third multimodal x dedup pairing after the image-level q164/q168
+    * (those compare ONE hash per asset; this matches assets whose frame
+    * SETS overlap even when no single whole-asset hash collides).
+    *
+    * Scale shape: an inverted index on the frame fingerprint — pairs are
+    * generated per shared fingerprint, never all-pairs. The `dfCap`
+    * filter drops degenerate fingerprints shared by more than `dfCap`
+    * assets (blank frames, boilerplate intros — the video analogue of
+    * q159's df stop cut), bounding every index bucket's pair fan-out at
+    * dfCap^2 regardless of corpus size; set sizes are counted AFTER the
+    * cap so the Jaccard denominator matches the indexed universe.
+    */
+  def frameSetNearDupPairs(
+      frames: DataFrame,
+      idCol: String,
+      minShared: Int,
+      dfCap: Int
+  ): DataFrame = {
+    require(minShared >= 1 && dfCap >= 1)
+    val kept = frames
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("win")))
+      .filter(col("df") <= dfCap)
+      .drop("df")
+      .localCheckpoint(false) // both sides of the index join + the size agg
+    val sizes = kept.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    kept.select(col(idCol).as("id_a"), col("win"))
+      .join(kept.select(col(idCol).as("id_b"), col("win")), Seq("win"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(sizes.select(col(idCol).as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("n").as("n_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        (col("n_shared").cast("double") / (col("n_a") + col("n_b") - col("n_shared")))
+          .as("jacc"))
+  }
+
   /** REAL 64-bit difference hash (dHash) — the standard LAION-style
     * image near-dup signature: decode (pure-JVM javax.imageio), integer
     * luma (299r + 587g + 114b), average-pool onto a 9x8 grid, one bit

@@ -119,6 +119,22 @@ trait MultimodalRegistry extends RegistryBase {
         .orderBy("doc_id")
     }),
 
+    // pillar multimodal x dedup: VIDEO near-dup by FRAME-SET overlap —
+    // the q103 frame grid, each sampled frame fingerprinted by its
+    // 48-byte content window (deterministic stand-in for a per-frame
+    // perceptual hash), assets sharing >= 2 fingerprints pair with
+    // frame-set Jaccard. Third multimodal x dedup pairing: q164/q168
+    // compare one whole-asset hash; this matches overlapping frame SETS.
+    // Inverted index on the fingerprint, df cap 16 (the blank-frame /
+    // boilerplate-intro guard) — no all-pairs at any scale.
+    "q174_video_frame_neardup" -> ((s, dir) => {
+      val frames = Multimodal.frameWindows(
+        spread(s, rd(s, dir, "documents")), "doc_id", "text",
+        windowBytes = 48, maxFrames = 4)
+      Multimodal.frameSetNearDupPairs(frames, "doc_id", minShared = 2, dfCap = 16)
+        .orderBy("id_a", "id_b")
+    }),
+
     // pillar multimodal x dedup: DHASH BANDING-PARAMETER AUDIT — q154's
     // tuning-table shape on the q164 perceptual-hash config (24 bits,
     // 4 bands, maxHamming 3): per band count, candidate volume (the
@@ -213,6 +229,26 @@ trait MultimodalRegistry extends RegistryBase {
     // incoming x corpus all-pairs exact hamming — the set the lossless
     // band screen provably equals (shared with the streaming q171 gate)
     "q169_image_neardup_incremental" -> imageScreenOracle,
+
+    // same frame grid + window fingerprints + df cap, recomputed in SQL
+    "q174_video_frame_neardup" ->
+      """WITH m AS (SELECT doc_id, text,
+        |  ('0x' || substr(md5(text), 9, 2))::BIGINT % 16 + 1 AS n_frames FROM documents),
+        |f AS (SELECT doc_id, text, n_frames,
+        |        greatest((n_frames + 3) // 4, 1) AS step FROM m),
+        |e AS (SELECT doc_id, text, unnest(range(0, n_frames, step)) AS fi FROM f),
+        |w AS (SELECT DISTINCT doc_id, substr(text, (fi * 48 + 1)::INT, 48) AS win
+        |      FROM e WHERE substr(text, (fi * 48 + 1)::INT, 48) <> ''),
+        |dfc AS (SELECT win FROM w GROUP BY win HAVING count(*) <= 16),
+        |k AS (SELECT w.doc_id, w.win FROM w JOIN dfc USING (win)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM k GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        |      FROM k a JOIN k b ON a.win = b.win AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT id_a, id_b, n_shared,
+        |       n_shared::DOUBLE / (sa.n + sb.n - n_shared) AS jacc
+        |FROM p JOIN sz sa ON sa.doc_id = p.id_a JOIN sz sb ON sb.doc_id = p.id_b
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // the q154 audit-oracle pattern over the 24-bit pseudo-dhash
     "q170_dhash_tuning_audit" -> {

@@ -176,6 +176,37 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.forall(_._3 <= 2), s"near-dup hammings should be tiny: ${pairs.mkString(", ")}")
   }
 
+  test("frameSetNearDupPairs: shared frames pair, df cap drops boilerplate") {
+    import spark.implicits._
+    val frames = Seq(
+      (0L, "w1"), (0L, "w2"), (0L, "w3"),
+      (1L, "w2"), (1L, "w3"), (1L, "w4"),
+      (2L, "w9")) ++ (10L until 30L).map(i => (i, "bp")) // 20 docs share 'bp'
+    val out = Multimodal.frameSetNearDupPairs(
+        frames.toDF("doc_id", "win"), "doc_id", minShared = 2, dfCap = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // exactly one pair: docs 0 and 1 share {w2, w3}; jacc = 2 / (3+3-2)
+    assert(out.toSeq == Seq((0L, 1L, 2L, 0.5)),
+      s"expected only the (0,1) pair, got ${out.toSeq}")
+    // boilerplate 'bp' (df 20 > cap 16) generated no pairs at all
+    assert(!out.exists(p => p._1 >= 10L))
+  }
+
+  test("frameWindows: grid offsets, short-doc window, empty doc drops") {
+    import spark.implicits._
+    val long = ("x" * 300)
+    val docs = Seq((0L, long), (1L, long), (2L, "short"), (3L, "")).toDF("doc_id", "text")
+    val w = Multimodal.frameWindows(docs, "doc_id", "text", windowBytes = 48, maxFrames = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // exact dups produce identical frame sets
+    assert(w.filter(_._1 == 0L).map(_._2).toSet == w.filter(_._1 == 1L).map(_._2).toSet)
+    // every window is a substring at a multiple-of-48 offset
+    for ((id, win) <- w if id == 0L) assert(long.indexOf(win) % 48 == 0 && win.length <= 48)
+    // short doc: single window = the whole text; empty doc: no rows
+    assert(w.filter(_._1 == 2L).map(_._2).toSeq == Seq("short"))
+    assert(!w.exists(_._1 == 3L))
+  }
+
   test("imageDecode: undecodable bytes fail loudly, not silently") {
     val bad = Seq((7L, Array[Byte](1, 2, 3))).toDF("doc_id", "content")
     val e = intercept[org.apache.spark.SparkException] {
