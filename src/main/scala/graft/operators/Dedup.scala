@@ -728,6 +728,85 @@ object Dedup {
       .select("id_a", "id_b", "containment")
   }
 
+  /** Incremental CONTAINMENT screen — the ingest-time question
+    * containmentPairs answers in batch: is this NEW document an excerpt
+    * / partial copy of something already in the corpus (>= t of its
+    * shingles inside one existing doc)? Returns every incoming id with
+    * its container count; kept = no container. The containment twin of
+    * incrementalHammingScreen / incrementalNearDupFilter, and the shape
+    * decontamination-on-arrival runs: corpus-side self-pairs are NEVER
+    * generated (the quadratic bulk of a batch containmentPairs run).
+    *
+    * Same one-sided prefix filter: only the incoming doc's rare-first
+    * prefix joins, against the corpus's FULL posting list. Both sides
+    * order by (corpus df, h) — a total order shared by construction;
+    * incoming-only shingles take df 0 (rarest, so they front-load the
+    * prefix — exactly right: a shingle absent from the corpus can only
+    * appear in prefixes, never postings, and prunes for free). Docs with
+    * no shingles (shorter than the shingle width) have no containment
+    * evidence and are kept. At 100 TB the corpus posting list is the
+    * persisted term index; incoming shuffles into it, the corpus never
+    * moves.
+    */
+  def incrementalContainmentScreen(
+      incoming: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int,
+      threshold: Double
+  ): DataFrame = {
+    require(threshold > 0, "prefix filtering requires a positive threshold")
+    def hashedOf(df: DataFrame): DataFrame = df
+      .select(
+        col(idCol),
+        array_sort(
+          array_distinct(
+            transform(shingleSet(col(textCol), shingleN), g => xxhash64(g))
+          )
+        ).as("hs")
+      )
+      .withColumn("nsh", size(col("hs")))
+    val hi = hashedOf(incoming).localCheckpoint(false) // prefix side + output spine
+    val hc = hashedOf(corpus).filter(col("nsh") > 0).localCheckpoint(false)
+    val exC = hc.select(col(idCol), col("nsh"), explode(col("hs")).as("h"))
+    val freq = exC.groupBy("h").agg(count(lit(1)).as("df"))
+    def rareFirst(ex: DataFrame, joinType: String): DataFrame = ex
+      .join(freq, Seq("h"), joinType)
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+      .groupBy(col(idCol), col("nsh"))
+      .agg(transform(sort_array(collect_list(struct(col("df"), col("h")))), x => x("h")).as("sg"))
+    val prefixLen = (col("nsh") - ceil(lit(threshold) * col("nsh")) + 1).cast("int")
+    val prefA = rareFirst(
+        hi.filter(col("nsh") > 0)
+          .select(col(idCol), col("nsh"), explode(col("hs")).as("h")), "left")
+      .select(col(idCol), col("nsh"),
+        posexplode(slice(col("sg"), lit(1), prefixLen)).as(Seq("pos", "h")))
+    val fullB = rareFirst(exC, "inner")
+      .select(col(idCol).as("c_id"), col("nsh").as("c_nsh"),
+        posexplode(col("sg")).as(Seq("c_pos", "h")))
+    val needed = ceil(lit(threshold) * col("nsh"))
+    val ubound = lit(1) + least(col("nsh") - col("pa") - 1, col("c_nsh") - col("pb") - 1)
+    val cands = prefA
+      .join(fullB, Seq("h"))
+      .filter(col("c_nsh") >= lit(threshold) * col("nsh"))
+      .groupBy(col(idCol), col("c_id"), col("nsh"), col("c_nsh"))
+      .agg(min(col("pos")).as("pa"), min(col("c_pos")).as("pb"))
+      .filter(ubound.cast("double") + 1e-9 >= needed)
+      .select(col(idCol), col("c_id"))
+    val inter = org.apache.spark.sql.graft.LongArrayIntersectSize
+      .column(col("hs"), col("c_hs")).cast("double")
+    val hits = cands
+      .join(hi.select(col(idCol), col("hs"), col("nsh")), Seq(idCol))
+      .join(hc.select(col(idCol).as("c_id"), col("hs").as("c_hs")), Seq("c_id"))
+      .filter(inter / col("nsh") >= threshold)
+      .groupBy(idCol).agg(count(lit(1)).as("n_containers"))
+    hi.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_containers"), lit(0L)).as("n_containers"))
+      .withColumn("kept", col("n_containers") === 0)
+  }
+
   /** Collapse near-dup PAIRS into duplicate groups: every doc gets
     * `keep_id` = the minimum doc id in its connected component of the
     * pair graph (keep-one dedup — the actual "dedup" a training-data

@@ -251,6 +251,21 @@ trait DedupRegistry extends RegistryBase {
         .orderBy("vec_id")
     }),
 
+    // pillar dedup: INCREMENTAL CONTAINMENT screen — each incoming doc
+    // (the q118 split) asks "am I an excerpt / partial copy of a corpus
+    // doc" (>= 70% of my 6-gram shingles inside one existing doc): the
+    // q173 relation at ingest time, decontamination-on-arrival. One-sided
+    // prefix filter against the corpus posting list; corpus self-pairs
+    // (the quadratic bulk of a batch run) are never generated.
+    "q175_containment_screen" -> ((s, dir) => {
+      val docs = spread(s, rd(s, dir, "documents"))
+      val incoming = docs.filter(col("doc_id") % IncrementalMod === IncrementalMod - 1)
+      val corpus = docs.filter(col("doc_id") % IncrementalMod =!= IncrementalMod - 1)
+      Dedup.incrementalContainmentScreen(incoming, corpus, "doc_id", "text",
+          shingleN = 6, threshold = 0.7)
+        .orderBy("doc_id")
+    }),
+
     // pillar dedup: INCREMENTAL near-dup — a new crawl batch
     // (doc_id % 5 = 4) screened against the existing corpus (the rest),
     // the production shape where dedup runs per-snapshot against a
@@ -705,6 +720,8 @@ trait DedupRegistry extends RegistryBase {
          |ORDER BY a.vec_id""".stripMargin,
 
     "q118_incremental_dedup" -> incrementalDedupOracle,
+
+    "q175_containment_screen" -> containScreenOracle,
 
     "q120_minhash_estimate" -> {
       val agree = (0 until TextFunctions.MinhashParams.length)

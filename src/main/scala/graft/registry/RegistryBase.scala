@@ -420,6 +420,28 @@ trait RegistryBase {
        |       coalesce(h.n_dup, 0) = 0 AS kept
        |FROM inc i LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** Shared oracle for the incremental containment screen (q175) and its
+    * streaming gate (q176): incoming x corpus all-pairs exact shingle
+    * containment — the set the one-sided prefix filter provably equals.
+    * The threshold compare is the same IEEE division both engines run
+    * (never ceil(t*n): 0.7*20 rounds ABOVE 14 in binary, and an integer
+    * ceil would disagree with inter/nsh >= t exactly at the boundary).
+    */
+  protected lazy val containScreenOracle: String =
+    s"""WITH d AS (SELECT doc_id, ${docShinglesSql(6)} AS sh FROM documents),
+       |inc AS (SELECT doc_id, sh FROM d WHERE doc_id % $IncrementalMod = ${IncrementalMod - 1}),
+       |cor AS (SELECT doc_id, sh FROM d
+       |        WHERE doc_id % $IncrementalMod <> ${IncrementalMod - 1} AND len(sh) > 0),
+       |hits AS (
+       |  SELECT i.doc_id, count(*)::BIGINT AS n
+       |  FROM inc i JOIN cor b
+       |    ON len(i.sh) > 0
+       |   AND len(list_intersect(i.sh, b.sh))::DOUBLE / len(i.sh) >= 0.7
+       |  GROUP BY i.doc_id)
+       |SELECT i.doc_id, coalesce(h.n, 0)::BIGINT AS n_containers,
+       |       coalesce(h.n, 0) = 0 AS kept
+       |FROM inc i LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin
+
   /** Conversion window for the windowed funnel (q157/q158): 1 day in
     * nanos. The sf events span ~30 days with a median signup->view lag
     * of ~1.8 days, so the window genuinely bins out ~half the stage-2

@@ -471,6 +471,38 @@ trait StreamingRegistry extends RegistryBase {
     // check as content lands. Per-doc answers depend only on the doc +
     // the static corpus, so batchId-keyed overwrite makes replays
     // idempotent and the gate shares q169's oracle verbatim.
+    // 17th streaming gate: CONTAINMENT screen on arrival — each incoming
+    // micro-batch asks q175's question (am I an excerpt of a corpus doc)
+    // via the stateless foreachBatch bridge over the same static corpus
+    // posting list. Per-doc answers depend only on the doc + the static
+    // corpus, so batchId-keyed overwrite keeps replays idempotent and the
+    // gate shares q175's oracle verbatim.
+    "q176_stream_containment_screen" -> ((s, dir) => {
+      val stage = Staging.dir("q176-")
+      try {
+        val inDir = stage.resolve("in")
+        java.nio.file.Files.createDirectories(inDir)
+        java.nio.file.Files.createSymbolicLink(
+          inDir.resolve("documents.parquet"),
+          java.nio.file.Paths.get(s"$dir/documents.parquet").toAbsolutePath.normalize())
+        val outDir = stage.resolve("out").toString
+        val corpus = spread(s, rd(s, dir, "documents"))
+          .filter(col("doc_id") % IncrementalMod =!= IncrementalMod - 1)
+          .localCheckpoint(false) // shingled once per batch off this cached frame
+        val schema = rd(s, dir, "documents").schema
+        val incomingStream = s.readStream.schema(schema).parquet(inDir.toString)
+          .filter(col("doc_id") % IncrementalMod === IncrementalMod - 1)
+        val q = graft.streaming.EventStream.foreachBatchSink(incomingStream, identity) {
+          (batch, batchId) =>
+            Dedup.incrementalContainmentScreen(spreadBatch(s, batch), corpus,
+                "doc_id", "text", shingleN = 6, threshold = 0.7)
+              .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        }.start()
+        awaitGate("q176", q)
+        s.read.parquet(outDir).drop("batch").orderBy("doc_id").localCheckpoint(true)
+      } finally Staging.discard(stage)
+    }),
+
     "q171_stream_image_screen" -> ((s, dir) => {
       val stage = Staging.dir("q171-")
       try {
@@ -535,6 +567,9 @@ trait StreamingRegistry extends RegistryBase {
     // answers — q171 shares q169's oracle verbatim (screen-on-arrival ==
     // batch screen)
     "q171_stream_image_screen" -> imageScreenOracle,
+
+    // 17th streaming gate: screen-on-arrival == the batch q175 screen
+    "q176_stream_containment_screen" -> containScreenOracle,
 
     // 13th streaming gate: per-user week-set digests union-merge exactly
     // (idempotent, replay-safe) — same oracle as q150

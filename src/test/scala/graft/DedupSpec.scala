@@ -188,6 +188,39 @@ class DedupSpec extends SparkSpec {
     assert(fast == brute)
   }
 
+  test("incrementalContainmentScreen: prefix-filtered screen == brute-force incoming x corpus") {
+    import spark.implicits._
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta")
+    val corpus = (0 until 25).map { i =>
+      (i.toLong, (0 until 8).map(j => words((i * 5 + j * 3) % words.length)).mkString(" "))
+    }.toDF("doc_id", "text")
+    // incoming: an excerpt of corpus doc 0, a fresh doc, and a too-short doc
+    val c0 = (0 until 8).map(j => words((j * 3) % words.length)).mkString(" ")
+    val incoming = Seq(
+      (100L, c0.split(" ").slice(2, 6).mkString(" ")),
+      (101L, "votre nouveau document sans aucun recouvrement"),
+      (102L, "ab")).toDF("doc_id", "text")
+    val fast = Dedup.incrementalContainmentScreen(incoming, corpus, "doc_id", "text", 3, 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val shI = incoming.select(col("doc_id"), Dedup.shingleSet(col("text"), 3).as("sh"))
+    val shC = corpus.select(col("doc_id").as("c_id"), Dedup.shingleSet(col("text"), 3).as("c_sh"))
+      .filter(size(col("c_sh")) > 0)
+    val brute = shI.crossJoin(shC)
+      .withColumn("cont",
+        when(size(col("sh")) === 0, lit(0.0))
+          .otherwise(size(array_intersect(col("sh"), col("c_sh"))).cast("double") / size(col("sh"))))
+      .groupBy("doc_id")
+      .agg(sum(when(col("cont") >= 0.6, 1L).otherwise(0L)).as("n_containers"))
+      .select(col("doc_id"), col("n_containers"),
+        (col("n_containers") === 0).as("kept"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(brute.exists(p => p._1 == 100L && p._2 >= 1L), "excerpt must find a container")
+    assert(brute.exists(p => p._1 == 101L && p._3), "fresh doc must be kept")
+    assert(fast == brute)
+    // the shingle-less doc is kept, not dropped from the output spine
+    assert(fast.exists(p => p._1 == 102L && p._2 == 0L && p._3))
+  }
+
   test("simhashCandidates: banded result == brute-force hamming filter; no crossJoin in plan") {
     val h = docs.select(col("doc_id"), Dedup.simhash(col("text"), 16).as("sh"))
     val banded = Dedup.simhashCandidates(h, "doc_id", "sh", bits = 16, maxHamming = 2)
