@@ -251,6 +251,30 @@ trait DedupRegistry extends RegistryBase {
         .orderBy("vec_id")
     }),
 
+    // pillar dedup: CROSS-SOURCE DUPLICATE OVERLAP MATRIX — near-dup
+    // pairs (the q31 LSH machinery) rolled up by unordered source pair:
+    // which ingest sources duplicate each other and how hard (the
+    // report that decides which crawl dumps to drop before paying for
+    // a full dedup sweep). Aggregates are count + max only — order-
+    // independent, so the rollup is exact under any partitioning.
+    // sources^2 rows out at ANY corpus size.
+    "q178_source_overlap_matrix" -> ((s, dir) => {
+      val docs = spread(s, rd(s, dir, "documents"))
+      val pairs = Dedup.nearDuplicates(docs, "doc_id", "text",
+        shingleN = 4, numHashes = 8, rowsPerBand = 4, threshold = 0.4)
+      val src = docs.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), Seq("id_a"))
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), Seq("id_b"))
+        .select(
+          least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"),
+          col("jacc"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_pairs"), max(col("jacc")).as("max_jacc"))
+        .orderBy("source_a", "source_b")
+    }),
+
     // pillar dedup: INCREMENTAL CONTAINMENT screen — each incoming doc
     // (the q118 split) asks "am I an excerpt / partial copy of a corpus
     // doc" (>= 70% of my 6-gram shingles inside one existing doc): the
@@ -722,6 +746,17 @@ trait DedupRegistry extends RegistryBase {
     "q118_incremental_dedup" -> incrementalDedupOracle,
 
     "q175_containment_screen" -> containScreenOracle,
+
+    // the q31 pair CTEs rolled up by unordered source pair
+    "q178_source_overlap_matrix" ->
+      s"""WITH $lshPairsCtes,
+         |m AS (SELECT least(da.source, db.source) AS source_a,
+         |             greatest(da.source, db.source) AS source_b, p.jacc
+         |      FROM nd_pairs p
+         |           JOIN documents da ON da.doc_id = p.id_a
+         |           JOIN documents db ON db.doc_id = p.id_b)
+         |SELECT source_a, source_b, count(*)::BIGINT AS n_pairs, max(jacc) AS max_jacc
+         |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q120_minhash_estimate" -> {
       val agree = (0 until TextFunctions.MinhashParams.length)

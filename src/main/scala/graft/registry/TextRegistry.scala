@@ -40,6 +40,38 @@ trait TextRegistry extends RegistryBase {
        |  FROM documents d LEFT JOIN best b USING (doc_id))""".stripMargin
   }
 
+  /** q137's BM25 top-k frame (q_id, doc_id, score, rk), shared by the
+    * plain top-k surface (q137) and the retrieve-then-rerank composite
+    * (q177). Queries are the doc_id % Bm25QueryMod == 0 documents;
+    * scoring is exact-integer micro-point BM25 (see q137's comment).
+    */
+  private def bm25TopkFrame(s: SparkSession, dir: String): DataFrame = {
+    val toks = spread(s, rd(s, dir, "documents"))
+      .select(col("doc_id"),
+        explode(TextFunctions.whitespaceTokens(lower(col("text")))).as("term"))
+      .localCheckpoint(false) // feeds postings, doc lengths, AND the query side
+    val corpus = toks.filter(col("doc_id") % Bm25QueryMod =!= 0)
+    val dl = corpus.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      .localCheckpoint(false) // feeds the 1-row corpus stats AND the scoring join
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
+    val postings = corpus.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false) // feeds document frequencies AND the scoring join
+    val dfT = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    val qterms = toks.filter(col("doc_id") % Bm25QueryMod === 0)
+      .select(col("doc_id").as("q_id"), col("term")).distinct()
+    val scored = postings.join(broadcast(qterms), Seq("term"))
+      .join(dfT, Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib", expr(Bm25ContribSql).cast("long"))
+      .groupBy("q_id", "doc_id").agg(sum(col("contrib")).as("score"))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("score").desc, col("doc_id")))
+        .cast("long"))
+      .filter(col("rk") <= Bm25TopK)
+  }
+
   protected def textQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // pillar text analysis: sliding-window token CHUNKING — the RAG /
     // context-window prep step: 32-token chunks every 24 tokens (8-token
@@ -677,31 +709,34 @@ trait TextRegistry extends RegistryBase {
     // the per-(query, doc) sum is order-independent and oracle-exact.
     // Top-k per query is a rank-bounded window (WindowGroupLimit).
     "q137_bm25_topk" -> ((s, dir) => {
-      val toks = spread(s, rd(s, dir, "documents"))
-        .select(col("doc_id"),
-          explode(TextFunctions.whitespaceTokens(lower(col("text")))).as("term"))
-        .localCheckpoint(false) // feeds postings, doc lengths, AND the query side
-      val corpus = toks.filter(col("doc_id") % Bm25QueryMod =!= 0)
-      val dl = corpus.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-        .localCheckpoint(false) // feeds the 1-row corpus stats AND the scoring join
-      val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
-      val postings = corpus.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        .localCheckpoint(false) // feeds document frequencies AND the scoring join
-      val dfT = postings.groupBy("term").agg(count(lit(1)).as("df"))
-      val qterms = toks.filter(col("doc_id") % Bm25QueryMod === 0)
-        .select(col("doc_id").as("q_id"), col("term")).distinct()
-      val scored = postings.join(broadcast(qterms), Seq("term"))
-        .join(dfT, Seq("term"))
-        .join(dl, Seq("doc_id"))
-        .crossJoin(broadcast(stats))
-        .withColumn("contrib", expr(Bm25ContribSql).cast("long"))
-        .groupBy("q_id", "doc_id").agg(sum(col("contrib")).as("score"))
-      scored
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("q_id").orderBy(col("score").desc, col("doc_id")))
+      bm25TopkFrame(s, dir).orderBy("q_id", "rk")
+    }),
+
+    // pillar text analysis: RETRIEVE-THEN-RERANK — the standard two-stage
+    // retrieval shape: cheap candidate generation (q137's BM25 top-10
+    // over the inverted index) followed by an expensive exact scorer
+    // (the codegen'd partial_ratio bitap, cutoff 50) over ONLY the
+    // candidates, re-ranked by (fuzzy score, bm25, doc_id). At 100 TB
+    // the expensive scorer touches topK x n_queries rows regardless of
+    // corpus size — the entire point of staging retrieval.
+    "q177_retrieve_rerank" -> ((s, dir) => {
+      val docs = spread(s, rd(s, dir, "documents"))
+      val cand = bm25TopkFrame(s, dir).select(
+        col("q_id"), col("doc_id"), col("score").as("bm25"))
+      val needles = docs.filter(col("doc_id") % Bm25QueryMod === 0)
+        .select(col("doc_id").as("q_id"), substring(col("text"), 1, 48).as("needle"))
+      cand
+        .join(broadcast(needles), Seq("q_id"))
+        .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+        .withColumn("pr",
+          HeurFuzz.partialRatioCutoffUdf(50)(col("text"), col("needle")).cast("long"))
+        .withColumn("rrank", row_number().over(
+          Window.partitionBy("q_id")
+            .orderBy(col("pr").desc, col("bm25").desc, col("doc_id")))
           .cast("long"))
-        .filter(col("rk") <= Bm25TopK)
-        .orderBy("q_id", "rk")
+        .filter(col("rrank") <= 5)
+        .select("q_id", "doc_id", "bm25", "pr", "rrank")
+        .orderBy("q_id", "rrank")
     }),
 
     // pillar text analysis: SELECTIVE-TERM BM25 — q137 with the df stop
@@ -1393,6 +1428,38 @@ trait TextRegistry extends RegistryBase {
          |      FROM sc)
          |SELECT q_id, doc_id, score, rk::BIGINT AS rk FROM r
          |WHERE rk <= $Bm25TopK ORDER BY q_id, rk""".stripMargin,
+
+    // q137's CTE chain -> candidates, then the exact partial_ratio bitap
+    // (scorerCtes) over only the candidates, re-ranked
+    "q177_retrieve_rerank" ->
+      s"""WITH t AS (SELECT doc_id, unnest($tokensLowerSql) AS term FROM documents),
+         |c AS (SELECT doc_id, term FROM t WHERE doc_id % $Bm25QueryMod <> 0),
+         |d AS (SELECT doc_id, count(*) AS dl FROM c GROUP BY doc_id),
+         |st AS (SELECT count(*) AS n_docs, sum(dl)::BIGINT AS tot FROM d),
+         |p AS (SELECT doc_id, term, count(*) AS tf FROM c GROUP BY doc_id, term),
+         |f AS (SELECT term, count(*) AS df FROM p GROUP BY term),
+         |q AS (SELECT DISTINCT doc_id AS q_id, term FROM t WHERE doc_id % $Bm25QueryMod = 0),
+         |sc AS (SELECT q_id, p.doc_id,
+         |         sum(($Bm25ContribSql)::BIGINT)::BIGINT AS score
+         |       FROM p JOIN q USING (term) JOIN f USING (term)
+         |            JOIN d ON d.doc_id = p.doc_id CROSS JOIN st
+         |       GROUP BY 1, 2),
+         |r AS (SELECT q_id, doc_id, score,
+         |        row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rk
+         |      FROM sc),
+         |topk AS (SELECT q_id, doc_id, score AS bm25 FROM r WHERE rk <= $Bm25TopK),
+         |nd AS (SELECT doc_id AS q_id, substr(text, 1, 48) AS needle
+         |       FROM documents WHERE doc_id % $Bm25QueryMod = 0),
+         |named AS (SELECT tk.q_id, tk.doc_id, tk.bm25, dd.text, n.needle
+         |          FROM topk tk JOIN nd n USING (q_id)
+         |               JOIN documents dd ON dd.doc_id = tk.doc_id),
+         |${scorerCtes("named", "text", "needle", 50)},
+         |rr AS (SELECT q_id, doc_id, bm25, score AS pr,
+         |         row_number() OVER (PARTITION BY q_id
+         |           ORDER BY score DESC, bm25 DESC, doc_id) AS rrank
+         |       FROM scored)
+         |SELECT q_id, doc_id, bm25, pr, rrank::BIGINT AS rrank FROM rr
+         |WHERE rrank <= 5 ORDER BY q_id, rrank""".stripMargin,
 
     // q137's CTE chain with the selective-term gate applied on the tiny
     // (query term x df) frame before the postings join

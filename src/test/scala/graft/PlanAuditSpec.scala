@@ -59,6 +59,9 @@ class PlanAuditSpec extends SparkSpec {
     // token count) joins as a broadcast nested loop by definition —
     // the q74/q97 1-row-broadcast-total shape, not an all-pairs plan
     "q137_bm25_topk", "q139_pmi_collocations", "q144_source_drift",
+    // q177: the q137 candidate stage inside the rerank composite carries
+    // the same 1-row corpus-stats broadcast
+    "q177_retrieve_rerank",
     // q145: the 3-row quantile-target frame nested-loops the TINY
     // distinct-value histogram (cum >= target) — bounded frames only
     "q145_exact_quantiles",
