@@ -51,7 +51,9 @@ object Bench {
       "q35_embed_ivf_assign", "q43_embed_ivf_topk", "q109_pq_encode",
       "q110_pq_adc_topk", "q124_ivfpq_residual_topk",
       "q131_ann_quality_report", "q132_persisted_sig_dedup",
-      "q126_leakage_safe_split")
+      "q126_leakage_safe_split",
+      // q179/q180 read the shared cent8 trained artifact
+      "q179_ivf_filtered_topk", "q180_hybrid_rrf")
     var times = Vector.empty[(String, Double)]
     var errors = Vector.empty[(String, String)]
     var streamStats = Map.empty[String, graft.streaming.StreamMetrics.GateStats]

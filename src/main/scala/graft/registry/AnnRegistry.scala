@@ -46,6 +46,23 @@ trait AnnRegistry extends RegistryBase {
         .orderBy("q_id", "rank")
     }),
 
+    // pillar similarity: FILTERED ANN — IVF top-k constrained to
+    // same-label corpus vectors, with the label joined as part of the
+    // BUCKET KEY (centroid_id, label) instead of post-filtering the
+    // top-k (which under-returns whenever the label is rare in the
+    // probed buckets). Same trained coarse quantizer as q43.
+    "q179_ivf_filtered_topk" -> ((s, dir) => {
+      val e = rd(s, dir, "embeddings")
+      val cents = trainedArtifact(s, dir, "cent8") {
+        val (tr, init) = trainSample8(s, e)
+        Similarity.trainCentroids(tr, "vec_id", "embedding", init, KmeansIters)
+      }
+      Similarity.ivfTopKQLabeled(
+          e.filter(col("vec_id") < 10), spread(s, e), cents,
+          "vec_id", "embedding", "label", k = 3, nprobe = 2)
+        .orderBy("q_id", "rank")
+    }),
+
     // pillar similarity: one k-means centroid-update step (the iterate
     // half of Lloyd's algorithm). Per-dimension means accumulate as
     // QUANTIZED longs — exact and order-independent under any
@@ -408,6 +425,41 @@ trait AnnRegistry extends RegistryBase {
         |  WHERE rk <= 2),
         |n AS (SELECT vec_id, dv, sqrt(list_sum(list_transform(dv, x -> x * x))) AS nrm FROM v),
         |cand AS (SELECT q_id, r_id FROM probes JOIN assign USING (centroid_id) WHERE q_id <> r_id),
+        |ref AS (
+        |  SELECT cand.q_id, cand.r_id,
+        |         list_sum(list_transform(range(1, 65), i -> qn.dv[i::INT] * rn.dv[i::INT])) / (qn.nrm * rn.nrm) AS cos_sim
+        |  FROM cand JOIN n qn ON qn.vec_id = cand.q_id JOIN n rn ON rn.vec_id = cand.r_id),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, r_id ASC) AS rank FROM ref)
+        |SELECT q_id, r_id, cos_sim, rank FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+
+    // q43's oracle chain with the label riding the candidate equi-key
+    "q179_ivf_filtered_topk" ->
+      s"""WITH v AS (SELECT vec_id, label,
+        |             list_transform(embedding, x -> floor(x::DOUBLE * 1000)::BIGINT) AS qv,
+        |             list_transform(embedding, x -> x::DOUBLE) AS dv
+        |           FROM embeddings),
+        |${trainSampleCtesSql("v")},
+        |${lloydCtesSql("tv", "kinit", 64, KmeansIters, Seq.empty, "c")},
+        |score AS (
+        |  SELECT v.vec_id AS id, c.centroid_id,
+        |         CAST(list_sum(list_transform(range(1, 65), i -> v.qv[i::INT] * c.cv[i::INT])) AS BIGINT) AS sc
+        |  FROM v CROSS JOIN c),
+        |assign AS (
+        |  SELECT id AS r_id, centroid_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY sc DESC, centroid_id ASC) AS rk FROM score)
+        |  WHERE rk = 1),
+        |probes AS (
+        |  SELECT id AS q_id, centroid_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY sc DESC, centroid_id ASC) AS rk
+        |    FROM score WHERE id < 10)
+        |  WHERE rk <= 2),
+        |n AS (SELECT vec_id, label, dv, sqrt(list_sum(list_transform(dv, x -> x * x))) AS nrm FROM v),
+        |cand AS (
+        |  SELECT q_id, r_id FROM probes
+        |       JOIN assign USING (centroid_id)
+        |       JOIN v qa ON qa.vec_id = q_id
+        |       JOIN v rb ON rb.vec_id = r_id
+        |  WHERE q_id <> r_id AND qa.label = rb.label),
         |ref AS (
         |  SELECT cand.q_id, cand.r_id,
         |         list_sum(list_transform(range(1, 65), i -> qn.dv[i::INT] * rn.dv[i::INT])) / (qn.nrm * rn.nrm) AS cos_sim

@@ -739,6 +739,37 @@ trait TextRegistry extends RegistryBase {
         .orderBy("q_id", "rrank")
     }),
 
+    // pillar text x similarity: HYBRID RETRIEVAL — BM25 top-10 (q137's
+    // candidate stage) fused with IVF vector top-10 (q43's machinery,
+    // shared trained quantizer) by reciprocal-rank fusion. RRF scores
+    // are SCALED-INTEGER 1e9 div (60 + rank) so the fusion sum is exact
+    // and order-independent (a double 1/(60+rk) sum would hash-drift
+    // under AQE re-ordering). Each side's list is top-k bounded, so the
+    // fusion join touches <= 2 * k * n_queries rows at any corpus size.
+    "q180_hybrid_rrf" -> ((s, dir) => {
+      val text = bm25TopkFrame(s, dir)
+        .select(col("q_id"), col("doc_id"), col("rk").as("rk_t"))
+      val e = rd(s, dir, "embeddings")
+      val cents = trainedArtifact(s, dir, "cent8") {
+        val (tr, init) = trainSample8(s, e)
+        Similarity.trainCentroids(tr, "vec_id", "embedding", init, KmeansIters)
+      }
+      val vec = Similarity.ivfTopKQ(
+          e.filter(col("vec_id") % Bm25QueryMod === 0), spread(s, e), cents,
+          "vec_id", "embedding", k = 10, nprobe = 2)
+        .select(col("q_id"), col("r_id").as("doc_id"), col("rank").as("rk_v"))
+      text.join(vec, Seq("q_id", "doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(expr("1000000000L div (60 + rk_t)"), lit(0L))
+            + coalesce(expr("1000000000L div (60 + rk_v)"), lit(0L)))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("rrf").desc, col("doc_id")))
+          .cast("long"))
+        .filter(col("rank") <= 5)
+        .select("q_id", "doc_id", "rrf", "rank")
+        .orderBy("q_id", "rank")
+    }),
+
     // pillar text analysis: SELECTIVE-TERM BM25 — q137 with the df stop
     // cut every term-at-a-time engine ships: a stop term's postings list
     // IS the corpus, so joining it makes per-query cost corpus-linear
@@ -1460,6 +1491,64 @@ trait TextRegistry extends RegistryBase {
          |       FROM scored)
          |SELECT q_id, doc_id, bm25, pr, rrank::BIGINT AS rrank FROM rr
          |WHERE rrank <= 5 ORDER BY q_id, rrank""".stripMargin,
+
+    // b-prefixed q137 chain + the q43 IVF chain (query mod = Bm25QueryMod,
+    // k=10) + exact-integer RRF fusion
+    "q180_hybrid_rrf" ->
+      s"""WITH bt AS (SELECT doc_id, unnest($tokensLowerSql) AS term FROM documents),
+         |bc AS (SELECT doc_id, term FROM bt WHERE doc_id % $Bm25QueryMod <> 0),
+         |bd AS (SELECT doc_id, count(*) AS dl FROM bc GROUP BY doc_id),
+         |bst AS (SELECT count(*) AS n_docs, sum(dl)::BIGINT AS tot FROM bd),
+         |bp AS (SELECT doc_id, term, count(*) AS tf FROM bc GROUP BY doc_id, term),
+         |bf AS (SELECT term, count(*) AS df FROM bp GROUP BY term),
+         |bq AS (SELECT DISTINCT doc_id AS q_id, term FROM bt WHERE doc_id % $Bm25QueryMod = 0),
+         |bsc AS (SELECT q_id, bp.doc_id,
+         |          sum(($Bm25ContribSql)::BIGINT)::BIGINT AS score
+         |        FROM bp JOIN bq USING (term) JOIN bf USING (term)
+         |             JOIN bd ON bd.doc_id = bp.doc_id CROSS JOIN bst
+         |        GROUP BY 1, 2),
+         |btop AS (SELECT q_id, doc_id, rk AS rk_t FROM (
+         |  SELECT q_id, doc_id,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rk
+         |  FROM bsc) WHERE rk <= $Bm25TopK),
+         |v AS (SELECT vec_id,
+         |        list_transform(embedding, x -> floor(x::DOUBLE * 1000)::BIGINT) AS qv,
+         |        list_transform(embedding, x -> x::DOUBLE) AS dv
+         |      FROM embeddings),
+         |${trainSampleCtesSql("v")},
+         |${lloydCtesSql("tv", "kinit", 64, KmeansIters, Seq.empty, "cents0")},
+         |score AS (
+         |  SELECT v.vec_id AS id, cents0.centroid_id,
+         |         CAST(list_sum(list_transform(range(1, 65), i -> v.qv[i::INT] * cents0.cv[i::INT])) AS BIGINT) AS sc
+         |  FROM v CROSS JOIN cents0),
+         |assign AS (
+         |  SELECT id AS r_id, centroid_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY sc DESC, centroid_id ASC) AS rk FROM score)
+         |  WHERE rk = 1),
+         |probes AS (
+         |  SELECT id AS q_id, centroid_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY sc DESC, centroid_id ASC) AS rk
+         |    FROM score WHERE id % $Bm25QueryMod = 0)
+         |  WHERE rk <= 2),
+         |n AS (SELECT vec_id, dv, sqrt(list_sum(list_transform(dv, x -> x * x))) AS nrm FROM v),
+         |cand AS (SELECT q_id, r_id FROM probes JOIN assign USING (centroid_id) WHERE q_id <> r_id),
+         |ref AS (
+         |  SELECT cand.q_id, cand.r_id,
+         |         list_sum(list_transform(range(1, 65), i -> qn.dv[i::INT] * rn.dv[i::INT])) / (qn.nrm * rn.nrm) AS cos_sim
+         |  FROM cand JOIN n qn ON qn.vec_id = cand.q_id JOIN n rn ON rn.vec_id = cand.r_id),
+         |vtop AS (SELECT q_id, r_id AS doc_id, rank AS rk_v FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, r_id ASC) AS rank FROM ref)
+         |  WHERE rank <= 10),
+         |fus AS (
+         |  SELECT coalesce(b.q_id, w.q_id) AS q_id,
+         |         coalesce(b.doc_id, w.doc_id) AS doc_id,
+         |         coalesce(1000000000 // (60 + b.rk_t), 0)
+         |           + coalesce(1000000000 // (60 + w.rk_v), 0) AS rrf
+         |  FROM btop b FULL OUTER JOIN vtop w
+         |    ON b.q_id = w.q_id AND b.doc_id = w.doc_id),
+         |rr AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS rank FROM fus)
+         |SELECT q_id, doc_id, rrf::BIGINT AS rrf, rank::BIGINT AS rank FROM rr
+         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
 
     // q137's CTE chain with the selective-term gate applied on the tiny
     // (query term x df) frame before the postings join

@@ -62,6 +62,11 @@ class PlanAuditSpec extends SparkSpec {
     // q177: the q137 candidate stage inside the rerank composite carries
     // the same 1-row corpus-stats broadcast
     "q177_retrieve_rerank",
+    // q179: q43's class (every vector vs the broadcast centroid set)
+    "q179_ivf_filtered_topk",
+    // q180: inherits BOTH the q137 1-row corpus-stats broadcast and the
+    // q43 broadcast-centroid scoring
+    "q180_hybrid_rrf",
     // q145: the 3-row quantile-target frame nested-loops the TINY
     // distinct-value histogram (cum >= target) — bounded frames only
     "q145_exact_quantiles",
