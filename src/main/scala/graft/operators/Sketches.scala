@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Fixed-memory distinct-count sketching: HyperLogLog (Flajolet et al.,
@@ -75,6 +76,55 @@ object Sketches {
     * the answer — the q148 streaming gate pins this against q133's
     * batch oracle).
     */
+  /** q145's target rank (exact BIGINT product, one double division) —
+    * textually identical to RegistryBase.QuantTargetSql so the generated
+    * oracle and the operator can never disagree on rounding.
+    */
+  val BinQuantTargetSql = "CAST(greatest(1, ceil(pct * n / 100.0)) AS BIGINT)"
+
+  /** Equi-width bin-count quantile sketch over a NON-NEGATIVE integer
+    * value column: (grp, bin = v div width, cnt). The whole sketch is one
+    * map-side-combined aggregate and its size is value-range/width rows
+    * per group — fixed memory regardless of row count, unlike the exact
+    * per-value histogram (q145), whose size is the value cardinality.
+    * Counts are additive over ANY row partition, so per-partition /
+    * per-day / per-micro-batch sketches sum-merge into the corpus sketch
+    * without re-reading raw data (the q182 streaming gate pins this
+    * against the batch q181).
+    */
+  def binCounts(df: DataFrame, grpCol: String, valCol: String, width: Long): DataFrame = {
+    require(width > 0, "bin width must be positive")
+    df.groupBy(col(grpCol), expr(s"$valCol div $width").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Percentile read-off over a bin-count sketch: for each (group, pct)
+    * the FIRST bin whose cumulative count reaches the q145 target rank.
+    * That bin provably CONTAINS the exact pct-quantile (bin cumulatives
+    * majorize value cumulatives under the same order), so the estimate
+    * is the interval [est_lo, est_hi] = [bin*width, bin*width + width-1]
+    * with error bounded by the bin width BY CONSTRUCTION — width 1
+    * degenerates to the exact quantile. Needs only the sketch: n is the
+    * register sum, the cumulative window runs over range/width bins per
+    * group, and everything stays BIGINT.
+    */
+  def quantileFromBins(bins: DataFrame, grpCol: String, width: Long, pcts: Seq[Long]): DataFrame = {
+    val w = Window.partitionBy(grpCol).orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bins.withColumn("cum", sum(col("cnt")).over(w))
+    val t = bins.groupBy(col(grpCol)).agg(sum(col("cnt")).as("n"))
+      .select(col(grpCol), col("n"), explode(array(pcts.map(lit(_)): _*)).as("pct"))
+      .withColumn("target", expr(BinQuantTargetSql))
+    t.join(cum, Seq(grpCol))
+      .filter(col("cum") >= col("target"))
+      .groupBy(col(grpCol), col("pct"), col("target"))
+      .agg(min(col("bin")).as("bin"))
+      .select(
+        col(grpCol), col("pct"), col("target"),
+        (col("bin") * width).as("est_lo"),
+        (col("bin") * width + (width - 1)).as("est_hi"))
+  }
+
   def hllEstimate(regs: DataFrame, grpCol: String): DataFrame =
     regs
       .withColumn("contrib",

@@ -229,6 +229,36 @@ trait AnnRegistry extends RegistryBase {
         .orderBy("event_type")
     }),
 
+    // pillar sketches: BIN-QUANTILE SKETCH — per-event-type p50/p90/p99
+    // of the value column from an equi-width bin-count sketch ($10 bins,
+    // ~50 rows per group at ANY corpus size). The exact per-value
+    // histogram (q145's machinery) would carry the full value
+    // cardinality through the shuffle; the sketch is one map-side-
+    // combined aggregate with fixed memory, its chosen bin provably
+    // CONTAINS the exact quantile (error <= bin width by construction),
+    // and bin counts are additive — per-partition/day/micro-batch
+    // sketches sum-merge without re-reading raw data (the q182 gate).
+    // The exact side here is the sf-scale AUDIT (err_cents < width is
+    // the testable guarantee); at 100 TB only the sketch runs.
+    "q181_bin_quantile_sketch" -> ((s, dir) => {
+      val ev = rd(s, dir, "events")
+        .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+        .localCheckpoint(false) // feeds the sketch AND the exact audit
+      val est = Sketches.quantileFromBins(
+        Sketches.binCounts(ev, "event_type", "cents", QSketchWidthCents),
+        "event_type", QSketchWidthCents, QSketchPcts)
+      val exact = Sketches.quantileFromBins(
+          Sketches.binCounts(ev, "event_type", "cents", 1L),
+          "event_type", 1L, QSketchPcts)
+        .select(col("event_type"), col("pct"), col("est_lo").as("exact_cents"))
+      est.join(exact, Seq("event_type", "pct"))
+        .select(col("event_type"), col("pct"), col("target"),
+          col("est_lo").as("est_lo_cents"), col("est_hi").as("est_hi_cents"),
+          col("exact_cents"),
+          (col("exact_cents") - col("est_lo")).as("err_cents"))
+        .orderBy("event_type", "pct")
+    }),
+
     // pillar similarity: ANN QUALITY REPORT — the recall@k / MRR audit
     // an ANN deployment runs continuously, as a first-class query: the
     // trained-IVF index (q43's exact configuration) joined against
@@ -523,6 +553,9 @@ trait AnnRegistry extends RegistryBase {
     // numerator is the SAME Scala-computed double literal on both sides,
     // so the one final division is IEEE-identical
     "q133_hll_distinct" -> hllOracle,
+
+    // shared with the streaming q182 gate — see RegistryBase.binQuantOracle
+    "q181_bin_quantile_sketch" -> binQuantOracle,
 
     "q123_kmeans_train" ->
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> floor(x::DOUBLE * 1000)::BIGINT) AS qv FROM embeddings),

@@ -459,6 +459,44 @@ trait RegistryBase {
     */
   protected val FunnelLatenessNanos = 86400000000000L
 
+  /** q181/q182's bin-quantile sketch configuration: $10 bins over event
+    * value cents (values <= ~$500 → ~50 bins per event type, so the
+    * whole sketch is a few hundred rows at ANY corpus size) and the
+    * audited percentiles.
+    */
+  protected val QSketchWidthCents = 1000L
+  protected val QSketchPcts = Seq(50L, 90L, 99L)
+
+  /** Shared oracle for the bin-quantile sketch (batch q181 and the
+    * streaming q182 gate, whose sum-merged sketch is provably identical
+    * to the batch sketch): estimate read-off per (event_type, pct) plus
+    * the exact-quantile audit, everything BIGINT until the final output.
+    */
+  protected lazy val binQuantOracle: String = {
+    val wd = QSketchWidthCents
+    s"""WITH e AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+       |b AS (SELECT event_type, cents // $wd AS bin, count(*) AS cnt FROM e GROUP BY 1, 2),
+       |cb AS (SELECT event_type, bin,
+       |         sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum FROM b),
+       |nn AS (SELECT event_type, count(*) AS n FROM e GROUP BY 1),
+       |t AS (SELECT event_type, n, pct, $QuantTargetSql AS target
+       |      FROM (SELECT unnest([${QSketchPcts.mkString(", ")}]::BIGINT[]) AS pct), nn),
+       |est AS (SELECT t.event_type, t.pct, t.target, min(cb.bin) AS bin
+       |        FROM t JOIN cb ON cb.event_type = t.event_type AND cb.cum >= t.target
+       |        GROUP BY 1, 2, 3),
+       |vh AS (SELECT event_type, cents, count(*) AS cnt FROM e GROUP BY 1, 2),
+       |cv AS (SELECT event_type, cents,
+       |         sum(cnt) OVER (PARTITION BY event_type ORDER BY cents) AS cum FROM vh),
+       |ex AS (SELECT t.event_type, t.pct, min(cv.cents) AS exact_cents
+       |       FROM t JOIN cv ON cv.event_type = t.event_type AND cv.cum >= t.target
+       |       GROUP BY 1, 2)
+       |SELECT est.event_type, est.pct, est.target,
+       |       est.bin * $wd AS est_lo_cents, est.bin * $wd + ${wd - 1} AS est_hi_cents,
+       |       ex.exact_cents, ex.exact_cents - est.bin * $wd AS err_cents
+       |FROM est JOIN ex ON ex.event_type = est.event_type AND ex.pct = est.pct
+       |ORDER BY est.event_type, est.pct""".stripMargin
+  }
+
   /** The q149 funnel oracle with a conversion window: stage n counts
     * only within INTERVAL 1 DAY of stage n-1 — shared by the batch q157
     * and the streaming q158 gate (same digests as q149/q155; windowing

@@ -176,6 +176,54 @@ trait StreamingRegistry extends RegistryBase {
       } finally Staging.discard(stage)
     }),
 
+    // pillar sketches + streaming (18th gate): BIN-QUANTILE SKETCH
+    // MAINTENANCE ON A STREAM — each micro-batch emits its own
+    // (event_type, bin, cnt) table (overwrite per batchId: replay-
+    // idempotent); the tables SUM-merge after the stream drains and the
+    // q181 estimator reads off the merged sketch. Because micro-batches
+    // partition the input rows and bin counts are additive, the merged
+    // sketch is provably IDENTICAL to the batch sketch — same oracle as
+    // q181, exact audit included. This is the production percentile
+    // pipeline: per-batch/day sketches stored tiny, merged on demand,
+    // raw data never re-read.
+    "q182_stream_quantile_sketch" -> ((s, dir) => {
+      val stage = Staging.dir("q182-")
+      try {
+        val inDir = stage.resolve("in").toString
+        // genuine 4-file split → 4 micro-batches (the q155 convention)
+        s.read.schema(graft.streaming.EventStream.eventsSchemaDdl)
+          .parquet(s"$dir/events.parquet")
+          .repartition(4).write.mode("overwrite").parquet(inDir)
+        val outDir = stage.resolve("out").toString
+        val q = graft.streaming.EventStream.foreachBatchSink(
+          graft.streaming.EventStream.readEventStream(s, inDir, maxFilesPerTrigger = Some(1)),
+          identity) { (batch, batchId) =>
+            val cents = spreadBatch(s, batch)
+              .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+            Sketches.binCounts(cents, "event_type", "cents", QSketchWidthCents)
+              .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        }.start()
+        awaitGate("q182", q)
+        val merged = s.read.parquet(outDir).drop("batch")
+          .groupBy("event_type", "bin").agg(sum(col("cnt")).as("cnt"))
+        val est = Sketches.quantileFromBins(merged, "event_type", QSketchWidthCents, QSketchPcts)
+        // exact audit side from the static table (identical to q181's)
+        val exact = Sketches.quantileFromBins(
+            Sketches.binCounts(
+              rd(s, dir, "events")
+                .select(col("event_type"), round(col("value") * 100).cast("long").as("cents")),
+              "event_type", "cents", 1L),
+            "event_type", 1L, QSketchPcts)
+          .select(col("event_type"), col("pct"), col("est_lo").as("exact_cents"))
+        est.join(exact, Seq("event_type", "pct"))
+          .select(col("event_type"), col("pct"), col("target"),
+            col("est_lo").as("est_lo_cents"), col("est_hi").as("est_hi_cents"),
+            col("exact_cents"),
+            (col("exact_cents") - col("est_lo")).as("err_cents"))
+          .orderBy("event_type", "pct").localCheckpoint(true)
+      } finally Staging.discard(stage)
+    }),
+
     // pillar dedup + streaming: incremental dedup ON ARRIVAL — the q118
     // operator driven from the foreachBatch bridge: the incoming batch
     // arrives as a file stream, each micro-batch runs
@@ -570,6 +618,8 @@ trait StreamingRegistry extends RegistryBase {
 
     // 17th streaming gate: screen-on-arrival == the batch q175 screen
     "q176_stream_containment_screen" -> containScreenOracle,
+    // the sum-merged sketch is provably the batch sketch — q181's oracle
+    "q182_stream_quantile_sketch" -> binQuantOracle,
 
     // 13th streaming gate: per-user week-set digests union-merge exactly
     // (idempotent, replay-safe) — same oracle as q150

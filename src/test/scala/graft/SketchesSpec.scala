@@ -50,4 +50,55 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(est("a") - 1000) / 1000.0 < 0.39, s"a: ${est("a")}")
     assert(math.abs(est("b") - 10000) / 10000.0 < 0.39, s"b: ${est("b")}")
   }
+
+  // ---- bin-quantile sketch (q181/q182) ---------------------------------
+
+  private def skewed(grp: String, n: Int) =
+    // deterministic skewed longs in [0, ~n*7): clusters + a long tail
+    (0 until n).map(i => (grp, ((i * i) % (n * 7)).toLong)).toDF("g", "v")
+
+  test("bin-quantile: chosen bin contains the exact quantile (err in [0, width))") {
+    val df = skewed("a", 5000).union(skewed("b", 1234))
+    val width = 100L
+    val est = Sketches.quantileFromBins(
+      Sketches.binCounts(df, "g", "v", width), "g", width, Seq(50L, 90L, 99L))
+    val exact = Sketches.quantileFromBins(
+        Sketches.binCounts(df, "g", "v", 1L), "g", 1L, Seq(50L, 90L, 99L))
+      .select(col("g"), col("pct"), col("est_lo").as("ex"))
+    val joined = est.join(exact, Seq("g", "pct")).collect()
+    assert(joined.length == 6)
+    joined.foreach { r =>
+      val lo = r.getLong(r.fieldIndex("est_lo")); val hi = r.getLong(r.fieldIndex("est_hi"))
+      val ex = r.getLong(r.fieldIndex("ex"))
+      assert(lo <= ex && ex <= hi, s"exact $ex outside [$lo, $hi] in $r")
+      assert(hi - lo == width - 1)
+    }
+  }
+
+  test("bin-quantile: exact side (width 1) matches a driver-side sort") {
+    val vals = (0 until 3000).map(i => ((i * 31 + 7) % 977).toLong)
+    val df = vals.map(("g", _)).toDF("g", "v")
+    val got = Sketches.quantileFromBins(
+        Sketches.binCounts(df, "g", "v", 1L), "g", 1L, Seq(50L, 90L, 99L))
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    val sorted = vals.sorted
+    for (p <- Seq(50, 90, 99)) {
+      val target = math.max(1, math.ceil(p * vals.length / 100.0).toLong)
+      assert(got(p.toLong) == sorted((target - 1).toInt), s"p$p")
+    }
+  }
+
+  test("bin-quantile: sum-merged split sketches equal the whole sketch (q182's guarantee)") {
+    val df = skewed("a", 4000)
+    val whole = Sketches.binCounts(df, "g", "v", 50L)
+    val merged = Sketches.binCounts(df.filter(col("v") % 3 === 0), "g", "v", 50L)
+      .union(Sketches.binCounts(df.filter(col("v") % 3 === 1), "g", "v", 50L))
+      .union(Sketches.binCounts(df.filter(col("v") % 3 === 2), "g", "v", 50L))
+      .groupBy("g", "bin").agg(sum("cnt").as("cnt"))
+    assert(whole.except(merged).isEmpty && merged.except(whole).isEmpty)
+    // and the read-off over the merged sketch is row-identical
+    val a = Sketches.quantileFromBins(whole, "g", 50L, Seq(50L, 99L))
+    val b = Sketches.quantileFromBins(merged, "g", 50L, Seq(50L, 99L))
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+  }
 }
