@@ -27,6 +27,40 @@ trait EventsRegistry extends RegistryBase {
         )
         .orderBy("hour_epoch", "event_type")),
 
+    // events: RATE-ANOMALY DETECTION — per (event_type, hour), a z-test
+    // of the hourly count against the previous 24 CALENDAR hours
+    // (RANGE frame over hour_epoch seconds; rows only emit when the
+    // baseline is complete, n_base = 24, so a sparse series can't fake a
+    // spike off a thin window). The z-test is EXACT integer arithmetic:
+    // (x - μ) > z·σ with μ = s/n, σ² = (n·ss - s²)/n² cross-multiplies
+    // to dev = n·x - s > 0 ∧ dev² > z²·(n·ss - s²) — all BIGINT, no
+    // libm, oracle-exact. The window is per-key time-series work (one
+    // hash shuffle on event_type, sorted once); at 100 TB the hourly
+    // pre-aggregate is map-side combined so the window sees hours, not
+    // events. This is the ops-monitoring twin of q144's source drift.
+    "q185_rate_anomaly" -> ((s, dir) => {
+      val hours = rd(s, dir, "events")
+        .groupBy(col("event_type"),
+          (expr("ts div 3600000000000") * 3600).as("hour_epoch"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("event_type").orderBy("hour_epoch")
+        .rangeBetween(-86400L, -3600L)
+      hours
+        .withColumn("n_base", count(lit(1)).over(w))
+        .withColumn("base_sum", coalesce(sum(col("cnt")).over(w), lit(0L)))
+        .withColumn("base_sumsq",
+          coalesce(sum(col("cnt") * col("cnt")).over(w), lit(0L)))
+        .filter(col("n_base") === 24)
+        .withColumn("dev", col("cnt") * 24 - col("base_sum"))
+        .withColumn("is_anomaly",
+          col("dev") > 0 &&
+            col("dev") * col("dev") >
+              lit(9L) * (col("base_sumsq") * 24 - col("base_sum") * col("base_sum")))
+        .select("event_type", "hour_epoch", "cnt", "base_sum", "base_sumsq",
+          "dev", "is_anomaly")
+        .orderBy("event_type", "hour_epoch")
+    }),
+
     // events: backward as-of join — each click matched to the user's most
     // recent view at or before it (oracle = DuckDB's native ASOF JOIN)
     "q48_events_asof_join" -> ((s, dir) => {
@@ -286,6 +320,26 @@ trait EventsRegistry extends RegistryBase {
          |       string_agg(event_type, '>' ORDER BY tsn, event_id) AS path,
          |       count(*) AS n_events
          |FROM c GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin,
+
+    // same RANGE frame over hour_epoch seconds; DuckDB sum() over BIGINT
+    // widens to HUGEINT, so every windowed sum is cast back before the
+    // integer z-test algebra
+    "q185_rate_anomaly" ->
+      """WITH h AS (SELECT event_type, epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch,
+        |                  count(*) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type, hour_epoch, cnt,
+        |        count(*) OVER w AS n_base,
+        |        coalesce(sum(cnt) OVER w, 0)::BIGINT AS base_sum,
+        |        coalesce(sum(cnt * cnt) OVER w, 0)::BIGINT AS base_sumsq
+        |      FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hour_epoch
+        |                          RANGE BETWEEN 86400 PRECEDING AND 3600 PRECEDING))
+        |SELECT event_type, hour_epoch, cnt, base_sum, base_sumsq,
+        |       24 * cnt - base_sum AS dev,
+        |       (24 * cnt - base_sum > 0 AND
+        |        (24 * cnt - base_sum) * (24 * cnt - base_sum) >
+        |          9 * (24 * base_sumsq - base_sum * base_sum)) AS is_anomaly
+        |FROM b WHERE n_base = 24 ORDER BY event_type, hour_epoch""".stripMargin,
 
     // shared with the streaming q155 gate — see RegistryBase.funnelOracle
     "q149_event_funnel" -> funnelOracle,
