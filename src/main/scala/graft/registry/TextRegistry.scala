@@ -484,6 +484,62 @@ trait TextRegistry extends RegistryBase {
         .orderBy("doc_id")
     }),
 
+    // pillar text analysis: PER-LANGUAGE QUALITY TERCILES — the CCNet
+    // head/middle/tail split (Wenzek et al., LREC'20): score each doc by
+    // its LM quality signal, then bucket against ITS OWN LANGUAGE's
+    // tercile cutoffs, because a single global threshold over-prunes
+    // whichever language the LM models worst. Score = mean INVERSE
+    // conditional bigram probability, integer-floored per bigram
+    // (sum(c1 div c12), scaled per-bigram ×1000; lower = better) — a
+    // perplexity proxy that stays pure BIGINT (a float surprisal SUM
+    // would be order-dependent) yet has enough spread to cut real
+    // terciles where q114's boolean rarity rate ties at 0 corpus-wide.
+    // Cutoffs come from a per-lang HISTOGRAM cumsum (bounded by distinct
+    // scores, <= 1e6 rows per lang at ANY corpus size — never a global
+    // sort of docs), targets are pure-integer ceil((b*n)/3) = (b*n+2)
+    // div 3, and the langs×2 cutoff table broadcasts back onto docs.
+    "q184_lm_quality_buckets" -> ((s, dir) => {
+      val toks = spread(s, rd(s, dir, "documents"))
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.whitespaceTokens(lower(col("text"))).as("toks"))
+        .localCheckpoint(false) // feeds the bigram AND unigram branches
+      val bi = toks.filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), col("lang"),
+          explode(transform(sequence(lit(1), size(col("toks")) - 1),
+            i => struct(element_at(col("toks"), i).as("w1"),
+              element_at(col("toks"), i + 1).as("w2")))).as("b"))
+        .select(col("doc_id"), col("lang"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val uni = toks.select(explode(col("toks")).as("w1"))
+        .groupBy("w1").agg(count(lit(1)).as("c1"))
+      val big = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val scored = bi.join(big, Seq("w1", "w2")).join(uni, Seq("w1"))
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(expr("c1 div c12")).as("rsum"))
+        .withColumn("rarity", expr("(rsum * 1000) div n_bigrams"))
+        .localCheckpoint(false) // feeds the histogram AND the bucket join
+      val cum = scored.groupBy("lang", "rarity").agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(
+          Window.partitionBy("lang").orderBy("rarity")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val cuts = scored.groupBy("lang").agg(count(lit(1)).as("n"))
+        .select(col("lang"), col("n"), explode(array(lit(1L), lit(2L))).as("b"))
+        .withColumn("target", expr("(b * n + 2) div 3"))
+        .join(cum, Seq("lang"))
+        .filter(col("cum") >= col("target"))
+        .groupBy("lang", "b").agg(min(col("rarity")).as("cut"))
+        .groupBy("lang").agg(
+          max(when(col("b") === 1, col("cut"))).as("c1v"),
+          max(when(col("b") === 2, col("cut"))).as("c2v"))
+      scored.join(broadcast(cuts), Seq("lang"))
+        .withColumn("bucket",
+          when(col("rarity") <= col("c1v"), lit("head"))
+            .when(col("rarity") <= col("c2v"), lit("middle"))
+            .otherwise(lit("tail")))
+        .select("doc_id", "lang", "rarity", "bucket")
+        .orderBy("doc_id")
+    }),
+
     // pillar text analysis: GRADED benchmark contamination — q85/q113
     // decide a boolean (any shared span); real decontamination triages by
     // the overlap FRACTION (n-gram overlap ratio, the GPT-3/PaLM
@@ -1209,6 +1265,38 @@ trait TextRegistry extends RegistryBase {
          |       min(c12.c12::DOUBLE / c1.c1) AS min_prob
          |FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q114's scoring CTEs + per-lang tercile cutoffs; every windowed sum
+    // and the ppm division cast back to BIGINT (DuckDB sums widen)
+    "q184_lm_quality_buckets" ->
+      s"""WITH t AS (SELECT doc_id, lang, $tokensLowerSql AS toks FROM documents WHERE trim(text) <> ''),
+         |bb AS (SELECT doc_id, lang,
+         |         unnest(list_transform(range(1, len(toks)),
+         |           i -> {'w1': toks[i::INT], 'w2': toks[(i::INT)+1]})) AS b
+         |       FROM t WHERE len(toks) >= 2),
+         |bi AS (SELECT doc_id, lang, b.w1 AS w1, b.w2 AS w2 FROM bb),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM (SELECT unnest(toks) AS w1 FROM t) GROUP BY w1),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2),
+         |sc AS (SELECT doc_id, lang, count(*) AS n_bigrams,
+         |         sum(c1.c1 // c12.c12)::BIGINT AS rsum
+         |       FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+         |       GROUP BY doc_id, lang),
+         |s2 AS (SELECT doc_id, lang, ((rsum * 1000) // n_bigrams)::BIGINT AS rarity FROM sc),
+         |h AS (SELECT lang, rarity, count(*) AS cnt FROM s2 GROUP BY 1, 2),
+         |c AS (SELECT lang, rarity,
+         |        sum(cnt) OVER (PARTITION BY lang ORDER BY rarity) AS cum FROM h),
+         |nn AS (SELECT lang, count(*) AS n FROM s2 GROUP BY 1),
+         |tg AS (SELECT lang, n, b, (b * n + 2) // 3 AS target
+         |       FROM (SELECT unnest([1, 2]::BIGINT[]) AS b), nn),
+         |ct AS (SELECT tg.lang, tg.b, min(c.rarity) AS cut
+         |       FROM tg JOIN c ON c.lang = tg.lang AND c.cum >= tg.target
+         |       GROUP BY 1, 2),
+         |cuts AS (SELECT lang, max(CASE WHEN b = 1 THEN cut END) AS c1v,
+         |                max(CASE WHEN b = 2 THEN cut END) AS c2v FROM ct GROUP BY lang)
+         |SELECT s2.doc_id, s2.lang, s2.rarity,
+         |       CASE WHEN rarity <= c1v THEN 'head'
+         |            WHEN rarity <= c2v THEN 'middle' ELSE 'tail' END AS bucket
+         |FROM s2 JOIN cuts ON cuts.lang = s2.lang ORDER BY s2.doc_id""".stripMargin,
 
     "q151_quality_checks" ->
       """WITH checks AS (
