@@ -728,6 +728,70 @@ object Dedup {
       .select("id_a", "id_b", "containment")
   }
 
+  /** Bottom-k sketch SCREEN for the containment join, with its audit —
+    * the q147/q154/q170 shape applied to q173. containmentPairs' exact
+    * one-sided prefix still explodes (1-t)·|A|+1 shingles per doc; the
+    * bottom-k screen joins a CONSTANT k hashes per doc instead: under a
+    * uniform hash, A's k smallest shingle hashes are a uniform random
+    * k-subset of A, so the fraction of them found anywhere in B is an
+    * unbiased estimate of |A∩B|/|A| (Broder's bottom-k containment,
+    * SEQUENCES'97 — the Mash-screen estimator). Pairs pass the screen at
+    * m >= ceil(screenFrac·k) with screenFrac < threshold so recall is
+    * traded explicitly, never silently.
+    *
+    * Output: one row per k — (k, n_truth, n_candidates, n_hit, recall,
+    * precision) against the EXACT containmentPairs truth at `threshold`.
+    * All counts BIGINT; the two ratios are single exact IEEE divides.
+    * Hashes are md5-derived (positive 60-bit, ascending sort = uniform
+    * sample) so a SQL oracle reproduces the sample bit-for-bit; when
+    * k >= |A| the sample IS A and the screen equals exact containment
+    * >= screenFrac (the spec pins this degenerate-exactness property).
+    */
+  def containmentScreenAudit(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int,
+      threshold: Double,
+      ks: Seq[Int],
+      screenFrac: Double
+  ): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), "sample sizes must be positive")
+    require(screenFrac > 0 && screenFrac <= threshold,
+      "screen must not be stricter than the audited threshold")
+    val hashed = docs
+      .select(
+        col(idCol),
+        array_sort(array_distinct(transform(
+          shingleSet(col(textCol), shingleN),
+          g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")))).as("hs"))
+      .withColumn("nsh", size(col("hs")))
+      .filter(col("nsh") > 0)
+      .localCheckpoint(false) // feeds the sample side, the postings, and the truth
+    val full = hashed.select(col(idCol).as("id_b"), explode(col("hs")).as("h"))
+    val sampled = hashed
+      .select(col(idCol).as("id_a"), col("hs"), col("nsh"),
+        explode(array(ks.map(lit(_)): _*)).as("k"))
+      .select(col("id_a"), col("k"), least(col("k"), col("nsh")).as("ka"),
+        explode(slice(col("hs"), lit(1), least(col("k"), col("nsh")))).as("h"))
+    val m = sampled.join(full, Seq("h"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy("k", "id_a", "id_b", "ka").agg(count(lit(1)).as("m"))
+    val cands = m.filter(col("m") >= ceil(lit(screenFrac) * col("ka")))
+    val truth = containmentPairs(docs, idCol, textCol, shingleN, threshold)
+      .select(col("id_a"), col("id_b"), lit(1L).as("is_true"))
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    cands.join(truth, Seq("id_a", "id_b"), "left")
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(coalesce(col("is_true"), lit(0L))).as("n_hit"))
+      .crossJoin(broadcast(nTruth))
+      .select(col("k").cast("long").as("k"), col("n_truth"),
+        col("n_candidates"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_truth")).as("recall"),
+        (col("n_hit").cast("double") / col("n_candidates")).as("precision"))
+  }
+
   /** Incremental CONTAINMENT screen — the ingest-time question
     * containmentPairs answers in batch: is this NEW document an excerpt
     * / partial copy of something already in the corpus (>= t of its

@@ -57,6 +57,22 @@ trait DedupRegistry extends RegistryBase {
           shingleN = 6, threshold = 0.7)
         .orderBy("id_a", "id_b")),
 
+    // pillar dedup: BOTTOM-K CONTAINMENT SCREEN AUDIT — the sketched
+    // scale path for q173, audited like q147/q154/q170: A's k smallest
+    // md5 shingle hashes are a uniform sample of A, so the fraction
+    // found in B estimates |A∩B|/|A| with CONSTANT per-doc join cost
+    // (k hashes vs the exact prefix's (1-t)|A|+1). One row per k:
+    // candidates at m >= ceil(0.5 k) vs the exact 0.7-containment truth,
+    // recall/precision as exact integer-ratio divides. k >= |A| makes
+    // the sample exact (DedupSpec pins it); the audit shows where the
+    // k-for-recall trade sits before anyone ships a k.
+    "q183_containment_screen_audit" -> ((s, dir) =>
+      Dedup.containmentScreenAudit(
+          spread(s, rd(s, dir, "documents")), "doc_id", "text",
+          shingleN = 6, threshold = 0.7,
+          ks = ContainSketchKs, screenFrac = ContainScreenFrac)
+        .orderBy("k")),
+
     // pillar dedup: group resolution — near-dup pairs collapsed into
     // (doc_id, keep_id) connected components via distributed min-label
     // propagation (pairs alone are an edge list; THIS is the keep-one
@@ -538,6 +554,37 @@ trait DedupRegistry extends RegistryBase {
     // exact all-pairs containment on RAW shingle strings: the operator is
     // hash-independent (prefix filter + exact intersect), so the oracle
     // needs no hash mirroring — set sizes are what both engines compare
+    // same md5-60bit ascending sample both engines; truth over the hashed
+    // sets (identical to string-set containment absent md5 collisions,
+    // the q173-established parity)
+    "q183_containment_screen_audit" ->
+      s"""WITH d AS (SELECT doc_id,
+         |         list_sort(list_distinct(list_transform(${docShinglesSql(6)},
+         |           g -> ('0x' || substr(md5(g), 1, 15))::BIGINT))) AS hs
+         |       FROM documents),
+         |ok AS (SELECT doc_id, hs, len(hs) AS nsh FROM d WHERE len(hs) > 0),
+         |fl AS (SELECT doc_id AS id_b, unnest(hs) AS h FROM ok),
+         |ks AS (SELECT unnest([${ContainSketchKs.mkString(", ")}]::BIGINT[]) AS k),
+         |sp AS (SELECT ok.doc_id AS id_a, ks.k, least(ks.k, ok.nsh) AS ka,
+         |              unnest(ok.hs[1:least(ks.k, ok.nsh)::INT]) AS h
+         |       FROM ok, ks),
+         |mm AS (SELECT sp.k, sp.id_a, fl.id_b, sp.ka, count(*) AS m
+         |       FROM sp JOIN fl ON sp.h = fl.h AND sp.id_a <> fl.id_b
+         |       GROUP BY sp.k, sp.id_a, fl.id_b, sp.ka),
+         |cand AS (SELECT * FROM mm WHERE m >= ceil($ContainScreenFrac * ka)),
+         |tr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |       FROM ok a JOIN ok b ON a.doc_id <> b.doc_id
+         |       WHERE len(list_intersect(a.hs, b.hs))::DOUBLE / a.nsh >= 0.7),
+         |nt AS (SELECT count(*) AS n_truth FROM tr),
+         |agg AS (SELECT k, count(*) AS n_candidates,
+         |               sum(CASE WHEN tr.id_a IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit
+         |        FROM cand LEFT JOIN tr ON cand.id_a = tr.id_a AND cand.id_b = tr.id_b
+         |        GROUP BY k)
+         |SELECT k, n_truth, n_candidates, n_hit,
+         |       n_hit::DOUBLE / n_truth AS recall,
+         |       n_hit::DOUBLE / n_candidates AS "precision"
+         |FROM agg, nt ORDER BY k""".stripMargin,
+
     "q173_containment_pairs" ->
       s"""WITH d AS (SELECT doc_id, ${docShinglesSql(6)} AS sh FROM documents),
          |ok AS (SELECT * FROM d WHERE len(sh) > 0),

@@ -467,6 +467,13 @@ trait RegistryBase {
   protected val QSketchWidthCents = 1000L
   protected val QSketchPcts = Seq(50L, 90L, 99L)
 
+  /** q183's bottom-k containment-screen audit: sample sizes swept and
+    * the screen's pass fraction (deliberately below q173's 0.7 exact
+    * threshold — the recall/precision trade the audit row measures).
+    */
+  protected val ContainSketchKs = Seq(8, 16, 32, 64)
+  protected val ContainScreenFrac = 0.5
+
   /** Shared oracle for the bin-quantile sketch (batch q181 and the
     * streaming q182 gate, whose sum-merged sketch is provably identical
     * to the batch sketch): estimate read-off per (event_type, pct) plus

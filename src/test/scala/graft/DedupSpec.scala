@@ -188,6 +188,34 @@ class DedupSpec extends SparkSpec {
     assert(fast == brute)
   }
 
+  test("containmentScreenAudit: k >= |A| degenerates to exact containment >= screenFrac") {
+    import spark.implicits._
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta")
+    val corpus = (0 until 30).map { i =>
+      val n = 4 + (i % 5)
+      (i.toLong, (0 until n).map(j => words((i * 7 + j * 3) % words.length)).mkString(" "))
+    }.toDF("doc_id", "text")
+    // k = 1000 >= every doc's shingle count → the sample IS the full set,
+    // so candidates = pairs with exact containment >= 0.5, and at
+    // threshold 0.5 = screenFrac the audit must report recall 1.0 AND
+    // precision 1.0 (candidates == truth, both from the same sets)
+    val audit = Dedup.containmentScreenAudit(
+        corpus, "doc_id", "text", shingleN = 3, threshold = 0.5,
+        ks = Seq(4, 1000), screenFrac = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5))).toMap
+    val (nTruth, nCand, nHit, recall, precision) = audit(1000L)
+    assert(nTruth > 0, "fixture generated no containment pairs")
+    assert(nCand == nTruth && nHit == nTruth, s"k>=|A| not exact: $audit")
+    assert(recall == 1.0 && precision == 1.0)
+    // the small-k row stays internally coherent (hits bounded by both
+    // sides; the ratios are exactly the integer ratios)
+    val (nT4, nCand4, nHit4, rec4, prec4) = audit(4L)
+    assert(nT4 == nTruth && nHit4 <= math.min(nCand4, nTruth))
+    assert(rec4 == nHit4.toDouble / nTruth && prec4 == nHit4.toDouble / nCand4)
+  }
+
   test("incrementalContainmentScreen: prefix-filtered screen == brute-force incoming x corpus") {
     import spark.implicits._
     val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta")
