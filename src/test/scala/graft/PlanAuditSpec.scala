@@ -73,6 +73,9 @@ class PlanAuditSpec extends SparkSpec {
     // q147: each config row crossJoins the 1-row truth-total aggregate
     // (the q74/q97 1-row-broadcast-total shape)
     "q147_lsh_tuning_audit",
+    // q183: q147's audit shape — the per-k rows crossJoin the 1-row
+    // containment-truth total
+    "q183_containment_screen_audit",
     // q141/q143: q123's class — the 1-row sample-rate broadcast plus the
     // every-vector-vs-broadcast-centroid-set Lloyd/assign scoring
     "q141_doc_cluster_assign", "q143_cluster_balanced_sample",
