@@ -125,6 +125,48 @@ object Sketches {
         (col("bin") * width + (width - 1)).as("est_hi"))
   }
 
+  /** Count-min sketch depth (independent hash rows) and width (buckets
+    * per row) — shared by the q129 batch build and the q188 streaming
+    * merge gate.
+    */
+  val CmsDepth = 4
+  val CmsWidth = 256L
+
+  /** Count-min sketch rows (j, bkt, c) over a (term, cnt) frame: row j's
+    * bucket is an md5-derived hash of "j:term", c sums the counts landing
+    * in the bucket (Cormode & Muthukrishnan, J.Alg'05). Bucket sums are
+    * LINEAR in the term counts, so sketches over any row-partition of the
+    * corpus (files, days, micro-batches) sum-merge into exactly the
+    * corpus sketch — the q188 streaming gate pins this against q129's
+    * batch oracle. d*w bounded rows out, one map-side-combined aggregate.
+    */
+  def cmsRows(terms: DataFrame, termCol: String, cntCol: String): DataFrame = {
+    val rows = (0 until CmsDepth).map(j =>
+      terms.select(lit(j.toLong).as("j"),
+        cmsBucket(j, termCol).as("bkt"), col(cntCol).as("cnt")))
+    rows.reduce(_.union(_))
+      .groupBy("j", "bkt").agg(sum("cnt").as("c"))
+  }
+
+  /** Row-j bucket for a term: md5("j:term") folded to [0, CmsWidth). */
+  def cmsBucket(j: Int, termCol: String) =
+    pmod(conv(substring(md5(concat(lit(s"$j:"), col(termCol))), 1, 15), 16, 10)
+      .cast("long"), lit(CmsWidth))
+
+  /** Point-estimate read-off: each (term, cnt) probes its CmsDepth
+    * buckets in the (broadcastable, d*w-row) sketch and takes the min —
+    * the classic CMS upper bound (est >= cnt always; over-count bounded
+    * by colliding mass).
+    */
+  def cmsEstimate(terms: DataFrame, sketch: DataFrame, termCol: String, cntCol: String): DataFrame = {
+    val probes = (0 until CmsDepth).map(j =>
+      terms.select(col(termCol), col(cntCol), lit(j.toLong).as("j"),
+        cmsBucket(j, termCol).as("bkt")))
+    probes.reduce(_.union(_))
+      .join(broadcast(sketch), Seq("j", "bkt"))
+      .groupBy(termCol, cntCol).agg(min("c").as("est"))
+  }
+
   def hllEstimate(regs: DataFrame, grpCol: String): DataFrame =
     regs
       .withColumn("contrib",

@@ -259,6 +259,57 @@ trait AnnRegistry extends RegistryBase {
         .orderBy("event_type", "pct")
     }),
 
+    // pillar similarity: k-NN GRAPH BUILD — the neighbor-graph
+    // construction step under graph-based clustering and NN-descent
+    // seeding: per node, the top-K most-cosine-similar neighbors among
+    // its SRP band collisions (q107's candidate machinery, both
+    // directions), plus the MUTUAL flag (i in j's list AND j in i's) that
+    // graph algorithms cut on — mutual edges are the high-precision
+    // backbone. Scale: candidates bounded by band-bucket occupancy (no
+    // all-pairs), the per-node rank is WindowGroupLimit-able top-k over
+    // those bounded lists, and the mutual check is an equi-join of the
+    // (already tiny) edge list against its own reversal.
+    "q186_knn_graph" -> ((s, dir) => {
+      val v = transform(col("embedding"), x => x.cast("double"))
+      val sig = SrpPlanes.zipWithIndex.map { case (p, b) =>
+        val plane = array(p.map(lit(_)): _*).cast("array<double>")
+        val dot = org.apache.spark.sql.graft.ArrayDot.doubleDot(v, plane)
+        when(dot > 0.0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val e = rd(s, dir, "embeddings")
+        .select(col("vec_id"), sig.as("srp_sig"), v.as("dv"))
+        .withColumn("nrm", Similarity.l2Norm(col("dv")))
+      val vecs = e.select(col("vec_id"), col("dv"), col("nrm"))
+      val banded = e.select(col("vec_id"),
+          explode(array(
+            struct(lit(0).as("band"), col("srp_sig").bitwiseAND(lit(255L)).as("key")),
+            struct(lit(1).as("band"), shiftright(col("srp_sig"), 8).as("key")))).as("bk"))
+        .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      val cand = banded.alias("a")
+        .join(banded.alias("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
+        .distinct() // a pair can collide in both bands
+      val scored = cand
+        .join(vecs.select(col("vec_id").as("src"), col("dv").as("dv_a"), col("nrm").as("nrm_a")), Seq("src"))
+        .join(vecs.select(col("vec_id").as("dst"), col("dv").as("dv_b"), col("nrm").as("nrm_b")), Seq("dst"))
+        .withColumn("cos_sim", Similarity.dot(col("dv_a"), col("dv_b")) / (col("nrm_a") * col("nrm_b")))
+        .select("src", "dst", "cos_sim")
+      val topm = scored.withColumn("rank", row_number().over(
+          Window.partitionBy("src").orderBy(col("cos_sim").desc, col("dst").asc))
+          .cast("long"))
+        .filter(col("rank") <= KnnGraphK)
+        .localCheckpoint(false) // feeds the edge list AND its reversal
+      topm.alias("x")
+        .join(topm.select(col("src").as("rsrc"), col("dst").as("rdst")).alias("r"),
+          col("x.src") === col("r.rdst") && col("x.dst") === col("r.rsrc"), "left")
+        .select(col("x.src").as("src"), col("x.dst").as("dst"),
+          col("x.rank").as("rank"), col("x.cos_sim").as("cos_sim"),
+          col("r.rsrc").isNotNull.as("mutual"))
+        .orderBy("src", "rank")
+    }),
+
     // pillar similarity: ANN QUALITY REPORT — the recall@k / MRR audit
     // an ANN deployment runs continuously, as a first-class query: the
     // trained-IVF index (q43's exact configuration) joined against
@@ -317,25 +368,11 @@ trait AnnRegistry extends RegistryBase {
     // the dictionary so the oracle can check every estimate exactly.
     // Integer end-to-end.
     "q129_cms_heavy_hitters" -> ((s, dir) => {
-      val d = 4
-      val w = 256
       val terms = spread(s, rd(s, dir, "documents"))
         .select(explode(TextFunctions.whitespaceTokens(lower(col("text")))).as("term"))
         .groupBy("term").agg(count(lit(1)).as("cnt"))
         .localCheckpoint(false) // feeds the sketch build AND the estimate probe
-      def bucket(j: Int): Column =
-        pmod(conv(substring(md5(concat(lit(s"$j:"), col("term"))), 1, 15), 16, 10)
-          .cast("long"), lit(w.toLong))
-      val rows = (0 until d).map(j =>
-        terms.select(lit(j.toLong).as("j"), bucket(j).as("bkt"), col("cnt")))
-      val sketch = rows.reduce(_.union(_))
-        .groupBy("j", "bkt").agg(sum("cnt").as("c"))
-      val probes = (0 until d).map(j =>
-        terms.select(col("term"), col("cnt"), lit(j.toLong).as("j"), bucket(j).as("bkt")))
-      val est = probes.reduce(_.union(_))
-        .join(broadcast(sketch), Seq("j", "bkt"))
-        .groupBy("term", "cnt").agg(min("c").as("est"))
-      est
+      Sketches.cmsEstimate(terms, Sketches.cmsRows(terms, "term", "cnt"), "term", "cnt")
         .withColumn("over", col("est") - col("cnt"))
         .orderBy(col("est").desc, col("term").asc)
         .limit(20)
@@ -518,6 +555,36 @@ trait AnnRegistry extends RegistryBase {
          |SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.3 ORDER BY id_a, id_b""".stripMargin
     },
 
+    // q107's SRP banding CTEs with directed candidates, then per-src
+    // top-K rank and the mutual self-join of the edge list
+    "q186_knn_graph" -> {
+      val planeSum = SrpPlanes.zipWithIndex.map { case (p, b) =>
+        val lst = p.mkString("[", ", ", "]")
+        s"CASE WHEN list_sum(list_transform(range(1, 65), i -> v[i::INT] * ($lst)[i::INT])) > 0 THEN ${1L << b} ELSE 0 END"
+      }.mkString("(", " + ", ")")
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         |s AS (SELECT vec_id, $planeSum::BIGINT AS srp_sig FROM e),
+         |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+         |banded AS (
+         |  SELECT vec_id, 0 AS band, srp_sig % 256 AS key FROM s
+         |  UNION ALL
+         |  SELECT vec_id, 1 AS band, srp_sig // 256 AS key FROM s),
+         |cand AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+         |         FROM banded a JOIN banded b
+         |         ON a.band = b.band AND a.key = b.key AND a.vec_id <> b.vec_id),
+         |scored AS (SELECT c.src, c.dst,
+         |    list_sum(list_transform(range(1, 65), i -> na.v[i::INT] * nb.v[i::INT])) / (na.nrm * nb.nrm) AS cos_sim
+         |  FROM cand c JOIN n na ON na.vec_id = c.src JOIN n nb ON nb.vec_id = c.dst),
+         |topm AS (SELECT * FROM (
+         |    SELECT src, dst, cos_sim,
+         |           row_number() OVER (PARTITION BY src ORDER BY cos_sim DESC, dst ASC) AS rank
+         |    FROM scored)
+         |  WHERE rank <= $KnnGraphK)
+         |SELECT t.src, t.dst, t.rank, t.cos_sim, r.src IS NOT NULL AS mutual
+         |FROM topm t LEFT JOIN topm r ON r.src = t.dst AND r.dst = t.src
+         |ORDER BY t.src, t.rank""".stripMargin
+    },
+
     "q109_pq_encode" ->
       s"""$pqDistsSql
          |SELECT vec_id, sub_id, code, dist_q FROM (
@@ -609,27 +676,8 @@ trait AnnRegistry extends RegistryBase {
         |       coalesce(1.0 / rot, 0.0) AS rr_top1
         |FROM hits ORDER BY q_id""".stripMargin,
 
-    "q129_cms_heavy_hitters" ->
-      s"""WITH terms AS (
-         |  SELECT word AS term, CAST(count(*) AS BIGINT) AS cnt
-         |  FROM (SELECT unnest($tokensLowerSql) AS word FROM documents)
-         |  GROUP BY word),
-         |rows_ AS (
-         |  SELECT j.range AS j,
-         |         ('0x' || substr(md5(j.range || ':' || term), 1, 15))::BIGINT % 256 AS bkt,
-         |         cnt
-         |  FROM terms, range(0, 4) j),
-         |sketch AS (SELECT j, bkt, CAST(sum(cnt) AS BIGINT) AS c FROM rows_ GROUP BY j, bkt),
-         |est AS (
-         |  SELECT t.term, t.cnt, CAST(min(s.c) AS BIGINT) AS est
-         |  FROM (SELECT j.range AS j,
-         |               ('0x' || substr(md5(j.range || ':' || term), 1, 15))::BIGINT % 256 AS bkt,
-         |               term, cnt
-         |        FROM terms, range(0, 4) j) t
-         |  JOIN sketch s ON s.j = t.j AND s.bkt = t.bkt
-         |  GROUP BY t.term, t.cnt)
-         |SELECT term, cnt, est, est - cnt AS "over"
-         |FROM est ORDER BY est DESC, term ASC LIMIT 20""".stripMargin,
+    // shared with the streaming q188 gate — see RegistryBase.cmsOracle
+    "q129_cms_heavy_hitters" -> cmsOracle,
 
     "q124_ivfpq_residual_topk" ->
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> floor(x::DOUBLE * 1000)::BIGINT) AS qv FROM embeddings),

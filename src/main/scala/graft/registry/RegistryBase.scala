@@ -369,6 +369,24 @@ trait RegistryBase {
     */
   protected val BpeSteps = 3
 
+  /** Candidate training-sequence lengths for the q189 packing-efficiency
+    * sweep (shared with its oracle SQL). PackSeqLen is one of them so the
+    * sweep's 512 row reconciles with q128's layout.
+    */
+  protected val PackSweepLens = Seq(128L, 256L, 512L, 1024L)
+
+  /** Coarse histogram width over the q184 rarity score for the q187
+    * retention curve (shared with its oracle SQL): buckets the per-doc
+    * score so the curve has one row per (source, score tier), never one
+    * per doc.
+    */
+  protected val RetentionBucketW = 500L
+
+  /** Neighbors kept per node in the q186 kNN-graph build (shared with
+    * its oracle SQL).
+    */
+  protected val KnnGraphK = 3L
+
   /** SemDeDup within-cluster cosine threshold (q117; same value as the
     * q46 near-dup cutoff so the two embedding-dedup surfaces agree).
     */
@@ -503,6 +521,33 @@ trait RegistryBase {
        |FROM est JOIN ex ON ex.event_type = est.event_type AND ex.pct = est.pct
        |ORDER BY est.event_type, est.pct""".stripMargin
   }
+
+  /** Shared oracle for the count-min heavy hitters (batch q129 and the
+    * streaming q188 gate, whose sum-merged sketch is provably identical
+    * to the batch sketch: bucket sums are linear in the term counts, and
+    * micro-batches partition the corpus rows).
+    */
+  protected lazy val cmsOracle: String =
+    s"""WITH terms AS (
+       |  SELECT word AS term, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest($tokensLowerSql) AS word FROM documents)
+       |  GROUP BY word),
+       |rows_ AS (
+       |  SELECT j.range AS j,
+       |         ('0x' || substr(md5(j.range || ':' || term), 1, 15))::BIGINT % 256 AS bkt,
+       |         cnt
+       |  FROM terms, range(0, 4) j),
+       |sketch AS (SELECT j, bkt, CAST(sum(cnt) AS BIGINT) AS c FROM rows_ GROUP BY j, bkt),
+       |est AS (
+       |  SELECT t.term, t.cnt, CAST(min(s.c) AS BIGINT) AS est
+       |  FROM (SELECT j.range AS j,
+       |               ('0x' || substr(md5(j.range || ':' || term), 1, 15))::BIGINT % 256 AS bkt,
+       |               term, cnt
+       |        FROM terms, range(0, 4) j) t
+       |  JOIN sketch s ON s.j = t.j AND s.bkt = t.bkt
+       |  GROUP BY t.term, t.cnt)
+       |SELECT term, cnt, est, est - cnt AS "over"
+       |FROM est ORDER BY est DESC, term ASC LIMIT 20""".stripMargin
 
   /** The q149 funnel oracle with a conversion window: stage n counts
     * only within INTERVAL 1 DAY of stage n-1 — shared by the batch q157

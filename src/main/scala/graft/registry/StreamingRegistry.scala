@@ -224,6 +224,50 @@ trait StreamingRegistry extends RegistryBase {
       } finally Staging.discard(stage)
     }),
 
+    // pillar sketches + streaming (19th gate): COUNT-MIN SKETCH
+    // MAINTENANCE ON A STREAM — each micro-batch counts its own terms and
+    // emits its own d x w CMS table (overwrite per batchId: replay-
+    // idempotent); the tables SUM-merge after the stream drains and the
+    // q129 heavy-hitter probe reads off the merged sketch. Bucket sums
+    // are LINEAR in term counts and micro-batches partition the corpus
+    // rows, so the merged sketch is provably IDENTICAL to the batch
+    // sketch — same oracle as q129. The production frequency pipeline:
+    // per-batch sketches stored tiny (d*w rows), merged on demand, raw
+    // text never re-read.
+    "q188_stream_cms_topk" -> ((s, dir) => {
+      val stage = Staging.dir("q188-")
+      try {
+        val inDir = stage.resolve("in").toString
+        // genuine 4-file split → 4 micro-batches (the q155 convention)
+        rd(s, dir, "documents").repartition(4).write.mode("overwrite").parquet(inDir)
+        val outDir = stage.resolve("out").toString
+        val schema = rd(s, dir, "documents").schema
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir)
+        val q = graft.streaming.EventStream.foreachBatchSink(stream, identity) {
+          (batch, batchId) =>
+            val terms = spreadBatch(s, batch)
+              .select(explode(TextFunctions.whitespaceTokens(lower(col("text")))).as("term"))
+              .groupBy("term").agg(count(lit(1)).as("cnt"))
+            Sketches.cmsRows(terms, "term", "cnt")
+              .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        }.start()
+        awaitGate("q188", q)
+        val merged = s.read.parquet(outDir).drop("batch")
+          .groupBy("j", "bkt").agg(sum(col("c")).as("c"))
+        // probe side from the static table (exactly q129's term counts)
+        val terms = spread(s, rd(s, dir, "documents"))
+          .select(explode(TextFunctions.whitespaceTokens(lower(col("text")))).as("term"))
+          .groupBy("term").agg(count(lit(1)).as("cnt"))
+        Sketches.cmsEstimate(terms, merged, "term", "cnt")
+          .withColumn("over", col("est") - col("cnt"))
+          .orderBy(col("est").desc, col("term").asc)
+          .limit(20)
+          .select("term", "cnt", "est", "over")
+          .localCheckpoint(true)
+      } finally Staging.discard(stage)
+    }),
+
     // pillar dedup + streaming: incremental dedup ON ARRIVAL — the q118
     // operator driven from the foreachBatch bridge: the incoming batch
     // arrives as a file stream, each micro-batch runs
@@ -620,6 +664,10 @@ trait StreamingRegistry extends RegistryBase {
     "q176_stream_containment_screen" -> containScreenOracle,
     // the sum-merged sketch is provably the batch sketch — q181's oracle
     "q182_stream_quantile_sketch" -> binQuantOracle,
+
+    // shared with the batch q129 — the sum-merged micro-batch sketch is
+    // provably the batch sketch (bucket sums linear in term counts)
+    "q188_stream_cms_topk" -> cmsOracle,
 
     // 13th streaming gate: per-user week-set digests union-merge exactly
     // (idempotent, replay-safe) — same oracle as q150

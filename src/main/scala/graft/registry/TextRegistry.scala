@@ -1045,7 +1045,101 @@ trait TextRegistry extends RegistryBase {
       graft.operators.TextAnalysis.proximitySearch(
           spread(s, rd(s, dir, "documents")), "doc_id", "text",
           TrigramPatterns, ProximityWindowK)
-        .orderBy("phrase", "doc_id"))
+        .orderBy("phrase", "doc_id")),
+
+    // pillar text analysis: QUALITY-RETENTION CURVE — the threshold-sweep
+    // report behind every "where do we set the quality cutoff" decision:
+    // for each source and each coarse tier of the q184 LM rarity score
+    // (lower = better), how many docs and tokens survive a "keep rarity
+    // <= tier" filter, as counts and exact ppm fractions. q184 PICKS
+    // per-language cutoffs; this exposes the whole curve so a token
+    // budget can be traded against quality per source. Same scale shape
+    // as q184: one doc-level aggregate, then all curve math on the tiny
+    // (source x tier) histogram (cumsum window over <= rarity_range/W
+    // rows per source — never a per-doc window), totals broadcast back.
+    // Token counts ride free: whitespace bigrams per doc = tokens - 1.
+    "q187_quality_retention" -> ((s, dir) => {
+      val toks = spread(s, rd(s, dir, "documents"))
+        .select(col("doc_id"), col("source"),
+          TextFunctions.whitespaceTokens(lower(col("text"))).as("toks"))
+        .localCheckpoint(false) // feeds the bigram AND unigram branches
+      val bi = toks.filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), col("source"),
+          explode(transform(sequence(lit(1), size(col("toks")) - 1),
+            i => struct(element_at(col("toks"), i).as("w1"),
+              element_at(col("toks"), i + 1).as("w2")))).as("b"))
+        .select(col("doc_id"), col("source"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      // q184's exact corpus counts (all tokens, all docs) so the rarity
+      // score here IS the q184 score, just curve-swept instead of cut
+      val uni = toks.select(explode(col("toks")).as("w1"))
+        .groupBy("w1").agg(count(lit(1)).as("c1"))
+      val big = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val scored = bi.join(big, Seq("w1", "w2")).join(uni, Seq("w1"))
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("n_bigrams"), sum(expr("c1 div c12")).as("rsum"))
+        .withColumn("rarity", expr("(rsum * 1000) div n_bigrams"))
+      val hist = scored
+        .withColumn("tier", expr(s"rarity div $RetentionBucketW"))
+        .groupBy("source", "tier")
+        .agg(count(lit(1)).as("docs_in"), sum(col("n_bigrams") + 1).as("toks_in"))
+        .localCheckpoint(false) // tiny; feeds the cumsum AND the totals
+      val cum = hist
+        .withColumn("docs_kept", sum("docs_in").over(
+          Window.partitionBy("source").orderBy("tier")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("toks_kept", sum("toks_in").over(
+          Window.partitionBy("source").orderBy("tier")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val tot = hist.groupBy("source")
+        .agg(sum("docs_in").as("docs_total"), sum("toks_in").as("toks_total"))
+      cum.join(broadcast(tot), Seq("source"))
+        .select(col("source"),
+          expr(s"tier * $RetentionBucketW + ${RetentionBucketW - 1}").as("rarity_le"),
+          col("docs_kept"), col("toks_kept"),
+          expr("(docs_kept * 1000000) div docs_total").as("docs_ppm"),
+          expr("(toks_kept * 1000000) div toks_total").as("toks_ppm"))
+        .orderBy("source", "rarity_le")
+    }),
+
+    // pillar text analysis: PACKING-EFFICIENCY SWEEP — the context-length
+    // capacity audit: for each candidate sequence length, what the corpus
+    // costs under stream packing (q128's concatenated layout: sequences =
+    // ceil(total/L), plus how many docs straddle a boundary) vs pad-to-L
+    // batching (per-doc ceil, plus the padding waste in tokens and exact
+    // ppm). One q128-shaped global prefix sum — the offsets are
+    // L-INDEPENDENT, so all four configs derive arithmetically from the
+    // same cumsum pass (explode over lengths, map-side-combined agg to 4
+    // rows); no per-config corpus re-scan.
+    "q189_packing_sweep" -> ((s, dir) => {
+      val t = spread(s, rd(s, dir, "documents"))
+        .select(col("doc_id"),
+          size(TextFunctions.whitespaceTokens(lower(col("text")))).cast("long").as("n_tokens"))
+      val nRow = t.agg(count(lit(1)).as("n"))
+        .select(greatest(lit(1L), expr("n div 256")).as("bw"))
+      val cum = Quota.globalCumSum(
+          t.crossJoin(broadcast(nRow)),
+          bucket = expr("doc_id div bw"),
+          ordCols = Seq(col("doc_id").asc),
+          weightCol = "n_tokens", cumCol = "cum_tokens")
+        .withColumn("offset", col("cum_tokens") - col("n_tokens"))
+      cum.select(col("offset"), col("n_tokens"),
+          explode(array(PackSweepLens.map(lit(_)): _*)).as("seq_len"))
+        .groupBy("seq_len")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("total_tokens"),
+          sum(when(
+            expr("(offset + greatest(n_tokens, 1L) - 1L) div seq_len")
+              > expr("offset div seq_len"), 1L).otherwise(0L)).as("docs_split"),
+          sum(expr("(n_tokens + seq_len - 1L) div seq_len")).as("pad_seqs"))
+        .withColumn("packed_seqs", expr("(total_tokens + seq_len - 1L) div seq_len"))
+        .withColumn("pad_waste_tokens", expr("pad_seqs * seq_len - total_tokens"))
+        .withColumn("pad_waste_ppm",
+          expr("(pad_waste_tokens * 1000000) div (pad_seqs * seq_len)"))
+        .select("seq_len", "n_docs", "total_tokens", "packed_seqs",
+          "docs_split", "pad_seqs", "pad_waste_tokens", "pad_waste_ppm")
+        .orderBy("seq_len")
+    })
   )
 
   protected def textOracle: Map[String, String] = Map(
@@ -1297,6 +1391,65 @@ trait TextRegistry extends RegistryBase {
          |       CASE WHEN rarity <= c1v THEN 'head'
          |            WHEN rarity <= c2v THEN 'middle' ELSE 'tail' END AS bucket
          |FROM s2 JOIN cuts ON cuts.lang = s2.lang ORDER BY s2.doc_id""".stripMargin,
+
+    // q184's scoring CTEs verbatim (keyed by source), then the curve:
+    // per-tier histogram -> cumulative kept counts -> exact ppm
+    "q187_quality_retention" ->
+      s"""WITH t AS (SELECT doc_id, source, $tokensLowerSql AS toks FROM documents WHERE trim(text) <> ''),
+         |bb AS (SELECT doc_id, source,
+         |         unnest(list_transform(range(1, len(toks)),
+         |           i -> {'w1': toks[i::INT], 'w2': toks[(i::INT)+1]})) AS b
+         |       FROM t WHERE len(toks) >= 2),
+         |bi AS (SELECT doc_id, source, b.w1 AS w1, b.w2 AS w2 FROM bb),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM (SELECT unnest(toks) AS w1 FROM t) GROUP BY w1),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2),
+         |sc AS (SELECT doc_id, source, count(*) AS n_bigrams,
+         |         sum(c1.c1 // c12.c12)::BIGINT AS rsum
+         |       FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+         |       GROUP BY doc_id, source),
+         |s2 AS (SELECT doc_id, source, ((rsum * 1000) // n_bigrams)::BIGINT AS rarity,
+         |         n_bigrams FROM sc),
+         |h AS (SELECT source, rarity // $RetentionBucketW AS tier,
+         |        count(*)::BIGINT AS docs_in, sum(n_bigrams + 1)::BIGINT AS toks_in
+         |      FROM s2 GROUP BY 1, 2),
+         |c AS (SELECT source, tier,
+         |        CAST(sum(docs_in) OVER (PARTITION BY source ORDER BY tier) AS BIGINT) AS docs_kept,
+         |        CAST(sum(toks_in) OVER (PARTITION BY source ORDER BY tier) AS BIGINT) AS toks_kept
+         |      FROM h),
+         |tt AS (SELECT source, sum(docs_in)::BIGINT AS docs_total,
+         |         sum(toks_in)::BIGINT AS toks_total FROM h GROUP BY 1)
+         |SELECT c.source, (tier * $RetentionBucketW + ${RetentionBucketW - 1})::BIGINT AS rarity_le,
+         |       docs_kept, toks_kept,
+         |       ((docs_kept * 1000000) // docs_total)::BIGINT AS docs_ppm,
+         |       ((toks_kept * 1000000) // toks_total)::BIGINT AS toks_ppm
+         |FROM c JOIN tt USING (source) ORDER BY c.source, rarity_le""".stripMargin,
+
+    // q128's offset CTE verbatim, then per-length arithmetic: packed
+    // sequences from the global total, pad-to-L sequences per doc
+    "q189_packing_sweep" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         CASE WHEN trim(text) = '' THEN 0
+         |              ELSE len($tokensLowerSql) END::BIGINT AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, n_tokens,
+         |         CAST(sum(n_tokens) OVER (ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens AS "offset"
+         |  FROM t),
+         |x AS (SELECT c.*, l.seq_len FROM c,
+         |        (SELECT unnest([${PackSweepLens.mkString(", ")}]::BIGINT[]) AS seq_len) l),
+         |g AS (SELECT seq_len, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS total_tokens,
+         |        sum(CASE WHEN ("offset" + greatest(n_tokens, 1) - 1) // seq_len
+         |                      > "offset" // seq_len THEN 1 ELSE 0 END)::BIGINT AS docs_split,
+         |        sum((n_tokens + seq_len - 1) // seq_len)::BIGINT AS pad_seqs
+         |      FROM x GROUP BY 1)
+         |SELECT seq_len, n_docs, total_tokens,
+         |       ((total_tokens + seq_len - 1) // seq_len)::BIGINT AS packed_seqs,
+         |       docs_split, pad_seqs,
+         |       (pad_seqs * seq_len - total_tokens)::BIGINT AS pad_waste_tokens,
+         |       ((pad_seqs * seq_len - total_tokens) * 1000000 // (pad_seqs * seq_len))::BIGINT AS pad_waste_ppm
+         |FROM g ORDER BY seq_len""".stripMargin,
 
     "q151_quality_checks" ->
       """WITH checks AS (

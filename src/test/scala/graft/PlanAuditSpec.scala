@@ -49,6 +49,9 @@ class PlanAuditSpec extends SparkSpec {
     "q125_lang_upsample_epochs",
     // q128: same 1-row-broadcast shape (the bucket-width aggregate)
     "q128_sequence_packing",
+    // q189: the L-sweep over q128's layout inherits the same 1-row
+    // bucket-width broadcast stage
+    "q189_packing_sweep",
     // q166: the one-plan composite inherits q128's 1-row bucket-width
     // broadcast stage
     "q166_tokenize_pack_shard",

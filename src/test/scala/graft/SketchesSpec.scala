@@ -88,6 +88,44 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  // ---- count-min sketch (q129/q188) ------------------------------------
+
+  private def termCounts(n: Int) =
+    // Zipf-ish: term t-i appears (n/(i+1)) times, aggregated form
+    (0 until n).map(i => (s"t-$i", (n / (i + 1)).toLong)).toDF("term", "cnt")
+
+  test("CMS estimate is an upper bound on every true count") {
+    val terms = termCounts(500)
+    val est = Sketches.cmsEstimate(
+      terms, Sketches.cmsRows(terms, "term", "cnt"), "term", "cnt").collect()
+    assert(est.length == 500)
+    est.foreach { r =>
+      assert(r.getLong(r.fieldIndex("est")) >= r.getLong(r.fieldIndex("cnt")), s"$r")
+    }
+  }
+
+  test("CMS: sum-merged split sketches equal the whole sketch (q188's guarantee)") {
+    // raw token stream: term t-i occurs (i%5)+1 times; split the CORPUS
+    // rows the way micro-batches do, so the SAME term carries partial
+    // counts in several slices
+    val raw = (0 until 300).flatMap(i => (0 to i % 5).map(r => (s"t-$i", i + r)))
+      .toDF("term", "idx")
+    val whole = Sketches.cmsRows(
+      raw.groupBy("term").agg(count(lit(1)).as("cnt")), "term", "cnt")
+    val merged = (0 until 3).map(k =>
+        Sketches.cmsRows(
+          raw.filter(col("idx") % 3 === k).groupBy("term").agg(count(lit(1)).as("cnt")),
+          "term", "cnt"))
+      .reduce(_.union(_))
+      .groupBy("j", "bkt").agg(sum("c").as("c"))
+    assert(whole.except(merged).isEmpty && merged.except(whole).isEmpty)
+    // and the probe over the merged sketch is row-identical
+    val terms = raw.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val a = Sketches.cmsEstimate(terms, whole, "term", "cnt")
+    val b = Sketches.cmsEstimate(terms, merged, "term", "cnt")
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+  }
+
   test("bin-quantile: sum-merged split sketches equal the whole sketch (q182's guarantee)") {
     val df = skewed("a", 4000)
     val whole = Sketches.binCounts(df, "g", "v", 50L)
