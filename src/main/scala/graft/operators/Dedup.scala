@@ -788,7 +788,10 @@ object Dedup {
       .crossJoin(broadcast(nTruth))
       .select(col("k").cast("long").as("k"), col("n_truth"),
         col("n_candidates"), col("n_hit"),
-        (col("n_hit").cast("double") / col("n_truth")).as("recall"),
+        // nullif: a corpus can have an EMPTY exact truth set (no pair
+        // reaches the threshold — e.g. a Zipf vocabulary at t=0.7);
+        // recall is undefined there, not a divide-by-zero crash
+        (col("n_hit").cast("double") / nullif(col("n_truth"), lit(0L))).as("recall"),
         (col("n_hit").cast("double") / col("n_candidates")).as("precision"))
   }
 
@@ -864,6 +867,81 @@ object Dedup {
       .join(hi.select(col(idCol), col("hs"), col("nsh")), Seq(idCol))
       .join(hc.select(col(idCol).as("c_id"), col("hs").as("c_hs")), Seq("c_id"))
       .filter(inter / col("nsh") >= threshold)
+      .groupBy(idCol).agg(count(lit(1)).as("n_containers"))
+    hi.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_containers"), lit(0L)).as("n_containers"))
+      .withColumn("kept", col("n_containers") === 0)
+  }
+
+  /** Bottom-k containment SCREEN with a document-frequency stop cut —
+    * the constant-cost-per-doc SERVING form of the sketch q183 audits
+    * (Broder's bottom-k containment estimate, SEQUENCES'97 / the Mash
+    * screen), plus the q159 df trick applied to shingles.
+    *
+    * incrementalContainmentScreen's exact prefix filter still probes
+    * (1-t)·|A|+1 shingles per doc, and each probe costs that shingle's
+    * corpus df — on a saturated shingle space (every shingle a head
+    * shingle, the flat-vocab testdata) that is df ∝ N per probe, a
+    * quadratic total (measured: exponent 1.38 flat / 0.78 Zipf at 10×).
+    * Here each incoming doc probes only its k SMALLEST md5 shingle
+    * hashes — a uniform random k-subset of A under a uniform hash, so
+    * the fraction found in B estimates |A∩B|/|A| — and probes skip
+    * shingles whose corpus df exceeds `dfCap`: a shingle in hundreds of
+    * docs certifies nothing about copying (it co-occurs with everything),
+    * yet carries the entire join blowup. Capped sampled hashes still
+    * COUNT toward a candidate's evidence m (df > cap means the container
+    * almost surely has them) but can never CREATE a candidate — exactly
+    * q159's stop-term semantics. Join cost per incoming doc is <= k·dfCap
+    * rows BY CONSTRUCTION, independent of corpus size.
+    *
+    * Screening (not verification): a pair passes at
+    * m >= ceil(screenFrac·ka); recall is traded explicitly by
+    * screenFrac < threshold (the q183 audit measures exactly this
+    * trade). Docs with no shingles have no evidence and are kept.
+    * Output: (id, n_containers, kept) — q175's shape.
+    */
+  def bottomKContainmentScreen(
+      incoming: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int,
+      k: Int,
+      screenFrac: Double,
+      dfCap: Long
+  ): DataFrame = {
+    require(k >= 1 && dfCap >= 1 && screenFrac > 0 && screenFrac <= 1,
+      "bottom-k screen needs k >= 1, dfCap >= 1, screenFrac in (0, 1]")
+    def hashedOf(df: DataFrame): DataFrame = df
+      .select(
+        col(idCol),
+        array_sort(array_distinct(transform(
+          shingleSet(col(textCol), shingleN),
+          g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")))).as("hs"))
+      .withColumn("nsh", size(col("hs")))
+    val hi = hashedOf(incoming).localCheckpoint(false) // sample side + output spine
+    val post = hashedOf(corpus).filter(col("nsh") > 0)
+      .select(col(idCol).as("c_id"), explode(col("hs")).as("h"))
+      .localCheckpoint(false) // feeds the df table AND the probe join
+    val freq = post.groupBy("h").agg(count(lit(1)).as("df"))
+    val sampled = hi.filter(col("nsh") > 0)
+      .select(col(idCol), least(lit(k), col("nsh")).as("ka"),
+        explode(slice(col("hs"), lit(1), least(lit(k), col("nsh")))).as("h"))
+      .join(freq, Seq("h"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+      .localCheckpoint(false) // feeds the stop count AND the rare probe
+    // per-doc count of capped sampled hashes: evidence every join-made
+    // candidate container gets for free (df > cap ⇒ it has them)
+    val nCap = sampled.groupBy(col(idCol), col("ka"))
+      .agg(sum(when(col("df") > dfCap, 1L).otherwise(0L)).as("n_cap"))
+    val mRare = sampled.filter(col("df") <= dfCap)
+      .join(post.join(freq, Seq("h")).filter(col("df") <= dfCap)
+        .select(col("c_id"), col("h")), Seq("h"))
+      .filter(col(idCol) =!= col("c_id"))
+      .groupBy(col(idCol), col("c_id")).agg(count(lit(1)).as("m_rare"))
+    val hits = mRare.join(nCap, Seq(idCol))
+      .filter(col("m_rare") + col("n_cap") >= ceil(lit(screenFrac) * col("ka")))
       .groupBy(idCol).agg(count(lit(1)).as("n_containers"))
     hi.select(col(idCol))
       .join(hits, Seq(idCol), "left")

@@ -306,6 +306,25 @@ trait DedupRegistry extends RegistryBase {
         .orderBy("doc_id")
     }),
 
+    // pillar dedup: BOTTOM-K df-capped containment screen — q175's
+    // question at CONSTANT cost per incoming doc: probe only the k
+    // smallest md5 shingle hashes (a uniform sample of the doc, q183's
+    // audited sketch) and skip probes whose corpus df exceeds the stop
+    // cut (they match everything — all cost, no signal; they still count
+    // toward join-made candidates' evidence). Join cost <= k·dfCap rows
+    // per doc BY CONSTRUCTION, immune to the shingle-space saturation
+    // that drives q175's exact prefix superlinear on a flat vocabulary
+    // (the q159 df trick applied to shingles).
+    "q190_containment_screen_bottomk" -> ((s, dir) => {
+      val docs = spread(s, rd(s, dir, "documents"))
+      val incoming = docs.filter(col("doc_id") % IncrementalMod === IncrementalMod - 1)
+      val corpus = docs.filter(col("doc_id") % IncrementalMod =!= IncrementalMod - 1)
+      Dedup.bottomKContainmentScreen(incoming, corpus, "doc_id", "text",
+          shingleN = 6, k = ContainScreenK, screenFrac = ContainScreenFrac,
+          dfCap = ContainDfCap)
+        .orderBy("doc_id")
+    }),
+
     // pillar dedup: INCREMENTAL near-dup — a new crawl batch
     // (doc_id % 5 = 4) screened against the existing corpus (the rest),
     // the production shape where dedup runs per-snapshot against a
@@ -581,9 +600,41 @@ trait DedupRegistry extends RegistryBase {
          |        FROM cand LEFT JOIN tr ON cand.id_a = tr.id_a AND cand.id_b = tr.id_b
          |        GROUP BY k)
          |SELECT k, n_truth, n_candidates, n_hit,
-         |       n_hit::DOUBLE / n_truth AS recall,
+         |       n_hit::DOUBLE / nullif(n_truth, 0) AS recall,
          |       n_hit::DOUBLE / n_candidates AS "precision"
          |FROM agg, nt ORDER BY k""".stripMargin,
+
+    // q183's md5 bottom-k sample + the df stop cut, serving form
+    "q190_containment_screen_bottomk" ->
+      s"""WITH d AS (SELECT doc_id,
+         |         list_sort(list_distinct(list_transform(${docShinglesSql(6)},
+         |           g -> ('0x' || substr(md5(g), 1, 15))::BIGINT))) AS hs
+         |       FROM documents),
+         |di AS (SELECT doc_id, hs FROM d WHERE doc_id % $IncrementalMod = ${IncrementalMod - 1}),
+         |post AS (SELECT doc_id AS c_id, unnest(hs) AS h FROM d
+         |         WHERE doc_id % $IncrementalMod <> ${IncrementalMod - 1} AND len(hs) > 0),
+         |freq AS (SELECT h, count(*) AS df FROM post GROUP BY h),
+         |sp AS (SELECT doc_id, least($ContainScreenK, len(hs))::BIGINT AS ka,
+         |              unnest(hs[1:least($ContainScreenK, len(hs))::INT]) AS h
+         |       FROM di WHERE len(hs) > 0),
+         |sd AS (SELECT sp.doc_id, sp.ka, sp.h, coalesce(freq.df, 0) AS df
+         |       FROM sp LEFT JOIN freq USING (h)),
+         |ncap AS (SELECT doc_id, ka,
+         |           sum(CASE WHEN df > $ContainDfCap THEN 1 ELSE 0 END)::BIGINT AS n_cap
+         |         FROM sd GROUP BY 1, 2),
+         |mr AS (SELECT sd.doc_id, p.c_id, count(*) AS m_rare
+         |       FROM sd JOIN (SELECT post.c_id, post.h FROM post JOIN freq USING (h)
+         |                     WHERE freq.df <= $ContainDfCap) p
+         |         ON sd.h = p.h AND sd.doc_id <> p.c_id
+         |       WHERE sd.df <= $ContainDfCap
+         |       GROUP BY 1, 2),
+         |hits AS (SELECT mr.doc_id, count(*)::BIGINT AS n_containers
+         |         FROM mr JOIN ncap ON ncap.doc_id = mr.doc_id
+         |         WHERE mr.m_rare + ncap.n_cap >= ceil($ContainScreenFrac * ncap.ka)
+         |         GROUP BY 1)
+         |SELECT di.doc_id, coalesce(hits.n_containers, 0)::BIGINT AS n_containers,
+         |       coalesce(hits.n_containers, 0) = 0 AS kept
+         |FROM di LEFT JOIN hits USING (doc_id) ORDER BY di.doc_id""".stripMargin,
 
     "q173_containment_pairs" ->
       s"""WITH d AS (SELECT doc_id, ${docShinglesSql(6)} AS sh FROM documents),

@@ -492,6 +492,14 @@ trait RegistryBase {
   protected val ContainSketchKs = Seq(8, 16, 32, 64)
   protected val ContainScreenFrac = 0.5
 
+  /** q190's serving bottom-k screen: sample size (q183's audited best
+    * recall/precision point) and the shingle-df stop cut above which a
+    * sampled hash stops probing the posting list (it still counts as
+    * candidate evidence). Join cost per incoming doc <= k·cap rows.
+    */
+  protected val ContainScreenK = 32
+  protected val ContainDfCap = 128L
+
   /** Shared oracle for the bin-quantile sketch (batch q181 and the
     * streaming q182 gate, whose sum-merged sketch is provably identical
     * to the batch sketch): estimate read-off per (event_type, pct) plus

@@ -45,7 +45,15 @@ trait TextRegistry extends RegistryBase {
     * (q177). Queries are the doc_id % Bm25QueryMod == 0 documents;
     * scoring is exact-integer micro-point BM25 (see q137's comment).
     */
-  private def bm25TopkFrame(s: SparkSession, dir: String): DataFrame = {
+  /** Shared BM25 top-k stage. `selective = true` applies the q159 df
+    * stop cut on the tiny (query term, df) frame BEFORE the postings
+    * join (terms with df·Bm25DfStopMult >= n_docs carry near-zero idf
+    * weight but the entire join blowup; each query always keeps its
+    * Bm25KeepRarest most selective terms so no query goes dark) — the
+    * 100 TB configuration the retrieval composites (q177/q180) run on.
+    * q137 keeps `selective = false` as the documented all-term baseline.
+    */
+  private def bm25TopkFrame(s: SparkSession, dir: String, selective: Boolean = false): DataFrame = {
     val toks = spread(s, rd(s, dir, "documents"))
       .select(col("doc_id"),
         explode(TextFunctions.whitespaceTokens(lower(col("text")))).as("term"))
@@ -59,8 +67,17 @@ trait TextRegistry extends RegistryBase {
     val dfT = postings.groupBy("term").agg(count(lit(1)).as("df"))
     val qterms = toks.filter(col("doc_id") % Bm25QueryMod === 0)
       .select(col("doc_id").as("q_id"), col("term")).distinct()
-    val scored = postings.join(broadcast(qterms), Seq("term"))
-      .join(dfT, Seq("term"))
+    val qAll = dfT.join(broadcast(qterms), Seq("term"))
+    val qsel =
+      if (!selective) qAll.select("term", "q_id", "df")
+      else qAll
+        .crossJoin(broadcast(stats.select(col("n_docs"))))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("df"), col("term"))).cast("long"))
+        .filter(col("rnk") <= Bm25KeepRarest ||
+          col("df") * Bm25DfStopMult < col("n_docs"))
+        .select("term", "q_id", "df")
+    val scored = postings.join(broadcast(qsel), Seq("term"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
       .withColumn("contrib", expr(Bm25ContribSql).cast("long"))
@@ -769,15 +786,17 @@ trait TextRegistry extends RegistryBase {
     }),
 
     // pillar text analysis: RETRIEVE-THEN-RERANK — the standard two-stage
-    // retrieval shape: cheap candidate generation (q137's BM25 top-10
-    // over the inverted index) followed by an expensive exact scorer
-    // (the codegen'd partial_ratio bitap, cutoff 50) over ONLY the
-    // candidates, re-ranked by (fuzzy score, bm25, doc_id). At 100 TB
-    // the expensive scorer touches topK x n_queries rows regardless of
-    // corpus size — the entire point of staging retrieval.
+    // retrieval shape: cheap candidate generation (q159's SELECTIVE BM25
+    // top-10 over the inverted index — the df stop cut bounds the
+    // candidate join at any corpus size; all-term q137 measured exponent
+    // 1.17 at Zipf 10x through this composite) followed by an expensive
+    // exact scorer (the codegen'd partial_ratio bitap, cutoff 50) over
+    // ONLY the candidates, re-ranked by (fuzzy score, bm25, doc_id). At
+    // 100 TB the expensive scorer touches topK x n_queries rows
+    // regardless of corpus size — the entire point of staging retrieval.
     "q177_retrieve_rerank" -> ((s, dir) => {
       val docs = spread(s, rd(s, dir, "documents"))
-      val cand = bm25TopkFrame(s, dir).select(
+      val cand = bm25TopkFrame(s, dir, selective = true).select(
         col("q_id"), col("doc_id"), col("score").as("bm25"))
       val needles = docs.filter(col("doc_id") % Bm25QueryMod === 0)
         .select(col("doc_id").as("q_id"), substring(col("text"), 1, 48).as("needle"))
@@ -795,15 +814,17 @@ trait TextRegistry extends RegistryBase {
         .orderBy("q_id", "rrank")
     }),
 
-    // pillar text x similarity: HYBRID RETRIEVAL — BM25 top-10 (q137's
-    // candidate stage) fused with IVF vector top-10 (q43's machinery,
-    // shared trained quantizer) by reciprocal-rank fusion. RRF scores
-    // are SCALED-INTEGER 1e9 div (60 + rank) so the fusion sum is exact
-    // and order-independent (a double 1/(60+rk) sum would hash-drift
-    // under AQE re-ordering). Each side's list is top-k bounded, so the
-    // fusion join touches <= 2 * k * n_queries rows at any corpus size.
+    // pillar text x similarity: HYBRID RETRIEVAL — BM25 top-10 (q159's
+    // SELECTIVE candidate stage — the df stop cut bounds the text leg's
+    // postings join at any corpus size) fused with IVF vector top-10
+    // (q43's machinery, shared trained quantizer) by reciprocal-rank
+    // fusion. RRF scores are SCALED-INTEGER 1e9 div (60 + rank) so the
+    // fusion sum is exact and order-independent (a double 1/(60+rk) sum
+    // would hash-drift under AQE re-ordering). Each side's list is top-k
+    // bounded, so the fusion join touches <= 2 * k * n_queries rows at
+    // any corpus size.
     "q180_hybrid_rrf" -> ((s, dir) => {
-      val text = bm25TopkFrame(s, dir)
+      val text = bm25TopkFrame(s, dir, selective = true)
         .select(col("q_id"), col("doc_id"), col("rk").as("rk_t"))
       val e = rd(s, dir, "embeddings")
       val cents = trainedArtifact(s, dir, "cent8") {
@@ -836,39 +857,8 @@ trait TextRegistry extends RegistryBase {
     // (query term x df) frame — a window over at most a few hundred
     // rows — before anything touches the postings table, so candidate
     // volume is bounded by the rare tail, not the head.
-    "q159_bm25_selective" -> ((s, dir) => {
-      val toks = spread(s, rd(s, dir, "documents"))
-        .select(col("doc_id"),
-          explode(TextFunctions.whitespaceTokens(lower(col("text")))).as("term"))
-        .localCheckpoint(false) // feeds postings, doc lengths, AND the query side
-      val corpus = toks.filter(col("doc_id") % Bm25QueryMod =!= 0)
-      val dl = corpus.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-        .localCheckpoint(false) // feeds the 1-row corpus stats AND the scoring join
-      val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
-      val postings = corpus.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        .localCheckpoint(false) // feeds document frequencies AND the scoring join
-      val dfT = postings.groupBy("term").agg(count(lit(1)).as("df"))
-      val qterms = toks.filter(col("doc_id") % Bm25QueryMod === 0)
-        .select(col("doc_id").as("q_id"), col("term")).distinct()
-      val qkeep = dfT.join(broadcast(qterms), Seq("term"))
-        .crossJoin(broadcast(stats.select(col("n_docs"))))
-        .withColumn("rnk", row_number().over(
-          Window.partitionBy("q_id").orderBy(col("df"), col("term"))).cast("long"))
-        .filter(col("rnk") <= Bm25KeepRarest ||
-          col("df") * Bm25DfStopMult < col("n_docs"))
-        .select("term", "q_id", "df")
-      val scored = postings.join(broadcast(qkeep), Seq("term"))
-        .join(dl, Seq("doc_id"))
-        .crossJoin(broadcast(stats))
-        .withColumn("contrib", expr(Bm25ContribSql).cast("long"))
-        .groupBy("q_id", "doc_id").agg(sum(col("contrib")).as("score"))
-      scored
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("q_id").orderBy(col("score").desc, col("doc_id")))
-          .cast("long"))
-        .filter(col("rk") <= Bm25TopK)
-        .orderBy("q_id", "rk")
-    }),
+    "q159_bm25_selective" -> ((s, dir) =>
+      bm25TopkFrame(s, dir, selective = true).orderBy("q_id", "rk")),
 
     // pillar text analysis: PMI collocations (phrase mining) — top
     // adjacent-token pairs by pointwise mutual information, the classic
@@ -1711,9 +1701,14 @@ trait TextRegistry extends RegistryBase {
          |p AS (SELECT doc_id, term, count(*) AS tf FROM c GROUP BY doc_id, term),
          |f AS (SELECT term, count(*) AS df FROM p GROUP BY term),
          |q AS (SELECT DISTINCT doc_id AS q_id, term FROM t WHERE doc_id % $Bm25QueryMod = 0),
+         |qk AS (SELECT term, q_id, df FROM (
+         |         SELECT f.term, q.q_id, f.df, st.n_docs,
+         |                row_number() OVER (PARTITION BY q_id ORDER BY df, term) AS rnk
+         |         FROM f JOIN q USING (term) CROSS JOIN st)
+         |       WHERE rnk <= $Bm25KeepRarest OR df * $Bm25DfStopMult < n_docs),
          |sc AS (SELECT q_id, p.doc_id,
          |         sum(($Bm25ContribSql)::BIGINT)::BIGINT AS score
-         |       FROM p JOIN q USING (term) JOIN f USING (term)
+         |       FROM p JOIN qk USING (term)
          |            JOIN d ON d.doc_id = p.doc_id CROSS JOIN st
          |       GROUP BY 1, 2),
          |r AS (SELECT q_id, doc_id, score,
@@ -1743,9 +1738,14 @@ trait TextRegistry extends RegistryBase {
          |bp AS (SELECT doc_id, term, count(*) AS tf FROM bc GROUP BY doc_id, term),
          |bf AS (SELECT term, count(*) AS df FROM bp GROUP BY term),
          |bq AS (SELECT DISTINCT doc_id AS q_id, term FROM bt WHERE doc_id % $Bm25QueryMod = 0),
+         |bqk AS (SELECT term, q_id, df FROM (
+         |          SELECT bf.term, bq.q_id, bf.df, bst.n_docs,
+         |                 row_number() OVER (PARTITION BY q_id ORDER BY df, term) AS rnk
+         |          FROM bf JOIN bq USING (term) CROSS JOIN bst)
+         |        WHERE rnk <= $Bm25KeepRarest OR df * $Bm25DfStopMult < n_docs),
          |bsc AS (SELECT q_id, bp.doc_id,
          |          sum(($Bm25ContribSql)::BIGINT)::BIGINT AS score
-         |        FROM bp JOIN bq USING (term) JOIN bf USING (term)
+         |        FROM bp JOIN bqk USING (term)
          |             JOIN bd ON bd.doc_id = bp.doc_id CROSS JOIN bst
          |        GROUP BY 1, 2),
          |btop AS (SELECT q_id, doc_id, rk AS rk_t FROM (

@@ -249,6 +249,64 @@ class DedupSpec extends SparkSpec {
     assert(fast.exists(p => p._1 == 102L && p._2 == 0L && p._3))
   }
 
+  test("bottomKContainmentScreen: k/cap unbounded degenerates to exact containment >= screenFrac") {
+    import spark.implicits._
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta")
+    val corpus = (0 until 25).map { i =>
+      (i.toLong, (0 until 8).map(j => words((i * 5 + j * 3) % words.length)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val c0 = (0 until 8).map(j => words((j * 3) % words.length)).mkString(" ")
+    val incoming = Seq(
+      (100L, c0.split(" ").slice(2, 6).mkString(" ")),
+      (101L, "votre nouveau document sans aucun recouvrement"),
+      (102L, "ab")).toDF("doc_id", "text")
+    // k >= every |A| and dfCap >= corpus size → the sample IS the full
+    // set and nothing is capped: the screen must equal brute-force
+    // "exact containment >= screenFrac"
+    val fast = Dedup.bottomKContainmentScreen(incoming, corpus, "doc_id", "text",
+        shingleN = 3, k = 1000, screenFrac = 0.6, dfCap = 100000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val sh = (t: org.apache.spark.sql.Column) =>
+      array_distinct(graft.operators.Dedup.shingleSet(t, 3))
+    val brute = incoming.select(col("doc_id"), sh(col("text")).as("sa"))
+      .filter(size(col("sa")) > 0)
+      .crossJoin(corpus.select(col("doc_id").as("c_id"), sh(col("text")).as("sb")))
+      .withColumn("cont",
+        size(array_intersect(col("sa"), col("sb"))).cast("double") / size(col("sa")))
+      .groupBy("doc_id")
+      .agg(sum(when(col("cont") >= 0.6, 1L).otherwise(0L)).as("n_containers"))
+      .union(incoming.select(col("doc_id"), sh(col("text")).as("sa"))
+        .filter(size(col("sa")) === 0).select(col("doc_id"), lit(0L)))
+      .select(col("doc_id"), col("n_containers"),
+        (col("n_containers") === 0).as("kept"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(brute.exists(p => p._1 == 100L && p._2 >= 1L), "excerpt must find a container")
+    assert(fast == brute)
+  }
+
+  test("bottomKContainmentScreen: stop-only sharing creates no candidates") {
+    import spark.implicits._
+    // every corpus doc carries the SAME boilerplate phrase (all of its
+    // shingles exceed any small df cap) plus unique content; the
+    // incoming doc is boilerplate-only — it shares ONLY stop shingles,
+    // which must not create a candidate, so it is kept
+    val boiler = "lorem ipsum dolor sit amet"
+    val corpus = (0 until 20).map(i => (i.toLong, s"$boiler unique${i}a unique${i}b"))
+      .toDF("doc_id", "text")
+    val incoming = Seq((100L, boiler)).toDF("doc_id", "text")
+    val out = Dedup.bottomKContainmentScreen(incoming, corpus, "doc_id", "text",
+        shingleN = 3, k = 32, screenFrac = 0.5, dfCap = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.toSeq == Seq((100L, 0L, true)),
+      s"boilerplate-only doc must be kept: ${out.toSeq}")
+    // sanity: with the cap lifted the same doc IS screened out (every
+    // corpus doc contains it) — the cap is what made the difference
+    val uncapped = Dedup.bottomKContainmentScreen(incoming, corpus, "doc_id", "text",
+        shingleN = 3, k = 32, screenFrac = 0.5, dfCap = 100000L)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2)))
+    assert(uncapped.toSeq == Seq((100L, false)))
+  }
+
   test("simhashCandidates: banded result == brute-force hamming filter; no crossJoin in plan") {
     val h = docs.select(col("doc_id"), Dedup.simhash(col("text"), 16).as("sh"))
     val banded = Dedup.simhashCandidates(h, "doc_id", "sh", bits = 16, maxHamming = 2)
