@@ -11,6 +11,52 @@ import graft.operators.{Dedup, HeurFuzz, Multimodal, Quota, Similarity, Sketches
   * (round 8); query semantics and oracle SQL unchanged.
   */
 trait AnnRegistry extends RegistryBase {
+
+  /** q186's edge build — per-node top-K cosine neighbors among SRP band
+    * collisions (q107's candidate machinery, both directions) with the
+    * mutual flag. Shared by q186 (the edge list) and q192 (connected
+    * components of the mutual subgraph).
+    */
+  private def knnGraphFrame(s: SparkSession, dir: String): DataFrame = {
+    val v = transform(col("embedding"), x => x.cast("double"))
+    val sig = SrpPlanes.zipWithIndex.map { case (p, b) =>
+      val plane = array(p.map(lit(_)): _*).cast("array<double>")
+      val dot = org.apache.spark.sql.graft.ArrayDot.doubleDot(v, plane)
+      when(dot > 0.0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val e = rd(s, dir, "embeddings")
+      .select(col("vec_id"), sig.as("srp_sig"), v.as("dv"))
+      .withColumn("nrm", Similarity.l2Norm(col("dv")))
+    val vecs = e.select(col("vec_id"), col("dv"), col("nrm"))
+    val banded = e.select(col("vec_id"),
+        explode(array(
+          struct(lit(0).as("band"), col("srp_sig").bitwiseAND(lit(255L)).as("key")),
+          struct(lit(1).as("band"), shiftright(col("srp_sig"), 8).as("key")))).as("bk"))
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
+      .distinct() // a pair can collide in both bands
+    val scored = cand
+      .join(vecs.select(col("vec_id").as("src"), col("dv").as("dv_a"), col("nrm").as("nrm_a")), Seq("src"))
+      .join(vecs.select(col("vec_id").as("dst"), col("dv").as("dv_b"), col("nrm").as("nrm_b")), Seq("dst"))
+      .withColumn("cos_sim", Similarity.dot(col("dv_a"), col("dv_b")) / (col("nrm_a") * col("nrm_b")))
+      .select("src", "dst", "cos_sim")
+    val topm = scored.withColumn("rank", row_number().over(
+        Window.partitionBy("src").orderBy(col("cos_sim").desc, col("dst").asc))
+        .cast("long"))
+      .filter(col("rank") <= KnnGraphK)
+      .localCheckpoint(false) // feeds the edge list AND its reversal
+    topm.alias("x")
+      .join(topm.select(col("src").as("rsrc"), col("dst").as("rdst")).alias("r"),
+        col("x.src") === col("r.rdst") && col("x.dst") === col("r.rsrc"), "left")
+      .select(col("x.src").as("src"), col("x.dst").as("dst"),
+        col("x.rank").as("rank"), col("x.cos_sim").as("cos_sim"),
+        col("r.rsrc").isNotNull.as("mutual"))
+  }
+
   protected def annQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // pillar similarity: brute-force exact cosine top-k
     "q34_embed_cosine_topk" -> ((s, dir) => {
@@ -269,45 +315,23 @@ trait AnnRegistry extends RegistryBase {
     // all-pairs), the per-node rank is WindowGroupLimit-able top-k over
     // those bounded lists, and the mutual check is an equi-join of the
     // (already tiny) edge list against its own reversal.
-    "q186_knn_graph" -> ((s, dir) => {
-      val v = transform(col("embedding"), x => x.cast("double"))
-      val sig = SrpPlanes.zipWithIndex.map { case (p, b) =>
-        val plane = array(p.map(lit(_)): _*).cast("array<double>")
-        val dot = org.apache.spark.sql.graft.ArrayDot.doubleDot(v, plane)
-        when(dot > 0.0, lit(1L << b)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      val e = rd(s, dir, "embeddings")
-        .select(col("vec_id"), sig.as("srp_sig"), v.as("dv"))
-        .withColumn("nrm", Similarity.l2Norm(col("dv")))
-      val vecs = e.select(col("vec_id"), col("dv"), col("nrm"))
-      val banded = e.select(col("vec_id"),
-          explode(array(
-            struct(lit(0).as("band"), col("srp_sig").bitwiseAND(lit(255L)).as("key")),
-            struct(lit(1).as("band"), shiftright(col("srp_sig"), 8).as("key")))).as("bk"))
-        .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-      val cand = banded.alias("a")
-        .join(banded.alias("b"),
-          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-            col("a.vec_id") =!= col("b.vec_id"))
-        .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
-        .distinct() // a pair can collide in both bands
-      val scored = cand
-        .join(vecs.select(col("vec_id").as("src"), col("dv").as("dv_a"), col("nrm").as("nrm_a")), Seq("src"))
-        .join(vecs.select(col("vec_id").as("dst"), col("dv").as("dv_b"), col("nrm").as("nrm_b")), Seq("dst"))
-        .withColumn("cos_sim", Similarity.dot(col("dv_a"), col("dv_b")) / (col("nrm_a") * col("nrm_b")))
-        .select("src", "dst", "cos_sim")
-      val topm = scored.withColumn("rank", row_number().over(
-          Window.partitionBy("src").orderBy(col("cos_sim").desc, col("dst").asc))
-          .cast("long"))
-        .filter(col("rank") <= KnnGraphK)
-        .localCheckpoint(false) // feeds the edge list AND its reversal
-      topm.alias("x")
-        .join(topm.select(col("src").as("rsrc"), col("dst").as("rdst")).alias("r"),
-          col("x.src") === col("r.rdst") && col("x.dst") === col("r.rsrc"), "left")
-        .select(col("x.src").as("src"), col("x.dst").as("dst"),
-          col("x.rank").as("rank"), col("x.cos_sim").as("cos_sim"),
-          col("r.rsrc").isNotNull.as("mutual"))
-        .orderBy("src", "rank")
+    "q186_knn_graph" -> ((s, dir) =>
+      knnGraphFrame(s, dir).orderBy("src", "rank")),
+
+    // pillar similarity: MUTUAL-kNN CLUSTERS — graph clustering over
+    // q186's graph: connected components of the MUTUAL edge subset (the
+    // high-precision backbone — a one-directional edge only says "b is
+    // among a's closest", a mutual edge says they agree), resolved by the
+    // q52 min-label propagation with pointer jumping. The scalable
+    // SemDeDup alternative: no trained centroids, cluster structure
+    // emerges from band-bounded local neighborhoods.
+    "q192_mutual_knn_groups" -> ((s, dir) => {
+      val mutual = knnGraphFrame(s, dir)
+        .filter(col("mutual") && col("src") < col("dst"))
+        .select(col("src").as("id_a"), col("dst").as("id_b"))
+      Dedup.resolveGroups(rd(s, dir, "embeddings"), "vec_id", mutual)
+        .select(col("vec_id"), col("keep_id").as("cluster_id"))
+        .orderBy("vec_id")
     }),
 
     // pillar similarity: ANN QUALITY REPORT — the recall@k / MRR audit
@@ -583,6 +607,40 @@ trait AnnRegistry extends RegistryBase {
          |SELECT t.src, t.dst, t.rank, t.cos_sim, r.src IS NOT NULL AS mutual
          |FROM topm t LEFT JOIN topm r ON r.src = t.dst AND r.dst = t.src
          |ORDER BY t.src, t.rank""".stripMargin
+    },
+
+    // q186's CTEs -> mutual edge subset -> q52's recursive min-label
+    // reachability over the (already symmetric) mutual graph
+    "q192_mutual_knn_groups" -> {
+      val planeSum = SrpPlanes.zipWithIndex.map { case (p, b) =>
+        val lst = p.mkString("[", ", ", "]")
+        s"CASE WHEN list_sum(list_transform(range(1, 65), i -> v[i::INT] * ($lst)[i::INT])) > 0 THEN ${1L << b} ELSE 0 END"
+      }.mkString("(", " + ", ")")
+      s"""WITH RECURSIVE e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         |s AS (SELECT vec_id, $planeSum::BIGINT AS srp_sig FROM e),
+         |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+         |banded AS (
+         |  SELECT vec_id, 0 AS band, srp_sig % 256 AS key FROM s
+         |  UNION ALL
+         |  SELECT vec_id, 1 AS band, srp_sig // 256 AS key FROM s),
+         |cand AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+         |         FROM banded a JOIN banded b
+         |         ON a.band = b.band AND a.key = b.key AND a.vec_id <> b.vec_id),
+         |scored AS (SELECT c.src, c.dst,
+         |    list_sum(list_transform(range(1, 65), i -> na.v[i::INT] * nb.v[i::INT])) / (na.nrm * nb.nrm) AS cos_sim
+         |  FROM cand c JOIN n na ON na.vec_id = c.src JOIN n nb ON nb.vec_id = c.dst),
+         |topm AS (SELECT * FROM (
+         |    SELECT src, dst,
+         |           row_number() OVER (PARTITION BY src ORDER BY cos_sim DESC, dst ASC) AS rank
+         |    FROM scored)
+         |  WHERE rank <= $KnnGraphK),
+         |edges AS (SELECT t.src, t.dst FROM topm t
+         |          JOIN topm r ON r.src = t.dst AND r.dst = t.src),
+         |reach(id, r) AS (
+         |  SELECT vec_id::BIGINT, vec_id::BIGINT FROM embeddings
+         |  UNION
+         |  SELECT e2.dst, w.r FROM reach w JOIN edges e2 ON e2.src = w.id)
+         |SELECT id AS vec_id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY vec_id""".stripMargin
     },
 
     "q109_pq_encode" ->

@@ -530,6 +530,43 @@ trait RegistryBase {
        |ORDER BY est.event_type, est.pct""".stripMargin
   }
 
+  /** Shared oracle for the bottom-k df-capped containment screen (batch
+    * q190 and the streaming q191 gate — per-doc answers depend only on
+    * the doc and the static corpus, so the foreachBatch bridge provably
+    * cannot change them): q183's md5 bottom-k sample + the df stop cut,
+    * serving form.
+    */
+  protected lazy val bottomKScreenOracle: String =
+    s"""WITH d AS (SELECT doc_id,
+       |         list_sort(list_distinct(list_transform(${docShinglesSql(6)},
+       |           g -> ('0x' || substr(md5(g), 1, 15))::BIGINT))) AS hs
+       |       FROM documents),
+       |di AS (SELECT doc_id, hs FROM d WHERE doc_id % $IncrementalMod = ${IncrementalMod - 1}),
+       |post AS (SELECT doc_id AS c_id, unnest(hs) AS h FROM d
+       |         WHERE doc_id % $IncrementalMod <> ${IncrementalMod - 1} AND len(hs) > 0),
+       |freq AS (SELECT h, count(*) AS df FROM post GROUP BY h),
+       |sp AS (SELECT doc_id, least($ContainScreenK, len(hs))::BIGINT AS ka,
+       |              unnest(hs[1:least($ContainScreenK, len(hs))::INT]) AS h
+       |       FROM di WHERE len(hs) > 0),
+       |sd AS (SELECT sp.doc_id, sp.ka, sp.h, coalesce(freq.df, 0) AS df
+       |       FROM sp LEFT JOIN freq USING (h)),
+       |ncap AS (SELECT doc_id, ka,
+       |           sum(CASE WHEN df > $ContainDfCap THEN 1 ELSE 0 END)::BIGINT AS n_cap
+       |         FROM sd GROUP BY 1, 2),
+       |mr AS (SELECT sd.doc_id, p.c_id, count(*) AS m_rare
+       |       FROM sd JOIN (SELECT post.c_id, post.h FROM post JOIN freq USING (h)
+       |                     WHERE freq.df <= $ContainDfCap) p
+       |         ON sd.h = p.h AND sd.doc_id <> p.c_id
+       |       WHERE sd.df <= $ContainDfCap
+       |       GROUP BY 1, 2),
+       |hits AS (SELECT mr.doc_id, count(*)::BIGINT AS n_containers
+       |         FROM mr JOIN ncap ON ncap.doc_id = mr.doc_id
+       |         WHERE mr.m_rare + ncap.n_cap >= ceil($ContainScreenFrac * ncap.ka)
+       |         GROUP BY 1)
+       |SELECT di.doc_id, coalesce(hits.n_containers, 0)::BIGINT AS n_containers,
+       |       coalesce(hits.n_containers, 0) = 0 AS kept
+       |FROM di LEFT JOIN hits USING (doc_id) ORDER BY di.doc_id""".stripMargin
+
   /** Shared oracle for the count-min heavy hitters (batch q129 and the
     * streaming q188 gate, whose sum-merged sketch is provably identical
     * to the batch sketch: bucket sums are linear in the term counts, and

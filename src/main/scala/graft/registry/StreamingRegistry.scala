@@ -595,6 +595,41 @@ trait StreamingRegistry extends RegistryBase {
       } finally Staging.discard(stage)
     }),
 
+    // pillar dedup + streaming (20th gate): the q190 BOTTOM-K df-capped
+    // screen ON ARRIVAL — q176's bridge with the serving-path screen:
+    // each micro-batch's docs probe only their k smallest shingle hashes
+    // against the static corpus with the df stop cut, so per-batch cost
+    // is batch-size-bounded (<= k*dfCap posting rows per doc) instead of
+    // prefix-length x head-df. Per-doc answers depend only on the doc
+    // and the static corpus, so the bridge provably cannot change them —
+    // same oracle as q190.
+    "q191_stream_bottomk_screen" -> ((s, dir) => {
+      val stage = Staging.dir("q191-")
+      try {
+        val inDir = stage.resolve("in")
+        java.nio.file.Files.createDirectories(inDir)
+        java.nio.file.Files.createSymbolicLink(
+          inDir.resolve("documents.parquet"),
+          java.nio.file.Paths.get(s"$dir/documents.parquet").toAbsolutePath.normalize())
+        val outDir = stage.resolve("out").toString
+        val corpus = spread(s, rd(s, dir, "documents"))
+          .filter(col("doc_id") % IncrementalMod =!= IncrementalMod - 1)
+          .localCheckpoint(false) // shingled once per batch off this cached frame
+        val schema = rd(s, dir, "documents").schema
+        val incomingStream = s.readStream.schema(schema).parquet(inDir.toString)
+          .filter(col("doc_id") % IncrementalMod === IncrementalMod - 1)
+        val q = graft.streaming.EventStream.foreachBatchSink(incomingStream, identity) {
+          (batch, batchId) =>
+            Dedup.bottomKContainmentScreen(spreadBatch(s, batch), corpus,
+                "doc_id", "text", shingleN = 6, k = ContainScreenK,
+                screenFrac = ContainScreenFrac, dfCap = ContainDfCap)
+              .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        }.start()
+        awaitGate("q191", q)
+        s.read.parquet(outDir).drop("batch").orderBy("doc_id").localCheckpoint(true)
+      } finally Staging.discard(stage)
+    }),
+
     "q171_stream_image_screen" -> ((s, dir) => {
       val stage = Staging.dir("q171-")
       try {
@@ -668,6 +703,10 @@ trait StreamingRegistry extends RegistryBase {
     // shared with the batch q129 — the sum-merged micro-batch sketch is
     // provably the batch sketch (bucket sums linear in term counts)
     "q188_stream_cms_topk" -> cmsOracle,
+
+    // shared with the batch q190 — per-doc screen answers depend only on
+    // the doc and the static corpus, so the bridge cannot change them
+    "q191_stream_bottomk_screen" -> bottomKScreenOracle,
 
     // 13th streaming gate: per-user week-set digests union-merge exactly
     // (idempotent, replay-safe) — same oracle as q150

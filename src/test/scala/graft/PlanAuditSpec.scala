@@ -113,7 +113,9 @@ class PlanAuditSpec extends SparkSpec {
     // q146 runs the q52-style propagation loop inside the builder
     "q146_winnowing_groups",
     // q148 runs its stream inside the builder (q121's bridge pattern)
-    "q148_stream_hll_distinct")
+    "q148_stream_hll_distinct",
+    // q192 runs the q52-style propagation loop inside the builder
+    "q192_mutual_knn_groups")
 
   private val dir = "/root/testdata/sf0.001"
 
