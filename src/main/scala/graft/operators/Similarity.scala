@@ -417,9 +417,30 @@ object Similarity {
       k: Int,
       nprobe: Int,
       scale: Int = 1000
+  ): DataFrame = ivfTopKQServe(
+    queries, corpus,
+    assignToCentroidsQ(corpus, qcentroids, idCol, vecCol, scale)
+      .select(col("id").as("r_id"), col("centroid_id")),
+    qcentroids, idCol, vecCol, k, nprobe, scale)
+
+  /** ivfTopKQ against a PREBUILT bucket index (r_id, centroid_id) — the
+    * serving decomposition: the corpus-side IVF assignment is built once
+    * (persisted/checkpointed by the caller) and each query batch pays
+    * only its own probe + refine, bounded by probed-bucket sizes. This is
+    * what the streaming q194 gate runs per micro-batch; ivfTopKQ is the
+    * build-and-query composition of it.
+    */
+  def ivfTopKQServe(
+      queries: DataFrame,
+      corpus: DataFrame,
+      buckets: DataFrame,
+      qcentroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int,
+      scale: Int = 1000
   ): DataFrame = {
-    val buckets = assignToCentroidsQ(corpus, qcentroids, idCol, vecCol, scale)
-      .select(col("id").as("r_id"), col("centroid_id"))
     val probes = centroidRanksQ(queries, qcentroids, idCol, vecCol, nprobe, scale)
       .select(col("id").as("q_id"), col("centroid_id"))
     val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("q_vec"))

@@ -12,6 +12,35 @@ import graft.operators.{Dedup, HeurFuzz, Multimodal, Quota, Similarity, Sketches
   */
 trait AnnRegistry extends RegistryBase {
 
+  /** The oracle twin of knnGraphFrame up to the per-src top-K edge list
+    * `topm` (src, dst, cos_sim, rank) — shared by q186 (mutual flag),
+    * q192 (mutual components), and q195 (contrastive export).
+    */
+  private lazy val knnCtesSql: String = {
+    val planeSum = SrpPlanes.zipWithIndex.map { case (p, b) =>
+      val lst = p.mkString("[", ", ", "]")
+      s"CASE WHEN list_sum(list_transform(range(1, 65), i -> v[i::INT] * ($lst)[i::INT])) > 0 THEN ${1L << b} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+    s"""e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+       |s AS (SELECT vec_id, $planeSum::BIGINT AS srp_sig FROM e),
+       |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+       |banded AS (
+       |  SELECT vec_id, 0 AS band, srp_sig % 256 AS key FROM s
+       |  UNION ALL
+       |  SELECT vec_id, 1 AS band, srp_sig // 256 AS key FROM s),
+       |cand AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+       |         FROM banded a JOIN banded b
+       |         ON a.band = b.band AND a.key = b.key AND a.vec_id <> b.vec_id),
+       |scored AS (SELECT c.src, c.dst,
+       |    list_sum(list_transform(range(1, 65), i -> na.v[i::INT] * nb.v[i::INT])) / (na.nrm * nb.nrm) AS cos_sim
+       |  FROM cand c JOIN n na ON na.vec_id = c.src JOIN n nb ON nb.vec_id = c.dst),
+       |topm AS (SELECT * FROM (
+       |    SELECT src, dst, cos_sim,
+       |           row_number() OVER (PARTITION BY src ORDER BY cos_sim DESC, dst ASC) AS rank
+       |    FROM scored)
+       |  WHERE rank <= $KnnGraphK)""".stripMargin
+  }
+
   /** q186's edge build — per-node top-K cosine neighbors among SRP band
     * collisions (q107's candidate machinery, both directions) with the
     * mutual flag. Shared by q186 (the edge list) and q192 (connected
@@ -334,6 +363,45 @@ trait AnnRegistry extends RegistryBase {
         .orderBy("vec_id")
     }),
 
+    // pillar similarity: CONTRASTIVE TRAINING-PAIR EXPORT — the
+    // embedding-model training-data op: every MUTUAL kNN edge is an
+    // (anchor, positive) pair, and each pair gets NumNegatives random
+    // negatives that avoid the anchor itself, the positive, and the
+    // anchor's own candidate neighborhood (its top-K edge list — the
+    // standard easy-negative draw; HARD negatives are what q177's
+    // reranker stage mines). Draws are content-stable md5 arithmetic
+    // (the q161 trick): deterministic under any partitioning/retry
+    // schedule, reproducible by the oracle, and id-space-uniform. The
+    // draw assumes the dense 0..N-1 vec_id layout the testdata ships; a
+    // sparse id space would route the draw through an id-index table
+    // (one more equi-join), never a different algorithm. Per-pair cost
+    // is a fixed M draws + one anti-join against the (N*K)-row edge
+    // list — no corpus-sized scan per pair.
+    "q195_contrastive_negatives" -> ((s, dir) => {
+      val g = knnGraphFrame(s, dir)
+        .localCheckpoint(false) // feeds the anchors AND the exclusion list
+      val pos = g.filter(col("mutual"))
+        .select(col("src").as("anchor"), col("dst").as("positive"))
+      val nRow = rd(s, dir, "embeddings").agg(count(lit(1)).as("n"))
+      val draws = pos.crossJoin(broadcast(nRow))
+        .select(col("anchor"), col("positive"), col("n"),
+          explode(sequence(lit(1L), lit(NegDrawsM))).as("i"))
+        .withColumn("neg_id", pmod(
+          conv(substring(md5(concat_ws("_",
+            lit("neg"), col("anchor"), col("positive"), col("i"))), 1, 15), 16, 10)
+            .cast("long"),
+          col("n")))
+        .filter(col("neg_id") =!= col("anchor") && col("neg_id") =!= col("positive"))
+      val excl = g.select(col("src").as("anchor"), col("dst").as("neg_id"))
+      draws.join(excl, Seq("anchor", "neg_id"), "left_anti")
+        .withColumn("neg_rank", row_number().over(
+            Window.partitionBy("anchor", "positive").orderBy(col("i").asc))
+          .cast("long"))
+        .filter(col("neg_rank") <= NumNegatives)
+        .select("anchor", "positive", "neg_rank", "neg_id")
+        .orderBy("anchor", "positive", "neg_rank")
+    }),
+
     // pillar similarity: ANN QUALITY REPORT — the recall@k / MRR audit
     // an ANN deployment runs continuously, as a first-class query: the
     // trained-IVF index (q43's exact configuration) joined against
@@ -494,34 +562,9 @@ trait AnnRegistry extends RegistryBase {
         |r AS (SELECT *, row_number() OVER (PARTITION BY id ORDER BY score DESC, centroid_id ASC) AS rk FROM s)
         |SELECT id, centroid_id, score FROM r WHERE rk = 1 ORDER BY id""".stripMargin,
 
-    "q43_embed_ivf_topk" ->
-      s"""WITH v AS (SELECT vec_id,
-        |             list_transform(embedding, x -> floor(x::DOUBLE * 1000)::BIGINT) AS qv,
-        |             list_transform(embedding, x -> x::DOUBLE) AS dv
-        |           FROM embeddings),
-        |${trainSampleCtesSql("v")},
-        |${lloydCtesSql("tv", "kinit", 64, KmeansIters, Seq.empty, "c")},
-        |score AS (
-        |  SELECT v.vec_id AS id, c.centroid_id,
-        |         CAST(list_sum(list_transform(range(1, 65), i -> v.qv[i::INT] * c.cv[i::INT])) AS BIGINT) AS sc
-        |  FROM v CROSS JOIN c),
-        |assign AS (
-        |  SELECT id AS r_id, centroid_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY sc DESC, centroid_id ASC) AS rk FROM score)
-        |  WHERE rk = 1),
-        |probes AS (
-        |  SELECT id AS q_id, centroid_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY sc DESC, centroid_id ASC) AS rk
-        |    FROM score WHERE id < 10)
-        |  WHERE rk <= 2),
-        |n AS (SELECT vec_id, dv, sqrt(list_sum(list_transform(dv, x -> x * x))) AS nrm FROM v),
-        |cand AS (SELECT q_id, r_id FROM probes JOIN assign USING (centroid_id) WHERE q_id <> r_id),
-        |ref AS (
-        |  SELECT cand.q_id, cand.r_id,
-        |         list_sum(list_transform(range(1, 65), i -> qn.dv[i::INT] * rn.dv[i::INT])) / (qn.nrm * rn.nrm) AS cos_sim
-        |  FROM cand JOIN n qn ON qn.vec_id = cand.q_id JOIN n rn ON rn.vec_id = cand.r_id),
-        |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, r_id ASC) AS rank FROM ref)
-        |SELECT q_id, r_id, cos_sim, rank FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+    // shared with the streaming q194 serving gate — see
+    // RegistryBase.ivfTopkOracle
+    "q43_embed_ivf_topk" -> ivfTopkOracle("id < 10"),
 
     // q43's oracle chain with the label riding the candidate equi-key
     "q179_ivf_filtered_topk" ->
@@ -581,67 +624,46 @@ trait AnnRegistry extends RegistryBase {
 
     // q107's SRP banding CTEs with directed candidates, then per-src
     // top-K rank and the mutual self-join of the edge list
-    "q186_knn_graph" -> {
-      val planeSum = SrpPlanes.zipWithIndex.map { case (p, b) =>
-        val lst = p.mkString("[", ", ", "]")
-        s"CASE WHEN list_sum(list_transform(range(1, 65), i -> v[i::INT] * ($lst)[i::INT])) > 0 THEN ${1L << b} ELSE 0 END"
-      }.mkString("(", " + ", ")")
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-         |s AS (SELECT vec_id, $planeSum::BIGINT AS srp_sig FROM e),
-         |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
-         |banded AS (
-         |  SELECT vec_id, 0 AS band, srp_sig % 256 AS key FROM s
-         |  UNION ALL
-         |  SELECT vec_id, 1 AS band, srp_sig // 256 AS key FROM s),
-         |cand AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
-         |         FROM banded a JOIN banded b
-         |         ON a.band = b.band AND a.key = b.key AND a.vec_id <> b.vec_id),
-         |scored AS (SELECT c.src, c.dst,
-         |    list_sum(list_transform(range(1, 65), i -> na.v[i::INT] * nb.v[i::INT])) / (na.nrm * nb.nrm) AS cos_sim
-         |  FROM cand c JOIN n na ON na.vec_id = c.src JOIN n nb ON nb.vec_id = c.dst),
-         |topm AS (SELECT * FROM (
-         |    SELECT src, dst, cos_sim,
-         |           row_number() OVER (PARTITION BY src ORDER BY cos_sim DESC, dst ASC) AS rank
-         |    FROM scored)
-         |  WHERE rank <= $KnnGraphK)
+    "q186_knn_graph" ->
+      s"""WITH $knnCtesSql
          |SELECT t.src, t.dst, t.rank, t.cos_sim, r.src IS NOT NULL AS mutual
          |FROM topm t LEFT JOIN topm r ON r.src = t.dst AND r.dst = t.src
-         |ORDER BY t.src, t.rank""".stripMargin
-    },
+         |ORDER BY t.src, t.rank""".stripMargin,
 
     // q186's CTEs -> mutual edge subset -> q52's recursive min-label
     // reachability over the (already symmetric) mutual graph
-    "q192_mutual_knn_groups" -> {
-      val planeSum = SrpPlanes.zipWithIndex.map { case (p, b) =>
-        val lst = p.mkString("[", ", ", "]")
-        s"CASE WHEN list_sum(list_transform(range(1, 65), i -> v[i::INT] * ($lst)[i::INT])) > 0 THEN ${1L << b} ELSE 0 END"
-      }.mkString("(", " + ", ")")
-      s"""WITH RECURSIVE e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-         |s AS (SELECT vec_id, $planeSum::BIGINT AS srp_sig FROM e),
-         |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
-         |banded AS (
-         |  SELECT vec_id, 0 AS band, srp_sig % 256 AS key FROM s
-         |  UNION ALL
-         |  SELECT vec_id, 1 AS band, srp_sig // 256 AS key FROM s),
-         |cand AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
-         |         FROM banded a JOIN banded b
-         |         ON a.band = b.band AND a.key = b.key AND a.vec_id <> b.vec_id),
-         |scored AS (SELECT c.src, c.dst,
-         |    list_sum(list_transform(range(1, 65), i -> na.v[i::INT] * nb.v[i::INT])) / (na.nrm * nb.nrm) AS cos_sim
-         |  FROM cand c JOIN n na ON na.vec_id = c.src JOIN n nb ON nb.vec_id = c.dst),
-         |topm AS (SELECT * FROM (
-         |    SELECT src, dst,
-         |           row_number() OVER (PARTITION BY src ORDER BY cos_sim DESC, dst ASC) AS rank
-         |    FROM scored)
-         |  WHERE rank <= $KnnGraphK),
+    "q192_mutual_knn_groups" ->
+      s"""WITH RECURSIVE $knnCtesSql,
          |edges AS (SELECT t.src, t.dst FROM topm t
          |          JOIN topm r ON r.src = t.dst AND r.dst = t.src),
          |reach(id, r) AS (
          |  SELECT vec_id::BIGINT, vec_id::BIGINT FROM embeddings
          |  UNION
          |  SELECT e2.dst, w.r FROM reach w JOIN edges e2 ON e2.src = w.id)
-         |SELECT id AS vec_id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY vec_id""".stripMargin
-    },
+         |SELECT id AS vec_id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY vec_id""".stripMargin,
+
+    // q186's CTEs -> mutual (anchor, positive) pairs -> md5-arithmetic
+    // negative draws with the anchor-neighborhood exclusion
+    "q195_contrastive_negatives" ->
+      s"""WITH $knnCtesSql,
+         |pos AS (SELECT t.src AS anchor, t.dst AS positive FROM topm t
+         |        JOIN topm r ON r.src = t.dst AND r.dst = t.src),
+         |np AS (SELECT count(*) AS n FROM embeddings),
+         |draws AS (
+         |  SELECT anchor, positive, g.i,
+         |         ('0x' || substr(md5('neg_' || anchor || '_' || positive || '_' || g.i), 1, 15))::BIGINT % np.n AS neg_id
+         |  FROM pos, np, range(1, ${NegDrawsM + 1}) g(i)),
+         |kept AS (
+         |  SELECT d.* FROM draws d
+         |  WHERE d.neg_id <> d.anchor AND d.neg_id <> d.positive
+         |    AND NOT EXISTS (SELECT 1 FROM topm e
+         |                    WHERE e.src = d.anchor AND e.dst = d.neg_id)),
+         |ranked AS (SELECT anchor, positive, neg_id,
+         |    row_number() OVER (PARTITION BY anchor, positive ORDER BY i ASC) AS neg_rank
+         |  FROM kept)
+         |SELECT anchor, positive, neg_rank, neg_id FROM ranked
+         |WHERE neg_rank <= $NumNegatives
+         |ORDER BY anchor, positive, neg_rank""".stripMargin,
 
     "q109_pq_encode" ->
       s"""$pqDistsSql

@@ -253,6 +253,33 @@ trait EventsRegistry extends RegistryBase {
         .groupBy(col("cohort_week"), (col("wk") - col("cohort_week")).as("week_offset"))
         .agg(count(lit(1)).as("n_active"))
         .orderBy("cohort_week", "week_offset")
+    }),
+
+    // pillar events: MARKOV NEXT-EVENT TRANSITIONS — the first-order
+    // behavioral model behind next-action prediction and session
+    // simulation: P(to_type | from_type) over consecutive within-session
+    // event pairs. Session membership needs NO second shuffle: a pair is
+    // within-session iff its gap <= the q54 session gap, so lead() over
+    // the SAME (user_id) window that sessionize uses decides it — one
+    // shuffle on user_id, then the transition matrix is a map-side-
+    // combined aggregate on a (|types| x |types|)-sized key space and
+    // the row-normalizer is a window over that tiny frame. Probabilities
+    // divide two exact BIGINTs (deterministic IEEE on both engines).
+    "q193_markov_transitions" -> ((s, dir) => {
+      val ev = rd(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("tsn"), col("event_id"), col("event_type"))
+      val w = Window.partitionBy("user_id").orderBy(col("tsn").asc, col("event_id").asc)
+      val wf = Window.partitionBy("from_type")
+      ev
+        .withColumn("next_tsn", lead(col("tsn"), 1).over(w))
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_tsn").isNotNull &&
+          col("next_tsn") - col("tsn") <= SessionGapMicros)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n_trans"))
+        .withColumn("n_from", sum(col("n_trans")).over(wf))
+        .withColumn("p_trans", col("n_trans").cast("double") / col("n_from").cast("double"))
+        .orderBy("from_type", "to_type")
     })
   )
 
@@ -365,6 +392,22 @@ trait EventsRegistry extends RegistryBase {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+
+    // within-session iff gap <= the q54 session gap; probabilities are
+    // exact-BIGINT ratios (deterministic IEEE division on both engines)
+    "q193_markov_transitions" ->
+      s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS tsn, event_id, event_type FROM events),
+         |l AS (SELECT *,
+         |        lead(tsn) OVER w AS next_tsn,
+         |        lead(event_type) OVER w AS to_type
+         |      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tsn ASC, event_id ASC)),
+         |t AS (SELECT event_type AS from_type, to_type, count(*) AS n_trans
+         |      FROM l WHERE next_tsn IS NOT NULL AND next_tsn - tsn <= $SessionGapMicros
+         |      GROUP BY 1, 2)
+         |SELECT from_type, to_type, n_trans,
+         |       (sum(n_trans) OVER (PARTITION BY from_type))::BIGINT AS n_from,
+         |       n_trans::DOUBLE / (sum(n_trans) OVER (PARTITION BY from_type))::DOUBLE AS p_trans
+         |FROM t ORDER BY from_type, to_type""".stripMargin
   )
 }

@@ -630,6 +630,46 @@ trait StreamingRegistry extends RegistryBase {
       } finally Staging.discard(stage)
     }),
 
+    // pillar similarity + streaming (21st gate): IVF ANN SERVING — the
+    // online-retrieval shape every production vector store runs: the IVF
+    // index (corpus bucket assignment) is built ONCE and checkpointed;
+    // query vectors arrive in micro-batches and each batch pays only its
+    // own probe + refine, bounded by probed-bucket sizes — never a
+    // corpus-side rebuild. Per-query answers depend only on the query
+    // vector and the static corpus + trained centroids, so the bridge
+    // provably cannot change them; oracle is q43's chain with the
+    // arrival subset as the query predicate.
+    "q194_stream_ann_topk" -> ((s, dir) => {
+      val stage = Staging.dir("q194-")
+      try {
+        val e = rd(s, dir, "embeddings")
+        val cents = trainedArtifact(s, dir, "cent8") {
+          val (tr, init) = trainSample8(s, e)
+          Similarity.trainCentroids(tr, "vec_id", "embedding", init, KmeansIters)
+        }.localCheckpoint(false) // probed every micro-batch
+        val corpus = spread(s, e).localCheckpoint(false)
+        val buckets = Similarity
+          .assignToCentroidsQ(corpus, cents, "vec_id", "embedding")
+          .select(col("id").as("r_id"), col("centroid_id"))
+          .localCheckpoint(false) // the IVF index: built once, probed per batch
+        val inDir = stage.resolve("in").toString
+        // genuine 4-file split → 4 micro-batches (the q155 convention)
+        e.filter(col("vec_id") % 25 === 5)
+          .repartition(4).write.mode("overwrite").parquet(inDir)
+        val outDir = stage.resolve("out").toString
+        val stream = s.readStream.schema(e.schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir)
+        val q = graft.streaming.EventStream.foreachBatchSink(stream, identity) {
+          (batch, batchId) =>
+            Similarity.ivfTopKQServe(spreadBatch(s, batch), corpus, buckets,
+                cents, "vec_id", "embedding", k = 3, nprobe = 2)
+              .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        }.start()
+        awaitGate("q194", q)
+        s.read.parquet(outDir).drop("batch").orderBy("q_id", "rank").localCheckpoint(true)
+      } finally Staging.discard(stage)
+    }),
+
     "q171_stream_image_screen" -> ((s, dir) => {
       val stage = Staging.dir("q171-")
       try {
@@ -707,6 +747,11 @@ trait StreamingRegistry extends RegistryBase {
     // shared with the batch q190 — per-doc screen answers depend only on
     // the doc and the static corpus, so the bridge cannot change them
     "q191_stream_bottomk_screen" -> bottomKScreenOracle,
+
+    // q43's oracle chain with the arrival subset as the query predicate —
+    // per-query answers depend only on the query vector and the static
+    // corpus + centroids, so the bridge cannot change them
+    "q194_stream_ann_topk" -> ivfTopkOracle("id % 25 = 5"),
 
     // 13th streaming gate: per-user week-set digests union-merge exactly
     // (idempotent, replay-safe) — same oracle as q150

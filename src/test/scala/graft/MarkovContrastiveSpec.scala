@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** Semantic invariants for the round-11 seventh/eighth wave
+  * (q193/q194/q195) beyond their oracle gates, run on the sf0.001
+  * testdata.
+  */
+class MarkovContrastiveSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q193 Markov transitions: rows normalize to 1, n_from consistent, gap excluded") {
+    val rows = SparkEntry.queries("q193_markov_transitions")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byFrom = rows.groupBy(_.getString(0))
+    byFrom.foreach { case (from, rs) =>
+      val nTrans = rs.map(_.getLong(2))
+      val nFrom = rs.map(_.getLong(3)).distinct
+      assert(nFrom.length == 1 && nFrom.head == nTrans.sum,
+        s"$from: n_from ${nFrom.toSeq} vs sum ${nTrans.sum}")
+      val pSum = rs.map(_.getDouble(4)).sum
+      assert(math.abs(pSum - 1.0) < 1e-9, s"$from: probabilities sum to $pSum")
+    }
+    // the transition count can never exceed the within-session pair
+    // count implied by the sessionize view: sum over sessions of (n-1)
+    val sess = SparkEntry.queries("q54_events_sessionize")(spark, dir).collect()
+    val pairBudget = sess.map(_.getLong(4) - 1).sum
+    assert(rows.map(_.getLong(2)).sum == pairBudget,
+      "within-session transition pairs must equal sum(session n_events - 1)")
+  }
+
+  test("q194 streaming ANN serving equals the batch IVF top-k on the same query subset") {
+    val served = SparkEntry.queries("q194_stream_ann_topk")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(served.nonEmpty)
+    // the batch twin, trained identically to the registry's cent8
+    // artifact (sf0.001 has 500 vectors -> sample stride m = 1, seeds =
+    // vec_id < 8, 3 Lloyd steps)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cents = Similarity.trainCentroids(e, "vec_id", "embedding",
+      e.filter(col("vec_id") < 8).select("vec_id"), iters = 3)
+    val batch = Similarity.ivfTopKQ(
+        e.filter(col("vec_id") % 25 === 5), e, cents,
+        "vec_id", "embedding", k = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(served == batch,
+      s"gate output diverges from the batch twin: only-gate=${served.diff(batch).take(3)} " +
+        s"only-batch=${batch.diff(served).take(3)}")
+  }
+
+  test("q195 contrastive negatives: exclusions hold, ranks contiguous, pairs are mutual edges") {
+    val negs = SparkEntry.queries("q195_contrastive_negatives")(spark, dir).collect()
+    assert(negs.nonEmpty)
+    val edges = SparkEntry.queries("q186_knn_graph")(spark, dir).collect()
+    val edgeSet = edges.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mutualSet = edges.filter(_.getBoolean(4)).map(r => (r.getLong(0), r.getLong(1))).toSet
+    negs.foreach { r =>
+      val (a, p, rk, n) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(mutualSet.contains((a, p)), s"($a,$p) is not a mutual edge")
+      assert(n != a && n != p, s"negative $n collides with the pair ($a,$p)")
+      assert(!edgeSet.contains((a, n)), s"negative $n is in $a's neighborhood")
+      assert(rk >= 1 && rk <= 4, s"rank $rk out of range")
+    }
+    // ranks are contiguous 1..k per pair, and the slack absorbed every
+    // exclusion on this data (no under-returned pair)
+    negs.groupBy(r => (r.getLong(0), r.getLong(1))).foreach { case (pair, rs) =>
+      val ranks = rs.map(_.getLong(2)).sorted
+      assert(ranks.sameElements(1L to ranks.length), s"$pair ranks: ${ranks.toSeq}")
+      assert(ranks.length == 4L, s"$pair under-returned: ${ranks.length} negatives")
+    }
+    // every mutual edge produced a pair row
+    assert(negs.map(r => (r.getLong(0), r.getLong(1))).toSet == mutualSet)
+  }
+}

@@ -79,6 +79,10 @@ class PlanAuditSpec extends SparkSpec {
     // q183: q147's audit shape — the per-k rows crossJoin the 1-row
     // containment-truth total
     "q183_containment_screen_audit",
+    // q195: the (anchor, positive) pairs crossJoin the 1-row corpus-size
+    // aggregate for the mod-N draw (the q74/q97 1-row-broadcast-total
+    // shape, not an all-pairs plan)
+    "q195_contrastive_negatives",
     // q141/q143: q123's class — the 1-row sample-rate broadcast plus the
     // every-vector-vs-broadcast-centroid-set Lloyd/assign scoring
     "q141_doc_cluster_assign", "q143_cluster_balanced_sample",

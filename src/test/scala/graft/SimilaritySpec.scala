@@ -133,6 +133,21 @@ class SimilaritySpec extends SparkSpec {
     assert(t10 > t4, f"probing more buckets must not lose recall: $t10%.3f <= $t4%.3f")
   }
 
+  test("ivfTopKQServe: prebuilt-index serving equals build-and-query ivfTopK") {
+    val cents = vecs.filter(col("vec_id") < 2)
+    val qcents = cents.select(col("vec_id").as("centroid_id"),
+      Similarity.quantize(col("embedding"), 1000).as("cv"))
+    val queries = vecs.filter(col("vec_id") >= 3)
+    val built = Similarity.ivfTopK(queries, vecs, cents, "vec_id", "embedding", k = 2, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val buckets = Similarity.assignToCentroidsQ(vecs, qcents, "vec_id", "embedding")
+      .select(col("id").as("r_id"), col("centroid_id"))
+    val served = Similarity.ivfTopKQServe(queries, vecs, buckets, qcents,
+        "vec_id", "embedding", k = 2, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(built.nonEmpty && served == built)
+  }
+
   test("trainCentroids: one Lloyd step moves centroids to the floor(mean) of their members") {
     // two tight groups; seeds 0 and 2. quantized coords (scale 1000):
     // 0=[0,0], 1=[2,0], 2=[1000,1000], 3=[998,1000]
