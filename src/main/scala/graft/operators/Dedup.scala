@@ -985,20 +985,25 @@ object Dedup {
     // materialize the edge list ONCE: `pairs` is usually an expensive
     // pipeline (LSH near-dup detection), and every propagation round plus
     // every convergence check would otherwise re-run it from scratch
-    val edges = pairs
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint()
+    // freshCheckpoint, not plain localCheckpoint: the loop below joins
+    // checkpointed frames against each other every round, and Spark's
+    // checkpoint INHERITS the child plan's size estimate — the estimate
+    // would be squared per round until Catalyst's stats visitor overflows
+    // BigInteger during planning (see CheckpointStats' scaladoc)
+    val edges = org.apache.spark.sql.graft.CheckpointStats.freshCheckpoint(
+      pairs
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
     // iterate ONLY over edge-touched vertices: at realistic near-dup
     // density (~0.02% of pairs at j>=0.8 on this corpus) the propagation
     // frames are orders of magnitude smaller than the corpus; every
     // untouched doc is a singleton (keep_id = id) and is merged back in
     // one final left join instead of riding through every round
-    var labels = edges
-      .select(col("src").as("id"))
-      .distinct()
-      .select(col("id"), col("id").as("keep_id"))
-      .localCheckpoint()
+    var labels = org.apache.spark.sql.graft.CheckpointStats.freshCheckpoint(
+      edges
+        .select(col("src").as("id"))
+        .distinct()
+        .select(col("id"), col("id").as("keep_id")))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -1014,13 +1019,13 @@ object Dedup {
       // the previous label rides along as `old_keep` (max ignores the
       // nulls from the other branches), so the convergence check is a
       // scan of THIS checkpointed frame — no extra join+shuffle per round
-      val next = labels
-        .select(col("id"), col("keep_id"), col("keep_id").as("old_keep"))
-        .union(prop)
-        .union(jump)
-        .groupBy("id")
-        .agg(min("keep_id").as("keep_id"), max("old_keep").as("old_keep"))
-        .localCheckpoint()
+      val next = org.apache.spark.sql.graft.CheckpointStats.freshCheckpoint(
+        labels
+          .select(col("id"), col("keep_id"), col("keep_id").as("old_keep"))
+          .union(prop)
+          .union(jump)
+          .groupBy("id")
+          .agg(min("keep_id").as("keep_id"), max("old_keep").as("old_keep")))
       changed = next.filter(col("keep_id") =!= col("old_keep")).count()
       labels = next.select("id", "keep_id")
       iter += 1
