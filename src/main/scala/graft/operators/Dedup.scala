@@ -958,9 +958,15 @@ object Dedup {
     *
     * Iterative min-label propagation WITH pointer jumping: each round
     * every vertex takes the min over (its label, neighbors' labels, its
-    * label's label). The shortcut through the label table halves path
-    * lengths each round, so convergence is O(log n) rounds even for a
-    * long-chain component — maxIter 25 covers ~2^25-vertex diameters.
+    * label's label). The shortcut through the label table compresses
+    * label chains, so rounds scale with the log of component diameter
+    * rather than the diameter itself — but the constant is NOT the
+    * ideal halving (propagation and jumping interleave through one min,
+    * and a fresh frontier's labels arrive unjumped), so give the loop
+    * comfortable headroom: maxIter 64 (q192's 50k-node mutual-kNN graph
+    * empirically needs more than 25 where the 500-node gate converged
+    * well inside it; rounds are cheap and the loop exits on
+    * convergence).
     * Each round is one edge join + one label self-join + one min
     * aggregation, all distributed (the driver loop only counts changed
     * labels; no vertex data ever reaches the driver). localCheckpoint
@@ -971,7 +977,7 @@ object Dedup {
       docs: DataFrame,
       idCol: String,
       pairs: DataFrame,
-      maxIter: Int = 25
+      maxIter: Int = 64
   ): DataFrame = {
     // a non-integral id would silently cast to null below and propagate
     // garbage keep_ids — reject it up front (fail-loudly contract)
