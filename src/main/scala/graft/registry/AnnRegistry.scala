@@ -41,12 +41,12 @@ trait AnnRegistry extends RegistryBase {
        |  WHERE rank <= $KnnGraphK)""".stripMargin
   }
 
-  /** q186's edge build — per-node top-K cosine neighbors among SRP band
-    * collisions (q107's candidate machinery, both directions) with the
-    * mutual flag. Shared by q186 (the edge list) and q192 (connected
-    * components of the mutual subgraph).
+  /** q186's candidate build — ALL SRP-band-collision candidates of each
+    * node scored by exact cosine and ranked per src (q107's candidate
+    * machinery, both directions). knnGraphFrame cuts this at rank <= K;
+    * q197 mines the ranks just below the cut as hard negatives.
     */
-  private def knnGraphFrame(s: SparkSession, dir: String): DataFrame = {
+  private def knnRankedFrame(s: SparkSession, dir: String): DataFrame = {
     val v = transform(col("embedding"), x => x.cast("double"))
     val sig = SrpPlanes.zipWithIndex.map { case (p, b) =>
       val plane = array(p.map(lit(_)): _*).cast("array<double>")
@@ -68,15 +68,23 @@ trait AnnRegistry extends RegistryBase {
           col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
       .distinct() // a pair can collide in both bands
-    val scored = cand
+    cand
       .join(vecs.select(col("vec_id").as("src"), col("dv").as("dv_a"), col("nrm").as("nrm_a")), Seq("src"))
       .join(vecs.select(col("vec_id").as("dst"), col("dv").as("dv_b"), col("nrm").as("nrm_b")), Seq("dst"))
       .withColumn("cos_sim", Similarity.dot(col("dv_a"), col("dv_b")) / (col("nrm_a") * col("nrm_b")))
       .select("src", "dst", "cos_sim")
-    val topm = scored.withColumn("rank", row_number().over(
+      .withColumn("rank", row_number().over(
         Window.partitionBy("src").orderBy(col("cos_sim").desc, col("dst").asc))
         .cast("long"))
+  }
+
+  /** knnRankedFrame cut at the top-K edge list, with the mutual flag —
+    * q186's output, and the pair source for q192/q195.
+    */
+  private def knnGraphFrame(s: SparkSession, dir: String): DataFrame = {
+    val topm = knnRankedFrame(s, dir)
       .filter(col("rank") <= KnnGraphK)
+      .select("src", "dst", "rank", "cos_sim")
       .localCheckpoint(false) // feeds the edge list AND its reversal
     topm.alias("x")
       .join(topm.select(col("src").as("rsrc"), col("dst").as("rdst")).alias("r"),
@@ -402,6 +410,95 @@ trait AnnRegistry extends RegistryBase {
         .orderBy("anchor", "positive", "neg_rank")
     }),
 
+    // pillar similarity: SRP BAND-WIDTH AUDIT — the tuning report behind
+    // the q186 family's one scale knob. Splitting the 16-bit SRP
+    // signature into fewer/wider bands trades candidate volume (which
+    // grows ~quadratically in per-key occupancy — the saturation
+    // SCALE.md measured at 50k vectors) against recall of the exact
+    // top-K. One row per config {1x16-bit, 2x8-bit (shipped), 4x4-bit}:
+    // directed candidate count, exact-top-K hits, recall. The exact
+    // truth is the brute-force pass — audit scale BY DESIGN (the
+    // q147/q154/q170/q183 class): the audit certifies the config on a
+    // sample, only the banded build runs at corpus scale.
+    "q196_srp_band_audit" -> ((s, dir) => {
+      val v = transform(col("embedding"), x => x.cast("double"))
+      val sig = SrpPlanes.zipWithIndex.map { case (p, b) =>
+        val plane = array(p.map(lit(_)): _*).cast("array<double>")
+        val dot = org.apache.spark.sql.graft.ArrayDot.doubleDot(v, plane)
+        when(dot > 0.0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val e = rd(s, dir, "embeddings")
+        .select(col("vec_id"), sig.as("srp_sig"), v.as("dv"))
+        .withColumn("nrm", Similarity.l2Norm(col("dv")))
+        .localCheckpoint(false) // feeds the truth pass AND every config
+      val nRow = e.agg(count(lit(1)).as("n_nodes"))
+      val cos = Similarity.dot(col("dv_a"), col("dv_b")) / (col("nrm_a") * col("nrm_b"))
+      val exact = e.select(col("vec_id").as("src"), col("dv").as("dv_a"), col("nrm").as("nrm_a"))
+        .crossJoin(e.select(col("vec_id").as("dst"), col("dv").as("dv_b"), col("nrm").as("nrm_b")))
+        .filter(col("src") =!= col("dst"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("src").orderBy(cos.desc, col("dst").asc)))
+        .filter(col("rank") <= KnnGraphK)
+        .select("src", "dst")
+        .localCheckpoint(false) // probed once per config
+      val banded = SrpBandConfigs.map { case (nb, band, shift, mask) =>
+        e.select(lit(nb).as("n_bands"), col("vec_id"), lit(band).as("band"),
+          shiftright(col("srp_sig"), shift).bitwiseAND(lit(mask)).as("key"))
+      }.reduce(_ union _)
+      val cand = banded.alias("x")
+        .join(banded.alias("y"),
+          col("x.n_bands") === col("y.n_bands") && col("x.band") === col("y.band") &&
+            col("x.key") === col("y.key") && col("x.vec_id") =!= col("y.vec_id"))
+        .select(col("x.n_bands").as("n_bands"), col("x.vec_id").as("src"),
+          col("y.vec_id").as("dst"))
+        .distinct()
+        .localCheckpoint(false) // feeds the volume count AND the top-K hits
+      val hits = cand
+        .join(e.select(col("vec_id").as("src"), col("dv").as("dv_a"), col("nrm").as("nrm_a")), Seq("src"))
+        .join(e.select(col("vec_id").as("dst"), col("dv").as("dv_b"), col("nrm").as("nrm_b")), Seq("dst"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("n_bands", "src").orderBy(cos.desc, col("dst").asc)))
+        .filter(col("rank") <= KnnGraphK)
+        .join(exact, Seq("src", "dst"))
+        .groupBy("n_bands").agg(count(lit(1)).as("n_hit"))
+      cand.groupBy("n_bands").agg(count(lit(1)).as("n_cand"))
+        .join(hits, Seq("n_bands"), "left")
+        .crossJoin(broadcast(nRow))
+        .select(col("n_bands"),
+          (lit(16L) / col("n_bands")).cast("long").as("key_bits"),
+          col("n_cand"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          (coalesce(col("n_hit"), lit(0L)).cast("double") /
+            (col("n_nodes") * KnnGraphK).cast("double")).as("recall"))
+        .orderBy("n_bands")
+    }),
+
+    // pillar similarity: HARD-NEGATIVE MINING — the companion export to
+    // q195's easy negatives: for every (anchor, positive) mutual pair,
+    // the band-collision candidates ranked JUST BELOW the top-K cut
+    // (ranks K+1..K+HardNegM) — similar enough to collide and score
+    // high, excluded from the positive set: exactly what contrastive
+    // training wants as hard negatives. Zero new joins at scale — the
+    // ranked candidate frame q186 already builds, read one rank band
+    // lower; anchors with exhausted candidate lists under-return
+    // deterministically.
+    "q197_hard_negatives" -> ((s, dir) => {
+      val ranked = knnRankedFrame(s, dir)
+        .localCheckpoint(false) // feeds the top-K cut AND the hard band
+      val topm = ranked.filter(col("rank") <= KnnGraphK)
+      val pos = topm.alias("x")
+        .join(topm.select(col("src").as("rsrc"), col("dst").as("rdst")).alias("r"),
+          col("x.src") === col("r.rdst") && col("x.dst") === col("r.rsrc"))
+        .select(col("x.src").as("anchor"), col("x.dst").as("positive"))
+      val hard = ranked
+        .filter(col("rank") > KnnGraphK && col("rank") <= KnnGraphK + HardNegM)
+        .select(col("src").as("anchor"), col("dst").as("neg_id"), col("cos_sim"),
+          (col("rank") - KnnGraphK).as("neg_rank"))
+      pos.join(hard, Seq("anchor"))
+        .select("anchor", "positive", "neg_rank", "neg_id", "cos_sim")
+        .orderBy("anchor", "positive", "neg_rank")
+    }),
+
     // pillar similarity: ANN QUALITY REPORT — the recall@k / MRR audit
     // an ANN deployment runs continuously, as a first-class query: the
     // trained-IVF index (q43's exact configuration) joined against
@@ -664,6 +761,59 @@ trait AnnRegistry extends RegistryBase {
          |SELECT anchor, positive, neg_rank, neg_id FROM ranked
          |WHERE neg_rank <= $NumNegatives
          |ORDER BY anchor, positive, neg_rank""".stripMargin,
+
+    // q186's CTE prefix per band config + a brute-force exact truth pass
+    // (audit scale by design, the q147/q154/q170/q183 class)
+    "q196_srp_band_audit" -> {
+      val bandedSql = SrpBandConfigs.map { case (nb, band, shift, mask) =>
+        s"SELECT $nb::BIGINT AS n_bands, vec_id, $band AS band, (srp_sig >> $shift) & $mask AS key FROM s"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH $knnCtesSql,
+         |np AS (SELECT count(*) AS n_nodes FROM embeddings),
+         |exact AS (SELECT src, dst FROM (
+         |    SELECT a.vec_id AS src, b.vec_id AS dst,
+         |           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |             list_sum(list_transform(range(1, 65), i -> a.v[i::INT] * b.v[i::INT])) / (a.nrm * b.nrm) DESC,
+         |             b.vec_id ASC) AS rank
+         |    FROM n a JOIN n b ON a.vec_id <> b.vec_id)
+         |  WHERE rank <= $KnnGraphK),
+         |cbanded AS (
+         |  $bandedSql),
+         |ccand AS (SELECT DISTINCT x.n_bands, x.vec_id AS src, y.vec_id AS dst
+         |          FROM cbanded x JOIN cbanded y
+         |          ON x.n_bands = y.n_bands AND x.band = y.band AND x.key = y.key
+         |             AND x.vec_id <> y.vec_id),
+         |chits AS (SELECT n_bands, count(*) AS n_hit FROM (
+         |    SELECT c.n_bands, c.src, c.dst,
+         |           row_number() OVER (PARTITION BY c.n_bands, c.src ORDER BY
+         |             list_sum(list_transform(range(1, 65), i -> na.v[i::INT] * nb.v[i::INT])) / (na.nrm * nb.nrm) DESC,
+         |             c.dst ASC) AS rank
+         |    FROM ccand c JOIN n na ON na.vec_id = c.src JOIN n nb ON nb.vec_id = c.dst) r
+         |  JOIN exact e2 ON e2.src = r.src AND e2.dst = r.dst
+         |  WHERE r.rank <= $KnnGraphK GROUP BY n_bands),
+         |cvol AS (SELECT n_bands, count(*) AS n_cand FROM ccand GROUP BY n_bands)
+         |SELECT v.n_bands, (16 / v.n_bands)::BIGINT AS key_bits, v.n_cand,
+         |       coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+         |       coalesce(h.n_hit, 0)::DOUBLE / (np.n_nodes * $KnnGraphK)::DOUBLE AS recall
+         |FROM cvol v LEFT JOIN chits h USING (n_bands), np
+         |ORDER BY v.n_bands""".stripMargin
+    },
+
+    // q186's CTEs: the mutual pairs joined with the rank band just below
+    // the top-K cut of the SAME scored candidate frame
+    "q197_hard_negatives" ->
+      s"""WITH $knnCtesSql,
+         |pos AS (SELECT t.src AS anchor, t.dst AS positive FROM topm t
+         |        JOIN topm r ON r.src = t.dst AND r.dst = t.src),
+         |rk AS (SELECT src, dst, cos_sim,
+         |         row_number() OVER (PARTITION BY src ORDER BY cos_sim DESC, dst ASC) AS rank
+         |       FROM scored),
+         |hard AS (SELECT src AS anchor, dst AS neg_id, cos_sim,
+         |                rank - $KnnGraphK AS neg_rank
+         |         FROM rk WHERE rank > $KnnGraphK AND rank <= ${KnnGraphK + HardNegM})
+         |SELECT p.anchor, p.positive, h.neg_rank, h.neg_id, h.cos_sim
+         |FROM pos p JOIN hard h ON h.anchor = p.anchor
+         |ORDER BY p.anchor, p.positive, h.neg_rank""".stripMargin,
 
     "q109_pq_encode" ->
       s"""$pqDistsSql

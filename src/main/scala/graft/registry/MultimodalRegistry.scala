@@ -160,6 +160,34 @@ trait MultimodalRegistry extends RegistryBase {
           bits = 24, bandConfigs = Seq(2, 4, 6), maxHamming = 3)
         .localCheckpoint(true)
         .orderBy("bands")
+    }),
+
+    // pillar multimodal x dedup x text: MULTI-SIGNAL CONSENSUS PAIRS —
+    // the LAION-style signal combination: the text MinHash-LSH pair set
+    // (q31) full-outer-joined with the image perceptual-hash pair set
+    // (q164) on the pair key. A pair flagged by BOTH signals is a
+    // consensus near-dup (drop with confidence); one-signal pairs are
+    // the review band (caption copied under a new image, image reposted
+    // with a new caption). Both inputs are banded candidate joins — the
+    // consensus join itself is an equi-join of two already-tiny pair
+    // frames, so the combination adds nothing to the scale cost.
+    "q198_multimodal_consensus" -> ((s, dir) => {
+      val docs = spread(s, rd(s, dir, "documents"))
+        .localCheckpoint(false) // feeds both signal paths
+      val text = Dedup.nearDuplicates(docs, "doc_id", "text",
+          shingleN = 4, numHashes = 8, rowsPerBand = 4, threshold = 0.4)
+        .select(col("id_a"), col("id_b"), col("jacc"))
+      val img = Dedup.simhashCandidates(
+          Multimodal.withContent(docs, "text")
+            .select(col("doc_id"), Multimodal.pseudoDHash(col("content")).as("dhash")),
+          "doc_id", "dhash", bits = 24, maxHamming = 3)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+      text.join(img, Seq("id_a", "id_b"), "full_outer")
+        .select(col("id_a"), col("id_b"), col("jacc"), col("hamming"),
+          col("jacc").isNotNull.as("by_text"),
+          col("hamming").isNotNull.as("by_image"),
+          (col("jacc").isNotNull && col("hamming").isNotNull).as("consensus"))
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -289,6 +317,26 @@ trait MultimodalRegistry extends RegistryBase {
          |       CAST(n_true_found AS DOUBLE) / nullif(n_true_total, 0) AS recall,
          |       CAST(n_candidates - n_true_found AS DOUBLE) / nullif(n_candidates, 0) AS fp_rate
          |FROM r CROSS JOIN tot ORDER BY bands""".stripMargin
-    }
+    },
+
+    // q31's nd_pairs CTE full-outer-joined with q164's exact-hamming
+    // image pair set on the pair key
+    "q198_multimodal_consensus" ->
+      s"""WITH $lshPairsCtes,
+         |imgd AS (SELECT doc_id, ('0x' || substr(md5(text), 1, 6))::BIGINT AS dh
+         |         FROM documents),
+         |img AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |               bit_count(xor(a.dh, b.dh))::BIGINT AS hamming
+         |        FROM imgd a JOIN imgd b ON a.doc_id < b.doc_id
+         |        WHERE bit_count(xor(a.dh, b.dh)) <= 3)
+         |SELECT coalesce(t.id_a, img.id_a) AS id_a,
+         |       coalesce(t.id_b, img.id_b) AS id_b,
+         |       t.jacc, img.hamming,
+         |       t.id_a IS NOT NULL AS by_text,
+         |       img.id_a IS NOT NULL AS by_image,
+         |       (t.id_a IS NOT NULL AND img.id_a IS NOT NULL) AS consensus
+         |FROM nd_pairs t FULL OUTER JOIN img
+         |  ON t.id_a = img.id_a AND t.id_b = img.id_b
+         |ORDER BY id_a, id_b""".stripMargin
   )
 }

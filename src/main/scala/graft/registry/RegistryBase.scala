@@ -396,6 +396,26 @@ trait RegistryBase {
   protected val NumNegatives = 4L
   protected val NegDrawsM = 8L
 
+  /** q197 hard negatives kept per anchor: the band-collision candidates
+    * ranked just below the top-K cut (ranks K+1..K+HardNegM) — "near
+    * misses", the standard hard-negative mining band. Anchors whose
+    * candidate list is exhausted under-return (deterministically, on
+    * both engines).
+    */
+  protected val HardNegM = 2L
+
+  /** q196's audited SRP band layouts over the 16-bit signature: one
+    * (n_bands, band index, shift, key mask) row per band of each config
+    * {1x16-bit, 2x8-bit (the shipped q186 layout), 4x4-bit}. Single
+    * source of truth for the Spark build and the generated oracle SQL.
+    */
+  protected lazy val SrpBandConfigs: Seq[(Long, Long, Int, Long)] =
+    Seq(1, 2, 4).flatMap { nb =>
+      val w = 16 / nb
+      val mask = (1L << w) - 1
+      (0 until nb).map(i => (nb.toLong, i.toLong, i * w, mask))
+    }
+
   /** SemDeDup within-cluster cosine threshold (q117; same value as the
     * q46 near-dup cutoff so the two embedding-dedup surfaces agree).
     */

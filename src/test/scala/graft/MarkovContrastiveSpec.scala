@@ -3,13 +3,71 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.operators.Similarity
 
-/** Semantic invariants for the round-11 seventh/eighth wave
-  * (q193/q194/q195) beyond their oracle gates, run on the sf0.001
-  * testdata.
+/** Semantic invariants for the round-11 eighth/ninth waves
+  * (q193-q198) beyond their oracle gates, run on the sf0.001 testdata.
   */
 class MarkovContrastiveSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
+
+  test("q196 SRP band audit: narrower keys are a strict candidate superset, so volume and hits are monotone") {
+    val rows = SparkEntry.queries("q196_srp_band_audit")(spark, dir)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.length == 3 && rows.map(_.getLong(0)).sameElements(Array(1L, 2L, 4L)))
+    // a 4-bit key is a slice of an 8-bit key is a slice of the 16-bit
+    // signature: agreeing on the wide key implies agreeing on every
+    // sub-key, so candidates(1x16) subset-of candidates(2x8) subset-of
+    // candidates(4x4); and top-K by TRUE cosine over a candidate
+    // superset can only displace an exact-top-K member with another
+    // exact-top-K member, so hits are monotone too
+    val cands = rows.map(_.getLong(2))
+    val hits = rows.map(_.getLong(3))
+    assert(cands.zip(cands.tail).forall { case (a, b) => a <= b }, cands.toSeq)
+    assert(hits.zip(hits.tail).forall { case (a, b) => a <= b }, hits.toSeq)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 16L / r.getLong(0)) // key_bits
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+  }
+
+  test("q197 hard negatives: disjoint from the top-K edge set, ranks contiguous, anchors are mutual") {
+    val hard = SparkEntry.queries("q197_hard_negatives")(spark, dir).collect()
+    assert(hard.nonEmpty)
+    val edges = SparkEntry.queries("q186_knn_graph")(spark, dir).collect()
+    val edgeSet = edges.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mutualAnchors = edges.filter(_.getBoolean(4)).map(_.getLong(0)).toSet
+    hard.foreach { r =>
+      val (a, p, rk, n) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(mutualAnchors.contains(a), s"anchor $a has no mutual edge")
+      assert(edgeSet.contains((a, p)), s"($a,$p) not an edge")
+      assert(!edgeSet.contains((a, n)), s"hard negative $n is in $a's top-K")
+      assert(rk >= 1 && rk <= 2, s"rank $rk out of the K+1..K+M band")
+    }
+    // per (anchor, positive): ranks contiguous from 1 (under-return ok)
+    hard.groupBy(r => (r.getLong(0), r.getLong(1))).foreach { case (pair, rs) =>
+      val ranks = rs.map(_.getLong(2)).sorted
+      assert(ranks.sameElements(1L to ranks.length), s"$pair ranks: ${ranks.toSeq}")
+    }
+  }
+
+  test("q198 multimodal consensus: flags reconcile with the q31/q164 pair sets") {
+    val rows = SparkEntry.queries("q198_multimodal_consensus")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val text = SparkEntry.queries("q31_dedup_minhash_lsh")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val img = SparkEntry.queries("q164_image_neardup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val seen = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(seen == text.union(img), "pair universe must be the union of both signals")
+    rows.foreach { r =>
+      val pair = (r.getLong(0), r.getLong(1))
+      assert(r.getBoolean(4) == text.contains(pair), s"$pair by_text flag wrong")
+      assert(r.getBoolean(5) == img.contains(pair), s"$pair by_image flag wrong")
+      assert(r.getBoolean(6) == (text.contains(pair) && img.contains(pair)))
+      assert(r.isNullAt(2) != r.getBoolean(4), s"$pair jacc nullability vs by_text")
+      assert(r.isNullAt(3) != r.getBoolean(5), s"$pair hamming nullability vs by_image")
+    }
+  }
 
   test("q193 Markov transitions: rows normalize to 1, n_from consistent, gap excluded") {
     val rows = SparkEntry.queries("q193_markov_transitions")(spark, dir).collect()

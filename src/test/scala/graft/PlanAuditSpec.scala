@@ -83,6 +83,11 @@ class PlanAuditSpec extends SparkSpec {
     // aggregate for the mod-N draw (the q74/q97 1-row-broadcast-total
     // shape, not an all-pairs plan)
     "q195_contrastive_negatives",
+    // q196: the band-audit's exact-truth pass is a brute-force cross
+    // join BY DESIGN (the q147/q154/q170/q183 audit class — sample
+    // scale), plus the 1-row corpus-size broadcast for the recall
+    // denominator
+    "q196_srp_band_audit",
     // q141/q143: q123's class — the 1-row sample-rate broadcast plus the
     // every-vector-vs-broadcast-centroid-set Lloyd/assign scoring
     "q141_doc_cluster_assign", "q143_cluster_balanced_sample",
