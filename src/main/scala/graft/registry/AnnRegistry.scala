@@ -16,11 +16,17 @@ trait AnnRegistry extends RegistryBase {
     * `topm` (src, dst, cos_sim, rank) — shared by q186 (mutual flag),
     * q192 (mutual components), and q195 (contrastive export).
     */
-  private lazy val knnCtesSql: String = {
-    val planeSum = SrpPlanes.zipWithIndex.map { case (p, b) =>
+  /** The 16-plane SRP signature as a DuckDB expression over a column `v`
+    * (list of doubles) — shared by knnCtesSql and the q196 audit.
+    */
+  private lazy val srpPlaneSumSql: String =
+    SrpPlanes.zipWithIndex.map { case (p, b) =>
       val lst = p.mkString("[", ", ", "]")
       s"CASE WHEN list_sum(list_transform(range(1, 65), i -> v[i::INT] * ($lst)[i::INT])) > 0 THEN ${1L << b} ELSE 0 END"
     }.mkString("(", " + ", ")")
+
+  private lazy val knnCtesSql: String = {
+    val planeSum = srpPlaneSumSql
     s"""e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
        |s AS (SELECT vec_id, $planeSum::BIGINT AS srp_sig FROM e),
        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
@@ -418,8 +424,8 @@ trait AnnRegistry extends RegistryBase {
     // top-K. One row per config {1x16-bit, 2x8-bit (shipped), 4x4-bit}:
     // directed candidate count, exact-top-K hits, recall. The exact
     // truth is the brute-force pass — audit scale BY DESIGN (the
-    // q147/q154/q170/q183 class): the audit certifies the config on a
-    // sample, only the banded build runs at corpus scale.
+    // q147/q154/q170/q183 class): the corpus-scaled 1-in-m sample
+    // certifies the config, only the banded build runs at corpus scale.
     "q196_srp_band_audit" -> ((s, dir) => {
       val v = transform(col("embedding"), x => x.cast("double"))
       val sig = SrpPlanes.zipWithIndex.map { case (p, b) =>
@@ -427,7 +433,11 @@ trait AnnRegistry extends RegistryBase {
         val dot = org.apache.spark.sql.graft.ArrayDot.doubleDot(v, plane)
         when(dot > 0.0, lit(1L << b)).otherwise(lit(0L))
       }.reduce(_ + _)
-      val e = rd(s, dir, "embeddings")
+      val emb = rd(s, dir, "embeddings")
+      val mRow = emb.agg(count(lit(1)).as("n"))
+        .select(greatest(lit(1L), expr(s"n div $LshAuditSampleTarget")).as("m"))
+      val e = emb.crossJoin(broadcast(mRow))
+        .filter(col("vec_id") % col("m") === 0)
         .select(col("vec_id"), sig.as("srp_sig"), v.as("dv"))
         .withColumn("nrm", Similarity.l2Norm(col("dv")))
         .localCheckpoint(false) // feeds the truth pass AND every config
@@ -762,14 +772,19 @@ trait AnnRegistry extends RegistryBase {
          |WHERE neg_rank <= $NumNegatives
          |ORDER BY anchor, positive, neg_rank""".stripMargin,
 
-    // q186's CTE prefix per band config + a brute-force exact truth pass
-    // (audit scale by design, the q147/q154/q170/q183 class)
+    // the q186 signature math over the corpus-scaled 1-in-m audit
+    // sample, per band config, + a brute-force exact truth pass (audit
+    // scale by design, the q147/q154/q170/q183 class)
     "q196_srp_band_audit" -> {
       val bandedSql = SrpBandConfigs.map { case (nb, band, shift, mask) =>
         s"SELECT $nb::BIGINT AS n_bands, vec_id, $band AS band, (srp_sig >> $shift) & $mask AS key FROM s"
       }.mkString("\n  UNION ALL\n  ")
-      s"""WITH $knnCtesSql,
-         |np AS (SELECT count(*) AS n_nodes FROM embeddings),
+      s"""WITH kpa AS (SELECT greatest(1, count(*) // $LshAuditSampleTarget) AS m FROM embeddings),
+         |e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+         |      FROM embeddings, kpa WHERE vec_id % kpa.m = 0),
+         |s AS (SELECT vec_id, $srpPlaneSumSql::BIGINT AS srp_sig FROM e),
+         |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+         |np AS (SELECT count(*) AS n_nodes FROM e),
          |exact AS (SELECT src, dst FROM (
          |    SELECT a.vec_id AS src, b.vec_id AS dst,
          |           row_number() OVER (PARTITION BY a.vec_id ORDER BY
