@@ -12,6 +12,88 @@ import graft.operators.{Dedup, HeurFuzz, Multimodal, Quota, Similarity, Sketches
   */
 trait TextRegistry extends RegistryBase {
 
+  /** q184's scoring + bucketing pipeline: per-doc integer LM-rarity
+    * score (mean inverse conditional bigram probability, pure BIGINT)
+    * bucketed against its OWN language's tercile cutoffs — the cutoffs
+    * come from a per-lang histogram cumsum, never a global doc sort.
+    * Returns (doc_id, lang, rarity, bucket); shared by q184 (the report)
+    * and q199 (the curriculum export).
+    */
+  private def lmQualityFrame(s: SparkSession, dir: String): DataFrame = {
+    val toks = spread(s, rd(s, dir, "documents"))
+      .select(col("doc_id"), col("lang"),
+        TextFunctions.whitespaceTokens(lower(col("text"))).as("toks"))
+      .localCheckpoint(false) // feeds the bigram AND unigram branches
+    val bi = toks.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("lang"),
+        explode(transform(sequence(lit(1), size(col("toks")) - 1),
+          i => struct(element_at(col("toks"), i).as("w1"),
+            element_at(col("toks"), i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("lang"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val uni = toks.select(explode(col("toks")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val big = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val scored = bi.join(big, Seq("w1", "w2")).join(uni, Seq("w1"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(expr("c1 div c12")).as("rsum"))
+      .withColumn("rarity", expr("(rsum * 1000) div n_bigrams"))
+      .localCheckpoint(false) // feeds the histogram AND the bucket join
+    val cum = scored.groupBy("lang", "rarity").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy("lang").orderBy("rarity")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val cuts = scored.groupBy("lang").agg(count(lit(1)).as("n"))
+      .select(col("lang"), col("n"), explode(array(lit(1L), lit(2L))).as("b"))
+      .withColumn("target", expr("(b * n + 2) div 3"))
+      .join(cum, Seq("lang"))
+      .filter(col("cum") >= col("target"))
+      .groupBy("lang", "b").agg(min(col("rarity")).as("cut"))
+      .groupBy("lang").agg(
+        max(when(col("b") === 1, col("cut"))).as("c1v"),
+        max(when(col("b") === 2, col("cut"))).as("c2v"))
+    scored.join(broadcast(cuts), Seq("lang"))
+      .withColumn("bucket",
+        when(col("rarity") <= col("c1v"), lit("head"))
+          .when(col("rarity") <= col("c2v"), lit("middle"))
+          .otherwise(lit("tail")))
+      .select("doc_id", "lang", "rarity", "bucket")
+  }
+
+  /** The oracle twin of lmQualityFrame: q184's scoring + per-lang
+    * tercile bucketing, terminal CTE
+    * `bucketed(doc_id, lang, rarity, bucket)`. Shared by q184 and q199.
+    */
+  protected lazy val lmBucketCtes: String =
+    s"""t AS (SELECT doc_id, lang, $tokensLowerSql AS toks FROM documents WHERE trim(text) <> ''),
+       |bb AS (SELECT doc_id, lang,
+       |         unnest(list_transform(range(1, len(toks)),
+       |           i -> {'w1': toks[i::INT], 'w2': toks[(i::INT)+1]})) AS b
+       |       FROM t WHERE len(toks) >= 2),
+       |bi AS (SELECT doc_id, lang, b.w1 AS w1, b.w2 AS w2 FROM bb),
+       |c1 AS (SELECT w1, count(*) AS c1 FROM (SELECT unnest(toks) AS w1 FROM t) GROUP BY w1),
+       |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2),
+       |sc AS (SELECT doc_id, lang, count(*) AS n_bigrams,
+       |         sum(c1.c1 // c12.c12)::BIGINT AS rsum
+       |       FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+       |       GROUP BY doc_id, lang),
+       |s2 AS (SELECT doc_id, lang, ((rsum * 1000) // n_bigrams)::BIGINT AS rarity FROM sc),
+       |h AS (SELECT lang, rarity, count(*) AS cnt FROM s2 GROUP BY 1, 2),
+       |c AS (SELECT lang, rarity,
+       |        sum(cnt) OVER (PARTITION BY lang ORDER BY rarity) AS cum FROM h),
+       |nn AS (SELECT lang, count(*) AS n FROM s2 GROUP BY 1),
+       |tg AS (SELECT lang, n, b, (b * n + 2) // 3 AS target
+       |       FROM (SELECT unnest([1, 2]::BIGINT[]) AS b), nn),
+       |ct AS (SELECT tg.lang, tg.b, min(c.rarity) AS cut
+       |       FROM tg JOIN c ON c.lang = tg.lang AND c.cum >= tg.target
+       |       GROUP BY 1, 2),
+       |cuts AS (SELECT lang, max(CASE WHEN b = 1 THEN cut END) AS c1v,
+       |                max(CASE WHEN b = 2 THEN cut END) AS c2v FROM ct GROUP BY lang),
+       |bucketed AS (SELECT s2.doc_id, s2.lang, s2.rarity,
+       |       CASE WHEN rarity <= c1v THEN 'head'
+       |            WHEN rarity <= c2v THEN 'middle' ELSE 'tail' END AS bucket
+       |FROM s2 JOIN cuts ON cuts.lang = s2.lang)""".stripMargin
+
   /** Shared CTE chain for the q165/q167 trained language-ID oracles:
     * multiplicity-preserving char trigrams (docShinglesSql minus the
     * list_distinct; position i valid while i + 2 <= strlen), per-language
@@ -515,46 +597,33 @@ trait TextRegistry extends RegistryBase {
     // scores, <= 1e6 rows per lang at ANY corpus size — never a global
     // sort of docs), targets are pure-integer ceil((b*n)/3) = (b*n+2)
     // div 3, and the langs×2 cutoff table broadcasts back onto docs.
-    "q184_lm_quality_buckets" -> ((s, dir) => {
-      val toks = spread(s, rd(s, dir, "documents"))
-        .select(col("doc_id"), col("lang"),
-          TextFunctions.whitespaceTokens(lower(col("text"))).as("toks"))
-        .localCheckpoint(false) // feeds the bigram AND unigram branches
-      val bi = toks.filter(size(col("toks")) >= 2)
-        .select(col("doc_id"), col("lang"),
-          explode(transform(sequence(lit(1), size(col("toks")) - 1),
-            i => struct(element_at(col("toks"), i).as("w1"),
-              element_at(col("toks"), i + 1).as("w2")))).as("b"))
-        .select(col("doc_id"), col("lang"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      val uni = toks.select(explode(col("toks")).as("w1"))
-        .groupBy("w1").agg(count(lit(1)).as("c1"))
-      val big = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-      val scored = bi.join(big, Seq("w1", "w2")).join(uni, Seq("w1"))
-        .groupBy("doc_id", "lang")
-        .agg(count(lit(1)).as("n_bigrams"),
-          sum(expr("c1 div c12")).as("rsum"))
-        .withColumn("rarity", expr("(rsum * 1000) div n_bigrams"))
-        .localCheckpoint(false) // feeds the histogram AND the bucket join
-      val cum = scored.groupBy("lang", "rarity").agg(count(lit(1)).as("cnt"))
-        .withColumn("cum", sum(col("cnt")).over(
-          Window.partitionBy("lang").orderBy("rarity")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      val cuts = scored.groupBy("lang").agg(count(lit(1)).as("n"))
-        .select(col("lang"), col("n"), explode(array(lit(1L), lit(2L))).as("b"))
-        .withColumn("target", expr("(b * n + 2) div 3"))
-        .join(cum, Seq("lang"))
-        .filter(col("cum") >= col("target"))
-        .groupBy("lang", "b").agg(min(col("rarity")).as("cut"))
-        .groupBy("lang").agg(
-          max(when(col("b") === 1, col("cut"))).as("c1v"),
-          max(when(col("b") === 2, col("cut"))).as("c2v"))
-      scored.join(broadcast(cuts), Seq("lang"))
-        .withColumn("bucket",
-          when(col("rarity") <= col("c1v"), lit("head"))
-            .when(col("rarity") <= col("c2v"), lit("middle"))
-            .otherwise(lit("tail")))
+    "q184_lm_quality_buckets" -> ((s, dir) =>
+      lmQualityFrame(s, dir)
         .select("doc_id", "lang", "rarity", "bucket")
-        .orderBy("doc_id")
+        .orderBy("doc_id")),
+
+    // pipeline: CURRICULUM EXPORT — the training-order composite: q184's
+    // per-lang quality tercile + q161's content-stable shard assignment
+    // + a tier-major stable order WITHIN each shard (head -> middle ->
+    // tail, md5-shuffled inside each tier). A trainer reading shards in
+    // pos_in_shard order gets easy-to-hard curriculum with deterministic
+    // shuffling and NO global sort anywhere: the only new window is
+    // per-shard (corpus/ShardCount rows), the tier table broadcasts, and
+    // the md5 rank is the q161 trick — reproducible under any
+    // partitioning/retry schedule.
+    "q199_curriculum_export" -> ((s, dir) => {
+      val h = conv(substring(md5(concat(lit("shard-"), col("doc_id"))), 1, 15), 16, 10)
+        .cast("long")
+      val tierOrd = when(col("bucket") === "head", lit(0L))
+        .when(col("bucket") === "middle", lit(1L)).otherwise(lit(2L))
+      lmQualityFrame(s, dir)
+        .withColumn("h", h)
+        .withColumn("shard", (col("h") % ShardCount).cast("long"))
+        .withColumn("pos_in_shard", row_number().over(
+            Window.partitionBy("shard").orderBy(tierOrd.asc, col("h").asc, col("doc_id").asc))
+          .cast("long"))
+        .select("doc_id", "lang", "bucket", "shard", "pos_in_shard")
+        .orderBy("shard", "pos_in_shard")
     }),
 
     // pillar text analysis: GRADED benchmark contamination — q85/q113
@@ -1353,34 +1422,21 @@ trait TextRegistry extends RegistryBase {
     // q114's scoring CTEs + per-lang tercile cutoffs; every windowed sum
     // and the ppm division cast back to BIGINT (DuckDB sums widen)
     "q184_lm_quality_buckets" ->
-      s"""WITH t AS (SELECT doc_id, lang, $tokensLowerSql AS toks FROM documents WHERE trim(text) <> ''),
-         |bb AS (SELECT doc_id, lang,
-         |         unnest(list_transform(range(1, len(toks)),
-         |           i -> {'w1': toks[i::INT], 'w2': toks[(i::INT)+1]})) AS b
-         |       FROM t WHERE len(toks) >= 2),
-         |bi AS (SELECT doc_id, lang, b.w1 AS w1, b.w2 AS w2 FROM bb),
-         |c1 AS (SELECT w1, count(*) AS c1 FROM (SELECT unnest(toks) AS w1 FROM t) GROUP BY w1),
-         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2),
-         |sc AS (SELECT doc_id, lang, count(*) AS n_bigrams,
-         |         sum(c1.c1 // c12.c12)::BIGINT AS rsum
-         |       FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
-         |       GROUP BY doc_id, lang),
-         |s2 AS (SELECT doc_id, lang, ((rsum * 1000) // n_bigrams)::BIGINT AS rarity FROM sc),
-         |h AS (SELECT lang, rarity, count(*) AS cnt FROM s2 GROUP BY 1, 2),
-         |c AS (SELECT lang, rarity,
-         |        sum(cnt) OVER (PARTITION BY lang ORDER BY rarity) AS cum FROM h),
-         |nn AS (SELECT lang, count(*) AS n FROM s2 GROUP BY 1),
-         |tg AS (SELECT lang, n, b, (b * n + 2) // 3 AS target
-         |       FROM (SELECT unnest([1, 2]::BIGINT[]) AS b), nn),
-         |ct AS (SELECT tg.lang, tg.b, min(c.rarity) AS cut
-         |       FROM tg JOIN c ON c.lang = tg.lang AND c.cum >= tg.target
-         |       GROUP BY 1, 2),
-         |cuts AS (SELECT lang, max(CASE WHEN b = 1 THEN cut END) AS c1v,
-         |                max(CASE WHEN b = 2 THEN cut END) AS c2v FROM ct GROUP BY lang)
-         |SELECT s2.doc_id, s2.lang, s2.rarity,
-         |       CASE WHEN rarity <= c1v THEN 'head'
-         |            WHEN rarity <= c2v THEN 'middle' ELSE 'tail' END AS bucket
-         |FROM s2 JOIN cuts ON cuts.lang = s2.lang ORDER BY s2.doc_id""".stripMargin,
+      s"""WITH $lmBucketCtes
+         |SELECT doc_id, lang, rarity, bucket FROM bucketed ORDER BY doc_id""".stripMargin,
+
+    // q184's bucket CTEs + the q161 md5 shard/rank arithmetic, tier-major
+    // within each shard
+    "q199_curriculum_export" ->
+      s"""WITH $lmBucketCtes,
+         |sh AS (SELECT bucketed.*,
+         |         ('0x' || substr(md5('shard-' || doc_id), 1, 15))::BIGINT AS hk
+         |       FROM bucketed)
+         |SELECT doc_id, lang, bucket, (hk % $ShardCount)::BIGINT AS shard,
+         |       row_number() OVER (PARTITION BY hk % $ShardCount ORDER BY
+         |         CASE bucket WHEN 'head' THEN 0 WHEN 'middle' THEN 1 ELSE 2 END,
+         |         hk, doc_id) AS pos_in_shard
+         |FROM sh ORDER BY shard, pos_in_shard""".stripMargin,
 
     // q184's scoring CTEs verbatim (keyed by source), then the curve:
     // per-tier histogram -> cumulative kept counts -> exact ppm

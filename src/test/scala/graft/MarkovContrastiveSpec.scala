@@ -50,6 +50,27 @@ class MarkovContrastiveSpec extends SparkSpec {
     }
   }
 
+  test("q199 curriculum export: contiguous per-shard positions, tier-major order, q184's doc set") {
+    val rows = SparkEntry.queries("q199_curriculum_export")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val tierOrd = Map("head" -> 0, "middle" -> 1, "tail" -> 2)
+    rows.groupBy(_.getLong(3)).foreach { case (shard, rs) =>
+      assert(shard >= 0 && shard < 16, s"shard $shard out of range")
+      val ordered = rs.sortBy(_.getLong(4))
+      assert(ordered.map(_.getLong(4)).sameElements(1L to ordered.length),
+        s"shard $shard positions not contiguous")
+      val tiers = ordered.map(r => tierOrd(r.getString(2)))
+      assert(tiers.zip(tiers.tail).forall { case (a, b) => a <= b },
+        s"shard $shard not tier-major: ${tiers.toSeq}")
+    }
+    // same doc set and same per-doc tier as the q184 report
+    val q184 = SparkEntry.queries("q184_lm_quality_buckets")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(rows.map(_.getLong(0)).toSet == q184.keySet)
+    rows.foreach(r => assert(q184(r.getLong(0)) == r.getString(2),
+      s"doc ${r.getLong(0)} tier diverges from q184"))
+  }
+
   test("q198 multimodal consensus: flags reconcile with the q31/q164 pair sets") {
     val rows = SparkEntry.queries("q198_multimodal_consensus")(spark, dir).collect()
     assert(rows.nonEmpty)
