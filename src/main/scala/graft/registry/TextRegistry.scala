@@ -626,6 +626,53 @@ trait TextRegistry extends RegistryBase {
         .orderBy("shard", "pos_in_shard")
     }),
 
+    // pipeline: DATA CARD — the per-source dataset report a training run
+    // is signed off against, as ONE declarative plan: volume (docs,
+    // tokens), redundancy (exact-dup copies: docs minus distinct text
+    // hashes), quality mix (q184's per-lang tercile counts via the
+    // shared lmQualityFrame; docs under 2 tokens carry no tier), and
+    // leakage (docs sharing >= 1 span with the q119 benchmark slice).
+    // Every branch is a per-source aggregate — the joins at the end are
+    // |sources|-row frames; the span probe rides the q119/q136 broadcast
+    // shape, so nothing here adds a corpus-sized shuffle beyond what the
+    // component operators already pay.
+    "q200_data_card" -> ((s, dir) => {
+      val docs = spread(s, rd(s, dir, "documents"))
+        .localCheckpoint(false) // feeds base stats, the tier join, and the span scan
+      val base = docs.select(col("source"),
+          size(TextFunctions.whitespaceTokens(col("text"))).cast("long").as("n_tok"),
+          md5(col("text")).as("th"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+          (count(lit(1)) - countDistinct(col("th"))).as("n_dup_docs"))
+      val tiers = lmQualityFrame(s, dir)
+        .join(docs.select("doc_id", "source"), Seq("doc_id"))
+        .groupBy("source")
+        .agg(
+          sum(when(col("bucket") === "head", 1L).otherwise(0L)).as("n_head"),
+          sum(when(col("bucket") === "middle", 1L).otherwise(0L)).as("n_middle"),
+          sum(when(col("bucket") === "tail", 1L).otherwise(0L)).as("n_tail"))
+      val spans = docs.select(col("doc_id"), col("source"),
+          explode(array_distinct(transform(
+            TextFunctions.charShingles(lower(col("text")), DecontamSpanN),
+            g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")))).as("h"))
+        .localCheckpoint(false) // the span hashing feeds the bench AND probe branches
+      val bench = spans.filter(col("doc_id") % ContamBenchMod === 0)
+        .select(col("h").as("bh")).distinct()
+      val contaminated = spans.filter(col("doc_id") % ContamBenchMod =!= 0)
+        .join(broadcast(bench), col("h") === col("bh"))
+        .select("doc_id", "source").distinct()
+        .groupBy("source").agg(count(lit(1)).as("n_contaminated"))
+      base.join(tiers, Seq("source"), "left")
+        .join(contaminated, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("n_dup_docs"),
+          coalesce(col("n_head"), lit(0L)).as("n_head"),
+          coalesce(col("n_middle"), lit(0L)).as("n_middle"),
+          coalesce(col("n_tail"), lit(0L)).as("n_tail"),
+          coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+        .orderBy("source")
+    }),
+
     // pillar text analysis: GRADED benchmark contamination — q85/q113
     // decide a boolean (any shared span); real decontamination triages by
     // the overlap FRACTION (n-gram overlap ratio, the GPT-3/PaLM
@@ -1424,6 +1471,35 @@ trait TextRegistry extends RegistryBase {
     "q184_lm_quality_buckets" ->
       s"""WITH $lmBucketCtes
          |SELECT doc_id, lang, rarity, bucket FROM bucketed ORDER BY doc_id""".stripMargin,
+
+    // q184's bucket CTEs + per-source aggregates for volume, exact-dup
+    // redundancy, tier mix, and the q119-shaped span leakage count
+    "q200_data_card" ->
+      s"""WITH $lmBucketCtes,
+         |base AS (SELECT source, count(*)::BIGINT AS n_docs,
+         |           sum(CASE WHEN trim(text) = '' THEN 0 ELSE len($tokensSql) END)::BIGINT AS n_tokens,
+         |           (count(*) - count(DISTINCT md5(text)))::BIGINT AS n_dup_docs
+         |         FROM documents GROUP BY source),
+         |tiers AS (SELECT d.source,
+         |            sum(CASE WHEN bucket = 'head' THEN 1 ELSE 0 END)::BIGINT AS n_head,
+         |            sum(CASE WHEN bucket = 'middle' THEN 1 ELSE 0 END)::BIGINT AS n_middle,
+         |            sum(CASE WHEN bucket = 'tail' THEN 1 ELSE 0 END)::BIGINT AS n_tail
+         |          FROM bucketed JOIN documents d USING (doc_id) GROUP BY d.source),
+         |sh AS (SELECT doc_id,
+         |         unnest(list_distinct(list_transform(${docShinglesSql(DecontamSpanN)},
+         |           g -> ('0x' || substr(md5(g), 1, 15))::BIGINT))) AS h
+         |       FROM documents),
+         |bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % $ContamBenchMod = 0),
+         |cont AS (SELECT d.source, count(DISTINCT s.doc_id)::BIGINT AS n_contaminated
+         |         FROM sh s JOIN bench USING (h) JOIN documents d USING (doc_id)
+         |         WHERE s.doc_id % $ContamBenchMod <> 0 GROUP BY d.source)
+         |SELECT b.source, b.n_docs, b.n_tokens, b.n_dup_docs,
+         |       coalesce(t.n_head, 0)::BIGINT AS n_head,
+         |       coalesce(t.n_middle, 0)::BIGINT AS n_middle,
+         |       coalesce(t.n_tail, 0)::BIGINT AS n_tail,
+         |       coalesce(c.n_contaminated, 0)::BIGINT AS n_contaminated
+         |FROM base b LEFT JOIN tiers t USING (source) LEFT JOIN cont c USING (source)
+         |ORDER BY b.source""".stripMargin,
 
     // q184's bucket CTEs + the q161 md5 shard/rank arithmetic, tier-major
     // within each shard
