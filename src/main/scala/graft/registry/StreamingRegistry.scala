@@ -606,18 +606,20 @@ trait StreamingRegistry extends RegistryBase {
     "q191_stream_bottomk_screen" -> ((s, dir) => {
       val stage = Staging.dir("q191-")
       try {
-        val inDir = stage.resolve("in")
-        java.nio.file.Files.createDirectories(inDir)
-        java.nio.file.Files.createSymbolicLink(
-          inDir.resolve("documents.parquet"),
-          java.nio.file.Paths.get(s"$dir/documents.parquet").toAbsolutePath.normalize())
+        val inDir = stage.resolve("in").toString
+        // genuine 4-file split → 4 micro-batches (the q155 convention);
+        // per-doc screen answers are independent of batching, so the
+        // split only makes the gate stricter
+        rd(s, dir, "documents")
+          .filter(col("doc_id") % IncrementalMod === IncrementalMod - 1)
+          .repartition(4).write.mode("overwrite").parquet(inDir)
         val outDir = stage.resolve("out").toString
         val corpus = spread(s, rd(s, dir, "documents"))
           .filter(col("doc_id") % IncrementalMod =!= IncrementalMod - 1)
           .localCheckpoint(false) // shingled once per batch off this cached frame
         val schema = rd(s, dir, "documents").schema
-        val incomingStream = s.readStream.schema(schema).parquet(inDir.toString)
-          .filter(col("doc_id") % IncrementalMod === IncrementalMod - 1)
+        val incomingStream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir)
         val q = graft.streaming.EventStream.foreachBatchSink(incomingStream, identity) {
           (batch, batchId) =>
             Dedup.bottomKContainmentScreen(spreadBatch(s, batch), corpus,
