@@ -88,7 +88,7 @@ object TextFunctions {
 
   /** 60-bit md5 prefix of a shingle, reduced mod p. */
   def shingleBaseHash(g: Column): Column =
-    conv(substring(md5(g), 1, 15), 16, 10).cast("long") % MinhashP
+    org.apache.spark.sql.graft.Md5Long60.column(g) % MinhashP
 
   /** One MinHash value under permutation (a, b). Null for an empty shingle
     * set (documented semantics: too-short docs cannot be near-dups).

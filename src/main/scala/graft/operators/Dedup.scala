@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
+import org.apache.spark.sql.graft.Md5Long60
 
 /** Deduplication operators for large-scale text corpora (builder-brief
   * pillar; the reference's only dedup is the set()-based ETL helper,
@@ -513,7 +514,7 @@ object Dedup {
     */
   def simhash(text: Column, bits: Int = 16): Column = {
     val tokens = TextFunctions.whitespaceTokens(lower(text))
-    val hashes = transform(tokens, t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+    val hashes = transform(tokens, t => Md5Long60.column(t))
     // ONE fold over the token hashes: the accumulator is an array of `bits`
     // counters and each token updates every position via zip_with — vs the
     // old 16 independent aggregate() folds, which re-walked the token list
@@ -764,7 +765,7 @@ object Dedup {
         col(idCol),
         array_sort(array_distinct(transform(
           shingleSet(col(textCol), shingleN),
-          g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")))).as("hs"))
+          g => Md5Long60.column(g)))).as("hs"))
       .withColumn("nsh", size(col("hs")))
       .filter(col("nsh") > 0)
       .localCheckpoint(false) // feeds the sample side, the postings, and the truth
@@ -918,7 +919,7 @@ object Dedup {
         col(idCol),
         array_sort(array_distinct(transform(
           shingleSet(col(textCol), shingleN),
-          g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")))).as("hs"))
+          g => Md5Long60.column(g)))).as("hs"))
       .withColumn("nsh", size(col("hs")))
     val hi = hashedOf(incoming).localCheckpoint(false) // sample side + output spine
     val post = hashedOf(corpus).filter(col("nsh") > 0)

@@ -51,8 +51,7 @@ object Sketches {
     * Returns (grpCol, j, mj) with mj in [1, RhoMax].
     */
   def hllRegisters(df: DataFrame, grpCol: String, valCol: String): DataFrame = {
-    val h = conv(substring(md5(concat(lit("hll:"), col(valCol))), 1, 15), 16, 10)
-      .cast("long")
+    val h = org.apache.spark.sql.graft.Md5Long60.column(concat(lit("hll:"), col(valCol)))
     val w = shiftright(h, HllP) % (1L << HllWindowBits)
     val rho = when(w === 0, lit(RhoMax))
       .otherwise(lit(RhoMax) - length(bin(w)))
@@ -150,8 +149,8 @@ object Sketches {
 
   /** Row-j bucket for a term: md5("j:term") folded to [0, CmsWidth). */
   def cmsBucket(j: Int, termCol: String) =
-    pmod(conv(substring(md5(concat(lit(s"$j:"), col(termCol))), 1, 15), 16, 10)
-      .cast("long"), lit(CmsWidth))
+    pmod(org.apache.spark.sql.graft.Md5Long60.column(concat(lit(s"$j:"), col(termCol))),
+      lit(CmsWidth))
 
   /** Point-estimate read-off: each (term, cnt) probes its CmsDepth
     * buckets in the (broadcastable, d*w-row) sketch and takes the min —

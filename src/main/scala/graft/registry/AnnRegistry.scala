@@ -401,9 +401,8 @@ trait AnnRegistry extends RegistryBase {
         .select(col("anchor"), col("positive"), col("n"),
           explode(sequence(lit(1L), lit(NegDrawsM))).as("i"))
         .withColumn("neg_id", pmod(
-          conv(substring(md5(concat_ws("_",
-            lit("neg"), col("anchor"), col("positive"), col("i"))), 1, 15), 16, 10)
-            .cast("long"),
+          org.apache.spark.sql.graft.Md5Long60.column(concat_ws("_",
+            lit("neg"), col("anchor"), col("positive"), col("i"))),
           col("n")))
         .filter(col("neg_id") =!= col("anchor") && col("neg_id") =!= col("positive"))
       val excl = g.select(col("src").as("anchor"), col("dst").as("neg_id"))

@@ -727,7 +727,7 @@ trait RegistryBase {
     val ft = docs.select(col("doc_id"),
         explode(TextFunctions.whitespaceTokens(lower(col("text")))).as("term"))
       .select(col("doc_id"),
-        (conv(substring(md5(col("term")), 1, 15), 16, 10).cast("long") % 16).as("dim"))
+        (org.apache.spark.sql.graft.Md5Long60.column(col("term")) % 16).as("dim"))
       .groupBy("doc_id", "dim").agg(count(lit(1)).as("v"))
     val vecs = ft
       .groupBy("doc_id")

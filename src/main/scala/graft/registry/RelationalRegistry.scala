@@ -248,8 +248,8 @@ trait RelationalRegistry extends RegistryBase {
     "q161_shuffle_shards" -> ((s, dir) => {
       val h = spread(s, rd(s, dir, "documents"))
         .select(col("doc_id"),
-          conv(substring(md5(concat(lit("shard-"), col("doc_id"))), 1, 15), 16, 10)
-            .cast("long").as("h"))
+          org.apache.spark.sql.graft.Md5Long60
+            .column(concat(lit("shard-"), col("doc_id"))).as("h"))
       h.withColumn("shard", (col("h") % ShardCount).cast("long"))
         .withColumn("pos", row_number().over(
           Window.partitionBy("shard").orderBy(col("h"), col("doc_id"))).cast("long"))
@@ -266,8 +266,8 @@ trait RelationalRegistry extends RegistryBase {
       val docs = spread(s, rd(s, dir, "documents"))
       docs
         .select(
-          (conv(substring(md5(concat(lit("shard-"), col("doc_id"))), 1, 15), 16, 10)
-            .cast("long") % ShardCount).as("shard"),
+          (org.apache.spark.sql.graft.Md5Long60
+            .column(concat(lit("shard-"), col("doc_id"))) % ShardCount).as("shard"),
           size(graft.functions.TextFunctions.whitespaceTokens(col("text")))
             .cast("long").as("n_tok"))
         .groupBy("shard")

@@ -330,7 +330,7 @@ trait StreamingRegistry extends RegistryBase {
         def spansOf(df: DataFrame) = df.select(col("doc_id"),
           explode(array_distinct(transform(
             TextFunctions.charShingles(lower(col("text")), DecontamSpanN),
-            g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")))).as("h"))
+            g => org.apache.spark.sql.graft.Md5Long60.column(g)))).as("h"))
         val bench = spansOf(spread(s, rd(s, dir, "documents"))
             .filter(col("doc_id") % ContamBenchMod === 0))
           .select(col("h").as("bh")).distinct()

@@ -386,7 +386,7 @@ trait TextRegistry extends RegistryBase {
         explode(array_distinct(
           transform(
             TextFunctions.charShingles(lower(col("text")), 8),
-            g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")))).as("h"))
+            g => org.apache.spark.sql.graft.Md5Long60.column(g)))).as("h"))
       val bench = shingles.filter(col("doc_id") % 50 === 0)
         .select(col("h").as("bh")).distinct()
       val contaminated = shingles
@@ -537,7 +537,7 @@ trait TextRegistry extends RegistryBase {
       val shingles = docs.select(col("doc_id"),
         explode(array_distinct(transform(
           TextFunctions.charShingles(lower(col("text")), DecontamSpanN),
-          g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")))).as("h"))
+          g => org.apache.spark.sql.graft.Md5Long60.column(g)))).as("h"))
         .localCheckpoint(false) // span hashing feeds the bench AND contamination-probe branches
       val bench = shingles.filter(col("doc_id") % 50 === 0)
         .select(col("h").as("bh")).distinct()
@@ -612,8 +612,8 @@ trait TextRegistry extends RegistryBase {
     // the md5 rank is the q161 trick — reproducible under any
     // partitioning/retry schedule.
     "q199_curriculum_export" -> ((s, dir) => {
-      val h = conv(substring(md5(concat(lit("shard-"), col("doc_id"))), 1, 15), 16, 10)
-        .cast("long")
+      val h = org.apache.spark.sql.graft.Md5Long60
+        .column(concat(lit("shard-"), col("doc_id")))
       val tierOrd = when(col("bucket") === "head", lit(0L))
         .when(col("bucket") === "middle", lit(1L)).otherwise(lit(2L))
       lmQualityFrame(s, dir)
@@ -655,7 +655,7 @@ trait TextRegistry extends RegistryBase {
       val spans = docs.select(col("doc_id"), col("source"),
           explode(array_distinct(transform(
             TextFunctions.charShingles(lower(col("text")), DecontamSpanN),
-            g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")))).as("h"))
+            g => org.apache.spark.sql.graft.Md5Long60.column(g)))).as("h"))
         .localCheckpoint(false) // the span hashing feeds the bench AND probe branches
       val bench = spans.filter(col("doc_id") % ContamBenchMod === 0)
         .select(col("h").as("bh")).distinct()
@@ -685,7 +685,7 @@ trait TextRegistry extends RegistryBase {
       val spans = docs.select(col("doc_id"),
         explode(array_distinct(transform(
           TextFunctions.charShingles(lower(col("text")), DecontamSpanN),
-          g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")))).as("h"))
+          g => org.apache.spark.sql.graft.Md5Long60.column(g)))).as("h"))
         .localCheckpoint(false) // the md5 span hashing feeds the bench AND probe branches
       val bench = spans.filter(col("doc_id") % ContamBenchMod === 0)
         .select(col("h").as("bh")).distinct()
@@ -793,8 +793,8 @@ trait TextRegistry extends RegistryBase {
           expr(s"(offset + greatest(n_tok, 1L) - 1L) div $PackSeqLen"))
         .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1)
         .withColumn("shard",
-          (conv(substring(md5(concat(lit("shard-"), col("first_seq"))), 1, 15), 16, 10)
-            .cast("long") % ShardCount).cast("long"))
+          (org.apache.spark.sql.graft.Md5Long60
+            .column(concat(lit("shard-"), col("first_seq"))) % ShardCount).cast("long"))
         .select("doc_id", "n_words", "n_tok", "offset",
           "first_seq", "last_seq", "n_seqs", "shard")
         .orderBy("doc_id")
@@ -857,7 +857,7 @@ trait TextRegistry extends RegistryBase {
       val spans = docs.select(col("doc_id"),
         explode(array_distinct(transform(
           TextFunctions.charShingles(lower(col("text")), DecontamSpanN),
-          g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")))).as("h"))
+          g => org.apache.spark.sql.graft.Md5Long60.column(g)))).as("h"))
         .localCheckpoint(false) // md5 hashing feeds the bench AND probe branches
       val bench = spans.filter(col("doc_id") % ContamBenchMod === 0)
         .select("h").distinct()
