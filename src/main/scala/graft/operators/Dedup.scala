@@ -747,6 +747,14 @@ object Dedup {
     * sample) so a SQL oracle reproduces the sample bit-for-bit; when
     * k >= |A| the sample IS A and the screen equals exact containment
     * >= screenFrac (the spec pins this degenerate-exactness property).
+    *
+    * AUDIT-SCALE bound: the audit certifies a screen CONFIG, not the
+    * corpus, so the whole audit — sketch side, postings, AND the exact
+    * containmentPairs truth — runs on a corpus-scaled 1-in-m id spread
+    * (m = max(1, N div sampleTarget)). The exact containment join is
+    * precisely the scale casualty the screen exists to avoid; it must
+    * never itself run at corpus scale. m = 1 at oracle scales, so the
+    * audited numbers there are the unsampled ones.
     */
   def containmentScreenAudit(
       docs: DataFrame,
@@ -755,12 +763,19 @@ object Dedup {
       shingleN: Int,
       threshold: Double,
       ks: Seq[Int],
-      screenFrac: Double
+      screenFrac: Double,
+      sampleTarget: Long
   ): DataFrame = {
     require(ks.nonEmpty && ks.forall(_ >= 1), "sample sizes must be positive")
     require(screenFrac > 0 && screenFrac <= threshold,
       "screen must not be stricter than the audited threshold")
-    val hashed = docs
+    require(sampleTarget >= 1, "audit sample target must be positive")
+    val mRow = docs.agg(count(lit(1)).as("n"))
+      .select(greatest(lit(1L), expr(s"n div $sampleTarget")).as("m"))
+    val sampledDocs = docs.crossJoin(broadcast(mRow))
+      .filter(col(idCol) % col("m") === 0)
+      .drop("m")
+    val hashed = sampledDocs
       .select(
         col(idCol),
         array_sort(array_distinct(transform(
@@ -779,21 +794,31 @@ object Dedup {
       .filter(col("id_a") =!= col("id_b"))
       .groupBy("k", "id_a", "id_b", "ka").agg(count(lit(1)).as("m"))
     val cands = m.filter(col("m") >= ceil(lit(screenFrac) * col("ka")))
-    val truth = containmentPairs(docs, idCol, textCol, shingleN, threshold)
+    val truth = containmentPairs(sampledDocs, idCol, textCol, shingleN, threshold)
       .select(col("id_a"), col("id_b"), lit(1L).as("is_true"))
+      .localCheckpoint(false) // probed by the hit join AND the n_truth agg
     val nTruth = truth.agg(count(lit(1)).as("n_truth"))
-    cands.join(truth, Seq("id_a", "id_b"), "left")
+    val perK = cands.join(truth, Seq("id_a", "id_b"), "left")
       .groupBy("k")
       .agg(count(lit(1)).as("n_candidates"),
         sum(coalesce(col("is_true"), lit(0L))).as("n_hit"))
+    // every swept k reports, even one whose screen passes NOTHING — a
+    // badly-tuned config must show n_candidates = 0, not vanish
+    val ksDf = docs.sparkSession.range(1)
+      .select(explode(array(ks.map(lit(_)): _*)).as("k"))
+    ksDf.join(perK, Seq("k"), "left")
       .crossJoin(broadcast(nTruth))
       .select(col("k").cast("long").as("k"), col("n_truth"),
-        col("n_candidates"), col("n_hit"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
         // nullif: a corpus can have an EMPTY exact truth set (no pair
         // reaches the threshold — e.g. a Zipf vocabulary at t=0.7);
-        // recall is undefined there, not a divide-by-zero crash
-        (col("n_hit").cast("double") / nullif(col("n_truth"), lit(0L))).as("recall"),
-        (col("n_hit").cast("double") / col("n_candidates")).as("precision"))
+        // recall is undefined there, not a divide-by-zero crash —
+        // and a zero-candidate screen has undefined precision
+        (coalesce(col("n_hit"), lit(0L)).cast("double") /
+          nullif(col("n_truth"), lit(0L))).as("recall"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") /
+          nullif(coalesce(col("n_candidates"), lit(0L)), lit(0L))).as("precision"))
   }
 
   /** Incremental CONTAINMENT screen — the ingest-time question

@@ -265,6 +265,150 @@ object Multimodal {
       .toDF(idCol, "dhash")
   }
 
+  /** Adjacent-window energy CONTOUR bits — the audio analogue of the
+    * image dHash: bit w is set iff window w+1's mean amplitude exceeds
+    * window w's. The comparison is cross-multiplied integer sums
+    * (sum(w+1)*cnt(w) > sum(w)*cnt(w+1)) — no division, so a SQL oracle
+    * reproduces it bit-for-bit AND uniform gain (volume) scaling leaves
+    * every comparison unchanged: the hash is volume-invariant by
+    * construction (the spec pins this). Empty windows compare as 0.
+    */
+  private def contourBits(sums: Array[Long], cnts: Array[Long]): Long = {
+    var bits = 0L
+    var w = 0
+    while (w < sums.length - 1) {
+      if (sums(w + 1) * cnts(w) > sums(w) * cnts(w + 1)) bits |= 1L << w
+      w += 1
+    }
+    bits
+  }
+
+  private def windowed(n: Int, wins: Int)(amp: Int => Long): (Array[Long], Array[Long]) = {
+    val sums = new Array[Long](wins)
+    val cnts = new Array[Long](wins)
+    var i = 0
+    while (i < n) {
+      val w = (i.toLong * wins / n).toInt
+      sums(w) += amp(i)
+      cnts(w) += 1
+      i += 1
+    }
+    (sums, cnts)
+  }
+
+  /** AUDIO stand-in decoder for the parquet path (testdata content
+    * bytes are not WAV containers): interpret the opaque bytes AS an
+    * 8-bit unsigned PCM stream — a real windowed-DSP computation
+    * (per-eighth integer mean amplitude), not an md5 fake — through the
+    * same `decodeFeaturesWith` injection point the real `wavDecode`
+    * uses. Integer means / 256 are exactly representable in float32, so
+    * the DuckDB oracle (which reads the same bytes as ASCII codepoints
+    * — the q115 convention; the testdata is ASCII) matches bit-for-bit.
+    * width carries the stand-in sample rate, height the channel count,
+    * n_frames the sample count.
+    */
+  def pcmDecode(id: Long, content: Array[Byte]): MediaFeatures = {
+    val n = content.length
+    val wins = 8
+    val (sums, cnts) = windowed(n, wins)(i => (content(i) & 0xff).toLong)
+    val features = Array.tabulate(wins) { w =>
+      if (cnts(w) == 0) 0f else (sums(w) / cnts(w)) / 256.0f
+    }
+    MediaFeatures(id, 8000, 1, n, features)
+  }
+
+  /** Audio fingerprint for the parquet path: 32 contour bits over 33
+    * windows of the 8-bit PCM interpretation. Drives the q47/q164
+    * pigeonhole hamming machinery (q202). Empty content hashes to 0.
+    */
+  def pcmContourHash(content: Array[Byte], nBits: Int = 32): Long = {
+    require(nBits >= 1 && nBits <= 63)
+    if (content.isEmpty) return 0L
+    val (sums, cnts) = windowed(content.length, nBits + 1)(i => (content(i) & 0xff).toLong)
+    contourBits(sums, cnts)
+  }
+
+  /** Distributed audio-fingerprint extraction — the mapPartitions batch
+    * shape of `decodeFeatures`, emitting (idCol, ahash).
+    */
+  def pcmContourHashes(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, c) => (id, pcmContourHash(c)) })
+      .toDF(idCol, "ahash")
+  }
+
+  private def parseWav(id: Long, content: Array[Byte]): (Int, Int, Int, Int) = {
+    require(content.length >= 44 &&
+      content(0) == 'R' && content(1) == 'I' && content(2) == 'F' && content(3) == 'F' &&
+      new String(content, 8, 4, "US-ASCII") == "WAVE",
+      s"id=$id: bytes are not a RIFF/WAVE container")
+    val bb = java.nio.ByteBuffer.wrap(content).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var pos = 12
+    var sampleRate = 0
+    var channels = 0
+    var dataOff = -1
+    var dataLen = 0
+    while (pos + 8 <= content.length) {
+      val cid = new String(content, pos, 4, "US-ASCII")
+      val sz = bb.getInt(pos + 4)
+      if (cid == "fmt ") {
+        val fmt = bb.getShort(pos + 8) & 0xffff
+        require(fmt == 1, s"id=$id: only PCM (format 1) supported, got $fmt")
+        channels = bb.getShort(pos + 10) & 0xffff
+        sampleRate = bb.getInt(pos + 12)
+        val bps = bb.getShort(pos + 22) & 0xffff
+        require(bps == 16, s"id=$id: only 16-bit PCM supported, got $bps")
+      } else if (cid == "data") {
+        dataOff = pos + 8
+        dataLen = math.min(sz, content.length - dataOff)
+      }
+      pos += 8 + sz + (sz & 1)
+    }
+    require(sampleRate > 0 && channels > 0 && dataOff >= 0,
+      s"id=$id: missing fmt /data chunk")
+    (sampleRate, channels, dataOff, dataLen)
+  }
+
+  /** REAL audio decoder through the same injection point: pure-JVM
+    * RIFF/WAVE parse (16-bit little-endian PCM — the uncompressed
+    * interchange format; compressed codecs would plug in the same way).
+    * Features: per-eighth integer mean |sample| / 32768 — exactly
+    * representable in float32, bit-reproducible across JVMs and
+    * partitionings. width = sample rate, height = channels, n_frames =
+    * per-channel sample count. The parquet testdata path keeps
+    * `pcmDecode` (its stand-in content bytes are not WAV); this decoder
+    * is gated by AudioSpec on generated WAV fixtures.
+    */
+  def wavDecode(id: Long, content: Array[Byte]): MediaFeatures = {
+    val (sampleRate, channels, dataOff, dataLen) = parseWav(id, content)
+    val bb = java.nio.ByteBuffer.wrap(content).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val nS = dataLen / 2
+    val wins = 8
+    val (sums, cnts) = windowed(nS, wins)(i => math.abs(bb.getShort(dataOff + 2 * i).toLong))
+    val features = Array.tabulate(wins) { w =>
+      if (cnts(w) == 0) 0f else (sums(w) / cnts(w)) / 32768.0f
+    }
+    MediaFeatures(id, sampleRate, channels, nS / channels, features)
+  }
+
+  /** REAL audio fingerprint: contour bits over the WAV stream's
+    * windowed mean |sample| — volume-invariant by the cross-multiplied
+    * integer comparison (see contourBits), so the same recording at a
+    * different gain lands at hamming 0 and a banded screen (the q202
+    * machinery) retrieves it.
+    */
+  def wavContourHash(content: Array[Byte], nBits: Int = 32): Long = {
+    require(nBits >= 1 && nBits <= 63)
+    val (_, _, dataOff, dataLen) = parseWav(-1L, content)
+    val bb = java.nio.ByteBuffer.wrap(content).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val nS = dataLen / 2
+    if (nS == 0) return 0L
+    val (sums, cnts) = windowed(nS, nBits + 1)(i => math.abs(bb.getShort(dataOff + 2 * i).toLong))
+    contourBits(sums, cnts)
+  }
+
   def imageDecode(id: Long, content: Array[Byte]): MediaFeatures = {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
     require(img != null, s"id=$id: bytes are not a decodable image")

@@ -461,6 +461,59 @@ object Similarity {
       .select("q_id", "r_id", "cos_sim", "rank")
   }
 
+  /** ivfTopKQServe with the probe depth derived FROM the quantizer:
+    * nprobe = ceil(sqrt(k_centroids)), arriving as a broadcast 1-row
+    * aggregate of the centroid table — no driver action, no constant to
+    * retune per corpus. With the √N-centroid quantizer this keeps the
+    * probed fraction √k/k = k^(-1/2) (the FAISS nprobe~√k sizing rule):
+    * per-query refine cost is nprobe·(N/k) = N^(3/4) — sublinear —
+    * while at oracle scales the probed fraction stays close to the old
+    * fixed (k=8, nprobe=2) quarter-of-corpus so measured recall holds
+    * (q131 is the monitor). On near-uniform vectors recall at a
+    * shrinking probed fraction decays with N — inherent to one-shot
+    * bucketed ANN (see NnDescent's scaladoc for the measured wall);
+    * real clustered embeddings are the favourable case.
+    */
+  def ivfTopKQServeAuto(
+      queries: DataFrame,
+      corpus: DataFrame,
+      buckets: DataFrame,
+      qcentroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      scale: Int = 1000
+  ): DataFrame = {
+    val npRow = qcentroids.agg(
+      ceil(sqrt(count(lit(1)))).cast("long").as("np"))
+    val v = queries.select(col(idCol).as("id"), quantize(col(vecCol), scale).as("qv"))
+    val scored = v
+      .crossJoin(broadcast(qcentroids.select(col("centroid_id"), col("cv"))))
+      .withColumn("score", dotQ(col("qv"), col("cv")))
+    val wp = Window.partitionBy("id").orderBy(col("score").desc, col("centroid_id").asc)
+    val probes = scored
+      .withColumn("rank", row_number().over(wp))
+      .crossJoin(broadcast(npRow))
+      .filter(col("rank") <= col("np"))
+      .select(col("id").as("q_id"), col("centroid_id"))
+    val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("q_vec"))
+      .withColumn("q_nrm", l2Norm(col("q_vec")))
+    val c = corpus.select(col(idCol).as("r_id"), asDouble(col(vecCol)).as("r_vec"))
+      .withColumn("r_nrm", l2Norm(col("r_vec")))
+    val cands = probes
+      .join(buckets, Seq("centroid_id"))
+      .where(col("q_id") =!= col("r_id"))
+      .select("q_id", "r_id")
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("r_id").asc)
+    cands
+      .join(broadcast(q), Seq("q_id"))
+      .join(c, Seq("r_id"))
+      .withColumn("cos_sim", dot(col("q_vec"), col("r_vec")) / (col("q_nrm") * col("r_nrm")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "r_id", "cos_sim", "rank")
+  }
+
   /** FILTERED ANN: IVF top-k where every query retrieves only corpus
     * vectors sharing its `labelCol` value — metadata-constrained vector
     * search (the "filtered search" every production vector store ships).
@@ -490,6 +543,49 @@ object Similarity {
     val probes = centroidRanksQ(queries, qcentroids, idCol, vecCol, nprobe, scale)
       .join(queries.select(col(idCol).as("id"), col(labelCol).as("lbl")), Seq("id"))
       .select(col("id").as("q_id"), col("centroid_id"), col("lbl"))
+    labeledRefine(queries, corpus, probes, buckets, idCol, vecCol, k)
+  }
+
+  /** ivfTopKQLabeled with the ivfTopKQServeAuto probe rule (nprobe =
+    * ceil(sqrt(k_centroids)) as a broadcast 1-row aggregate).
+    */
+  def ivfTopKQLabeledAuto(
+      queries: DataFrame,
+      corpus: DataFrame,
+      qcentroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int,
+      scale: Int = 1000
+  ): DataFrame = {
+    val npRow = qcentroids.agg(
+      ceil(sqrt(count(lit(1)))).cast("long").as("np"))
+    val buckets = assignToCentroidsQ(corpus, qcentroids, idCol, vecCol, scale)
+      .join(corpus.select(col(idCol).as("id"), col(labelCol).as("lbl")), Seq("id"))
+      .select(col("id").as("r_id"), col("centroid_id"), col("lbl"))
+    val v = queries.select(col(idCol).as("id"), quantize(col(vecCol), scale).as("qv"))
+    val wp = Window.partitionBy("id").orderBy(col("score").desc, col("centroid_id").asc)
+    val probes = v
+      .crossJoin(broadcast(qcentroids.select(col("centroid_id"), col("cv"))))
+      .withColumn("score", dotQ(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(wp))
+      .crossJoin(broadcast(npRow))
+      .filter(col("rank") <= col("np"))
+      .join(queries.select(col(idCol).as("id"), col(labelCol).as("lbl")), Seq("id"))
+      .select(col("id").as("q_id"), col("centroid_id"), col("lbl"))
+    labeledRefine(queries, corpus, probes, buckets, idCol, vecCol, k)
+  }
+
+  private def labeledRefine(
+      queries: DataFrame,
+      corpus: DataFrame,
+      probes: DataFrame,
+      buckets: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int
+  ): DataFrame = {
     val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("q_vec"))
       .withColumn("q_nrm", l2Norm(col("q_vec")))
     val c = corpus.select(col(idCol).as("r_id"), asDouble(col(vecCol)).as("r_vec"))

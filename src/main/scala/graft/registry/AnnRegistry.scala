@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, HeurFuzz, Multimodal, Quota, Similarity, Sketches, TextAnalysis}
+import graft.operators.{Dedup, HeurFuzz, Multimodal, NnDescent, Quota, Similarity, Sketches, TextAnalysis}
 
 /** Registry pillar: vector similarity + sketches: cosine/SRP/int8, IVF/PQ ANN with
   * trained codebooks, k-means, CMS/HLL, clustering. Split from SparkEntry.scala
@@ -14,75 +14,78 @@ trait AnnRegistry extends RegistryBase {
 
   /** The oracle twin of knnGraphFrame up to the per-src top-K edge list
     * `topm` (src, dst, cos_sim, rank) — shared by q186 (mutual flag),
-    * q192 (mutual components), and q195 (contrastive export).
+    * q192 (mutual components), q195 (contrastive export), and q197
+    * (the refined graph's lower rank band). Unrolls the SAME NN-Descent
+    * recurrence as NnDescent.knnGraph: md5-draw init, then per round
+    * u (undirected edges) -> c (two-hop candidates ∪ current edges) ->
+    * g (per-src top-NndK by cos desc, dst asc).
     */
-  /** The 16-plane SRP signature as a DuckDB expression over a column `v`
-    * (list of doubles) — shared by knnCtesSql and the q196 audit.
+  private val nndCosSql =
+    "list_sum(list_transform(range(1, 65), i -> na.v[i::INT] * nb.v[i::INT])) / (na.nrm * nb.nrm)"
+
+  /** All-pairs cosine over CTE `n` (vec_id, v, nrm), MATERIALIZED so
+    * the unrolled NN-Descent rounds pay the 64-dim list dots ONCE
+    * instead of twice per candidate per round (measured: 418 s -> ~15 s
+    * for the q186 oracle at sf0.01). Oracle-side brute force is fine —
+    * the exact truth pass needs the same relation anyway.
     */
-  private lazy val srpPlaneSumSql: String =
-    SrpPlanes.zipWithIndex.map { case (p, b) =>
-      val lst = p.mkString("[", ", ", "]")
-      s"CASE WHEN list_sum(list_transform(range(1, 65), i -> v[i::INT] * ($lst)[i::INT])) > 0 THEN ${1L << b} ELSE 0 END"
-    }.mkString("(", " + ", ")")
+  private def nndAllCosSql(pfx: String): String =
+    s"""${pfx}allcos AS MATERIALIZED (
+       |  SELECT na.vec_id AS src, nb.vec_id AS dst, $nndCosSql AS cos_sim
+       |  FROM n na JOIN n nb ON na.vec_id <> nb.vec_id)""".stripMargin
+
+  /** One unrolled NN-Descent round t -> t+1 over CTEs named with
+    * `pfx`; cosine comes from the materialized `${pfx}allcos`. Set
+    * semantics are explicit (DISTINCT over UNION ALL), never bare
+    * UNION: under `WITH RECURSIVE` (the q192 component oracle) DuckDB
+    * 1.0 stops deduplicating UNION inside non-self-referencing CTE
+    * bodies, which silently turns the candidate SET into a bag and
+    * corrupts every downstream row_number rank.
+    */
+  private def nndIterSql(pfx: String, t: Int): String =
+    s"""${pfx}u$t AS (SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM ${pfx}g$t UNION ALL SELECT dst, src FROM ${pfx}g$t)),
+       |${pfx}c$t AS (SELECT DISTINCT src, dst FROM (
+       |    SELECT a.src, b.dst FROM ${pfx}u$t a JOIN ${pfx}u$t b
+       |      ON a.dst = b.src AND b.dst <> a.src
+       |    UNION ALL SELECT src, dst FROM ${pfx}g$t)),
+       |${pfx}g${t + 1} AS (SELECT src, dst, cos_sim, rank FROM (
+       |    SELECT c.src, c.dst, ac.cos_sim,
+       |           row_number() OVER (PARTITION BY c.src ORDER BY ac.cos_sim DESC, c.dst ASC) AS rank
+       |    FROM ${pfx}c$t c JOIN ${pfx}allcos ac ON ac.src = c.src AND ac.dst = c.dst)
+       |  WHERE rank <= $NndK)""".stripMargin
 
   private lazy val knnCtesSql: String = {
-    val planeSum = srpPlaneSumSql
+    val iters = (0 until NndIters).map(t => nndIterSql("", t)).mkString(",\n")
     s"""e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-       |s AS (SELECT vec_id, $planeSum::BIGINT AS srp_sig FROM e),
        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
-       |banded AS (
-       |  SELECT vec_id, 0 AS band, srp_sig % 256 AS key FROM s
-       |  UNION ALL
-       |  SELECT vec_id, 1 AS band, srp_sig // 256 AS key FROM s),
-       |cand AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
-       |         FROM banded a JOIN banded b
-       |         ON a.band = b.band AND a.key = b.key AND a.vec_id <> b.vec_id),
-       |scored AS (SELECT c.src, c.dst,
-       |    list_sum(list_transform(range(1, 65), i -> na.v[i::INT] * nb.v[i::INT])) / (na.nrm * nb.nrm) AS cos_sim
-       |  FROM cand c JOIN n na ON na.vec_id = c.src JOIN n nb ON nb.vec_id = c.dst),
-       |topm AS (SELECT * FROM (
-       |    SELECT src, dst, cos_sim,
-       |           row_number() OVER (PARTITION BY src ORDER BY cos_sim DESC, dst ASC) AS rank
-       |    FROM scored)
-       |  WHERE rank <= $KnnGraphK)""".stripMargin
+       |np AS (SELECT count(*) AS n FROM embeddings),
+       |${nndAllCosSql("")},
+       |g0 AS (SELECT DISTINCT src, dst FROM (
+       |    SELECT e.vec_id AS src,
+       |           ('0x' || substr(md5('nnd0_' || e.vec_id || '_' || g.i), 1, 15))::BIGINT % np.n AS dst
+       |    FROM e, np, range(1, ${NndK + 1}) g(i))
+       |  WHERE dst <> src),
+       |$iters,
+       |topm AS (SELECT src, dst, cos_sim, rank FROM g$NndIters WHERE rank <= $KnnGraphK)""".stripMargin
   }
 
-  /** q186's candidate build — ALL SRP-band-collision candidates of each
-    * node scored by exact cosine and ranked per src (q107's candidate
-    * machinery, both directions). knnGraphFrame cuts this at rank <= K;
-    * q197 mines the ranks just below the cut as hard negatives.
+  /** q186's candidate build — the NN-Descent-refined ranked edge list
+    * (rank <= NndK per src), built ONCE per corpus and persisted as a
+    * trained artifact (the q126/q132 persisted-index pattern): q186
+    * cuts it at rank <= K, q192/q195 consume its mutual edges, q197
+    * mines the ranks just below the cut as hard negatives — four
+    * queries, one graph build. Replaced the SRP 2x8 banded generator
+    * in round 12: the q196 audit measured its recall at 0.047 of the
+    * exact top-K on this near-uniform corpus, a curve no band width
+    * fixes (see NnDescent's scaladoc); the refined graph reaches ~0.92+
+    * with linear per-round cost.
     */
-  private def knnRankedFrame(s: SparkSession, dir: String): DataFrame = {
-    val v = transform(col("embedding"), x => x.cast("double"))
-    val sig = SrpPlanes.zipWithIndex.map { case (p, b) =>
-      val plane = array(p.map(lit(_)): _*).cast("array<double>")
-      val dot = org.apache.spark.sql.graft.ArrayDot.doubleDot(v, plane)
-      when(dot > 0.0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    val e = rd(s, dir, "embeddings")
-      .select(col("vec_id"), sig.as("srp_sig"), v.as("dv"))
-      .withColumn("nrm", Similarity.l2Norm(col("dv")))
-    val vecs = e.select(col("vec_id"), col("dv"), col("nrm"))
-    val banded = e.select(col("vec_id"),
-        explode(array(
-          struct(lit(0).as("band"), col("srp_sig").bitwiseAND(lit(255L)).as("key")),
-          struct(lit(1).as("band"), shiftright(col("srp_sig"), 8).as("key")))).as("bk"))
-      .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val cand = banded.alias("a")
-      .join(banded.alias("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
-      .distinct() // a pair can collide in both bands
-    cand
-      .join(vecs.select(col("vec_id").as("src"), col("dv").as("dv_a"), col("nrm").as("nrm_a")), Seq("src"))
-      .join(vecs.select(col("vec_id").as("dst"), col("dv").as("dv_b"), col("nrm").as("nrm_b")), Seq("dst"))
-      .withColumn("cos_sim", Similarity.dot(col("dv_a"), col("dv_b")) / (col("nrm_a") * col("nrm_b")))
-      .select("src", "dst", "cos_sim")
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("src").orderBy(col("cos_sim").desc, col("dst").asc))
-        .cast("long"))
-  }
+  private def knnRankedFrame(s: SparkSession, dir: String): DataFrame =
+    trainedArtifact(s, dir, "nndGraph") {
+      NnDescent.knnGraph(rd(s, dir, "embeddings"), "vec_id", "embedding",
+        k = NndK, iters = NndIters)
+    }
 
   /** knnRankedFrame cut at the top-K edge list, with the mutual flag —
     * q186's output, and the pair source for q192/q195.
@@ -121,17 +124,18 @@ trait AnnRegistry extends RegistryBase {
         .orderBy("id")
     }),
 
-    // pillar similarity: full IVF probe-and-refine ANN search over the
-    // trained coarse quantizer
+    // pillar similarity: full IVF probe-and-refine ANN search — since
+    // round 12 on the CORPUS-SCALED quantizer: k = ceil(sqrt(N)) trained
+    // centroids (the q46 "centSqrt" artifact, shared), the PERSISTED
+    // bucket index (never rebuilt per run — the q126/q132 pattern), and
+    // probe depth ceil(sqrt(k)) derived in-plan. Per-query refine cost
+    // is nprobe·N/k = N^(3/4) — sublinear — vs the old fixed k=8 whose
+    // probed volume was N/4. q131 is the recall monitor.
     "q43_embed_ivf_topk" -> ((s, dir) => {
       val e = rd(s, dir, "embeddings")
-      val cents = trainedArtifact(s, dir, "cent8") {
-        val (tr43, init43) = trainSample8(s, e)
-        Similarity.trainCentroids(tr43, "vec_id", "embedding", init43, KmeansIters)
-      }
-      Similarity.ivfTopKQ(
-          e.filter(col("vec_id") < 10), spread(s, e), cents,
-          "vec_id", "embedding", k = 3, nprobe = 2)
+      Similarity.ivfTopKQServeAuto(
+          e.filter(col("vec_id") < 10), spread(s, e), ivfSqrtBuckets(s, dir),
+          sqrtCentroids(s, dir), "vec_id", "embedding", k = 3)
         .orderBy("q_id", "rank")
     }),
 
@@ -142,13 +146,9 @@ trait AnnRegistry extends RegistryBase {
     // probed buckets). Same trained coarse quantizer as q43.
     "q179_ivf_filtered_topk" -> ((s, dir) => {
       val e = rd(s, dir, "embeddings")
-      val cents = trainedArtifact(s, dir, "cent8") {
-        val (tr, init) = trainSample8(s, e)
-        Similarity.trainCentroids(tr, "vec_id", "embedding", init, KmeansIters)
-      }
-      Similarity.ivfTopKQLabeled(
-          e.filter(col("vec_id") < 10), spread(s, e), cents,
-          "vec_id", "embedding", "label", k = 3, nprobe = 2)
+      Similarity.ivfTopKQLabeledAuto(
+          e.filter(col("vec_id") < 10), spread(s, e), sqrtCentroids(s, dir),
+          "vec_id", "embedding", "label", k = 3)
         .orderBy("q_id", "rank")
     }),
 
@@ -415,32 +415,28 @@ trait AnnRegistry extends RegistryBase {
         .orderBy("anchor", "positive", "neg_rank")
     }),
 
-    // pillar similarity: SRP BAND-WIDTH AUDIT — the tuning report behind
-    // the q186 family's one scale knob. Splitting the 16-bit SRP
-    // signature into fewer/wider bands trades candidate volume (which
-    // grows ~quadratically in per-key occupancy — the saturation
-    // SCALE.md measured at 50k vectors) against recall of the exact
-    // top-K. One row per config {1x16-bit, 2x8-bit (shipped), 4x4-bit}:
-    // directed candidate count, exact-top-K hits, recall. The exact
-    // truth is the brute-force pass — audit scale BY DESIGN (the
-    // q147/q154/q170/q183 class): the corpus-scaled 1-in-m sample
-    // certifies the config, only the banded build runs at corpus scale.
+    // pillar similarity: CANDIDATE-GENERATOR AUDIT — the tuning report
+    // behind the q186 family. One row per generator config: the four
+    // SRP band layouts over the (round-12-widened) 64-plane signature
+    // {1x16, 2x8 (the pre-round-12 generator), 4x4, 8x8} and each
+    // NN-Descent round of the SHIPPED generator (nnd_iter_1..NndIters),
+    // with its candidate volume and its top-K recall against the exact
+    // brute-force graph. This is the audit that killed banding here: on
+    // this near-uniform corpus every band layout sits on one poor
+    // recall-vs-volume curve (4x4 buys recall 0.478 only by probing
+    // ~23% of all pairs), while the NND rounds converge past 0.9 at
+    // linear cost. Audit scale BY DESIGN (the q147/q154/q170/q183
+    // class): everything runs on the corpus-scaled 1-in-m sample.
     "q196_srp_band_audit" -> ((s, dir) => {
-      val v = transform(col("embedding"), x => x.cast("double"))
-      val sig = SrpPlanes.zipWithIndex.map { case (p, b) =>
-        val plane = array(p.map(lit(_)): _*).cast("array<double>")
-        val dot = org.apache.spark.sql.graft.ArrayDot.doubleDot(v, plane)
-        when(dot > 0.0, lit(1L << b)).otherwise(lit(0L))
-      }.reduce(_ + _)
       val emb = rd(s, dir, "embeddings")
       val mRow = emb.agg(count(lit(1)).as("n"))
         .select(greatest(lit(1L), expr(s"n div $LshAuditSampleTarget")).as("m"))
       val e = emb.crossJoin(broadcast(mRow))
         .filter(col("vec_id") % col("m") === 0)
-        .select(col("vec_id"), sig.as("srp_sig"), v.as("dv"))
+        .select(col("vec_id"), col("m"), Similarity.asDouble(col("embedding")).as("dv"))
         .withColumn("nrm", Similarity.l2Norm(col("dv")))
         .localCheckpoint(false) // feeds the truth pass AND every config
-      val nRow = e.agg(count(lit(1)).as("n_nodes"))
+      val nRow = e.agg(count(lit(1)).as("n_nodes"), max(col("m")).as("mm"))
       val cos = Similarity.dot(col("dv_a"), col("dv_b")) / (col("nrm_a") * col("nrm_b"))
       val exact = e.select(col("vec_id").as("src"), col("dv").as("dv_a"), col("nrm").as("nrm_a"))
         .crossJoin(e.select(col("vec_id").as("dst"), col("dv").as("dv_b"), col("nrm").as("nrm_b")))
@@ -450,36 +446,68 @@ trait AnnRegistry extends RegistryBase {
         .filter(col("rank") <= KnnGraphK)
         .select("src", "dst")
         .localCheckpoint(false) // probed once per config
-      val banded = SrpBandConfigs.map { case (nb, band, shift, mask) =>
-        e.select(lit(nb).as("n_bands"), col("vec_id"), lit(band).as("band"),
-          shiftright(col("srp_sig"), shift).bitwiseAND(lit(mask)).as("key"))
+      val vecs = e.select("vec_id", "dv", "nrm")
+      val banded = SrpBandConfigs.map { case (cfg, nb, w) =>
+        val bandStructs = (0 until nb).map { b =>
+          val key = (0 until w).map { j =>
+            val plane = array(SrpPlanes64(b * w + j).map(lit(_)): _*).cast("array<double>")
+            when(org.apache.spark.sql.graft.ArrayDot.doubleDot(col("dv"), plane) > 0.0,
+              lit(1L << j)).otherwise(lit(0L))
+          }.reduce(_ + _)
+          struct(lit(b).as("band"), key.as("key"))
+        }
+        e.select(lit(cfg).as("config"), col("vec_id"),
+            explode(array(bandStructs: _*)).as("bk"))
+          .select(col("config"), col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
       }.reduce(_ union _)
       val cand = banded.alias("x")
         .join(banded.alias("y"),
-          col("x.n_bands") === col("y.n_bands") && col("x.band") === col("y.band") &&
+          col("x.config") === col("y.config") && col("x.band") === col("y.band") &&
             col("x.key") === col("y.key") && col("x.vec_id") =!= col("y.vec_id"))
-        .select(col("x.n_bands").as("n_bands"), col("x.vec_id").as("src"),
+        .select(col("x.config").as("config"), col("x.vec_id").as("src"),
           col("y.vec_id").as("dst"))
         .distinct()
         .localCheckpoint(false) // feeds the volume count AND the top-K hits
-      val hits = cand
-        .join(e.select(col("vec_id").as("src"), col("dv").as("dv_a"), col("nrm").as("nrm_a")), Seq("src"))
-        .join(e.select(col("vec_id").as("dst"), col("dv").as("dv_b"), col("nrm").as("nrm_b")), Seq("dst"))
+      val srpHits = cand
+        .join(vecs.select(col("vec_id").as("src"), col("dv").as("dv_a"), col("nrm").as("nrm_a")), Seq("src"))
+        .join(vecs.select(col("vec_id").as("dst"), col("dv").as("dv_b"), col("nrm").as("nrm_b")), Seq("dst"))
         .withColumn("rank", row_number().over(
-          Window.partitionBy("n_bands", "src").orderBy(cos.desc, col("dst").asc)))
+          Window.partitionBy("config", "src").orderBy(cos.desc, col("dst").asc)))
         .filter(col("rank") <= KnnGraphK)
         .join(exact, Seq("src", "dst"))
-        .groupBy("n_bands").agg(count(lit(1)).as("n_hit"))
-      cand.groupBy("n_bands").agg(count(lit(1)).as("n_cand"))
-        .join(hits, Seq("n_bands"), "left")
-        .crossJoin(broadcast(nRow))
-        .select(col("n_bands"),
-          (lit(16L) / col("n_bands")).cast("long").as("key_bits"),
-          col("n_cand"),
-          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-          (coalesce(col("n_hit"), lit(0L)).cast("double") /
+        .groupBy("config").agg(count(lit(1)).as("n_hit"))
+      val srpRows = cand.groupBy("config").agg(count(lit(1)).as("n_cand"))
+        .join(srpHits, Seq("config"), "left")
+        .select(col("config"), col("n_cand"), coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      // NN-Descent rounds on the SAME sample: init draws land on the
+      // sampled id grid (vec_id = idx * m — dense multiples by
+      // construction of the spread), so m = 1 reproduces the shipped
+      // build's init exactly
+      var g = org.apache.spark.sql.graft.CheckpointStats.freshCheckpoint(
+        e.crossJoin(broadcast(nRow))
+          .select(col("vec_id").as("src"), col("n_nodes"), col("mm"),
+            explode(sequence(lit(1L), lit(NndK.toLong))).as("i"))
+          .withColumn("dst",
+            pmod(org.apache.spark.sql.graft.Md5Long60.column(
+              concat_ws("_", lit("nnd0"), col("src"), col("i"))), col("n_nodes")) * col("mm"))
+          .filter(col("dst") =!= col("src"))
+          .select("src", "dst").distinct())
+      val nndRows = (1 to NndIters).map { t =>
+        val (candT, rankedT) = NnDescent.iterate(g, vecs, NndK)
+        g = org.apache.spark.sql.graft.CheckpointStats.freshCheckpoint(rankedT)
+        val hitsT = g.filter(col("rank") <= KnnGraphK)
+          .join(exact, Seq("src", "dst"))
+          .agg(count(lit(1)).as("n_hit"))
+        candT.agg(count(lit(1)).as("n_cand"))
+          .crossJoin(broadcast(hitsT))
+          .select(lit(s"nnd_iter_$t").as("config"), col("n_cand"), col("n_hit"))
+      }.reduce(_ union _)
+      srpRows.union(nndRows)
+        .crossJoin(broadcast(nRow.select(col("n_nodes"))))
+        .select(col("config"), col("n_cand"), col("n_hit"),
+          (col("n_hit").cast("double") /
             (col("n_nodes") * KnnGraphK).cast("double")).as("recall"))
-        .orderBy("n_bands")
+        .orderBy("config")
     }),
 
     // pillar similarity: HARD-NEGATIVE MINING — the companion export to
@@ -518,13 +546,10 @@ trait AnnRegistry extends RegistryBase {
     // data-pipeline surface.
     "q131_ann_quality_report" -> ((s, dir) => {
       val e = rd(s, dir, "embeddings")
-      val cents = trainedArtifact(s, dir, "cent8") {
-        val (tr, init) = trainSample8(s, e)
-        Similarity.trainCentroids(tr, "vec_id", "embedding", init, KmeansIters)
-      }
       val queries = e.filter(col("vec_id") < 10)
-      val approx = Similarity.ivfTopKQ(queries, spread(s, e), cents,
-          "vec_id", "embedding", k = 3, nprobe = 2)
+      val approx = Similarity.ivfTopKQServeAuto(queries, spread(s, e),
+          ivfSqrtBuckets(s, dir), sqrtCentroids(s, dir),
+          "vec_id", "embedding", k = 3)
         .select("q_id", "r_id", "rank")
       val truth = Similarity.cosineTopK(queries, spread(s, e), "vec_id", "embedding", 3)
         .select(col("q_id"), col("r_id"), col("rank").as("xrank"))
@@ -670,36 +695,24 @@ trait AnnRegistry extends RegistryBase {
 
     // shared with the streaming q194 serving gate — see
     // RegistryBase.ivfTopkOracle
-    "q43_embed_ivf_topk" -> ivfTopkOracle("id < 10"),
+    "q43_embed_ivf_topk" -> ivfSqrtTopkOracle("id < 10"),
 
     // q43's oracle chain with the label riding the candidate equi-key
     "q179_ivf_filtered_topk" ->
-      s"""WITH v AS (SELECT vec_id, label,
-        |             list_transform(embedding, x -> floor(x::DOUBLE * 1000)::BIGINT) AS qv,
-        |             list_transform(embedding, x -> x::DOUBLE) AS dv
-        |           FROM embeddings),
-        |${trainSampleCtesSql("v")},
-        |${lloydCtesSql("tv", "kinit", 64, KmeansIters, Seq.empty, "c")},
-        |score AS (
-        |  SELECT v.vec_id AS id, c.centroid_id,
-        |         CAST(list_sum(list_transform(range(1, 65), i -> v.qv[i::INT] * c.cv[i::INT])) AS BIGINT) AS sc
-        |  FROM v CROSS JOIN c),
-        |assign AS (
-        |  SELECT id AS r_id, centroid_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY sc DESC, centroid_id ASC) AS rk FROM score)
-        |  WHERE rk = 1),
+      s"""WITH $embAssignCtes,
+        |npr AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS np FROM c),
+        |lbl AS (SELECT vec_id, label FROM embeddings),
         |probes AS (
         |  SELECT id AS q_id, centroid_id FROM (
         |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY sc DESC, centroid_id ASC) AS rk
-        |    FROM score WHERE id < 10)
-        |  WHERE rk <= 2),
-        |n AS (SELECT vec_id, label, dv, sqrt(list_sum(list_transform(dv, x -> x * x))) AS nrm FROM v),
+        |    FROM score WHERE id < 10), npr
+        |  WHERE rk <= npr.np),
         |cand AS (
-        |  SELECT q_id, r_id FROM probes
-        |       JOIN assign USING (centroid_id)
-        |       JOIN v qa ON qa.vec_id = q_id
-        |       JOIN v rb ON rb.vec_id = r_id
-        |  WHERE q_id <> r_id AND qa.label = rb.label),
+        |  SELECT p.q_id, a.vec_id AS r_id
+        |  FROM probes p JOIN assign a USING (centroid_id)
+        |       JOIN lbl qa ON qa.vec_id = p.q_id
+        |       JOIN lbl rb ON rb.vec_id = a.vec_id
+        |  WHERE p.q_id <> a.vec_id AND qa.label = rb.label),
         |ref AS (
         |  SELECT cand.q_id, cand.r_id,
         |         list_sum(list_transform(range(1, 65), i -> qn.dv[i::INT] * rn.dv[i::INT])) / (qn.nrm * rn.nrm) AS cos_sim
@@ -740,7 +753,7 @@ trait AnnRegistry extends RegistryBase {
     // reachability over the (already symmetric) mutual graph
     "q192_mutual_knn_groups" ->
       s"""WITH RECURSIVE $knnCtesSql,
-         |edges AS (SELECT t.src, t.dst FROM topm t
+         |edges AS MATERIALIZED (SELECT t.src, t.dst FROM topm t
          |          JOIN topm r ON r.src = t.dst AND r.dst = t.src),
          |reach(id, r) AS (
          |  SELECT vec_id::BIGINT, vec_id::BIGINT FROM embeddings
@@ -754,7 +767,6 @@ trait AnnRegistry extends RegistryBase {
       s"""WITH $knnCtesSql,
          |pos AS (SELECT t.src AS anchor, t.dst AS positive FROM topm t
          |        JOIN topm r ON r.src = t.dst AND r.dst = t.src),
-         |np AS (SELECT count(*) AS n FROM embeddings),
          |draws AS (
          |  SELECT anchor, positive, g.i,
          |         ('0x' || substr(md5('neg_' || anchor || '_' || positive || '_' || g.i), 1, 15))::BIGINT % np.n AS neg_id
@@ -771,60 +783,79 @@ trait AnnRegistry extends RegistryBase {
          |WHERE neg_rank <= $NumNegatives
          |ORDER BY anchor, positive, neg_rank""".stripMargin,
 
-    // the q186 signature math over the corpus-scaled 1-in-m audit
-    // sample, per band config, + a brute-force exact truth pass (audit
-    // scale by design, the q147/q154/q170/q183 class)
+    // the q186-family generator audit over the corpus-scaled 1-in-m
+    // sample: SRP band configs from the shared SrpPlanes64 constants +
+    // the unrolled NN-Descent rounds, each against the brute-force
+    // exact truth pass (audit scale by design, the q147/q154/q170/q183
+    // class)
     "q196_srp_band_audit" -> {
-      val bandedSql = SrpBandConfigs.map { case (nb, band, shift, mask) =>
-        s"SELECT $nb::BIGINT AS n_bands, vec_id, $band AS band, (srp_sig >> $shift) & $mask AS key FROM s"
+      val bandedSql = SrpBandConfigs.flatMap { case (cfg, nb, w) =>
+        (0 until nb).map { b =>
+          val key = (0 until w).map { j =>
+            val lst = SrpPlanes64(b * w + j).mkString("[", ", ", "]")
+            s"(CASE WHEN list_sum(list_transform(range(1, 65), i -> v[i::INT] * ($lst)[i::INT])) > 0 THEN ${1L << j} ELSE 0 END)"
+          }.mkString("(", " + ", ")")
+          s"SELECT '$cfg' AS config, vec_id, $b AS band, $key AS key FROM e"
+        }
+      }.mkString("\n  UNION ALL\n  ")
+      val nndIters = (0 until NndIters).map(t => nndIterSql("a", t)).mkString(",\n")
+      val nndRowsSql = (1 to NndIters).map { t =>
+        s"""SELECT 'nnd_iter_$t' AS config,
+           |  (SELECT count(*) FROM ac${t - 1}) AS n_cand,
+           |  (SELECT count(*) FROM ag$t g JOIN exact x ON x.src = g.src AND x.dst = g.dst
+           |    WHERE g.rank <= $KnnGraphK) AS n_hit""".stripMargin
       }.mkString("\n  UNION ALL\n  ")
       s"""WITH kpa AS (SELECT greatest(1, count(*) // $LshAuditSampleTarget) AS m FROM embeddings),
          |e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
          |      FROM embeddings, kpa WHERE vec_id % kpa.m = 0),
-         |s AS (SELECT vec_id, $srpPlaneSumSql::BIGINT AS srp_sig FROM e),
          |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
          |np AS (SELECT count(*) AS n_nodes FROM e),
+         |${nndAllCosSql("a")},
          |exact AS (SELECT src, dst FROM (
-         |    SELECT a.vec_id AS src, b.vec_id AS dst,
-         |           row_number() OVER (PARTITION BY a.vec_id ORDER BY
-         |             list_sum(list_transform(range(1, 65), i -> a.v[i::INT] * b.v[i::INT])) / (a.nrm * b.nrm) DESC,
-         |             b.vec_id ASC) AS rank
-         |    FROM n a JOIN n b ON a.vec_id <> b.vec_id)
+         |    SELECT src, dst,
+         |           row_number() OVER (PARTITION BY src ORDER BY cos_sim DESC, dst ASC) AS rank
+         |    FROM aallcos)
          |  WHERE rank <= $KnnGraphK),
          |cbanded AS (
          |  $bandedSql),
-         |ccand AS (SELECT DISTINCT x.n_bands, x.vec_id AS src, y.vec_id AS dst
+         |ccand AS (SELECT DISTINCT x.config, x.vec_id AS src, y.vec_id AS dst
          |          FROM cbanded x JOIN cbanded y
-         |          ON x.n_bands = y.n_bands AND x.band = y.band AND x.key = y.key
+         |          ON x.config = y.config AND x.band = y.band AND x.key = y.key
          |             AND x.vec_id <> y.vec_id),
-         |chits AS (SELECT n_bands, count(*) AS n_hit FROM (
-         |    SELECT c.n_bands, c.src, c.dst,
-         |           row_number() OVER (PARTITION BY c.n_bands, c.src ORDER BY
-         |             list_sum(list_transform(range(1, 65), i -> na.v[i::INT] * nb.v[i::INT])) / (na.nrm * nb.nrm) DESC,
-         |             c.dst ASC) AS rank
-         |    FROM ccand c JOIN n na ON na.vec_id = c.src JOIN n nb ON nb.vec_id = c.dst) r
+         |chits AS (SELECT config, count(*) AS n_hit FROM (
+         |    SELECT c.config, c.src, c.dst,
+         |           row_number() OVER (PARTITION BY c.config, c.src ORDER BY
+         |             ac.cos_sim DESC, c.dst ASC) AS rank
+         |    FROM ccand c JOIN aallcos ac ON ac.src = c.src AND ac.dst = c.dst) r
          |  JOIN exact e2 ON e2.src = r.src AND e2.dst = r.dst
-         |  WHERE r.rank <= $KnnGraphK GROUP BY n_bands),
-         |cvol AS (SELECT n_bands, count(*) AS n_cand FROM ccand GROUP BY n_bands)
-         |SELECT v.n_bands, (16 / v.n_bands)::BIGINT AS key_bits, v.n_cand,
-         |       coalesce(h.n_hit, 0)::BIGINT AS n_hit,
-         |       coalesce(h.n_hit, 0)::DOUBLE / (np.n_nodes * $KnnGraphK)::DOUBLE AS recall
-         |FROM cvol v LEFT JOIN chits h USING (n_bands), np
-         |ORDER BY v.n_bands""".stripMargin
+         |  WHERE r.rank <= $KnnGraphK GROUP BY config),
+         |cvol AS (SELECT config, count(*) AS n_cand FROM ccand GROUP BY config),
+         |ag0 AS (SELECT DISTINCT src, dst FROM (
+         |    SELECT e.vec_id AS src,
+         |           (('0x' || substr(md5('nnd0_' || e.vec_id || '_' || g.i), 1, 15))::BIGINT % np.n_nodes) * kpa.m AS dst
+         |    FROM e, np, kpa, range(1, ${NndK + 1}) g(i))
+         |  WHERE dst <> src),
+         |$nndIters,
+         |rows AS (
+         |  SELECT v.config, v.n_cand, coalesce(h.n_hit, 0)::BIGINT AS n_hit
+         |  FROM cvol v LEFT JOIN chits h USING (config)
+         |  UNION ALL
+         |  $nndRowsSql)
+         |SELECT r.config, r.n_cand::BIGINT AS n_cand, r.n_hit::BIGINT AS n_hit,
+         |       r.n_hit::DOUBLE / (np.n_nodes * $KnnGraphK)::DOUBLE AS recall
+         |FROM rows r, np ORDER BY r.config""".stripMargin
     },
 
     // q186's CTEs: the mutual pairs joined with the rank band just below
-    // the top-K cut of the SAME scored candidate frame
+    // the top-K cut of the SAME refined ranked edge list
     "q197_hard_negatives" ->
       s"""WITH $knnCtesSql,
          |pos AS (SELECT t.src AS anchor, t.dst AS positive FROM topm t
          |        JOIN topm r ON r.src = t.dst AND r.dst = t.src),
-         |rk AS (SELECT src, dst, cos_sim,
-         |         row_number() OVER (PARTITION BY src ORDER BY cos_sim DESC, dst ASC) AS rank
-         |       FROM scored),
          |hard AS (SELECT src AS anchor, dst AS neg_id, cos_sim,
          |                rank - $KnnGraphK AS neg_rank
-         |         FROM rk WHERE rank > $KnnGraphK AND rank <= ${KnnGraphK + HardNegM})
+         |         FROM g$NndIters
+         |         WHERE rank > $KnnGraphK AND rank <= ${KnnGraphK + HardNegM})
          |SELECT p.anchor, p.positive, h.neg_rank, h.neg_id, h.cos_sim
          |FROM pos p JOIN hard h ON h.anchor = p.anchor
          |ORDER BY p.anchor, p.positive, h.neg_rank""".stripMargin,
@@ -876,27 +907,15 @@ trait AnnRegistry extends RegistryBase {
          |FROM c ORDER BY centroid_id, dim""".stripMargin,
 
     "q131_ann_quality_report" ->
-      s"""WITH v AS (SELECT vec_id,
-        |             list_transform(embedding, x -> floor(x::DOUBLE * 1000)::BIGINT) AS qv,
-        |             list_transform(embedding, x -> x::DOUBLE) AS dv
-        |           FROM embeddings),
-        |${trainSampleCtesSql("v")},
-        |${lloydCtesSql("tv", "kinit", 64, KmeansIters, Seq.empty, "c")},
-        |score AS (
-        |  SELECT v.vec_id AS id, c.centroid_id,
-        |         CAST(list_sum(list_transform(range(1, 65), i -> v.qv[i::INT] * c.cv[i::INT])) AS BIGINT) AS sc
-        |  FROM v CROSS JOIN c),
-        |assign AS (
-        |  SELECT id AS r_id, centroid_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY sc DESC, centroid_id ASC) AS rk FROM score)
-        |  WHERE rk = 1),
+      s"""WITH $embAssignCtes,
+        |npr AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS np FROM c),
         |probes AS (
         |  SELECT id AS q_id, centroid_id FROM (
         |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY sc DESC, centroid_id ASC) AS rk
-        |    FROM score WHERE id < 10)
-        |  WHERE rk <= 2),
-        |n AS (SELECT vec_id, dv, sqrt(list_sum(list_transform(dv, x -> x * x))) AS nrm FROM v),
-        |cand AS (SELECT q_id, r_id FROM probes JOIN assign USING (centroid_id) WHERE q_id <> r_id),
+        |    FROM score WHERE id < 10), npr
+        |  WHERE rk <= npr.np),
+        |cand AS (SELECT q_id, vec_id AS r_id FROM probes JOIN assign USING (centroid_id)
+        |         WHERE q_id <> vec_id),
         |ref AS (
         |  SELECT cand.q_id, cand.r_id,
         |         list_sum(list_transform(range(1, 65), i -> qn.dv[i::INT] * rn.dv[i::INT])) / (qn.nrm * rn.nrm) AS cos_sim

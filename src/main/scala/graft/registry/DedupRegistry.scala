@@ -70,7 +70,8 @@ trait DedupRegistry extends RegistryBase {
       Dedup.containmentScreenAudit(
           spread(s, rd(s, dir, "documents")), "doc_id", "text",
           shingleN = 6, threshold = 0.7,
-          ks = ContainSketchKs, screenFrac = ContainScreenFrac)
+          ks = ContainSketchKs, screenFrac = ContainScreenFrac,
+          sampleTarget = ContainAuditSampleTarget)
         .orderBy("k")),
 
     // pillar dedup: group resolution — near-dup pairs collapsed into
@@ -268,16 +269,21 @@ trait DedupRegistry extends RegistryBase {
     }),
 
     // pillar dedup: CROSS-SOURCE DUPLICATE OVERLAP MATRIX — near-dup
-    // pairs (the q31 LSH machinery) rolled up by unordered source pair:
-    // which ingest sources duplicate each other and how hard (the
-    // report that decides which crawl dumps to drop before paying for
-    // a full dedup sweep). Aggregates are count + max only — order-
-    // independent, so the rollup is exact under any partitioning.
-    // sources^2 rows out at ANY corpus size.
+    // pairs rolled up by unordered source pair: which ingest sources
+    // duplicate each other and how hard (the report that decides which
+    // crawl dumps to drop before paying for a full dedup sweep). Since
+    // round 12 the pair set comes off the PERSISTED full-corpus
+    // signature table (q126/q132's fullSigBands, same LSH parameters —
+    // same relation, same oracle) instead of re-hashing the corpus per
+    // run: at 100 TB ingest maintains that table once and this report
+    // is a no-exchange bucketed self-join + a sources^2 rollup.
+    // Aggregates are count + max only — order-independent, so the
+    // rollup is exact under any partitioning. sources^2 rows out at
+    // ANY corpus size.
     "q178_source_overlap_matrix" -> ((s, dir) => {
       val docs = spread(s, rd(s, dir, "documents"))
-      val pairs = Dedup.nearDuplicates(docs, "doc_id", "text",
-        shingleN = 4, numHashes = 8, rowsPerBand = 4, threshold = 0.4)
+      val pairs = Dedup.nearDupPairsOnBands(fullSigBands(s, dir), "doc_id",
+        threshold = 0.4)
       val src = docs.select(col("doc_id"), col("source"))
       pairs
         .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), Seq("id_a"))
@@ -577,10 +583,12 @@ trait DedupRegistry extends RegistryBase {
     // sets (identical to string-set containment absent md5 collisions,
     // the q173-established parity)
     "q183_containment_screen_audit" ->
-      s"""WITH d AS (SELECT doc_id,
+      s"""WITH kp AS (SELECT greatest(1, count(*) // $ContainAuditSampleTarget) AS m
+         |            FROM documents),
+         |d AS (SELECT doc_id,
          |         list_sort(list_distinct(list_transform(${docShinglesSql(6)},
          |           g -> ('0x' || substr(md5(g), 1, 15))::BIGINT))) AS hs
-         |       FROM documents),
+         |       FROM documents, kp WHERE doc_id % kp.m = 0),
          |ok AS (SELECT doc_id, hs, len(hs) AS nsh FROM d WHERE len(hs) > 0),
          |fl AS (SELECT doc_id AS id_b, unnest(hs) AS h FROM ok),
          |ks AS (SELECT unnest([${ContainSketchKs.mkString(", ")}]::BIGINT[]) AS k),
@@ -599,10 +607,12 @@ trait DedupRegistry extends RegistryBase {
          |               sum(CASE WHEN tr.id_a IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit
          |        FROM cand LEFT JOIN tr ON cand.id_a = tr.id_a AND cand.id_b = tr.id_b
          |        GROUP BY k)
-         |SELECT k, n_truth, n_candidates, n_hit,
-         |       n_hit::DOUBLE / nullif(n_truth, 0) AS recall,
-         |       n_hit::DOUBLE / n_candidates AS "precision"
-         |FROM agg, nt ORDER BY k""".stripMargin,
+         |SELECT ks.k, n_truth,
+         |       coalesce(agg.n_candidates, 0)::BIGINT AS n_candidates,
+         |       coalesce(agg.n_hit, 0)::BIGINT AS n_hit,
+         |       coalesce(agg.n_hit, 0)::DOUBLE / nullif(n_truth, 0) AS recall,
+         |       coalesce(agg.n_hit, 0)::DOUBLE / nullif(coalesce(agg.n_candidates, 0), 0) AS "precision"
+         |FROM ks LEFT JOIN agg USING (k), nt ORDER BY ks.k""".stripMargin,
 
     // shared with the streaming q191 gate — see
     // RegistryBase.bottomKScreenOracle

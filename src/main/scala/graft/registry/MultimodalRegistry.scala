@@ -188,6 +188,43 @@ trait MultimodalRegistry extends RegistryBase {
           col("hamming").isNotNull.as("by_image"),
           (col("jacc").isNotNull && col("hamming").isNotNull).as("consensus"))
         .orderBy("id_a", "id_b")
+    }),
+
+    // pillar multimodal: AUDIO PCM FEATURE EXTRACTION (round 12 — the
+    // third standard modality after image q164/q76 and video q174):
+    // windowed mean-amplitude features through the SAME mapPartitions
+    // decode injection point the real wavDecode uses (per-partition
+    // codec setup amortized, Tungsten encoders, no shuffle). The
+    // parquet path interprets the opaque bytes as 8-bit PCM (a real
+    // windowed-DSP computation the oracle reproduces from codepoints);
+    // AudioSpec gates the real RIFF/WAVE 16-bit decoder on generated
+    // fixtures through the identical plumbing.
+    "q201_audio_pcm_features" -> ((s, dir) => {
+      val withC = Multimodal.withContent(spread(s, rd(s, dir, "documents")), "text")
+      Multimodal.decodeFeaturesWith(s, withC, "doc_id")(Multimodal.pcmDecode)
+        .select(
+          col("id").as("doc_id"),
+          col("n_frames").cast("long").as("n_samples"),
+          posexplode(col("features")).as(Seq("feat_idx", "feat_f")))
+        .select(col("doc_id"), col("n_samples"),
+          col("feat_idx").cast("long").as("feat_idx"),
+          col("feat_f").cast("double").as("feat"))
+        .orderBy("doc_id", "feat_idx")
+    }),
+
+    // pillar multimodal x dedup: AUDIO NEAR-DUP by ENERGY-CONTOUR hash —
+    // 32 adjacent-window loudness-trend bits (the audio dHash; VOLUME-
+    // INVARIANT by the cross-multiplied integer comparison, AudioSpec
+    // pins it on real WAV fixtures) driven through the q47/q164
+    // pigeonhole banding + exact bit_count verify: 4 contiguous bands
+    // are a lossless index for the hamming<=3 ball, no cross join at
+    // any scale. Completes the modality x dedup matrix: text q31,
+    // image q164, video q174, audio here.
+    "q202_audio_contour_neardup" -> ((s, dir) => {
+      val withC = Multimodal.withContent(spread(s, rd(s, dir, "documents")), "text")
+      val hashed = Multimodal.pcmContourHashes(s, withC, "doc_id")
+      Dedup.simhashCandidates(hashed, "doc_id", "ahash", bits = 32, maxHamming = 3)
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -337,6 +374,46 @@ trait MultimodalRegistry extends RegistryBase {
          |       (t.id_a IS NOT NULL AND img.id_a IS NOT NULL) AS consensus
          |FROM nd_pairs t FULL OUTER JOIN img
          |  ON t.id_a = img.id_a AND t.id_b = img.id_b
-         |ORDER BY id_a, id_b""".stripMargin
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // the 8-bit PCM interpretation recomputed from ASCII codepoints
+    // (the q115 byte-stand-in convention): per-eighth integer mean
+    // amplitude / 256 — exactly float32-representable on both engines
+    "q201_audio_pcm_features" ->
+      """WITH b AS (SELECT doc_id, text, strlen(text) AS n FROM documents),
+        |s AS (SELECT doc_id,
+        |        unnest(list_transform(range(1, n + 1), j -> unicode(substr(text, j::INT, 1))::BIGINT)) AS amp,
+        |        unnest(list_transform(range(1, n + 1), j -> ((j - 1) * 8) // n)) AS w
+        |      FROM b WHERE n > 0),
+        |f AS (SELECT doc_id, w, (sum(amp) // count(*))::BIGINT AS mi FROM s GROUP BY 1, 2)
+        |SELECT bb.doc_id, bb.n AS n_samples, bb.w AS feat_idx,
+        |       coalesce(f.mi, 0)::DOUBLE / 256 AS feat
+        |FROM (SELECT b.doc_id, b.n, g.w FROM b CROSS JOIN range(0, 8) g(w)) bb
+        |LEFT JOIN f ON f.doc_id = bb.doc_id AND f.w = bb.w
+        |ORDER BY bb.doc_id, bb.w""".stripMargin,
+
+    // 33-window energy contour -> 32 comparison bits (cross-multiplied
+    // integer sums, division-free) -> brute-force hamming<=3 truth (the
+    // banded Spark plan computes the same relation by pigeonhole)
+    "q202_audio_contour_neardup" ->
+      """WITH b AS (SELECT doc_id, text, strlen(text) AS n FROM documents),
+        |s AS (SELECT doc_id,
+        |        unnest(list_transform(range(1, n + 1), j -> unicode(substr(text, j::INT, 1))::BIGINT)) AS amp,
+        |        unnest(list_transform(range(1, n + 1), j -> ((j - 1) * 33) // n)) AS w
+        |      FROM b WHERE n > 0),
+        |e AS (SELECT doc_id, w, sum(amp)::BIGINT AS sm, count(*)::BIGINT AS ct FROM s GROUP BY 1, 2),
+        |wn AS (SELECT bb.doc_id, bb.w, coalesce(e.sm, 0) AS sm, coalesce(e.ct, 0) AS ct
+        |       FROM (SELECT b.doc_id, g.w FROM b CROSS JOIN range(0, 33) g(w)) bb
+        |       LEFT JOIN e ON e.doc_id = bb.doc_id AND e.w = bb.w),
+        |bits AS (SELECT c.doc_id,
+        |           sum(CASE WHEN nx.sm * c.ct > c.sm * nx.ct
+        |               THEN (1::BIGINT << c.w::INT) ELSE 0 END)::BIGINT AS ahash
+        |         FROM wn c JOIN wn nx ON nx.doc_id = c.doc_id AND nx.w = c.w + 1
+        |         WHERE c.w < 32 GROUP BY c.doc_id)
+        |SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+        |       bit_count(xor(a.ahash, b2.ahash))::BIGINT AS hamming
+        |FROM bits a JOIN bits b2 ON a.doc_id < b2.doc_id
+        |WHERE bit_count(xor(a.ahash, b2.ahash)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin
   )
 }

@@ -264,24 +264,46 @@ trait RegistryBase {
        |tv AS (SELECT $vCte.* FROM $vCte, kp WHERE vec_id % kp.m = 0),
        |kinit AS (SELECT vec_id AS centroid_id, qv AS cv FROM tv, kp WHERE vec_id < 8 * kp.m)""".stripMargin
 
-  protected def embClusterPairs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  /** The corpus-scaled coarse quantizer: k = ceil(sqrt(N)) centroids,
+    * TRAINED (Lloyd's) on a deterministic 1-in-m sample with m =
+    * max(1, N div 40k): ~40 training points per centroid (the FAISS
+    * sizing guideline), so training stays O(sqrt(N) * k) = O(N) per
+    * iteration at any corpus size — nobody Lloyd-scans 100 TB per
+    * iteration; sampling the trainer is what SemDeDup/IVF deployments
+    * do. m = 1 at the oracle scales (sample = corpus). Persisted once
+    * per corpus; shared by the q46/q117 clustering family AND (since
+    * round 12) the q43/q131/q194 IVF serving family.
+    */
+  protected def sqrtCentroids(s: SparkSession, dir: String): DataFrame = {
     val e = rd(s, dir, "embeddings")
-    // k = ceil(sqrt(N)) centroids, TRAINED (Lloyd's) on a deterministic
-    // 1-in-m sample with m = max(1, N div 40k): ~40 training points per
-    // centroid (the FAISS sizing guideline), so training stays O(sqrt(N)
-    // * k) = O(N) per iteration at any corpus size — nobody Lloyd-scans
-    // 100 TB per iteration; sampling the trainer is what SemDeDup/IVF
-    // deployments do. m = 1 at the oracle scales (sample = corpus);
-    // the ASSIGNMENT below always covers the full corpus.
     val kRow = e.agg(count(lit(1)).as("n"))
       .select(ceil(sqrt(col("n"))).cast("long").as("k"), col("n"))
       .withColumn("m", greatest(lit(1L), expr("n div (40 * k)")))
     val sample = spread(s, e).crossJoin(broadcast(kRow)).filter(col("vec_id") % col("m") === 0)
     val initIds = sample.filter(col("vec_id") < col("k") * col("m")).select("vec_id")
-    val cents = trainedArtifact(s, dir, "centSqrt") {
+    trainedArtifact(s, dir, "centSqrt") {
       Similarity.trainCentroids(
         sample.select("vec_id", "embedding"), "vec_id", "embedding", initIds, KmeansIters)
     }
+  }
+
+  /** The persisted IVF bucket index over sqrtCentroids — (r_id,
+    * centroid_id) for every corpus vector. THE index a vector store
+    * serves from: built once (O(N·√N) assignment — the standard IVF
+    * build cost), persisted like the q126/q132 signature table, probed
+    * per query/batch. q43/q194 never rebuild it per run.
+    */
+  protected def ivfSqrtBuckets(s: SparkSession, dir: String): DataFrame =
+    trainedArtifact(s, dir, "ivfSqrtBuckets") {
+      Similarity.assignToCentroidsQ(
+          spread(s, rd(s, dir, "embeddings")), sqrtCentroids(s, dir),
+          "vec_id", "embedding")
+        .select(col("id").as("r_id"), col("centroid_id"))
+    }
+
+  protected def embClusterPairs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val e = rd(s, dir, "embeddings")
+    val cents = sqrtCentroids(s, dir)
     val buckets = Similarity.assignToCentroidsQ(spread(s, e), cents, "vec_id", "embedding")
       .select(col("id").as("vec_id"), col("centroid_id"))
     val v = spread(s, e).select(col("vec_id"), Similarity.asDouble(col("embedding")).as("dv"))
@@ -387,6 +409,18 @@ trait RegistryBase {
     */
   protected val KnnGraphK = 3L
 
+  /** q186-family NN-Descent configuration: the internal neighbor-list
+    * width the refinement rounds rank against (cut to KnnGraphK only at
+    * the end — NN-Descent needs a denser working graph than the output
+    * graph to propagate: at k = 3 the recurrence stalls at recall ~0.06,
+    * at 20 it converges past 0.9 on this corpus), and the round count.
+    * Per-round work is <= N*(2k)^2 scored pairs — linear in N; rounds
+    * needed grow ~log N. The q196 audit reports recall and candidate
+    * volume per round against the exact graph.
+    */
+  protected val NndK = 20
+  protected val NndIters = 4
+
   /** q195 contrastive export: negatives kept per (anchor, positive) pair
     * and the (slack-padded) deterministic draw count they are selected
     * from — draws lost to the anchor/positive/neighborhood exclusions
@@ -404,17 +438,17 @@ trait RegistryBase {
     */
   protected val HardNegM = 2L
 
-  /** q196's audited SRP band layouts over the 16-bit signature: one
-    * (n_bands, band index, shift, key mask) row per band of each config
-    * {1x16-bit, 2x8-bit (the shipped q186 layout), 4x4-bit}. Single
-    * source of truth for the Spark build and the generated oracle SQL.
+  /** q196's audited SRP band layouts: (config label, bands, key bits).
+    * Band b of config (nb, w) keys on planes [b*w, (b+1)*w) of
+    * SrpPlanes64 — the first 16 planes are the legacy 16-bit signature,
+    * so the 1x16/2x8/4x4 rows reproduce the pre-round-12 audit keys
+    * bit-for-bit; 8x8 (64 planes) is the widened-signature config the
+    * round-11 verdict asked to evaluate. The audit ranks all of them
+    * against the NN-Descent rounds that replaced banding as the shipped
+    * q186-family generator. Single source of truth for Spark + SQL.
     */
-  protected lazy val SrpBandConfigs: Seq[(Long, Long, Int, Long)] =
-    Seq(1, 2, 4).flatMap { nb =>
-      val w = 16 / nb
-      val mask = (1L << w) - 1
-      (0 until nb).map(i => (nb.toLong, i.toLong, i * w, mask))
-    }
+  protected lazy val SrpBandConfigs: Seq[(String, Int, Int)] = Seq(
+    ("srp_1x16", 1, 16), ("srp_2x8", 2, 8), ("srp_4x4", 4, 4), ("srp_8x8", 8, 8))
 
   /** SemDeDup within-cluster cosine threshold (q117; same value as the
     * q46 near-dup cutoff so the two embedding-dedup surfaces agree).
@@ -520,6 +554,14 @@ trait RegistryBase {
     */
   protected val ContainSketchKs = Seq(8, 16, 32, 64)
   protected val ContainScreenFrac = 0.5
+
+  /** q183's audit-scale bound (the q196 convention, commit d33e09f):
+    * the audit — including its exact containmentPairs truth pass — runs
+    * on a 1-in-m doc_id spread with m = max(1, N div this), so the
+    * exact join's cost is capped at ~this² pair-candidates regardless
+    * of corpus size. m = 1 at the oracle scales (sf <= 0.01).
+    */
+  protected val ContainAuditSampleTarget = 1000L
 
   /** q190's serving bottom-k screen: sample size (q183's audited best
     * recall/precision point) and the shingle-df stop cut above which a
@@ -991,20 +1033,23 @@ trait RegistryBase {
     s.read.parquet(path)
   }
 
-  /** Signed-random-projection hyperplanes: 16 planes x 64 dims of
+  /** Signed-random-projection hyperplanes: 64 planes x 64 dims of
     * Rademacher +-1 entries derived from md5 parity, so the Spark query
     * and the generated oracle SQL share one deterministic source of truth
-    * (the same generate-from-constants pattern as MinhashParams).
+    * (the same generate-from-constants pattern as MinhashParams). The
+    * first 16 ARE the legacy 16-plane signature (`SrpPlanes`) q72/q107
+    * key on; the tail exists for q196's widened-signature configs.
     */
-  protected lazy val SrpPlanes: Seq[Seq[Int]] = {
+  protected lazy val SrpPlanes64: Seq[Seq[Int]] = {
     val mdig = java.security.MessageDigest.getInstance("MD5")
-    (0 until 16).map { p =>
+    (0 until 64).map { p =>
       (0 until 64).map { d =>
         val h = mdig.digest(s"srp-$p-$d".getBytes("UTF-8"))
         if ((h(0) & 1) == 0) 1 else -1
       }
     }
   }
+  protected lazy val SrpPlanes: Seq[Seq[Int]] = SrpPlanes64.take(16)
 
   /** Sessionization gap (microseconds) — 4 hours (the testdata's events
     * average ~100 min between a user's events, so a web-style 30-min gap
@@ -1125,12 +1170,14 @@ trait RegistryBase {
          |  FROM bs${t - 1}, bb$t x)""".stripMargin
     }.mkString(",\n")
 
-  /** Shared CTE chain for the corpus-scaled-k embedding clustering +
-    * within-cluster cosine pairs (q46 + q117), ending in
-    * `assign(vec_id, centroid_id)` and `pairs(id_a, id_b, cos_sim)`
-    * (pairs unfiltered — callers apply their own threshold).
+  /** Shared CTE chain for the corpus-scaled-k (sqrt N) quantizer:
+    * Lloyd-trained centroids `c`, full-corpus `assign(vec_id,
+    * centroid_id)`, per-vector `score(id, centroid_id, sc)`, and
+    * normalized vectors `n`. The oracle twin of sqrtCentroids +
+    * ivfSqrtBuckets; shared by the q46/q117 clustering oracles and the
+    * q43/q131/q194 IVF serving oracles.
     */
-  protected val embCosPairsCtes: String =
+  protected val embAssignCtes: String =
     s"""v AS (SELECT vec_id,
       |             list_transform(embedding, x -> floor(x::DOUBLE * 1000)::BIGINT) AS qv,
       |             list_transform(embedding, x -> x::DOUBLE) AS dv
@@ -1149,12 +1196,42 @@ trait RegistryBase {
       |  SELECT id AS vec_id, centroid_id FROM (
       |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY sc DESC, centroid_id ASC) AS rk FROM score)
       |  WHERE rk = 1),
-      |n AS (SELECT vec_id, dv, sqrt(list_sum(list_transform(dv, x -> x * x))) AS nrm FROM v),
+      |n AS (SELECT vec_id, dv, sqrt(list_sum(list_transform(dv, x -> x * x))) AS nrm FROM v)""".stripMargin
+
+  /** Shared CTE chain for the corpus-scaled-k embedding clustering +
+    * within-cluster cosine pairs (q46 + q117), ending in
+    * `assign(vec_id, centroid_id)` and `pairs(id_a, id_b, cos_sim)`
+    * (pairs unfiltered — callers apply their own threshold).
+    */
+  protected val embCosPairsCtes: String =
+    s"""$embAssignCtes,
       |pairs AS (
       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
       |         list_sum(list_transform(range(1, 65), i -> na.dv[i::INT] * nb.dv[i::INT])) / (na.nrm * nb.nrm) AS cos_sim
       |  FROM assign a JOIN assign b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
       |  JOIN n na ON na.vec_id = a.vec_id JOIN n nb ON nb.vec_id = b.vec_id)""".stripMargin
+
+  /** Shared oracle for the sqrt-N IVF probe-and-refine top-k (q43 batch,
+    * q194 streaming gate), parameterized by the query-set predicate over
+    * vec_id (as `id`). Probe depth = ceil(sqrt(k_centroids)) — the
+    * ivfTopKQServeAuto rule — computed from the same kp CTE.
+    */
+  protected def ivfSqrtTopkOracle(queryPred: String): String =
+    s"""WITH $embAssignCtes,
+      |npr AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS np FROM c),
+      |probes AS (
+      |  SELECT id AS q_id, centroid_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY sc DESC, centroid_id ASC) AS rk
+      |    FROM score WHERE $queryPred), npr
+      |  WHERE rk <= npr.np),
+      |cand AS (SELECT q_id, vec_id AS r_id FROM probes JOIN assign USING (centroid_id)
+      |         WHERE q_id <> vec_id),
+      |ref AS (
+      |  SELECT cand.q_id, cand.r_id,
+      |         list_sum(list_transform(range(1, 65), i -> qn.dv[i::INT] * rn.dv[i::INT])) / (qn.nrm * rn.nrm) AS cos_sim
+      |  FROM cand JOIN n qn ON qn.vec_id = cand.q_id JOIN n rn ON rn.vec_id = cand.r_id),
+      |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, r_id ASC) AS rank FROM ref)
+      |SELECT q_id, r_id, cos_sim, rank FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
 
   /** Exact-Jaccard expression between the `ok` rows aliased da/db. */
   protected val lshJaccSql =

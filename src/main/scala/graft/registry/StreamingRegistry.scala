@@ -645,14 +645,13 @@ trait StreamingRegistry extends RegistryBase {
       val stage = Staging.dir("q194-")
       try {
         val e = rd(s, dir, "embeddings")
-        val cents = trainedArtifact(s, dir, "cent8") {
-          val (tr, init) = trainSample8(s, e)
-          Similarity.trainCentroids(tr, "vec_id", "embedding", init, KmeansIters)
-        }.localCheckpoint(false) // probed every micro-batch
+        // round 12: the corpus-scaled sqrt-N quantizer + the PERSISTED
+        // bucket index (trainedArtifact parquet — the real vector-store
+        // shape: the index outlives the serving process; q43 shares it)
+        val cents = sqrtCentroids(s, dir)
+          .localCheckpoint(false) // probed every micro-batch
         val corpus = spread(s, e).localCheckpoint(false)
-        val buckets = Similarity
-          .assignToCentroidsQ(corpus, cents, "vec_id", "embedding")
-          .select(col("id").as("r_id"), col("centroid_id"))
+        val buckets = ivfSqrtBuckets(s, dir)
           .localCheckpoint(false) // the IVF index: built once, probed per batch
         val inDir = stage.resolve("in").toString
         // genuine 4-file split → 4 micro-batches (the q155 convention)
@@ -663,8 +662,8 @@ trait StreamingRegistry extends RegistryBase {
           .option("maxFilesPerTrigger", 1).parquet(inDir)
         val q = graft.streaming.EventStream.foreachBatchSink(stream, identity) {
           (batch, batchId) =>
-            Similarity.ivfTopKQServe(spreadBatch(s, batch), corpus, buckets,
-                cents, "vec_id", "embedding", k = 3, nprobe = 2)
+            Similarity.ivfTopKQServeAuto(spreadBatch(s, batch), corpus, buckets,
+                cents, "vec_id", "embedding", k = 3)
               .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
         }.start()
         awaitGate("q194", q)
@@ -753,7 +752,7 @@ trait StreamingRegistry extends RegistryBase {
     // q43's oracle chain with the arrival subset as the query predicate —
     // per-query answers depend only on the query vector and the static
     // corpus + centroids, so the bridge cannot change them
-    "q194_stream_ann_topk" -> ivfTopkOracle("id % 25 = 5"),
+    "q194_stream_ann_topk" -> ivfSqrtTopkOracle("id % 25 = 5"),
 
     // 13th streaming gate: per-user week-set digests union-merge exactly
     // (idempotent, replay-safe) — same oracle as q150

@@ -201,7 +201,7 @@ class DedupSpec extends SparkSpec {
     // precision 1.0 (candidates == truth, both from the same sets)
     val audit = Dedup.containmentScreenAudit(
         corpus, "doc_id", "text", shingleN = 3, threshold = 0.5,
-        ks = Seq(4, 1000), screenFrac = 0.5)
+        ks = Seq(4, 1000), screenFrac = 0.5, sampleTarget = 1000L)
       .collect().map(r => r.getLong(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3),
           r.getDouble(4), r.getDouble(5))).toMap
@@ -214,6 +214,47 @@ class DedupSpec extends SparkSpec {
     val (nT4, nCand4, nHit4, rec4, prec4) = audit(4L)
     assert(nT4 == nTruth && nHit4 <= math.min(nCand4, nTruth))
     assert(rec4 == nHit4.toDouble / nTruth && prec4 == nHit4.toDouble / nCand4)
+  }
+
+  test("containmentScreenAudit: 1-in-m sample bound == audit of the pre-filtered corpus") {
+    import spark.implicits._
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta")
+    val corpus = (0 until 30).map { i =>
+      val n = 4 + (i % 5)
+      (i.toLong, (0 until n).map(j => words((i * 7 + j * 3) % words.length)).mkString(" "))
+    }.toDF("doc_id", "text")
+    // 30 docs / target 10 -> m = 3: the audit must equal the unsampled
+    // audit of exactly the doc_id % 3 == 0 subset (the convention's
+    // whole point: sketch AND exact truth both see only the sample)
+    val sampled = Dedup.containmentScreenAudit(
+        corpus, "doc_id", "text", shingleN = 3, threshold = 0.5,
+        ks = Seq(4, 1000), screenFrac = 0.5, sampleTarget = 10L)
+      .collect().map(_.toSeq).toSet
+    val manual = Dedup.containmentScreenAudit(
+        corpus.filter(col("doc_id") % 3 === 0), "doc_id", "text",
+        shingleN = 3, threshold = 0.5,
+        ks = Seq(4, 1000), screenFrac = 0.5, sampleTarget = Long.MaxValue)
+      .collect().map(_.toSeq).toSet
+    assert(sampled == manual)
+  }
+
+  test("containmentScreenAudit: a k whose screen passes nothing still reports a zeroed row") {
+    import spark.implicits._
+    // pairwise-disjoint character alphabets (shingles are CHAR n-grams)
+    // -> empty truth AND an empty screen
+    val corpus = (0 until 6).map { i =>
+      (i.toLong, ('a' + i).toChar.toString * 8)
+    }.toDF("doc_id", "text")
+    val rows = Dedup.containmentScreenAudit(
+        corpus, "doc_id", "text", shingleN = 3, threshold = 0.5,
+        ks = Seq(2, 8), screenFrac = 0.5, sampleTarget = Long.MaxValue)
+      .orderBy("k").collect()
+    assert(rows.length == 2, "every swept k must emit a row")
+    rows.foreach { r =>
+      assert(r.getLong(1) == 0L && r.getLong(2) == 0L && r.getLong(3) == 0L)
+      assert(r.isNullAt(4) && r.isNullAt(5),
+        "recall/precision must be NULL (0/0), not a crash or a vanished row")
+    }
   }
 
   test("incrementalContainmentScreen: prefix-filtered screen == brute-force incoming x corpus") {

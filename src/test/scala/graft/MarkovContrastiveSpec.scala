@@ -10,23 +10,34 @@ class MarkovContrastiveSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("q196 SRP band audit: narrower keys are a strict candidate superset, so volume and hits are monotone") {
+  test("q196 generator audit: SRP slice chain and NND rounds are both monotone; NND beats the replaced banding") {
     val rows = SparkEntry.queries("q196_srp_band_audit")(spark, dir)
-      .collect().sortBy(_.getLong(0))
-    assert(rows.length == 3 && rows.map(_.getLong(0)).sameElements(Array(1L, 2L, 4L)))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(rows.keySet ==
+      Set("srp_1x16", "srp_2x8", "srp_4x4", "srp_8x8",
+        "nnd_iter_1", "nnd_iter_2", "nnd_iter_3", "nnd_iter_4"))
     // a 4-bit key is a slice of an 8-bit key is a slice of the 16-bit
     // signature: agreeing on the wide key implies agreeing on every
     // sub-key, so candidates(1x16) subset-of candidates(2x8) subset-of
     // candidates(4x4); and top-K by TRUE cosine over a candidate
     // superset can only displace an exact-top-K member with another
-    // exact-top-K member, so hits are monotone too
-    val cands = rows.map(_.getLong(2))
-    val hits = rows.map(_.getLong(3))
-    assert(cands.zip(cands.tail).forall { case (a, b) => a <= b }, cands.toSeq)
-    assert(hits.zip(hits.tail).forall { case (a, b) => a <= b }, hits.toSeq)
-    rows.foreach { r =>
-      assert(r.getLong(1) == 16L / r.getLong(0)) // key_bits
-      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    // exact-top-K member, so hits are monotone too. (8x8 adds bands
+    // over NEW planes — outside the slice chain.)
+    val chain = Seq("srp_1x16", "srp_2x8", "srp_4x4").map(rows)
+    assert(chain.map(_._1).sliding(2).forall(p => p.head <= p.last), chain)
+    assert(chain.map(_._2).sliding(2).forall(p => p.head <= p.last), chain)
+    // NND rounds: every round's candidate set contains the previous
+    // round's edges, so the same displacement argument makes per-round
+    // hits monotone; and the shipped final round must decisively beat
+    // the SRP 2x8 generator it replaced (the round-12 point)
+    val nnd = (1 to 4).map(t => rows(s"nnd_iter_$t"))
+    assert(nnd.map(_._2).sliding(2).forall(p => p.head <= p.last), nnd)
+    assert(nnd.last._3 > rows("srp_2x8")._3 + 0.2,
+      s"final NND recall ${nnd.last._3} should beat srp_2x8 ${rows("srp_2x8")._3}")
+    assert(nnd.last._3 >= 0.8, s"shipped-generator recall ${nnd.last._3} < 0.8")
+    rows.values.foreach { case (c, h, rec) =>
+      assert(c >= 0 && h >= 0 && rec >= 0.0 && rec <= 1.0)
     }
   }
 
@@ -114,15 +125,18 @@ class MarkovContrastiveSpec extends SparkSpec {
     val served = SparkEntry.queries("q194_stream_ann_topk")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
     assert(served.nonEmpty)
-    // the batch twin, trained identically to the registry's cent8
-    // artifact (sf0.001 has 500 vectors -> sample stride m = 1, seeds =
-    // vec_id < 8, 3 Lloyd steps)
+    // the batch twin, trained identically to the registry's centSqrt
+    // artifact (sf0.001 has 500 vectors -> k = ceil(sqrt(500)) = 23,
+    // sample stride m = 1, seeds = vec_id < 23, 3 Lloyd steps; probe
+    // depth = ceil(sqrt(23)) = 5 via the ServeAuto rule)
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val cents = Similarity.trainCentroids(e, "vec_id", "embedding",
-      e.filter(col("vec_id") < 8).select("vec_id"), iters = 3)
-    val batch = Similarity.ivfTopKQ(
-        e.filter(col("vec_id") % 25 === 5), e, cents,
-        "vec_id", "embedding", k = 3, nprobe = 2)
+      e.filter(col("vec_id") < 23).select("vec_id"), iters = 3)
+    val buckets = Similarity.assignToCentroidsQ(e, cents, "vec_id", "embedding")
+      .select(col("id").as("r_id"), col("centroid_id"))
+    val batch = Similarity.ivfTopKQServeAuto(
+        e.filter(col("vec_id") % 25 === 5), e, buckets, cents,
+        "vec_id", "embedding", k = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
     assert(served == batch,
       s"gate output diverges from the batch twin: only-gate=${served.diff(batch).take(3)} " +

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.NnDescent
+
+/** Invariants for the NN-Descent kNN-graph builder (the q186-family
+  * candidate generator since round 12).
+  */
+class NnDescentSpec extends SparkSpec {
+
+  /** 4 well-separated clusters of 10 vectors each in 64 dims: within a
+    * cluster cosine is ~1 (base direction + small deterministic jitter),
+    * across clusters ~0 (orthogonal base directions). NN-Descent must
+    * recover the EXACT brute-force top-K graph here.
+    */
+  private def clusteredVecs = {
+    import spark.implicits._
+    (0 until 40).map { i =>
+      val c = i % 4
+      val v = Array.fill(64)(0.001f * ((i * 31) % 7 - 3))
+      v(c * 16 + (i / 4) % 16) = 0.05f
+      v(c * 16) += 1.0f
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("initGraph: deterministic, no self-loops, <= k out-edges per node") {
+    val g1 = NnDescent.initGraph(clusteredVecs, "vec_id", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val g2 = NnDescent.initGraph(clusteredVecs, "vec_id", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(g1 == g2, "md5 draws must be reproducible")
+    assert(g1.forall { case (s, d) => s != d })
+    g1.groupBy(_._1).foreach { case (s, es) => assert(es.size <= 5, s"node $s") }
+    assert(g1.forall { case (_, d) => d >= 0 && d < 40 })
+  }
+
+  test("knnGraph converges to the exact brute-force top-K on clustered data") {
+    val vecs = clusteredVecs
+    val g = NnDescent.knnGraph(vecs, "vec_id", "embedding", k = 3, iters = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    // brute force truth
+    val v = NnDescent.vecFrame(vecs, "vec_id", "embedding")
+    val cos = graft.operators.Similarity.dot(col("a.dv"), col("b.dv")) /
+      (col("a.nrm") * col("b.nrm"))
+    val brute = v.alias("a").crossJoin(v.alias("b"))
+      .filter(col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"), cos.as("c"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("src")
+          .orderBy(col("c").desc, col("dst").asc)).cast("long"))
+      .filter(col("rank") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(g == brute, "clustered fixture must converge to the exact graph")
+  }
+
+  test("iterate: per-node best-so-far never degrades (candidates contain current edges)") {
+    val vecs = NnDescent.vecFrame(clusteredVecs, "vec_id", "embedding")
+    val g0 = NnDescent.initGraph(clusteredVecs, "vec_id", 3)
+    val (_, g1) = NnDescent.iterate(g0, vecs, 3)
+    val (_, g2) = NnDescent.iterate(g1, vecs, 3)
+    def best(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("src").agg(max(col("cos_sim")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b1 = best(g1); val b2 = best(g2)
+    b1.foreach { case (srcId, b) =>
+      assert(b2.getOrElse(srcId, Double.MinValue) >= b - 1e-12,
+        s"node $srcId best-so-far degraded")
+    }
+  }
+
+  test("knnGraph: ranks are 1..k contiguous per node, k respected") {
+    val g = NnDescent.knnGraph(clusteredVecs, "vec_id", "embedding", k = 4, iters = 2)
+      .collect()
+    g.groupBy(_.getLong(0)).foreach { case (srcId, rows) =>
+      val ranks = rows.map(_.getLong(3)).sorted
+      assert(ranks.sameElements(1L to ranks.length), s"node $srcId ranks: ${ranks.toSeq}")
+      assert(ranks.length <= 4)
+    }
+  }
+}
