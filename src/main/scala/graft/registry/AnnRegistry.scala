@@ -694,7 +694,7 @@ trait AnnRegistry extends RegistryBase {
         |SELECT id, centroid_id, score FROM r WHERE rk = 1 ORDER BY id""".stripMargin,
 
     // shared with the streaming q194 serving gate — see
-    // RegistryBase.ivfTopkOracle
+    // RegistryBase.ivfSqrtTopkOracle
     "q43_embed_ivf_topk" -> ivfSqrtTopkOracle("id < 10"),
 
     // q43's oracle chain with the label riding the candidate equi-key

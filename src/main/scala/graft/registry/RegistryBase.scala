@@ -638,42 +638,6 @@ trait RegistryBase {
        |       coalesce(hits.n_containers, 0) = 0 AS kept
        |FROM di LEFT JOIN hits USING (doc_id) ORDER BY di.doc_id""".stripMargin
 
-  /** Shared oracle for IVF probe-and-refine top-k ANN, parameterized by
-    * the query-set predicate over vec_id (as `id`): batch q43 uses
-    * `id < 10`, the streaming q194 serving gate uses its arrival subset
-    * — per-query answers depend only on the query vector and the static
-    * corpus + trained centroids, so the foreachBatch bridge provably
-    * cannot change them.
-    */
-  protected def ivfTopkOracle(queryPred: String): String =
-    s"""WITH v AS (SELECT vec_id,
-      |             list_transform(embedding, x -> floor(x::DOUBLE * 1000)::BIGINT) AS qv,
-      |             list_transform(embedding, x -> x::DOUBLE) AS dv
-      |           FROM embeddings),
-      |${trainSampleCtesSql("v")},
-      |${lloydCtesSql("tv", "kinit", 64, KmeansIters, Seq.empty, "c")},
-      |score AS (
-      |  SELECT v.vec_id AS id, c.centroid_id,
-      |         CAST(list_sum(list_transform(range(1, 65), i -> v.qv[i::INT] * c.cv[i::INT])) AS BIGINT) AS sc
-      |  FROM v CROSS JOIN c),
-      |assign AS (
-      |  SELECT id AS r_id, centroid_id FROM (
-      |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY sc DESC, centroid_id ASC) AS rk FROM score)
-      |  WHERE rk = 1),
-      |probes AS (
-      |  SELECT id AS q_id, centroid_id FROM (
-      |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY sc DESC, centroid_id ASC) AS rk
-      |    FROM score WHERE $queryPred)
-      |  WHERE rk <= 2),
-      |n AS (SELECT vec_id, dv, sqrt(list_sum(list_transform(dv, x -> x * x))) AS nrm FROM v),
-      |cand AS (SELECT q_id, r_id FROM probes JOIN assign USING (centroid_id) WHERE q_id <> r_id),
-      |ref AS (
-      |  SELECT cand.q_id, cand.r_id,
-      |         list_sum(list_transform(range(1, 65), i -> qn.dv[i::INT] * rn.dv[i::INT])) / (qn.nrm * rn.nrm) AS cos_sim
-      |  FROM cand JOIN n qn ON qn.vec_id = cand.q_id JOIN n rn ON rn.vec_id = cand.r_id),
-      |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, r_id ASC) AS rank FROM ref)
-      |SELECT q_id, r_id, cos_sim, rank FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
-
   /** Shared oracle for the count-min heavy hitters (batch q129 and the
     * streaming q188 gate, whose sum-merged sketch is provably identical
     * to the batch sketch: bucket sums are linear in the term counts, and
