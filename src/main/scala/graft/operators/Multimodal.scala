@@ -273,11 +273,20 @@ object Multimodal {
     * every comparison unchanged: the hash is volume-invariant by
     * construction (the spec pins this). Empty windows compare as 0.
     */
-  private def contourBits(sums: Array[Long], cnts: Array[Long]): Long = {
+  private[graft] def contourBits(sums: Array[Long], cnts: Array[Long]): Long = {
+    // 128-bit-safe cross-multiply: sums reach maxAmp*n and cnts reach n,
+    // so the 64-bit product overflows around n ~ 5.5e8 16-bit samples
+    // (< 2 h of 44.1 kHz stereo) — compare via multiplyHigh + unsigned
+    // low halves instead of trusting the wrap
+    def gt(a: Long, b: Long, c: Long, d: Long): Boolean = {
+      val hi1 = Math.multiplyHigh(a, b); val lo1 = a * b
+      val hi2 = Math.multiplyHigh(c, d); val lo2 = c * d
+      hi1 > hi2 || (hi1 == hi2 && java.lang.Long.compareUnsigned(lo1, lo2) > 0)
+    }
     var bits = 0L
     var w = 0
     while (w < sums.length - 1) {
-      if (sums(w + 1) * cnts(w) > sums(w) * cnts(w + 1)) bits |= 1L << w
+      if (gt(sums(w + 1), cnts(w), sums(w), cnts(w + 1))) bits |= 1L << w
       w += 1
     }
     bits
@@ -353,7 +362,12 @@ object Multimodal {
     while (pos + 8 <= content.length) {
       val cid = new String(content, pos, 4, "US-ASCII")
       val sz = bb.getInt(pos + 4)
+      // a corrupt negative chunk size would walk `pos` backwards (or
+      // stall it), spinning an executor forever on one bad record —
+      // malformed bytes are exactly what a decoder gets fed at scale
+      require(sz >= 0, s"id=$id: corrupt chunk '$cid' with negative size $sz")
       if (cid == "fmt ") {
+        require(pos + 24 <= content.length, s"id=$id: truncated fmt chunk")
         val fmt = bb.getShort(pos + 8) & 0xffff
         require(fmt == 1, s"id=$id: only PCM (format 1) supported, got $fmt")
         channels = bb.getShort(pos + 10) & 0xffff

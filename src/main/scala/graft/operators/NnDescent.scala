@@ -82,9 +82,23 @@ object NnDescent {
     * without re-deriving the recurrence.
     */
   def iterate(g: DataFrame, vecs: DataFrame, k: Int): (DataFrame, DataFrame) = {
+    // Undirected adjacency CAPPED at 2k per node: out-degree is <= k by
+    // construction, but REVERSE degree is unbounded — on clustered data
+    // a hub vector can sit in millions of top-k lists, and an uncapped
+    // two-hop self-join would emit in_degree^2 rows for it. The cap is
+    // a deterministic md5-rank sample of the neighborhood (Dong et
+    // al.'s reverse-neighbor sampling, rho = 1 on out-edges) — content-
+    // stable, partitioning/retry independent, oracle-reproducible —
+    // and makes the per-round candidate bound <= N*(2k)^2 TRUE by
+    // construction rather than a uniform-data accident.
     val und = g.select(col("src"), col("dst"))
       .union(g.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+      .withColumn("rk", row_number().over(Window.partitionBy("src").orderBy(
+        Md5Long60.column(concat_ws("_", lit("nndr"), col("src"), col("dst"))).asc,
+        col("dst").asc)))
+      .filter(col("rk") <= 2 * k)
+      .select("src", "dst")
     val cand = und.alias("a")
       .join(und.alias("b"),
         col("a.dst") === col("b.src") && col("b.dst") =!= col("a.src"))

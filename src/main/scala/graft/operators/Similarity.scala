@@ -443,6 +443,22 @@ object Similarity {
   ): DataFrame = {
     val probes = centroidRanksQ(queries, qcentroids, idCol, vecCol, nprobe, scale)
       .select(col("id").as("q_id"), col("centroid_id"))
+    serveRefine(queries, corpus, probes, buckets, idCol, vecCol, k)
+  }
+
+  /** The shared probe-bucket-join + exact-cosine refine + per-query
+    * top-k tail of every IVF serving variant. `probes` is (q_id,
+    * centroid_id); `buckets` is the (r_id, centroid_id) index.
+    */
+  private def serveRefine(
+      queries: DataFrame,
+      corpus: DataFrame,
+      probes: DataFrame,
+      buckets: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int
+  ): DataFrame = {
     val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("q_vec"))
       .withColumn("q_nrm", l2Norm(col("q_vec")))
     val c = corpus.select(col(idCol).as("r_id"), asDouble(col(vecCol)).as("r_vec"))
@@ -483,35 +499,32 @@ object Similarity {
       vecCol: String,
       k: Int,
       scale: Int = 1000
+  ): DataFrame =
+    serveRefine(queries, corpus,
+      autoProbes(queries, qcentroids, idCol, vecCol, scale),
+      buckets, idCol, vecCol, k)
+
+  /** Probe set under the auto rule: each query's top ceil(sqrt(k))
+    * centroids, the probe depth arriving as a broadcast 1-row aggregate
+    * of the centroid table — no driver action, no per-corpus constant.
+    */
+  private def autoProbes(
+      queries: DataFrame,
+      qcentroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      scale: Int
   ): DataFrame = {
     val npRow = qcentroids.agg(
       ceil(sqrt(count(lit(1)))).cast("long").as("np"))
     val v = queries.select(col(idCol).as("id"), quantize(col(vecCol), scale).as("qv"))
-    val scored = v
-      .crossJoin(broadcast(qcentroids.select(col("centroid_id"), col("cv"))))
-      .withColumn("score", dotQ(col("qv"), col("cv")))
     val wp = Window.partitionBy("id").orderBy(col("score").desc, col("centroid_id").asc)
-    val probes = scored
+    v.crossJoin(broadcast(qcentroids.select(col("centroid_id"), col("cv"))))
+      .withColumn("score", dotQ(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(wp))
       .crossJoin(broadcast(npRow))
       .filter(col("rank") <= col("np"))
       .select(col("id").as("q_id"), col("centroid_id"))
-    val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("q_vec"))
-      .withColumn("q_nrm", l2Norm(col("q_vec")))
-    val c = corpus.select(col(idCol).as("r_id"), asDouble(col(vecCol)).as("r_vec"))
-      .withColumn("r_nrm", l2Norm(col("r_vec")))
-    val cands = probes
-      .join(buckets, Seq("centroid_id"))
-      .where(col("q_id") =!= col("r_id"))
-      .select("q_id", "r_id")
-    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("r_id").asc)
-    cands
-      .join(broadcast(q), Seq("q_id"))
-      .join(c, Seq("r_id"))
-      .withColumn("cos_sim", dot(col("q_vec"), col("r_vec")) / (col("q_nrm") * col("r_nrm")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("q_id", "r_id", "cos_sim", "rank")
   }
 
   /** FILTERED ANN: IVF top-k where every query retrieves only corpus
@@ -546,12 +559,16 @@ object Similarity {
     labeledRefine(queries, corpus, probes, buckets, idCol, vecCol, k)
   }
 
-  /** ivfTopKQLabeled with the ivfTopKQServeAuto probe rule (nprobe =
-    * ceil(sqrt(k_centroids)) as a broadcast 1-row aggregate).
+  /** ivfTopKQLabeled with the ivfTopKQServeAuto probe rule AND a
+    * PREBUILT bucket index: `buckets` is the persisted (r_id,
+    * centroid_id) table the unlabeled serve path reads — the label
+    * rides in via one equi-join against the corpus, so filtered search
+    * shares the same index instead of re-assigning the corpus per run.
     */
   def ivfTopKQLabeledAuto(
       queries: DataFrame,
       corpus: DataFrame,
+      buckets: DataFrame,
       qcentroids: DataFrame,
       idCol: String,
       vecCol: String,
@@ -559,22 +576,13 @@ object Similarity {
       k: Int,
       scale: Int = 1000
   ): DataFrame = {
-    val npRow = qcentroids.agg(
-      ceil(sqrt(count(lit(1)))).cast("long").as("np"))
-    val buckets = assignToCentroidsQ(corpus, qcentroids, idCol, vecCol, scale)
-      .join(corpus.select(col(idCol).as("id"), col(labelCol).as("lbl")), Seq("id"))
-      .select(col("id").as("r_id"), col("centroid_id"), col("lbl"))
-    val v = queries.select(col(idCol).as("id"), quantize(col(vecCol), scale).as("qv"))
-    val wp = Window.partitionBy("id").orderBy(col("score").desc, col("centroid_id").asc)
-    val probes = v
-      .crossJoin(broadcast(qcentroids.select(col("centroid_id"), col("cv"))))
-      .withColumn("score", dotQ(col("qv"), col("cv")))
-      .withColumn("rank", row_number().over(wp))
-      .crossJoin(broadcast(npRow))
-      .filter(col("rank") <= col("np"))
-      .join(queries.select(col(idCol).as("id"), col(labelCol).as("lbl")), Seq("id"))
-      .select(col("id").as("q_id"), col("centroid_id"), col("lbl"))
-    labeledRefine(queries, corpus, probes, buckets, idCol, vecCol, k)
+    val labeledBuckets = buckets
+      .join(corpus.select(col(idCol).as("r_id"), col(labelCol).as("lbl")), Seq("r_id"))
+      .select(col("r_id"), col("centroid_id"), col("lbl"))
+    val probes = autoProbes(queries, qcentroids, idCol, vecCol, scale)
+      .join(queries.select(col(idCol).as("q_id"), col(labelCol).as("lbl")), Seq("q_id"))
+      .select(col("q_id"), col("centroid_id"), col("lbl"))
+    labeledRefine(queries, corpus, probes, labeledBuckets, idCol, vecCol, k)
   }
 
   private def labeledRefine(

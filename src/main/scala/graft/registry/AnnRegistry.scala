@@ -43,13 +43,18 @@ trait AnnRegistry extends RegistryBase {
     * corrupts every downstream row_number rank.
     */
   private def nndIterSql(pfx: String, t: Int): String =
-    s"""${pfx}u$t AS (SELECT DISTINCT src, dst FROM (
-       |    SELECT src, dst FROM ${pfx}g$t UNION ALL SELECT dst, src FROM ${pfx}g$t)),
-       |${pfx}c$t AS (SELECT DISTINCT src, dst FROM (
+    s"""${pfx}u$t AS MATERIALIZED (SELECT src, dst FROM (
+       |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY
+       |        ('0x' || substr(md5('nndr_' || src || '_' || dst), 1, 15))::BIGINT ASC,
+       |        dst ASC) AS rk
+       |    FROM (SELECT DISTINCT src, dst FROM (
+       |        SELECT src, dst FROM ${pfx}g$t UNION ALL SELECT dst, src FROM ${pfx}g$t)))
+       |  WHERE rk <= ${2 * NndK}),
+       |${pfx}c$t AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
        |    SELECT a.src, b.dst FROM ${pfx}u$t a JOIN ${pfx}u$t b
        |      ON a.dst = b.src AND b.dst <> a.src
        |    UNION ALL SELECT src, dst FROM ${pfx}g$t)),
-       |${pfx}g${t + 1} AS (SELECT src, dst, cos_sim, rank FROM (
+       |${pfx}g${t + 1} AS MATERIALIZED (SELECT src, dst, cos_sim, rank FROM (
        |    SELECT c.src, c.dst, ac.cos_sim,
        |           row_number() OVER (PARTITION BY c.src ORDER BY ac.cos_sim DESC, c.dst ASC) AS rank
        |    FROM ${pfx}c$t c JOIN ${pfx}allcos ac ON ac.src = c.src AND ac.dst = c.dst)
@@ -67,7 +72,7 @@ trait AnnRegistry extends RegistryBase {
        |    FROM e, np, range(1, ${NndK + 1}) g(i))
        |  WHERE dst <> src),
        |$iters,
-       |topm AS (SELECT src, dst, cos_sim, rank FROM g$NndIters WHERE rank <= $KnnGraphK)""".stripMargin
+       |topm AS MATERIALIZED (SELECT src, dst, cos_sim, rank FROM g$NndIters WHERE rank <= $KnnGraphK)""".stripMargin
   }
 
   /** q186's candidate build — the NN-Descent-refined ranked edge list
@@ -147,8 +152,8 @@ trait AnnRegistry extends RegistryBase {
     "q179_ivf_filtered_topk" -> ((s, dir) => {
       val e = rd(s, dir, "embeddings")
       Similarity.ivfTopKQLabeledAuto(
-          e.filter(col("vec_id") < 10), spread(s, e), sqrtCentroids(s, dir),
-          "vec_id", "embedding", "label", k = 3)
+          e.filter(col("vec_id") < 10), spread(s, e), ivfSqrtBuckets(s, dir),
+          sqrtCentroids(s, dir), "vec_id", "embedding", "label", k = 3)
         .orderBy("q_id", "rank")
     }),
 
@@ -431,9 +436,19 @@ trait AnnRegistry extends RegistryBase {
       val emb = rd(s, dir, "embeddings")
       val mRow = emb.agg(count(lit(1)).as("n"))
         .select(greatest(lit(1L), expr(s"n div $LshAuditSampleTarget")).as("m"))
+      // the 64 plane signs are computed ONCE per sampled row (inside
+      // the checkpoint) and sliced into keys per config — three of the
+      // four configs share the first 16 planes, so inlining the dot per
+      // (config, plane) would nearly double the projection work
+      val planeBits = array(SrpPlanes64.map { p =>
+        val plane = array(p.map(lit(_)): _*).cast("array<double>")
+        when(org.apache.spark.sql.graft.ArrayDot.doubleDot(
+          Similarity.asDouble(col("embedding")), plane) > 0.0, lit(1L)).otherwise(lit(0L))
+      }: _*)
       val e = emb.crossJoin(broadcast(mRow))
         .filter(col("vec_id") % col("m") === 0)
-        .select(col("vec_id"), col("m"), Similarity.asDouble(col("embedding")).as("dv"))
+        .select(col("vec_id"), col("m"), Similarity.asDouble(col("embedding")).as("dv"),
+          planeBits.as("pb"))
         .withColumn("nrm", Similarity.l2Norm(col("dv")))
         .localCheckpoint(false) // feeds the truth pass AND every config
       val nRow = e.agg(count(lit(1)).as("n_nodes"), max(col("m")).as("mm"))
@@ -450,9 +465,7 @@ trait AnnRegistry extends RegistryBase {
       val banded = SrpBandConfigs.map { case (cfg, nb, w) =>
         val bandStructs = (0 until nb).map { b =>
           val key = (0 until w).map { j =>
-            val plane = array(SrpPlanes64(b * w + j).map(lit(_)): _*).cast("array<double>")
-            when(org.apache.spark.sql.graft.ArrayDot.doubleDot(col("dv"), plane) > 0.0,
-              lit(1L << j)).otherwise(lit(0L))
+            element_at(col("pb"), b * w + j + 1) * lit(1L << j)
           }.reduce(_ + _)
           struct(lit(b).as("band"), key.as("key"))
         }
@@ -789,13 +802,16 @@ trait AnnRegistry extends RegistryBase {
     // exact truth pass (audit scale by design, the q147/q154/q170/q183
     // class)
     "q196_srp_band_audit" -> {
+      val planeBitsSql = SrpPlanes64.map { p =>
+        val lst = p.mkString("[", ", ", "]")
+        s"(CASE WHEN list_sum(list_transform(range(1, 65), i -> v[i::INT] * ($lst)[i::INT])) > 0 THEN 1 ELSE 0 END)"
+      }.mkString("[", ",\n   ", "]::BIGINT[]")
       val bandedSql = SrpBandConfigs.flatMap { case (cfg, nb, w) =>
         (0 until nb).map { b =>
           val key = (0 until w).map { j =>
-            val lst = SrpPlanes64(b * w + j).mkString("[", ", ", "]")
-            s"(CASE WHEN list_sum(list_transform(range(1, 65), i -> v[i::INT] * ($lst)[i::INT])) > 0 THEN ${1L << j} ELSE 0 END)"
+            s"pb[${b * w + j + 1}] * ${1L << j}"
           }.mkString("(", " + ", ")")
-          s"SELECT '$cfg' AS config, vec_id, $b AS band, $key AS key FROM e"
+          s"SELECT '$cfg' AS config, vec_id, $b AS band, $key AS key FROM sb"
         }
       }.mkString("\n  UNION ALL\n  ")
       val nndIters = (0 until NndIters).map(t => nndIterSql("a", t)).mkString(",\n")
@@ -809,16 +825,17 @@ trait AnnRegistry extends RegistryBase {
          |e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
          |      FROM embeddings, kpa WHERE vec_id % kpa.m = 0),
          |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+         |sb AS (SELECT vec_id, $planeBitsSql AS pb FROM e),
          |np AS (SELECT count(*) AS n_nodes FROM e),
          |${nndAllCosSql("a")},
-         |exact AS (SELECT src, dst FROM (
+         |exact AS MATERIALIZED (SELECT src, dst FROM (
          |    SELECT src, dst,
          |           row_number() OVER (PARTITION BY src ORDER BY cos_sim DESC, dst ASC) AS rank
          |    FROM aallcos)
          |  WHERE rank <= $KnnGraphK),
          |cbanded AS (
          |  $bandedSql),
-         |ccand AS (SELECT DISTINCT x.config, x.vec_id AS src, y.vec_id AS dst
+         |ccand AS MATERIALIZED (SELECT DISTINCT x.config, x.vec_id AS src, y.vec_id AS dst
          |          FROM cbanded x JOIN cbanded y
          |          ON x.config = y.config AND x.band = y.band AND x.key = y.key
          |             AND x.vec_id <> y.vec_id),

@@ -78,6 +78,31 @@ class AudioSpec extends SparkSpec {
     assert(out.values.forall(_ == 16000), "sample rate must survive the Dataset round-trip")
   }
 
+  test("parseWav rejects corrupt negative chunk sizes instead of spinning forever") {
+    val samples = risingSamples(100)
+    val good = wav(samples)
+    // corrupt the data chunk's size field (offset 40) to -8: an
+    // unvalidated parser would advance pos by 0 and loop forever
+    val bad = good.clone()
+    val bb = java.nio.ByteBuffer.wrap(bad).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(40, -8)
+    val ex = intercept[IllegalArgumentException] { Multimodal.wavDecode(9L, bad) }
+    assert(ex.getMessage.contains("negative size"))
+  }
+
+  test("contourBits comparison survives 64-bit product overflow (multiplyHigh path)") {
+    // Window 1's mean (8/3) beats window 0's (1) -> bit 0 must be set,
+    // but the cross-product 8e9 * 3e9 = 2.4e19 wraps to 5.55e18 while
+    // 3e9 * 3e9 = 9e18 stays positive, so the NAIVE wrapped comparison
+    // concludes 5.55e18 < 9e18 and clears the bit — this fixture fails
+    // on any regression to unchecked 64-bit multiplication. Window 2's
+    // mean (1/3) is lower -> bit 1 clear.
+    val sums = Array(3000000000L, 8000000000L, 1000000000L)
+    val cnts = Array(3000000000L, 3000000000L, 3000000000L)
+    assert(Multimodal.contourBits(sums, cnts) == 1L,
+      "overflowing cross-products must still compare exactly")
+  }
+
   test("pcmDecode / pcmContourHash: 8-bit stand-in parity invariants") {
     // bytes 0..255 repeated: exact window means are computable by hand
     val content = Array.tabulate[Byte](256)(i => i.toByte)

@@ -78,6 +78,16 @@ class BucketedJoinSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q178 rides the persisted signature table (bucket-aware scan in the plan)") {
+    val dir = "/root/testdata/sf0.001"
+    val plan = SparkEntry.queries("q178_source_overlap_matrix")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the pair stage must READ the q126/q132 bucketed table, not re-hash
+    // the corpus: the bucket-aware scan is the signature of that wiring
+    assert(plan.contains("SelectedBucketsCount: 32 out of 32"),
+      s"q178's pair stage is not reading the bucketed signature table:\n$plan")
+  }
+
   test("q126 registry table: fullSigBands persists at 32 buckets (the benched layout)") {
     // run the shipped query so the registry stages its dir-scoped
     // signature table exactly as production would, then read the bucket
