@@ -504,6 +504,48 @@ object Similarity {
       autoProbes(queries, qcentroids, idCol, vecCol, scale),
       buckets, idCol, vecCol, k)
 
+  /** ivfTopKQServeAuto against a SELF-CONTAINED index — (r_id,
+    * centroid_id, dv double[], nrm[, lbl]) — i.e. the vectors live
+    * INSIDE the inverted lists, the way a real IVF store lays them out.
+    * No corpus-side join at query time: a probe touches only its
+    * buckets' rows, so at scale (index partitioned by centroid_id)
+    * each micro-batch reads just the probed partitions instead of
+    * shuffling the corpus per batch. `labelCol` = Some(name) keys the
+    * bucket join on (centroid_id, label) — filtered search over the
+    * same index, the composite-key shape of ivfTopKQLabeled.
+    */
+  def ivfTopKQServeStoredAuto(
+      queries: DataFrame,
+      index: DataFrame,
+      qcentroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      labelCol: Option[String] = None,
+      scale: Int = 1000
+  ): DataFrame = {
+    val baseProbes = autoProbes(queries, qcentroids, idCol, vecCol, scale)
+    val (probes, joinKeys) = labelCol match {
+      case Some(lc) => (
+        baseProbes
+          .join(queries.select(col(idCol).as("q_id"), col(lc).as("lbl")), Seq("q_id"))
+          .select(col("q_id"), col("centroid_id"), col("lbl")),
+        Seq("centroid_id", "lbl"))
+      case None => (baseProbes, Seq("centroid_id"))
+    }
+    val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("q_vec"))
+      .withColumn("q_nrm", l2Norm(col("q_vec")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("r_id").asc)
+    probes
+      .join(index, joinKeys)
+      .where(col("q_id") =!= col("r_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .withColumn("cos_sim", dot(col("q_vec"), col("dv")) / (col("q_nrm") * col("nrm")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "r_id", "cos_sim", "rank")
+  }
+
   /** Probe set under the auto rule: each query's top ceil(sqrt(k))
     * centroids, the probe depth arriving as a broadcast 1-row aggregate
     * of the centroid table — no driver action, no per-corpus constant.
@@ -557,32 +599,6 @@ object Similarity {
       .join(queries.select(col(idCol).as("id"), col(labelCol).as("lbl")), Seq("id"))
       .select(col("id").as("q_id"), col("centroid_id"), col("lbl"))
     labeledRefine(queries, corpus, probes, buckets, idCol, vecCol, k)
-  }
-
-  /** ivfTopKQLabeled with the ivfTopKQServeAuto probe rule AND a
-    * PREBUILT bucket index: `buckets` is the persisted (r_id,
-    * centroid_id) table the unlabeled serve path reads — the label
-    * rides in via one equi-join against the corpus, so filtered search
-    * shares the same index instead of re-assigning the corpus per run.
-    */
-  def ivfTopKQLabeledAuto(
-      queries: DataFrame,
-      corpus: DataFrame,
-      buckets: DataFrame,
-      qcentroids: DataFrame,
-      idCol: String,
-      vecCol: String,
-      labelCol: String,
-      k: Int,
-      scale: Int = 1000
-  ): DataFrame = {
-    val labeledBuckets = buckets
-      .join(corpus.select(col(idCol).as("r_id"), col(labelCol).as("lbl")), Seq("r_id"))
-      .select(col("r_id"), col("centroid_id"), col("lbl"))
-    val probes = autoProbes(queries, qcentroids, idCol, vecCol, scale)
-      .join(queries.select(col(idCol).as("q_id"), col(labelCol).as("lbl")), Seq("q_id"))
-      .select(col("q_id"), col("centroid_id"), col("lbl"))
-    labeledRefine(queries, corpus, probes, labeledBuckets, idCol, vecCol, k)
   }
 
   private def labeledRefine(

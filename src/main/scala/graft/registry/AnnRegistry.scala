@@ -138,8 +138,8 @@ trait AnnRegistry extends RegistryBase {
     // probed volume was N/4. q131 is the recall monitor.
     "q43_embed_ivf_topk" -> ((s, dir) => {
       val e = rd(s, dir, "embeddings")
-      Similarity.ivfTopKQServeAuto(
-          e.filter(col("vec_id") < 10), spread(s, e), ivfSqrtBuckets(s, dir),
+      Similarity.ivfTopKQServeStoredAuto(
+          e.filter(col("vec_id") < 10), ivfSqrtIndex(s, dir),
           sqrtCentroids(s, dir), "vec_id", "embedding", k = 3)
         .orderBy("q_id", "rank")
     }),
@@ -151,9 +151,10 @@ trait AnnRegistry extends RegistryBase {
     // probed buckets). Same trained coarse quantizer as q43.
     "q179_ivf_filtered_topk" -> ((s, dir) => {
       val e = rd(s, dir, "embeddings")
-      Similarity.ivfTopKQLabeledAuto(
-          e.filter(col("vec_id") < 10), spread(s, e), ivfSqrtBuckets(s, dir),
-          sqrtCentroids(s, dir), "vec_id", "embedding", "label", k = 3)
+      Similarity.ivfTopKQServeStoredAuto(
+          e.filter(col("vec_id") < 10), ivfSqrtIndex(s, dir),
+          sqrtCentroids(s, dir), "vec_id", "embedding", k = 3,
+          labelCol = Some("label"))
         .orderBy("q_id", "rank")
     }),
 
@@ -560,8 +561,8 @@ trait AnnRegistry extends RegistryBase {
     "q131_ann_quality_report" -> ((s, dir) => {
       val e = rd(s, dir, "embeddings")
       val queries = e.filter(col("vec_id") < 10)
-      val approx = Similarity.ivfTopKQServeAuto(queries, spread(s, e),
-          ivfSqrtBuckets(s, dir), sqrtCentroids(s, dir),
+      val approx = Similarity.ivfTopKQServeStoredAuto(queries,
+          ivfSqrtIndex(s, dir), sqrtCentroids(s, dir),
           "vec_id", "embedding", k = 3)
         .select("q_id", "r_id", "rank")
       val truth = Similarity.cosineTopK(queries, spread(s, e), "vec_id", "embedding", 3)
@@ -825,7 +826,7 @@ trait AnnRegistry extends RegistryBase {
          |e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
          |      FROM embeddings, kpa WHERE vec_id % kpa.m = 0),
          |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
-         |sb AS (SELECT vec_id, $planeBitsSql AS pb FROM e),
+         |sb AS MATERIALIZED (SELECT vec_id, $planeBitsSql AS pb FROM e),
          |np AS (SELECT count(*) AS n_nodes FROM e),
          |${nndAllCosSql("a")},
          |exact AS MATERIALIZED (SELECT src, dst FROM (
@@ -833,7 +834,7 @@ trait AnnRegistry extends RegistryBase {
          |           row_number() OVER (PARTITION BY src ORDER BY cos_sim DESC, dst ASC) AS rank
          |    FROM aallcos)
          |  WHERE rank <= $KnnGraphK),
-         |cbanded AS (
+         |cbanded AS MATERIALIZED (
          |  $bandedSql),
          |ccand AS MATERIALIZED (SELECT DISTINCT x.config, x.vec_id AS src, y.vec_id AS dst
          |          FROM cbanded x JOIN cbanded y

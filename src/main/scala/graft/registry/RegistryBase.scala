@@ -287,18 +287,24 @@ trait RegistryBase {
     }
   }
 
-  /** The persisted IVF bucket index over sqrtCentroids — (r_id,
-    * centroid_id) for every corpus vector. THE index a vector store
-    * serves from: built once (O(N·√N) assignment — the standard IVF
-    * build cost), persisted like the q126/q132 signature table, probed
-    * per query/batch. q43/q194 never rebuild it per run.
+  /** The persisted SELF-CONTAINED IVF index over sqrtCentroids —
+    * (r_id, centroid_id, lbl, dv, nrm) for every corpus vector: the
+    * vectors (and the filterable label) live INSIDE the inverted
+    * lists, the way a real IVF store lays data out, so query-time
+    * probing touches only the probed buckets' rows — no corpus-side
+    * join per query/batch. Built once (O(N·√N) assignment — the
+    * standard IVF build cost), persisted like the q126/q132 signature
+    * table; at 100 TB this table is partitioned by centroid_id and a
+    * probe reads just its partitions. q43/q131/q179/q194 share it.
     */
-  protected def ivfSqrtBuckets(s: SparkSession, dir: String): DataFrame =
-    trainedArtifact(s, dir, "ivfSqrtBuckets") {
-      Similarity.assignToCentroidsQ(
-          spread(s, rd(s, dir, "embeddings")), sqrtCentroids(s, dir),
-          "vec_id", "embedding")
+  protected def ivfSqrtIndex(s: SparkSession, dir: String): DataFrame =
+    trainedArtifact(s, dir, "ivfSqrtIndex") {
+      val e = spread(s, rd(s, dir, "embeddings"))
+      Similarity.assignToCentroidsQ(e, sqrtCentroids(s, dir), "vec_id", "embedding")
         .select(col("id").as("r_id"), col("centroid_id"))
+        .join(e.select(col("vec_id").as("r_id"), col("label").as("lbl"),
+          Similarity.asDouble(col("embedding")).as("dv")), Seq("r_id"))
+        .withColumn("nrm", Similarity.l2Norm(col("dv")))
     }
 
   protected def embClusterPairs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {

@@ -646,12 +646,14 @@ trait StreamingRegistry extends RegistryBase {
       try {
         val e = rd(s, dir, "embeddings")
         // round 12: the corpus-scaled sqrt-N quantizer + the PERSISTED
-        // bucket index (trainedArtifact parquet — the real vector-store
-        // shape: the index outlives the serving process; q43 shares it)
+        // self-contained index (vectors stored INSIDE the inverted
+        // lists — trainedArtifact parquet, the real vector-store shape:
+        // the index outlives the serving process; q43/q131/q179 share
+        // it, and a micro-batch touches only its probed buckets' rows,
+        // never a corpus-side join)
         val cents = sqrtCentroids(s, dir)
           .localCheckpoint(false) // probed every micro-batch
-        val corpus = spread(s, e).localCheckpoint(false)
-        val buckets = ivfSqrtBuckets(s, dir)
+        val index = ivfSqrtIndex(s, dir)
           .localCheckpoint(false) // the IVF index: built once, probed per batch
         val inDir = stage.resolve("in").toString
         // genuine 4-file split → 4 micro-batches (the q155 convention)
@@ -662,7 +664,7 @@ trait StreamingRegistry extends RegistryBase {
           .option("maxFilesPerTrigger", 1).parquet(inDir)
         val q = graft.streaming.EventStream.foreachBatchSink(stream, identity) {
           (batch, batchId) =>
-            Similarity.ivfTopKQServeAuto(spreadBatch(s, batch), corpus, buckets,
+            Similarity.ivfTopKQServeStoredAuto(spreadBatch(s, batch), index,
                 cents, "vec_id", "embedding", k = 3)
               .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
         }.start()
