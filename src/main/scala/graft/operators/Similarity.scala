@@ -511,8 +511,14 @@ object Similarity {
     * buckets' rows, so at scale (index partitioned by centroid_id)
     * each micro-batch reads just the probed partitions instead of
     * shuffling the corpus per batch. `labelCol` = Some(name) keys the
-    * bucket join on (centroid_id, label) — filtered search over the
-    * same index, the composite-key shape of ivfTopKQLabeled.
+    * bucket join on (centroid_id, label) — FILTERED ANN over the same
+    * index. The filter is part of the BUCKET KEY, not a post-filter on
+    * the top-k: post-filtering an unfiltered top-k returns < k (or
+    * zero) results whenever the label is rare in the probed buckets,
+    * while the composite key partitions each inverted list by label so
+    * candidates are right by construction — at 100 TB the difference
+    * between k·nprobe useful candidates and a recall cliff on
+    * selective predicates.
     */
   def ivfTopKQServeStoredAuto(
       queries: DataFrame,
@@ -567,65 +573,6 @@ object Similarity {
       .crossJoin(broadcast(npRow))
       .filter(col("rank") <= col("np"))
       .select(col("id").as("q_id"), col("centroid_id"))
-  }
-
-  /** FILTERED ANN: IVF top-k where every query retrieves only corpus
-    * vectors sharing its `labelCol` value — metadata-constrained vector
-    * search (the "filtered search" every production vector store ships).
-    * The filter joins as part of the BUCKET KEY, (centroid_id, label),
-    * not as a post-filter on the top-k: post-filtering an unfiltered
-    * top-k returns < k (or zero) results whenever the label is rare in
-    * the probed buckets, while the composite key partitions each IVF
-    * bucket by label so candidates are right by construction. At 100 TB
-    * this is the difference between k·nprobe useful candidates and a
-    * recall cliff on selective predicates; the bucket table is the same
-    * persisted IVF assignment, just keyed one column wider.
-    */
-  def ivfTopKQLabeled(
-      queries: DataFrame,
-      corpus: DataFrame,
-      qcentroids: DataFrame,
-      idCol: String,
-      vecCol: String,
-      labelCol: String,
-      k: Int,
-      nprobe: Int,
-      scale: Int = 1000
-  ): DataFrame = {
-    val buckets = assignToCentroidsQ(corpus, qcentroids, idCol, vecCol, scale)
-      .join(corpus.select(col(idCol).as("id"), col(labelCol).as("lbl")), Seq("id"))
-      .select(col("id").as("r_id"), col("centroid_id"), col("lbl"))
-    val probes = centroidRanksQ(queries, qcentroids, idCol, vecCol, nprobe, scale)
-      .join(queries.select(col(idCol).as("id"), col(labelCol).as("lbl")), Seq("id"))
-      .select(col("id").as("q_id"), col("centroid_id"), col("lbl"))
-    labeledRefine(queries, corpus, probes, buckets, idCol, vecCol, k)
-  }
-
-  private def labeledRefine(
-      queries: DataFrame,
-      corpus: DataFrame,
-      probes: DataFrame,
-      buckets: DataFrame,
-      idCol: String,
-      vecCol: String,
-      k: Int
-  ): DataFrame = {
-    val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("q_vec"))
-      .withColumn("q_nrm", l2Norm(col("q_vec")))
-    val c = corpus.select(col(idCol).as("r_id"), asDouble(col(vecCol)).as("r_vec"))
-      .withColumn("r_nrm", l2Norm(col("r_vec")))
-    val cands = probes
-      .join(buckets, Seq("centroid_id", "lbl"))
-      .where(col("q_id") =!= col("r_id"))
-      .select("q_id", "r_id")
-    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("r_id").asc)
-    cands
-      .join(broadcast(q), Seq("q_id"))
-      .join(c, Seq("r_id"))
-      .withColumn("cos_sim", dot(col("q_vec"), col("r_vec")) / (col("q_nrm") * col("r_nrm")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("q_id", "r_id", "cos_sim", "rank")
   }
 
   /** L2 (squared-distance) ranks against trained centroids — the coarse

@@ -16,7 +16,7 @@ class MarkovContrastiveSpec extends SparkSpec {
         (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
     assert(rows.keySet ==
       Set("srp_1x16", "srp_2x8", "srp_4x4", "srp_8x8",
-        "nnd_iter_1", "nnd_iter_2", "nnd_iter_3", "nnd_iter_4"))
+        "nnd_iter_1", "nnd_iter_2", "nnd_iter_3"))
     // a 4-bit key is a slice of an 8-bit key is a slice of the 16-bit
     // signature: agreeing on the wide key implies agreeing on every
     // sub-key, so candidates(1x16) subset-of candidates(2x8) subset-of
@@ -31,7 +31,7 @@ class MarkovContrastiveSpec extends SparkSpec {
     // round's edges, so the same displacement argument makes per-round
     // hits monotone; and the shipped final round must decisively beat
     // the SRP 2x8 generator it replaced (the round-12 point)
-    val nnd = (1 to 4).map(t => rows(s"nnd_iter_$t"))
+    val nnd = (1 to 3).map(t => rows(s"nnd_iter_$t"))
     assert(nnd.map(_._2).sliding(2).forall(p => p.head <= p.last), nnd)
     assert(nnd.last._3 > rows("srp_2x8")._3 + 0.2,
       s"final NND recall ${nnd.last._3} should beat srp_2x8 ${rows("srp_2x8")._3}")
