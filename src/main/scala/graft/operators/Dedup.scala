@@ -413,10 +413,7 @@ object Dedup {
     // without it PushProjectionThroughJoin moves the shingle/minhash
     // projection below the broadcast-m join + filter and hashes the
     // ENTIRE corpus (measured 63 s vs 0.3 s at the 10x corpus).
-    val mRow = docs.agg(count(lit(1)).as("n"))
-      .select(greatest(lit(1L), expr(s"n div $sampleTarget")).as("m"))
-    val docsS = docs.crossJoin(broadcast(mRow))
-      .filter(col(idCol) % col("m") === 0)
+    val docsS = Sampling.oneInM(docs, idCol, sampleTarget)
       .localCheckpoint(false)
     val sig = hashedSignatures(docsS, idCol, textCol, shingleN, numHashes)
     def candidates(src: DataFrame, bands: Int, rows: Int): DataFrame = {
@@ -770,11 +767,7 @@ object Dedup {
     require(screenFrac > 0 && screenFrac <= threshold,
       "screen must not be stricter than the audited threshold")
     require(sampleTarget >= 1, "audit sample target must be positive")
-    val mRow = docs.agg(count(lit(1)).as("n"))
-      .select(greatest(lit(1L), expr(s"n div $sampleTarget")).as("m"))
-    val sampledDocs = docs.crossJoin(broadcast(mRow))
-      .filter(col(idCol) % col("m") === 0)
-      .drop("m")
+    val sampledDocs = Sampling.oneInM(docs, idCol, sampleTarget).drop("m")
     val hashed = sampledDocs
       .select(
         col(idCol),
@@ -1210,10 +1203,7 @@ object Dedup {
     // fold above the broadcast-m filter (the lshTuningAudit lesson —
     // without it the optimizer inlines the hashing below the join and
     // hashes the whole corpus for a bounded audit)
-    val mRow = docs.agg(count(lit(1)).as("n"))
-      .select(greatest(lit(1L), expr(s"n div $sampleTarget")).as("m"))
-    val docsS = docs.crossJoin(broadcast(mRow))
-      .filter(col(idCol) % col("m") === 0)
+    val docsS = Sampling.oneInM(docs, idCol, sampleTarget)
       .localCheckpoint(false)
     hammingBandTuningAudit(
       docsS.select(col(idCol), simhash(col(textCol), bits).as("sh")),

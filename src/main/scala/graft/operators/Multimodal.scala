@@ -354,31 +354,39 @@ object Multimodal {
       new String(content, 8, 4, "US-ASCII") == "WAVE",
       s"id=$id: bytes are not a RIFF/WAVE container")
     val bb = java.nio.ByteBuffer.wrap(content).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    var pos = 12
+    // pos walks as Long: a corrupt 2 GiB chunk size would overflow an
+    // Int walk back to a negative offset and crash the string slice
+    // instead of hitting the malformed-input rejection below
+    var pos = 12L
     var sampleRate = 0
     var channels = 0
     var dataOff = -1
     var dataLen = 0
     while (pos + 8 <= content.length) {
-      val cid = new String(content, pos, 4, "US-ASCII")
-      val sz = bb.getInt(pos + 4)
+      val p = pos.toInt
+      val cid = new String(content, p, 4, "US-ASCII")
+      val sz = bb.getInt(p + 4)
       // a corrupt negative chunk size would walk `pos` backwards (or
       // stall it), spinning an executor forever on one bad record —
       // malformed bytes are exactly what a decoder gets fed at scale
       require(sz >= 0, s"id=$id: corrupt chunk '$cid' with negative size $sz")
       if (cid == "fmt ") {
+        // the fmt fields must belong to THIS chunk — a short fmt chunk
+        // would otherwise silently decode the next chunk's header bytes
+        // as channels/rate/bps
+        require(sz >= 16, s"id=$id: fmt chunk too short ($sz bytes)")
         require(pos + 24 <= content.length, s"id=$id: truncated fmt chunk")
-        val fmt = bb.getShort(pos + 8) & 0xffff
+        val fmt = bb.getShort(p + 8) & 0xffff
         require(fmt == 1, s"id=$id: only PCM (format 1) supported, got $fmt")
-        channels = bb.getShort(pos + 10) & 0xffff
-        sampleRate = bb.getInt(pos + 12)
-        val bps = bb.getShort(pos + 22) & 0xffff
+        channels = bb.getShort(p + 10) & 0xffff
+        sampleRate = bb.getInt(p + 12)
+        val bps = bb.getShort(p + 22) & 0xffff
         require(bps == 16, s"id=$id: only 16-bit PCM supported, got $bps")
       } else if (cid == "data") {
-        dataOff = pos + 8
+        dataOff = p + 8
         dataLen = math.min(sz, content.length - dataOff)
       }
-      pos += 8 + sz + (sz & 1)
+      pos += 8L + sz + (sz & 1)
     }
     require(sampleRate > 0 && channels > 0 && dataOff >= 0,
       s"id=$id: missing fmt /data chunk")

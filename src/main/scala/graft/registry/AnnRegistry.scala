@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, HeurFuzz, Multimodal, NnDescent, Quota, Similarity, Sketches, TextAnalysis}
+import graft.operators.{Dedup, HeurFuzz, Multimodal, NnDescent, Quota, Sampling, Similarity, Sketches, TextAnalysis}
 
 /** Registry pillar: vector similarity + sketches: cosine/SRP/int8, IVF/PQ ANN with
   * trained codebooks, k-means, CMS/HLL, clustering. Split from SparkEntry.scala
@@ -87,7 +87,7 @@ trait AnnRegistry extends RegistryBase {
     * with linear per-round cost.
     */
   private def knnRankedFrame(s: SparkSession, dir: String): DataFrame =
-    trainedArtifact(s, dir, "nndGraph") {
+    trainedArtifact(s, dir, "nndGraph", layout = _.repartition(col("src"))) {
       NnDescent.knnGraph(rd(s, dir, "embeddings"), "vec_id", "embedding",
         k = NndK, iters = NndIters)
     }
@@ -435,8 +435,6 @@ trait AnnRegistry extends RegistryBase {
     // class): everything runs on the corpus-scaled 1-in-m sample.
     "q196_srp_band_audit" -> ((s, dir) => {
       val emb = rd(s, dir, "embeddings")
-      val mRow = emb.agg(count(lit(1)).as("n"))
-        .select(greatest(lit(1L), expr(s"n div $LshAuditSampleTarget")).as("m"))
       // the 64 plane signs are computed ONCE per sampled row (inside
       // the checkpoint) and sliced into keys per config — three of the
       // four configs share the first 16 planes, so inlining the dot per
@@ -446,8 +444,7 @@ trait AnnRegistry extends RegistryBase {
         when(org.apache.spark.sql.graft.ArrayDot.doubleDot(
           Similarity.asDouble(col("embedding")), plane) > 0.0, lit(1L)).otherwise(lit(0L))
       }: _*)
-      val e = emb.crossJoin(broadcast(mRow))
-        .filter(col("vec_id") % col("m") === 0)
+      val e = Sampling.oneInM(emb, "vec_id", LshAuditSampleTarget)
         .select(col("vec_id"), col("m"), Similarity.asDouble(col("embedding")).as("dv"),
           planeBits.as("pb"))
         .withColumn("nrm", Similarity.l2Norm(col("dv")))
@@ -490,9 +487,15 @@ trait AnnRegistry extends RegistryBase {
         .filter(col("rank") <= KnnGraphK)
         .join(exact, Seq("src", "dst"))
         .groupBy("config").agg(count(lit(1)).as("n_hit"))
-      val srpRows = cand.groupBy("config").agg(count(lit(1)).as("n_cand"))
+      // left-join from the config LIST so a layout with zero band
+      // collisions reports n_cand = 0 instead of vanishing from the
+      // audit (the q183 zero-candidate convention)
+      val cfgDf = { import s.implicits._; SrpBandConfigs.map(_._1).toDF("config") }
+      val srpRows = cfgDf
+        .join(cand.groupBy("config").agg(count(lit(1)).as("n_cand")), Seq("config"), "left")
         .join(srpHits, Seq("config"), "left")
-        .select(col("config"), col("n_cand"), coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+        .select(col("config"), coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"))
       // NN-Descent rounds on the SAME sample: init draws land on the
       // sampled id grid (vec_id = idx * m — dense multiples by
       // construction of the spread), so m = 1 reproduces the shipped
@@ -854,9 +857,11 @@ trait AnnRegistry extends RegistryBase {
          |    FROM e, np, kpa, range(1, ${NndK + 1}) g(i))
          |  WHERE dst <> src),
          |$nndIters,
+         |cfgs AS (SELECT unnest([${SrpBandConfigs.map(c => s"'${c._1}'").mkString(", ")}]) AS config),
          |rows AS (
-         |  SELECT v.config, v.n_cand, coalesce(h.n_hit, 0)::BIGINT AS n_hit
-         |  FROM cvol v LEFT JOIN chits h USING (config)
+         |  SELECT f.config, coalesce(v.n_cand, 0)::BIGINT AS n_cand,
+         |         coalesce(h.n_hit, 0)::BIGINT AS n_hit
+         |  FROM cfgs f LEFT JOIN cvol v USING (config) LEFT JOIN chits h USING (config)
          |  UNION ALL
          |  $nndRowsSql)
          |SELECT r.config, r.n_cand::BIGINT AS n_cand, r.n_hit::BIGINT AS n_hit,

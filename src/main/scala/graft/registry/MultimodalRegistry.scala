@@ -146,11 +146,8 @@ trait MultimodalRegistry extends RegistryBase {
     // corpus-scaled 1-in-m sample as q147/q154.
     "q170_dhash_tuning_audit" -> ((s, dir) => {
       val docs = spread(s, rd(s, dir, "documents"))
-      val mRow = docs.agg(count(lit(1)).as("n"))
-        .select(greatest(lit(1L), expr(s"n div $LshAuditSampleTarget")).as("m"))
       val sig = Multimodal.withContent(
-          docs.crossJoin(broadcast(mRow))
-            .filter(col("doc_id") % col("m") === 0)
+          graft.operators.Sampling.oneInM(docs, "doc_id", LshAuditSampleTarget)
             .localCheckpoint(false), "text")
         .select(col("doc_id"), Multimodal.pseudoDHash(col("content")).as("dhash"))
       // eager-checkpoint the 3-row audit before the sort (the q147/q154

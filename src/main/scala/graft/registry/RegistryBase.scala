@@ -297,15 +297,20 @@ trait RegistryBase {
     * table; at 100 TB this table is partitioned by centroid_id and a
     * probe reads just its partitions. q43/q131/q179/q194 share it.
     */
-  protected def ivfSqrtIndex(s: SparkSession, dir: String): DataFrame =
-    trainedArtifact(s, dir, "ivfSqrtIndex") {
+  protected def ivfSqrtIndex(s: SparkSession, dir: String): DataFrame = {
+    // hoisted OUTSIDE the train thunk: trainedArtifact's mapping function
+    // must not re-enter the artifact map (CHM recursive-update contract)
+    val cents = sqrtCentroids(s, dir)
+    trainedArtifact(s, dir, "ivfSqrtIndex",
+        layout = _.repartition(col("centroid_id"))) {
       val e = spread(s, rd(s, dir, "embeddings"))
-      Similarity.assignToCentroidsQ(e, sqrtCentroids(s, dir), "vec_id", "embedding")
+      Similarity.assignToCentroidsQ(e, cents, "vec_id", "embedding")
         .select(col("id").as("r_id"), col("centroid_id"))
         .join(e.select(col("vec_id").as("r_id"), col("label").as("lbl"),
           Similarity.asDouble(col("embedding")).as("dv")), Seq("r_id"))
         .withColumn("nrm", Similarity.l2Norm(col("dv")))
     }
+  }
 
   protected def embClusterPairs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val e = rd(s, dir, "embeddings")
@@ -752,9 +757,7 @@ trait RegistryBase {
           i => coalesce(element_at(col("m"), i), lit(0L))).as("qv"))
       .withColumn("grp", lit(0L))
       .localCheckpoint(false) // feeds the trainer sample AND the full assignment
-    val kRow = vecs.agg(count(lit(1)).as("n"))
-      .select(greatest(lit(1L), expr("n div 320")).as("m"))
-    val sample = vecs.crossJoin(broadcast(kRow)).filter(col("id") % col("m") === 0)
+    val sample = graft.operators.Sampling.oneInM(vecs, "id", 320L)
     val init = sample.filter(col("id") < lit(8L) * col("m"))
       .select(col("grp"), col("id").as("centroid_id"), col("qv").as("cv"))
     val cents = Similarity.lloydIterate(sample.select("grp", "id", "qv"), init, KmeansIters)
@@ -989,18 +992,28 @@ trait RegistryBase {
     * integer-Lloyd's) training job and persists the result as a parquet
     * artifact in staging; later queries read the artifact back. Results
     * are bit-identical to inline training, so every oracle is unchanged;
-    * only the redundant retraining work disappears. Artifacts are tiny
-    * (k x dims longs), so the read-back is a broadcast-sized scan.
-    * q123 (the training surface itself) deliberately bypasses this and
-    * measures a full training run.
+    * only the redundant retraining work disappears. Quantizer/codebook
+    * artifacts are tiny (k x dims longs) and default to a single file
+    * (broadcast-sized read-back); CORPUS-sized artifacts (the IVF
+    * inverted lists, the NND edge list) pass a `layout` that keeps the
+    * write parallel and partition-aligned — funneling N rows through
+    * coalesce(1)'s single writer task would serialize the whole build
+    * on one core at scale. q123 (the training surface itself)
+    * deliberately bypasses this and measures a full training run.
+    *
+    * The train thunk runs inside computeIfAbsent's mapping function, so
+    * it must NOT call trainedArtifact again (ConcurrentHashMap forbids
+    * recursive updates) — compose artifacts by hoisting the dependency
+    * OUTSIDE the thunk (see ivfSqrtIndex).
     */
   protected val modelPaths =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  protected def trainedArtifact(s: SparkSession, dir: String, kind: String)(
+  protected def trainedArtifact(s: SparkSession, dir: String, kind: String,
+      layout: DataFrame => DataFrame = _.coalesce(1))(
       train: => DataFrame): DataFrame = {
     val path = modelPaths.computeIfAbsent(s"$dir#$kind", _ => {
       val p = s"${Staging.dir("model-")}/$kind"
-      train.coalesce(1).write.mode("overwrite").parquet(p)
+      layout(train).write.mode("overwrite").parquet(p)
       p
     })
     s.read.parquet(path)

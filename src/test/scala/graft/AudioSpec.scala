@@ -90,6 +90,34 @@ class AudioSpec extends SparkSpec {
     assert(ex.getMessage.contains("negative size"))
   }
 
+  test("parseWav rejects a 2 GiB chunk size via the Long walk, not an index crash") {
+    // a leading junk chunk claiming Int.MaxValue bytes: an Int `pos`
+    // walk (12 + 8 + MaxValue + pad) wraps NEGATIVE, keeps the loop
+    // condition true, and crashes the chunk-id slice with
+    // StringIndexOutOfBounds; the Long walk runs off the end and hits
+    // the controlled missing-chunk rejection
+    val bb = java.nio.ByteBuffer.allocate(64)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(56)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("junk".getBytes("US-ASCII")).putInt(Int.MaxValue)
+    val ex = intercept[IllegalArgumentException] {
+      Multimodal.wavDecode(9L, bb.array())
+    }
+    assert(ex.getMessage.contains("missing fmt /data"))
+  }
+
+  test("parseWav rejects a short fmt chunk instead of reading the next chunk's bytes") {
+    val good = wav(risingSamples(100))
+    // shrink the fmt chunk's own size to 0: the format fields would
+    // otherwise be decoded from whatever bytes follow the fmt header
+    val bad = good.clone()
+    java.nio.ByteBuffer.wrap(bad).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(16, 0)
+    val ex = intercept[IllegalArgumentException] { Multimodal.wavDecode(9L, bad) }
+    assert(ex.getMessage.contains("fmt chunk too short"))
+  }
+
   test("contourBits comparison survives 64-bit product overflow (multiplyHigh path)") {
     // Window 1's mean (8/3) beats window 0's (1) -> bit 0 must be set,
     // but the cross-product 8e9 * 3e9 = 2.4e19 wraps to 5.55e18 while
