@@ -767,7 +767,13 @@ object Dedup {
     require(screenFrac > 0 && screenFrac <= threshold,
       "screen must not be stricter than the audited threshold")
     require(sampleTarget >= 1, "audit sample target must be positive")
+    // checkpoint the SAMPLE itself, not just frames derived from it:
+    // containmentPairs fans its input into several self-join legs, and
+    // without the barrier each leg re-executes the corpus scan +
+    // sampling subtree (measured: the h10 audit spent ~6x its bounded
+    // cost re-scanning the corpus it had already sampled away)
     val sampledDocs = Sampling.oneInM(docs, idCol, sampleTarget).drop("m")
+      .localCheckpoint(false)
     val hashed = sampledDocs
       .select(
         col(idCol),

@@ -68,7 +68,7 @@ trait DedupRegistry extends RegistryBase {
     // k-for-recall trade sits before anyone ships a k.
     "q183_containment_screen_audit" -> ((s, dir) =>
       Dedup.containmentScreenAudit(
-          spread(s, rd(s, dir, "documents")), "doc_id", "text",
+          rd(s, dir, "documents"), "doc_id", "text",
           shingleN = 6, threshold = 0.7,
           ks = ContainSketchKs, screenFrac = ContainScreenFrac,
           sampleTarget = ContainAuditSampleTarget)
@@ -480,7 +480,7 @@ trait DedupRegistry extends RegistryBase {
       // eager-checkpoint the 3-row audit BEFORE the sort: orderBy's
       // range-partitioner sampling would otherwise re-execute the whole
       // three-branch union (measured 88 s -> 9 s at the 10x corpus)
-      Dedup.lshTuningAudit(spread(s, rd(s, dir, "documents")), "doc_id", "text",
+      Dedup.lshTuningAudit(rd(s, dir, "documents"), "doc_id", "text",
           shingleN = 4, numHashes = 8,
           configs = Seq((8, 1), (4, 2), (2, 4)), threshold = 0.4,
           sampleTarget = LshAuditSampleTarget)
@@ -502,7 +502,7 @@ trait DedupRegistry extends RegistryBase {
       // eager-checkpoint the 3-row audit before the sort (the q147
       // lesson: orderBy's range-partitioner sampling re-executes the
       // whole multi-branch union otherwise)
-      Dedup.simhashTuningAudit(spread(s, rd(s, dir, "documents")), "doc_id", "text",
+      Dedup.simhashTuningAudit(rd(s, dir, "documents"), "doc_id", "text",
           bits = 16, bandConfigs = Seq(2, 3, 4), maxHamming = 2,
           sampleTarget = LshAuditSampleTarget)
         .localCheckpoint(true)

@@ -145,7 +145,7 @@ trait MultimodalRegistry extends RegistryBase {
     // 6 = lossless at 4-bit keys (wider buckets, more verifies). Same
     // corpus-scaled 1-in-m sample as q147/q154.
     "q170_dhash_tuning_audit" -> ((s, dir) => {
-      val docs = spread(s, rd(s, dir, "documents"))
+      val docs = rd(s, dir, "documents")
       val sig = Multimodal.withContent(
           graft.operators.Sampling.oneInM(docs, "doc_id", LshAuditSampleTarget)
             .localCheckpoint(false), "text")
