@@ -413,7 +413,8 @@ object Dedup {
     // without it PushProjectionThroughJoin moves the shingle/minhash
     // projection below the broadcast-m join + filter and hashes the
     // ENTIRE corpus (measured 63 s vs 0.3 s at the 10x corpus).
-    val docsS = Sampling.oneInM(docs, idCol, sampleTarget)
+    val docsS = Sampling.oneInM(docs, idCol, sampleTarget,
+        spreadTo = docs.sparkSession.sparkContext.defaultParallelism)
       .localCheckpoint(false)
     val sig = hashedSignatures(docsS, idCol, textCol, shingleN, numHashes)
     def candidates(src: DataFrame, bands: Int, rows: Int): DataFrame = {
@@ -772,8 +773,9 @@ object Dedup {
     // without the barrier each leg re-executes the corpus scan +
     // sampling subtree (measured: the h10 audit spent ~6x its bounded
     // cost re-scanning the corpus it had already sampled away)
-    val sampledDocs = Sampling.oneInM(docs, idCol, sampleTarget).drop("m")
-      .localCheckpoint(false)
+    val sampledDocs = Sampling.oneInM(docs, idCol, sampleTarget,
+        spreadTo = docs.sparkSession.sparkContext.defaultParallelism)
+      .drop("m").localCheckpoint(false)
     val hashed = sampledDocs
       .select(
         col(idCol),

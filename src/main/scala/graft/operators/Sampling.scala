@@ -22,21 +22,26 @@ import org.apache.spark.sql.functions._
   * below the join and processes the ENTIRE corpus for a bounded audit
   * (measured 63 s vs 0.3 s at the 10x corpus in lshTuningAudit).
   *
-  * The kept rows are re-spread across the session's parallelism: the
-  * hash-heavy work that always follows must not run single-core just
-  * because the sample collapsed into few scan partitions. The shuffle
-  * is BOUNDED (<= ~2x target rows by construction), so this is safe at
-  * any corpus size. Pass the RAW frame, not a pre-spread one — a
+  * `spreadTo > 0` re-spreads the kept rows across that many partitions
+  * — a BOUNDED shuffle (<= ~2x target rows by construction), so safe at
+  * any corpus size. Opt in when the sample feeds heavy PER-ROW or
+  * PER-PAIR work (shingle md5 + exact containment: q183 2.4 s spread
+  * vs 10.3 s on the scan's partitioning); leave 0 when everything
+  * downstream is sample-sized frames and iteration (q196's audit got
+  * ~25% SLOWER spread wide — 32-way tiny frames are pure scheduling
+  * overhead). Either way pass the RAW frame, not a pre-spread one — a
   * corpus-wide repartition BELOW the sampling filter shuffles every
   * row's full payload to keep one in m (measured: q183's h10 audit
   * spent ~6x its bounded cost shuffling 10x corpus text it then
   * discarded).
   */
 object Sampling {
-  def oneInM(df: DataFrame, idCol: String, target: Long): DataFrame = {
+  def oneInM(df: DataFrame, idCol: String, target: Long,
+      spreadTo: Int = 0): DataFrame = {
     val mRow = df.agg(count(lit(1)).as("n"))
       .select(greatest(lit(1L), expr(s"n div $target")).as("m"))
-    df.crossJoin(broadcast(mRow)).filter(col(idCol) % col("m") === 0)
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val kept = df.crossJoin(broadcast(mRow))
+      .filter(col(idCol) % col("m") === 0)
+    if (spreadTo > 0) kept.repartition(spreadTo) else kept
   }
 }

@@ -452,7 +452,12 @@ trait AnnRegistry extends RegistryBase {
       val nRow = e.agg(count(lit(1)).as("n_nodes"), max(col("m")).as("mm"))
       val cos = Similarity.dot(col("dv_a"), col("dv_b")) / (col("nrm_a") * col("nrm_b"))
       val exact = e.select(col("vec_id").as("src"), col("dv").as("dv_a"), col("nrm").as("nrm_a"))
-        .crossJoin(e.select(col("vec_id").as("dst"), col("dv").as("dv_b"), col("nrm").as("nrm_b")))
+        // broadcast the right side: the sample is target-bounded (~1000
+        // rows) by construction, and a non-broadcast cross of two
+        // 32-partition frames is a 1024-task CartesianProduct grid —
+        // pure scheduling overhead on audit-sized inputs
+        .crossJoin(broadcast(
+          e.select(col("vec_id").as("dst"), col("dv").as("dv_b"), col("nrm").as("nrm_b"))))
         .filter(col("src") =!= col("dst"))
         .withColumn("rank", row_number().over(
           Window.partitionBy("src").orderBy(cos.desc, col("dst").asc)))
