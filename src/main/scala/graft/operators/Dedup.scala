@@ -938,33 +938,105 @@ object Dedup {
       screenFrac: Double,
       dfCap: Long
   ): DataFrame = {
+    val post = containmentPostings(corpus, idCol, textCol, shingleN)
+      .localCheckpoint(false) // feeds the df table AND the probe join
+    bottomKContainmentScreenOnPostings(incoming, post, postingDf(post),
+      idCol, textCol, shingleN, k, screenFrac, dfCap)
+  }
+
+  /** The corpus-side POSTING LIST of the containment screens — one
+    * (c_id, h) row per distinct md5 shingle hash per corpus doc. This is
+    * the persistable half of a term index: at 100 TB ingest writes it
+    * ONCE (bucketed by `h`, the probe-join key) and every later screen —
+    * batch or per-micro-batch streaming — reads it back instead of
+    * re-shingling the corpus (the q132 persisted-signature-table story,
+    * applied to the containment family). md5-derived hashes so a SQL
+    * oracle reproduces the bottom-k sample bit-for-bit.
+    */
+  def containmentPostings(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int
+  ): DataFrame = corpus
+    .select(
+      col(idCol).as("c_id"),
+      array_sort(array_distinct(transform(
+        shingleSet(col(textCol), shingleN),
+        g => Md5Long60.column(g)))).as("hs"))
+    // no size(hs) > 0 filter: explode already emits nothing for empty or
+    // null arrays, and an explicit filter on a HOF-derived column gets
+    // substituted + pushed below any upstream exchange — re-running the
+    // whole shingling single-core on an under-partitioned scan (measured
+    // 7.2 s vs 1.3 s on the sf0.1 corpus side)
+    .select(col("c_id"), explode(col("hs")).as("h"))
+
+  /** The DICTIONARY half of the term index: per shingle hash, its corpus
+    * document frequency — the df stop-cut table of the bottom-k screen.
+    */
+  def postingDf(postings: DataFrame): DataFrame =
+    postings.groupBy("h").agg(count(lit(1)).as("df"))
+
+  /** As `bottomKContainmentScreen`, but the corpus side arrives as a
+    * pre-built term index — `post` in `containmentPostings` shape and
+    * `freq` in `postingDf` shape. The streaming entry point: a
+    * foreachBatch gate builds (or reads) the index ONCE and every
+    * micro-batch pays only its own bottom-k probes (<= k·dfCap posting
+    * rows per doc), never a corpus-side rebuild — without this split the
+    * per-batch screen re-shingled the whole static corpus, the dominant
+    * cost at any scale. Callers should materialize both frames
+    * (localCheckpoint locally; a bucketed table in production).
+    */
+  def bottomKContainmentScreenOnPostings(
+      incoming: DataFrame,
+      post: DataFrame,
+      freq: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int,
+      k: Int,
+      screenFrac: Double,
+      dfCap: Long
+  ): DataFrame = {
     require(k >= 1 && dfCap >= 1 && screenFrac > 0 && screenFrac <= 1,
       "bottom-k screen needs k >= 1, dfCap >= 1, screenFrac in (0, 1]")
-    def hashedOf(df: DataFrame): DataFrame = df
+    val hi = incoming
       .select(
         col(idCol),
         array_sort(array_distinct(transform(
           shingleSet(col(textCol), shingleN),
           g => Md5Long60.column(g)))).as("hs"))
       .withColumn("nsh", size(col("hs")))
-    val hi = hashedOf(incoming).localCheckpoint(false) // sample side + output spine
-    val post = hashedOf(corpus).filter(col("nsh") > 0)
-      .select(col(idCol).as("c_id"), explode(col("hs")).as("h"))
-      .localCheckpoint(false) // feeds the df table AND the probe join
-    val freq = post.groupBy("h").agg(count(lit(1)).as("df"))
-    val sampled = hi.filter(col("nsh") > 0)
+      .localCheckpoint(false) // sample side + output spine, shared by q190-sized slices
+    // the incoming batch's hash set is small (<= k per doc) — broadcast
+    // it and SEMI-FILTER the corpus-side index instead of joining into
+    // it: the dictionary and posting frames are only ever scanned
+    // map-side (a cached scan locally, a bucketed-table scan in
+    // production), so a screen — in particular a per-micro-batch
+    // streaming one — never pays a corpus-sized exchange
+    val sampledRaw = hi.filter(col("nsh") > 0)
       .select(col(idCol), least(lit(k), col("nsh")).as("ka"),
         explode(slice(col("hs"), lit(1), least(lit(k), col("nsh")))).as("h"))
-      .join(freq, Seq("h"), "left")
+    val dictHit = freq
+      .join(broadcast(sampledRaw.select("h").distinct()), Seq("h"), "left_semi")
+    val sampled = sampledRaw
+      .join(broadcast(dictHit), Seq("h"), "left")
       .withColumn("df", coalesce(col("df"), lit(0L)))
       .localCheckpoint(false) // feeds the stop count AND the rare probe
     // per-doc count of capped sampled hashes: evidence every join-made
     // candidate container gets for free (df > cap ⇒ it has them)
     val nCap = sampled.groupBy(col(idCol), col("ka"))
       .agg(sum(when(col("df") > dfCap, 1L).otherwise(0L)).as("n_cap"))
-    val mRare = sampled.filter(col("df") <= dfCap)
-      .join(post.join(freq, Seq("h")).filter(col("df") <= dfCap)
-        .select(col("c_id"), col("h")), Seq("h"))
+    // df is a GLOBAL property of a hash, so a semi hit on the sample's
+    // rare (df <= dfCap) hashes already satisfies the corpus-side df cut
+    // — no posting-to-dictionary join at all; per-doc probe volume stays
+    // <= k*dfCap rows by construction
+    val rareHit = post
+      .join(broadcast(sampled.filter(col("df") <= dfCap).select("h").distinct()),
+        Seq("h"), "left_semi")
+    val mRare = rareHit
+      .join(broadcast(sampled.filter(col("df") <= dfCap).select(col(idCol), col("h"))),
+        Seq("h"))
       .filter(col(idCol) =!= col("c_id"))
       .groupBy(col(idCol), col("c_id")).agg(count(lit(1)).as("m_rare"))
     val hits = mRare.join(nCap, Seq(idCol))

@@ -40,8 +40,16 @@ trait RegistryBase {
     // RDD lineage materialization) stands in for the scan's partition
     // count: the shim only needs to catch the one-file local-testdata
     // case. Non-file sources report no files and are left alone.
+    // When the spread fires, BARRIER it: under AQE, a downstream lazy
+    // localCheckpoint over the exchange-bearing plan eagerly runs its
+    // heavy projection (md5/xxhash shingling) in a single task at
+    // checkpoint-CREATION time — measured 4-7 s per query at sf0.1
+    // against 0.1 s + a parallel first action off the barrier. On a
+    // real cluster the branch never fires (many files), so no cache and
+    // no shuffle are injected there.
     val nFiles = df.inputFiles.length
-    if (nFiles > 0 && nFiles < target) df.repartition(target) else df
+    if (nFiles > 0 && nFiles < target) df.repartition(target).localCheckpoint(false)
+    else df
   }
 
   /** spread() for foreachBatch micro-batches: a micro-batch DataFrame

@@ -348,6 +348,33 @@ class DedupSpec extends SparkSpec {
     assert(uncapped.toSeq == Seq((100L, false)))
   }
 
+  test("bottomKContainmentScreenOnPostings: pre-built term index == text path") {
+    import spark.implicits._
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta")
+    val corpus = (0 until 25).map { i =>
+      (i.toLong, (0 until 8).map(j => words((i * 5 + j * 3) % words.length)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val incoming = Seq(
+      (100L, (0 until 8).map(j => words((j * 3) % words.length)).mkString(" ")
+        .split(" ").slice(2, 6).mkString(" ")),
+      (101L, "votre nouveau document sans aucun recouvrement"),
+      (102L, "ab")).toDF("doc_id", "text")
+    // the streaming shape: index built once, screened against — answers
+    // must be identical to the single-call text path at every config
+    for ((k, cap) <- Seq((8, 5L), (1000, 100000L))) {
+      val post = Dedup.containmentPostings(corpus, "doc_id", "text", shingleN = 3)
+        .localCheckpoint(false)
+      val onIdx = Dedup.bottomKContainmentScreenOnPostings(incoming, post,
+          Dedup.postingDf(post), "doc_id", "text", shingleN = 3,
+          k = k, screenFrac = 0.6, dfCap = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      val direct = Dedup.bottomKContainmentScreen(incoming, corpus, "doc_id", "text",
+          shingleN = 3, k = k, screenFrac = 0.6, dfCap = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      assert(onIdx == direct, s"k=$k dfCap=$cap")
+    }
+  }
+
   test("simhashCandidates: banded result == brute-force hamming filter; no crossJoin in plan") {
     val h = docs.select(col("doc_id"), Dedup.simhash(col("text"), 16).as("sh"))
     val banded = Dedup.simhashCandidates(h, "doc_id", "sh", bits = 16, maxHamming = 2)
