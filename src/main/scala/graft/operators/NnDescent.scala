@@ -81,23 +81,26 @@ object NnDescent {
     * the q196 audit can report per-round candidate volume and recall
     * without re-deriving the recurrence.
     */
-  def iterate(g: DataFrame, vecs: DataFrame, k: Int): (DataFrame, DataFrame) = {
-    // Undirected adjacency CAPPED at 2k per node: out-degree is <= k by
-    // construction, but REVERSE degree is unbounded — on clustered data
-    // a hub vector can sit in millions of top-k lists, and an uncapped
-    // two-hop self-join would emit in_degree^2 rows for it. The cap is
-    // a deterministic md5-rank sample of the neighborhood (Dong et
-    // al.'s reverse-neighbor sampling, rho = 1 on out-edges) — content-
+  def iterate(g: DataFrame, vecs: DataFrame, k: Int, cap: Int = -1): (DataFrame, DataFrame) = {
+    // Undirected adjacency CAPPED per node (default 2k): out-degree is
+    // <= k by construction, but REVERSE degree is unbounded — on
+    // clustered data a hub vector can sit in millions of top-k lists,
+    // and an uncapped two-hop self-join would emit in_degree^2 rows for
+    // it. The cap is a deterministic md5-rank sample of the neighborhood
+    // (Dong et al.'s reverse-neighbor ρ-sampling: cap = ρ·2k) — content-
     // stable, partitioning/retry independent, oracle-reproducible —
-    // and makes the per-round candidate bound <= N*(2k)^2 TRUE by
-    // construction rather than a uniform-data accident.
+    // and makes the per-round candidate bound <= N*cap^2 TRUE by
+    // construction rather than a uniform-data accident. ρ < 1 trades
+    // a little per-round convergence for a quadratic candidate-volume
+    // cut; the q196 audit certifies recall per round at the shipped cap.
+    val capN = if (cap > 0) cap else 2 * k
     val und = g.select(col("src"), col("dst"))
       .union(g.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .withColumn("rk", row_number().over(Window.partitionBy("src").orderBy(
         Md5Long60.column(concat_ws("_", lit("nndr"), col("src"), col("dst"))).asc,
         col("dst").asc)))
-      .filter(col("rk") <= 2 * k)
+      .filter(col("rk") <= capN)
       .select("src", "dst")
     val cand = und.alias("a")
       .join(und.alias("b"),
@@ -127,14 +130,15 @@ object NnDescent {
       idCol: String,
       vecCol: String,
       k: Int,
-      iters: Int
+      iters: Int,
+      cap: Int = -1
   ): DataFrame = {
     require(iters >= 1, "NN-Descent needs at least one refinement round")
     val vecs = CheckpointStats.freshCheckpoint(vecFrame(vectors, idCol, vecCol))
     var g = CheckpointStats.freshCheckpoint(initGraph(vectors, idCol, k))
     var iter = 0
     while (iter < iters) {
-      g = CheckpointStats.freshCheckpoint(iterate(g, vecs, k)._2)
+      g = CheckpointStats.freshCheckpoint(iterate(g, vecs, k, cap)._2)
       iter += 1
     }
     g

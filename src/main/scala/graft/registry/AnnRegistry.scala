@@ -49,7 +49,7 @@ trait AnnRegistry extends RegistryBase {
        |        dst ASC) AS rk
        |    FROM (SELECT DISTINCT src, dst FROM (
        |        SELECT src, dst FROM ${pfx}g$t UNION ALL SELECT dst, src FROM ${pfx}g$t)))
-       |  WHERE rk <= ${2 * NndK}),
+       |  WHERE rk <= $NndCap),
        |${pfx}c$t AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
        |    SELECT a.src, b.dst FROM ${pfx}u$t a JOIN ${pfx}u$t b
        |      ON a.dst = b.src AND b.dst <> a.src
@@ -89,7 +89,7 @@ trait AnnRegistry extends RegistryBase {
   private def knnRankedFrame(s: SparkSession, dir: String): DataFrame =
     trainedArtifact(s, dir, "nndGraph", layout = _.repartition(col("src"))) {
       NnDescent.knnGraph(rd(s, dir, "embeddings"), "vec_id", "embedding",
-        k = NndK, iters = NndIters)
+        k = NndK, iters = NndIters, cap = NndCap)
     }
 
   /** knnRankedFrame cut at the top-K edge list, with the mutual flag —
@@ -515,7 +515,7 @@ trait AnnRegistry extends RegistryBase {
           .filter(col("dst") =!= col("src"))
           .select("src", "dst").distinct())
       val nndRows = (1 to NndIters).map { t =>
-        val (candT, rankedT) = NnDescent.iterate(g, vecs, NndK)
+        val (candT, rankedT) = NnDescent.iterate(g, vecs, NndK, cap = NndCap)
         g = org.apache.spark.sql.graft.CheckpointStats.freshCheckpoint(rankedT)
         val hitsT = g.filter(col("rank") <= KnnGraphK)
           .join(exact, Seq("src", "dst"))

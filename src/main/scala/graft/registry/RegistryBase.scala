@@ -443,6 +443,17 @@ trait RegistryBase {
   protected val NndK = 20
   protected val NndIters = 3
 
+  /** Dong et al.'s reverse-neighbor ρ-sampling: per-round undirected
+    * adjacency cap (cap = ρ·2k; 2k = 40 is ρ = 1). Per-round candidate
+    * volume is <= N*cap^2, so ρ cuts the round's dominant join
+    * QUADRATICALLY while convergence degrades only gradually — the
+    * audit-measured trade at the shipped cap is in q196's
+    * nnd_iter_* rows (recall per round vs candidate volume), and the
+    * h10 graph-build wall-clock is in SCALE.md. Shared with the oracle
+    * SQL's rk cut so both engines walk the same recurrence.
+    */
+  protected val NndCap = 28
+
   /** q195 contrastive export: negatives kept per (anchor, positive) pair
     * and the (slack-padded) deterministic draw count they are selected
     * from — draws lost to the anchor/positive/neighborhood exclusions
