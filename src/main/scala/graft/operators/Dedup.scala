@@ -1008,19 +1008,26 @@ object Dedup {
           g => Md5Long60.column(g)))).as("hs"))
       .withColumn("nsh", size(col("hs")))
       .localCheckpoint(false) // sample side + output spine, shared by q190-sized slices
-    // the incoming batch's hash set is small (<= k per doc) — broadcast
-    // it and SEMI-FILTER the corpus-side index instead of joining into
-    // it: the dictionary and posting frames are only ever scanned
-    // map-side (a cached scan locally, a bucketed-table scan in
-    // production), so a screen — in particular a per-micro-batch
-    // streaming one — never pays a corpus-sized exchange
+    // the probe's hash set is <= k rows per incoming doc — SEMI-FILTER
+    // the corpus-side index with it instead of joining into it: when
+    // the probe side is broadcastable the dictionary and posting frames
+    // are only ever scanned map-side (a cached scan locally, a
+    // bucketed-table scan in production) and the screen — in particular
+    // a per-micro-batch streaming one — never pays a corpus-sized
+    // exchange. The broadcast decision is AQE's, NOT a hint: the probe
+    // set grows linearly with the incoming batch (k·|incoming| rows), so
+    // a hardwired broadcast() that is right for a micro-batch would pin
+    // a multi-GB build on every executor when a BULK slice (q190's
+    // shape at full scale) probes the same index — the runtime picks
+    // broadcast under the threshold and a plain shuffle join above it,
+    // and answers are identical either way
     val sampledRaw = hi.filter(col("nsh") > 0)
       .select(col(idCol), least(lit(k), col("nsh")).as("ka"),
         explode(slice(col("hs"), lit(1), least(lit(k), col("nsh")))).as("h"))
     val dictHit = freq
-      .join(broadcast(sampledRaw.select("h").distinct()), Seq("h"), "left_semi")
+      .join(sampledRaw.select("h").distinct(), Seq("h"), "left_semi")
     val sampled = sampledRaw
-      .join(broadcast(dictHit), Seq("h"), "left")
+      .join(dictHit, Seq("h"), "left")
       .withColumn("df", coalesce(col("df"), lit(0L)))
       .localCheckpoint(false) // feeds the stop count AND the rare probe
     // per-doc count of capped sampled hashes: evidence every join-made
@@ -1032,10 +1039,10 @@ object Dedup {
     // — no posting-to-dictionary join at all; per-doc probe volume stays
     // <= k*dfCap rows by construction
     val rareHit = post
-      .join(broadcast(sampled.filter(col("df") <= dfCap).select("h").distinct()),
+      .join(sampled.filter(col("df") <= dfCap).select("h").distinct(),
         Seq("h"), "left_semi")
     val mRare = rareHit
-      .join(broadcast(sampled.filter(col("df") <= dfCap).select(col(idCol), col("h"))),
+      .join(sampled.filter(col("df") <= dfCap).select(col(idCol), col("h")),
         Seq("h"))
       .filter(col(idCol) =!= col("c_id"))
       .groupBy(col(idCol), col("c_id")).agg(count(lit(1)).as("m_rare"))
