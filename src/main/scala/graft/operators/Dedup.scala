@@ -29,6 +29,17 @@ object Dedup {
   def shingleSet(text: Column, n: Int): Column =
     array_distinct(TextFunctions.charShingles(lower(text), n))
 
+  /** The containment family's shingle-hash derivation — sorted distinct
+    * md5-long hashes of the char n-gram shingles. ONE definition on
+    * purpose: the bottom-k screen's probe side, its corpus-side posting
+    * list, and the audit's truth pass must stay bit-identical (sort
+    * order IS the bottom-k sample), so they all call this instead of
+    * inlining the expression.
+    */
+  def hashedShingles(text: Column, n: Int): Column =
+    array_sort(array_distinct(transform(
+      shingleSet(text, n), g => Md5Long60.column(g))))
+
   /** Exact duplicate groups: md5 content hash -> group size + kept id
     * (keep-one = min id; deterministic).
     */
@@ -779,9 +790,7 @@ object Dedup {
     val hashed = sampledDocs
       .select(
         col(idCol),
-        array_sort(array_distinct(transform(
-          shingleSet(col(textCol), shingleN),
-          g => Md5Long60.column(g)))).as("hs"))
+        hashedShingles(col(textCol), shingleN).as("hs"))
       .withColumn("nsh", size(col("hs")))
       .filter(col("nsh") > 0)
       .localCheckpoint(false) // feeds the sample side, the postings, and the truth
@@ -961,9 +970,7 @@ object Dedup {
   ): DataFrame = corpus
     .select(
       col(idCol).as("c_id"),
-      array_sort(array_distinct(transform(
-        shingleSet(col(textCol), shingleN),
-        g => Md5Long60.column(g)))).as("hs"))
+      hashedShingles(col(textCol), shingleN).as("hs"))
     // no size(hs) > 0 filter: explode already emits nothing for empty or
     // null arrays, and an explicit filter on a HOF-derived column gets
     // substituted + pushed below any upstream exchange — re-running the
@@ -1003,9 +1010,7 @@ object Dedup {
     val hi = incoming
       .select(
         col(idCol),
-        array_sort(array_distinct(transform(
-          shingleSet(col(textCol), shingleN),
-          g => Md5Long60.column(g)))).as("hs"))
+        hashedShingles(col(textCol), shingleN).as("hs"))
       .withColumn("nsh", size(col("hs")))
       .localCheckpoint(false) // sample side + output spine, shared by q190-sized slices
     // the probe's hash set is <= k rows per incoming doc — SEMI-FILTER

@@ -322,10 +322,9 @@ trait DedupRegistry extends RegistryBase {
     // that drives q175's exact prefix superlinear on a flat vocabulary
     // (the q159 df trick applied to shingles).
     "q190_containment_screen_bottomk" -> ((s, dir) => {
-      // barriered: creating the postings checkpoint over an
-      // exchange-bearing plan pays seconds of driver-side AQE/codegen
-      // work (the q191 lesson); the cached text is sub-MB here
-      val docs = spread(s, rd(s, dir, "documents")).localCheckpoint(false)
+      // spread() barriers internally, so the postings checkpoint below
+      // already sits over a cached scan, not an exchange
+      val docs = spread(s, rd(s, dir, "documents"))
       val incoming = docs.filter(col("doc_id") % IncrementalMod === IncrementalMod - 1)
       val corpus = docs.filter(col("doc_id") % IncrementalMod =!= IncrementalMod - 1)
       Dedup.bottomKContainmentScreen(incoming, corpus, "doc_id", "text",

@@ -63,6 +63,11 @@ trait RegistryBase {
     */
   protected def spreadBatch(s: SparkSession, df: DataFrame): DataFrame = {
     val target = s.sparkContext.defaultParallelism
+    // NOT barriered like spread(): the spread() single-task-checkpoint
+    // pathology scales with the frame being shingled, and micro-batches
+    // are small by construction — barriering here was measured at
+    // sf0.1 (10-gate slice net zero) and h10 (q191 13.2 -> 15.2 s: the
+    // extra per-batch materialization costs more than it saves)
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
@@ -444,15 +449,19 @@ trait RegistryBase {
   protected val NndIters = 3
 
   /** Dong et al.'s reverse-neighbor ρ-sampling: per-round undirected
-    * adjacency cap (cap = ρ·2k; 2k = 40 is ρ = 1). Per-round candidate
-    * volume is <= N*cap^2, so ρ cuts the round's dominant join
-    * QUADRATICALLY while convergence degrades only gradually — the
-    * audit-measured trade at the shipped cap is in q196's
-    * nnd_iter_* rows (recall per round vs candidate volume), and the
-    * h10 graph-build wall-clock is in SCALE.md. Shared with the oracle
-    * SQL's rk cut so both engines walk the same recurrence.
+    * adjacency cap (cap = ρ·2k; ρ = 1 is the uncapped-in-expectation
+    * 2k). Per-round candidate volume is <= N*cap^2, so ρ cuts the
+    * round's dominant join QUADRATICALLY while convergence degrades
+    * only gradually — the audit-measured trade at the shipped ρ is in
+    * q196's nnd_iter_* rows (recall per round vs candidate volume:
+    * 0.988 at ρ = 0.7 vs 0.987 at ρ = 1 by round 3; ρ = 0.5 has not
+    * converged by round 3 and was rejected), and the h10 graph-build
+    * wall-clock is in SCALE.md. NndCap derives from ρ so retuning NndK
+    * preserves the audited trade; it is shared with the oracle SQL's
+    * rk cut so both engines walk the same recurrence.
     */
-  protected val NndCap = 28
+  protected val NndRho = 0.7
+  protected val NndCap: Int = math.max(1, math.round(NndRho * 2 * NndK).toInt)
 
   /** q195 contrastive export: negatives kept per (anchor, positive) pair
     * and the (slack-padded) deterministic draw count they are selected

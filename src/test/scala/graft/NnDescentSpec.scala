@@ -69,6 +69,45 @@ class NnDescentSpec extends SparkSpec {
     }
   }
 
+  test("iterate with ρ-cap below 2k: candidate volume bounded, convergence intact") {
+    val vecs = NnDescent.vecFrame(clusteredVecs, "vec_id", "embedding")
+    val g0 = NnDescent.initGraph(clusteredVecs, "vec_id", 4)
+    val nG0 = g0.count()
+    // the shipped configuration's shape: cap < 2k (here 5 < 8). The
+    // per-round candidate bound <= N*cap^2 + |g| must hold BY
+    // CONSTRUCTION, and the cap must be deterministic (same call twice
+    // == same candidates).
+    val (cand1, r1) = NnDescent.iterate(g0, vecs, 4, cap = 5)
+    assert(cand1.count() <= 40L * 5 * 5 + nG0,
+      "capped two-hop expansion exceeded the N*cap^2 bound")
+    val (cand2, _) = NnDescent.iterate(g0, vecs, 4, cap = 5)
+    val c1 = cand1.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val c2 = cand2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(c1 == c2, "md5-rank cap sample must be reproducible")
+    // ranks stay contiguous 1..k under the cap
+    r1.collect().groupBy(_.getLong(0)).foreach { case (srcId, rows) =>
+      val ranks = rows.map(_.getLong(3)).sorted
+      assert(ranks.sameElements(1L to ranks.length), s"node $srcId ranks: ${ranks.toSeq}")
+    }
+    // and the capped build still recovers the exact graph on the
+    // clustered fixture (one extra round buys back the slower mix-in)
+    val g = NnDescent.knnGraph(clusteredVecs, "vec_id", "embedding",
+        k = 3, iters = 5, cap = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val v = NnDescent.vecFrame(clusteredVecs, "vec_id", "embedding")
+    val cos = graft.operators.Similarity.dot(col("a.dv"), col("b.dv")) /
+      (col("a.nrm") * col("b.nrm"))
+    val brute = v.alias("a").crossJoin(v.alias("b"))
+      .filter(col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"), cos.as("c"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("src")
+          .orderBy(col("c").desc, col("dst").asc)).cast("long"))
+      .filter(col("rank") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(g == brute, "capped build must still converge on the clustered fixture")
+  }
+
   test("knnGraph: ranks are 1..k contiguous per node, k respected") {
     val g = NnDescent.knnGraph(clusteredVecs, "vec_id", "embedding", k = 4, iters = 2)
       .collect()
