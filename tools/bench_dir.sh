@@ -1,0 +1,26 @@
+#!/usr/bin/env bash
+# Fresh-JVM graft.Bench runner against an arbitrary table directory —
+# builder-local tooling for SCALE.md headroom measurements (one bare JVM
+# per invocation, no sbt startup in the timing path).
+#
+# Usage: tools/bench_dir.sh <table-dir> [query-substring ...]
+# Env:   MEM  driver heap (default 8g; heavy graph builds want 96g)
+#        RUNS samples per query, min reported (default 1)
+#        CPUS local[] threads (default 32)
+set -euo pipefail
+DIR=$1; shift
+OPENS=(java.base/java.lang java.base/java.lang.invoke
+  java.base/java.lang.reflect java.base/java.io java.base/java.net
+  java.base/java.nio java.base/java.util java.base/java.util.concurrent
+  java.base/java.util.concurrent.atomic java.base/sun.nio.ch
+  java.base/sun.nio.cs java.base/sun.security.action
+  java.base/sun.util.calendar)
+FLAGS=()
+for p in "${OPENS[@]}"; do FLAGS+=("--add-opens=$p=ALL-UNNAMED"); done
+SPARK_GRAFT_SF_DIR="$DIR" \
+SPARK_GRAFT_BENCH_RUNS="${RUNS:-1}" \
+SPARK_GRAFT_CPUS="${CPUS:-32}" \
+exec java "${FLAGS[@]}" "-Xmx${MEM:-8g}" \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
+  graft.Bench "$@"
