@@ -55,6 +55,10 @@ object Bench {
       // q179/q180 read the shared cent8 trained artifact
       "q179_ivf_filtered_topk", "q180_hybrid_rrf")
     var times = Vector.empty[(String, Double)]
+    // per-query spread (max - min over the N samples): the round-12
+    // verdict could not separate host noise from real regressions because
+    // only the min survived into the JSON — the spread IS the noise floor
+    var spreads = Vector.empty[(String, Double)]
     var errors = Vector.empty[(String, String)]
     var streamStats = Map.empty[String, graft.streaming.StreamMetrics.GateStats]
     SparkEntry.queries.toSeq.sortBy(_._1)
@@ -63,6 +67,7 @@ object Bench {
       try {
         if (registryBacked(name))
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        graft.streaming.StreamMetrics.drain() // discard warm-run gate stats
         val samples = (1 to runs).map { _ =>
           // drop the previous run's localCheckpoint blocks + cached plans
           // BEFORE timing: 100+ queries each checkpointing a diamond left
@@ -75,13 +80,18 @@ object Bench {
           System.gc()
           val t0 = System.nanoTime()
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
+          val secs = (System.nanoTime() - t0) / 1e9
+          // drain PER RUN and pair each wall with ITS OWN gate stats:
+          // round 12 paired the min wall with the last run's stats, which
+          // produced a 55 s summed addBatch "inside" an 11 s query wall
+          (secs, graft.streaming.StreamMetrics.drain())
         }
-        times :+= (name -> samples.min)
-        // attribute this query's streaming-gate progress (if any) to it;
-        // the drain keeps the LAST run's stats — state sizes and batch
-        // counts are identical across runs, durations are diagnostic
-        streamStats ++= graft.streaming.StreamMetrics.drain()
+        val best = samples.minBy(_._1)
+        times :+= (name -> best._1)
+        spreads :+= (name -> (samples.map(_._1).max - best._1))
+        // attribute the MIN-wall run's streaming-gate progress (if any) to
+        // this query, so Σ add_batch ≤ query wall holds within the JSON
+        streamStats ++= best._2
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
@@ -91,23 +101,36 @@ object Bench {
     }
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val qs = times.map { case (k, v) => s"${jstr(k)}:${"%.3f".format(v)}" }.mkString("{", ",", "}")
+    val sp = spreads.map { case (k, v) => s"${jstr(k)}:${"%.3f".format(v)}" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val ss = streamStats.toSeq.sortBy(_._1).map { case (k, g) =>
       s"${jstr(k)}:{" +
         s""""batches":${g.batches},"input_rows":${g.inputRows},""" +
-        s""""add_batch_ms":${g.addBatchMs},"commit_offsets_ms":${g.commitOffsetsMs},""" +
+        s""""add_batch_ms":${g.addBatchMs},""" +
+        s""""add_batch_per_batch":${g.addBatchPerBatch.mkString("[", ",", "]")},""" +
+        s""""commit_offsets_ms":${g.commitOffsetsMs},""" +
         s""""state_rows":${g.stateRows},"state_mem_bytes":${g.stateMemBytes},""" +
         s""""state_commit_ms":${g.stateCommitMs}}"""
     }.mkString("{", ",", "}")
     val total = times.collect { case (_, v) if v >= 0 => v }.sum
+    // spread_total over the queries that ran: a run-level noise floor —
+    // round-over-round total deltas smaller than this are host noise
+    val spreadTotal = spreads.collect { case (k, v) if times.exists(t => t._1 == k && t._2 >= 0) => v }.sum
+    val heapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
+    val config =
+      s"""{"runs":$runs,"cpus":${jstr(cpus)},"heap_mb":$heapMb,"statistic":"min"}"""
     val line =
-      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"errors":$es,"stream":$ss,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"spread":$sp,"spread_total":${"%.3f".format(spreadTotal)},"config":$config,"errors":$es,"stream":$ss,"sf":${jstr(sfDir)}}"""
     println(line)
     // the stdout line dies under sbt's [info] prefix + the driver's tail
     // truncation (ten rounds of "parsed": null) — also persist it where
-    // both the driver and the next round can read it back
+    // both the driver and the next round can read it back. The canonical
+    // full-suite record is BENCH_LOCAL.json; builder-local iteration runs
+    // point SPARK_GRAFT_BENCH_OUT elsewhere so partial/filtered runs can
+    // never clobber the canonical artifact (round-12 advice).
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)

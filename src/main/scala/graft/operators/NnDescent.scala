@@ -121,9 +121,81 @@ object NnDescent {
     (cand, ranked)
   }
 
+  /** Flag round 0's survivors: an edge of the first ranked cut is NEW
+    * unless it was already present in the init graph `g0`. Incremental
+    * rounds (iterateInc) key off this flag.
+    */
+  def markNew(ranked: DataFrame, g0: DataFrame): DataFrame =
+    ranked
+      .join(g0.select(col("src"), col("dst")).withColumn("w0", lit(true)),
+        Seq("src", "dst"), "left")
+      .withColumn("is_new", col("w0").isNull)
+      .drop("w0")
+
+  /** One INCREMENTAL NN-Descent round (Dong et al. §2.2's "local join on
+    * new items"): a two-hop pair needs scoring only if at least ONE of
+    * its two legs entered the graph in the previous round. Rationale: an
+    * old-old pair whose legs ALSO survived the previous round's cap was
+    * generated (and scored, and possibly rejected) back then, and the
+    * per-src top-k threshold only ever RISES (g ⊆ merged candidates each
+    * round), so rescoring it cannot change the graph. With the ρ-cap the
+    * skip is a mild approximation — an old-old pair whose leg was
+    * cap-excluded last round but cap-included now is skipped even though
+    * it was never scored — the same approximation Dong et al.'s own
+    * ρ-sampling accepts; the q196 audit certifies recall at the shipped
+    * (cap, rounds) config. Input `g` is the previous round's ranked cut
+    * carrying the per-edge `is_new` flag (round 0 via iterate + markNew);
+    * old edges' scores ride along from `g` itself, so the expensive
+    * vector join touches ONLY the new-leg candidate pairs — a shrinking
+    * fraction of the full two-hop set as rounds converge.
+    *
+    * Returns (newCandidates, ranked): the round's NEWLY SCORED pair set
+    * (distinct, minus pairs already in the graph) and the merged top-k
+    * cut with the next round's `is_new` flags. The q196 audit reports
+    * n_cand from the first element, so the audit's candidate-volume
+    * column measures exactly what this round paid for.
+    */
+  def iterateInc(g: DataFrame, vecs: DataFrame, k: Int, cap: Int = -1): (DataFrame, DataFrame) = {
+    val capN = if (cap > 0) cap else 2 * k
+    // undirected capped adjacency as in `iterate` (same md5-rank sample,
+    // so the SAME (src, dst) set survives the cap) — plus the edge flag,
+    // OR-merged when both directions exist
+    val und = g.select(col("src"), col("dst"), col("is_new"))
+      .union(g.select(col("dst").as("src"), col("src").as("dst"), col("is_new")))
+      .groupBy("src", "dst").agg(max(col("is_new")).as("is_new"))
+      .withColumn("rk", row_number().over(Window.partitionBy("src").orderBy(
+        Md5Long60.column(concat_ws("_", lit("nndr"), col("src"), col("dst"))).asc,
+        col("dst").asc)))
+      .filter(col("rk") <= capN)
+      .select("src", "dst", "is_new")
+    val newCand = und.alias("a")
+      .join(und.alias("b"),
+        col("a.dst") === col("b.src") && col("b.dst") =!= col("a.src") &&
+          (col("a.is_new") || col("b.is_new")))
+      .select(col("a.src").as("src"), col("b.dst").as("dst"))
+      .distinct()
+      // pairs already in the graph carry their score in `g` — never rescore
+      .join(g.select("src", "dst"), Seq("src", "dst"), "left_anti")
+    val cos = Similarity.dot(col("dv_a"), col("dv_b")) / (col("nrm_a") * col("nrm_b"))
+    val scored = newCand
+      .join(vecs.select(col("vec_id").as("src"), col("dv").as("dv_a"), col("nrm").as("nrm_a")), Seq("src"))
+      .join(vecs.select(col("vec_id").as("dst"), col("dv").as("dv_b"), col("nrm").as("nrm_b")), Seq("dst"))
+      .withColumn("cos_sim", cos)
+      .select("src", "dst", "cos_sim")
+    val ranked = g.select("src", "dst", "cos_sim").withColumn("is_new", lit(false))
+      .unionByName(scored.withColumn("is_new", lit(true)))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("src").orderBy(col("cos_sim").desc, col("dst").asc))
+        .cast("long"))
+      .filter(col("rank") <= k)
+    (newCand, ranked)
+  }
+
   /** The composed builder: init + `iters` refinement rounds, each cut
-    * from lineage with a stats-reset checkpoint. Returns the final
-    * ranked edge list (src, dst, cos_sim, rank <= k).
+    * from lineage with a stats-reset checkpoint. Round 0 scores the full
+    * two-hop ∪ init set (every edge is new); later rounds run the
+    * incremental local join (iterateInc). Returns the final ranked edge
+    * list (src, dst, cos_sim, rank <= k).
     */
   def knnGraph(
       vectors: DataFrame,
@@ -135,12 +207,13 @@ object NnDescent {
   ): DataFrame = {
     require(iters >= 1, "NN-Descent needs at least one refinement round")
     val vecs = CheckpointStats.freshCheckpoint(vecFrame(vectors, idCol, vecCol))
-    var g = CheckpointStats.freshCheckpoint(initGraph(vectors, idCol, k))
-    var iter = 0
+    val g0 = CheckpointStats.freshCheckpoint(initGraph(vectors, idCol, k))
+    var g = CheckpointStats.freshCheckpoint(markNew(iterate(g0, vecs, k, cap)._2, g0))
+    var iter = 1
     while (iter < iters) {
-      g = CheckpointStats.freshCheckpoint(iterate(g, vecs, k, cap)._2)
+      g = CheckpointStats.freshCheckpoint(iterateInc(g, vecs, k, cap)._2)
       iter += 1
     }
-    g
+    g.select("src", "dst", "cos_sim", "rank")
   }
 }

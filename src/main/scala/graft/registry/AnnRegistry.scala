@@ -41,24 +41,59 @@ trait AnnRegistry extends RegistryBase {
     * 1.0 stops deduplicating UNION inside non-self-referencing CTE
     * bodies, which silently turns the candidate SET into a bag and
     * corrupts every downstream row_number rank.
+    *
+    * Round 13: mirrors NnDescent's INCREMENTAL recurrence (Dong et al.
+    * §2.2). Round 0 scores the full two-hop ∪ init set and flags each
+    * surviving edge `nw` = not-in-g0; round t >= 1 generates only
+    * two-hop pairs with at least one new leg, anti-joins pairs already
+    * in g$t (their score rides along from g$t itself), and re-ranks the
+    * merged set — `nw` on g${t+1} marks edges that entered this round.
     */
   private def nndIterSql(pfx: String, t: Int): String =
-    s"""${pfx}u$t AS MATERIALIZED (SELECT src, dst FROM (
-       |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY
-       |        ('0x' || substr(md5('nndr_' || src || '_' || dst), 1, 15))::BIGINT ASC,
-       |        dst ASC) AS rk
-       |    FROM (SELECT DISTINCT src, dst FROM (
-       |        SELECT src, dst FROM ${pfx}g$t UNION ALL SELECT dst, src FROM ${pfx}g$t)))
-       |  WHERE rk <= $NndCap),
-       |${pfx}c$t AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
-       |    SELECT a.src, b.dst FROM ${pfx}u$t a JOIN ${pfx}u$t b
-       |      ON a.dst = b.src AND b.dst <> a.src
-       |    UNION ALL SELECT src, dst FROM ${pfx}g$t)),
-       |${pfx}g${t + 1} AS MATERIALIZED (SELECT src, dst, cos_sim, rank FROM (
-       |    SELECT c.src, c.dst, ac.cos_sim,
-       |           row_number() OVER (PARTITION BY c.src ORDER BY ac.cos_sim DESC, c.dst ASC) AS rank
-       |    FROM ${pfx}c$t c JOIN ${pfx}allcos ac ON ac.src = c.src AND ac.dst = c.dst)
-       |  WHERE rank <= $NndK)""".stripMargin
+    if (t == 0)
+      s"""${pfx}u0 AS MATERIALIZED (SELECT src, dst FROM (
+         |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY
+         |        ('0x' || substr(md5('nndr_' || src || '_' || dst), 1, 15))::BIGINT ASC,
+         |        dst ASC) AS rk
+         |    FROM (SELECT DISTINCT src, dst FROM (
+         |        SELECT src, dst FROM ${pfx}g0 UNION ALL SELECT dst, src FROM ${pfx}g0)))
+         |  WHERE rk <= $NndCap),
+         |${pfx}c0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+         |    SELECT a.src, b.dst FROM ${pfx}u0 a JOIN ${pfx}u0 b
+         |      ON a.dst = b.src AND b.dst <> a.src
+         |    UNION ALL SELECT src, dst FROM ${pfx}g0)),
+         |${pfx}g1 AS MATERIALIZED (SELECT r.src, r.dst, r.cos_sim, r.rank,
+         |    (z.src IS NULL) AS nw
+         |  FROM (
+         |    SELECT c.src, c.dst, ac.cos_sim,
+         |           row_number() OVER (PARTITION BY c.src ORDER BY ac.cos_sim DESC, c.dst ASC) AS rank
+         |    FROM ${pfx}c0 c JOIN ${pfx}allcos ac ON ac.src = c.src AND ac.dst = c.dst) r
+         |  LEFT JOIN ${pfx}g0 z ON z.src = r.src AND z.dst = r.dst
+         |  WHERE r.rank <= $NndK)""".stripMargin
+    else
+      s"""${pfx}u$t AS MATERIALIZED (SELECT src, dst, nw FROM (
+         |    SELECT src, dst, nw, row_number() OVER (PARTITION BY src ORDER BY
+         |        ('0x' || substr(md5('nndr_' || src || '_' || dst), 1, 15))::BIGINT ASC,
+         |        dst ASC) AS rk
+         |    FROM (SELECT src, dst, max(nw) AS nw FROM (
+         |        SELECT src, dst, nw FROM ${pfx}g$t
+         |        UNION ALL SELECT dst AS src, src AS dst, nw FROM ${pfx}g$t)
+         |      GROUP BY src, dst))
+         |  WHERE rk <= $NndCap),
+         |${pfx}c$t AS MATERIALIZED (SELECT src, dst FROM (
+         |    SELECT DISTINCT a.src, b.dst FROM ${pfx}u$t a JOIN ${pfx}u$t b
+         |      ON a.dst = b.src AND b.dst <> a.src AND (a.nw OR b.nw)) p
+         |  WHERE NOT EXISTS (SELECT 1 FROM ${pfx}g$t o
+         |                    WHERE o.src = p.src AND o.dst = p.dst)),
+         |${pfx}g${t + 1} AS MATERIALIZED (SELECT src, dst, cos_sim, rank, nw FROM (
+         |    SELECT m.src, m.dst, m.cos_sim, m.nw,
+         |           row_number() OVER (PARTITION BY m.src ORDER BY m.cos_sim DESC, m.dst ASC) AS rank
+         |    FROM (SELECT src, dst, cos_sim, FALSE AS nw FROM ${pfx}g$t
+         |          UNION ALL
+         |          SELECT c.src, c.dst, ac.cos_sim, TRUE AS nw
+         |          FROM ${pfx}c$t c JOIN ${pfx}allcos ac
+         |            ON ac.src = c.src AND ac.dst = c.dst) m)
+         |  WHERE rank <= $NndK)""".stripMargin
 
   private lazy val knnCtesSql: String = {
     val iters = (0 until NndIters).map(t => nndIterSql("", t)).mkString(",\n")
@@ -448,7 +483,13 @@ trait AnnRegistry extends RegistryBase {
         .select(col("vec_id"), col("m"), Similarity.asDouble(col("embedding")).as("dv"),
           planeBits.as("pb"))
         .withColumn("nrm", Similarity.l2Norm(col("dv")))
-        .localCheckpoint(false) // feeds the truth pass AND every config
+        // EAGER (round 13): the sample feeds the truth pass, every SRP
+        // config, AND ~30 broadcast subtrees; broadcast futures
+        // materialize CONCURRENTLY, and with a lazy checkpoint each
+        // raced ahead of the cache and re-scanned the full embeddings
+        // table — measured 23-60 s of summed executor time on a
+        // 1000-row audit
+        .localCheckpoint(true)
       val nRow = e.agg(count(lit(1)).as("n_nodes"), max(col("m")).as("mm"))
       val cos = Similarity.dot(col("dv_a"), col("dv_b")) / (col("nrm_a") * col("nrm_b"))
       val exact = e.select(col("vec_id").as("src"), col("dv").as("dv_a"), col("nrm").as("nrm_a"))
@@ -463,7 +504,7 @@ trait AnnRegistry extends RegistryBase {
           Window.partitionBy("src").orderBy(cos.desc, col("dst").asc)))
         .filter(col("rank") <= KnnGraphK)
         .select("src", "dst")
-        .localCheckpoint(false) // probed once per config
+        .localCheckpoint(true) // probed once per config; eager — see `e`
       val vecs = e.select("vec_id", "dv", "nrm")
       val banded = SrpBandConfigs.map { case (cfg, nb, w) =>
         val bandStructs = (0 until nb).map { b =>
@@ -483,7 +524,7 @@ trait AnnRegistry extends RegistryBase {
         .select(col("x.config").as("config"), col("x.vec_id").as("src"),
           col("y.vec_id").as("dst"))
         .distinct()
-        .localCheckpoint(false) // feeds the volume count AND the top-K hits
+        .localCheckpoint(true) // feeds the volume count AND the top-K hits; eager — see `e`
       val srpHits = cand
         .join(vecs.select(col("vec_id").as("src"), col("dv").as("dv_a"), col("nrm").as("nrm_a")), Seq("src"))
         .join(vecs.select(col("vec_id").as("dst"), col("dv").as("dv_b"), col("nrm").as("nrm_b")), Seq("dst"))
@@ -505,6 +546,10 @@ trait AnnRegistry extends RegistryBase {
       // sampled id grid (vec_id = idx * m — dense multiples by
       // construction of the spread), so m = 1 reproduces the shipped
       // build's init exactly
+      // rounds checkpoint EAGERLY: each round's frame feeds the next
+      // round AND the folded volume/hit unions AND their broadcast
+      // futures — lazy checkpoints let concurrent broadcast threads
+      // race past the cache and recompute the whole chain (see `e`)
       var g = org.apache.spark.sql.graft.CheckpointStats.freshCheckpoint(
         e.crossJoin(broadcast(nRow))
           .select(col("vec_id").as("src"), col("n_nodes"), col("mm"),
@@ -514,8 +559,15 @@ trait AnnRegistry extends RegistryBase {
               concat_ws("_", lit("nnd0"), col("src"), col("i"))), col("n_nodes")) * col("mm"))
           .filter(col("dst") =!= col("src"))
           .select("src", "dst").distinct())
+      // same round shape as the shipped knnGraph: full local join on
+      // round 1 (every init edge is new), incremental new-leg rounds
+      // after — so n_cand reports exactly what each shipped round pays
       val nndRows = (1 to NndIters).map { t =>
-        val (candT, rankedT) = NnDescent.iterate(g, vecs, NndK, cap = NndCap)
+        val (candT, rankedT) =
+          if (t == 1) {
+            val (c, r) = NnDescent.iterate(g, vecs, NndK, cap = NndCap)
+            (c, NnDescent.markNew(r, g))
+          } else NnDescent.iterateInc(g, vecs, NndK, cap = NndCap)
         g = org.apache.spark.sql.graft.CheckpointStats.freshCheckpoint(rankedT)
         val hitsT = g.filter(col("rank") <= KnnGraphK)
           .join(exact, Seq("src", "dst"))

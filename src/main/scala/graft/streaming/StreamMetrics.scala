@@ -23,7 +23,13 @@ object StreamMetrics {
       commitOffsetsMs: Long,
       stateRows: Long,
       stateMemBytes: Long,
-      stateCommitMs: Long)
+      stateCommitMs: Long,
+      // per-micro-batch addBatch durations in progress order: lets the
+      // batch-0 guard (StreamBatch0Spec) and the bench JSON show WHERE
+      // the time went instead of only the sum — round 12's lazy-index
+      // defect (the whole corpus build landing in batch 0) was invisible
+      // in the summed number
+      addBatchPerBatch: Seq[Long] = Seq.empty)
 
   private val byGate = TrieMap.empty[String, GateStats]
 
@@ -36,6 +42,8 @@ object StreamMetrics {
     val ps = q.recentProgress
     def dur(key: String): Long =
       ps.map(p => Option(p.durationMs.get(key)).map(_.longValue).getOrElse(0L)).sum
+    val perBatch = ps.toSeq.sortBy(_.batchId)
+      .map(p => Option(p.durationMs.get("addBatch")).map(_.longValue).getOrElse(0L))
     val stats = GateStats(
       batches = ps.length,
       inputRows = ps.map(_.numInputRows).sum,
@@ -45,7 +53,8 @@ object StreamMetrics {
         ps.map(_.stateOperators.map(_.numRowsTotal).sum).maxOption.getOrElse(0L),
       stateMemBytes =
         ps.map(_.stateOperators.map(_.memoryUsedBytes).sum).maxOption.getOrElse(0L),
-      stateCommitMs = ps.map(_.stateOperators.map(_.commitTimeMs).sum).sum)
+      stateCommitMs = ps.map(_.stateOperators.map(_.commitTimeMs).sum).sum,
+      addBatchPerBatch = perBatch)
     byGate.put(name, stats)
   }
 

@@ -7,8 +7,18 @@
 # Env:   MEM  driver heap (default 8g; heavy graph builds want 96g)
 #        RUNS samples per query, min reported (default 1)
 #        CPUS local[] threads (default 32)
+#        OUT  bench JSON path. Default: BENCH_LOCAL.json for a FULL run,
+#             a /tmp scratch file for a FILTERED run — a partial run must
+#             never clobber the canonical full-suite record (that is
+#             exactly how a filtered 8-query JSON got committed in r12).
 set -euo pipefail
 DIR=$1; shift
+if [[ $# -gt 0 ]]; then
+  BENCH_OUT="${OUT:-$(mktemp /tmp/bench_filtered_XXXX.json)}"
+else
+  BENCH_OUT="${OUT:-BENCH_LOCAL.json}"
+fi
+echo "[bench_dir] writing $BENCH_OUT" >&2
 OPENS=(java.base/java.lang java.base/java.lang.invoke
   java.base/java.lang.reflect java.base/java.io java.base/java.net
   java.base/java.nio java.base/java.util java.base/java.util.concurrent
@@ -20,6 +30,7 @@ for p in "${OPENS[@]}"; do FLAGS+=("--add-opens=$p=ALL-UNNAMED"); done
 SPARK_GRAFT_SF_DIR="$DIR" \
 SPARK_GRAFT_BENCH_RUNS="${RUNS:-1}" \
 SPARK_GRAFT_CPUS="${CPUS:-32}" \
+SPARK_GRAFT_BENCH_OUT="$BENCH_OUT" \
 exec java "${FLAGS[@]}" "-Xmx${MEM:-8g}" \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
