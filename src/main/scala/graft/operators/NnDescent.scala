@@ -73,6 +73,25 @@ object NnDescent {
       .distinct()
   }
 
+  /** Rows above which the scoring rounds stop broadcasting the vector
+    * table and fall back to shuffle joins. 500k rows of 64-dim doubles
+    * is ~260 MB in-plan (~3x that as a HashedRelation) — comfortable on
+    * the 128 GiB-executor target, far under it on a real cluster's
+    * 8-32 GiB executors only if dims stay modest; beyond the cap the
+    * rounds shuffle, which is the honest 100 TB regime (at billions of
+    * vectors the real co-location lever is partitioning the graph so
+    * neighborhoods and their vectors land together — out of scope for
+    * this builder, documented here so nobody mistakes the broadcast for
+    * the scale path).
+    */
+  val BroadcastMaxVecRows = 500000L
+
+  private def vecSide(vecs: DataFrame, idAs: String, dvAs: String, nrmAs: String,
+      bcast: Boolean): DataFrame = {
+    val side = vecs.select(col("vec_id").as(idAs), col("dv").as(dvAs), col("nrm").as(nrmAs))
+    if (bcast) broadcast(side) else side
+  }
+
   /** One NN-Descent round. `g` is the current edge set (src, dst, ...);
     * `vecs` is vecFrame's (vec_id, dv, nrm). Returns (candidates,
     * ranked): the round's distinct scored candidate set — the
@@ -80,8 +99,17 @@ object NnDescent {
     * per-src top-k cut (src, dst, cos_sim, rank). Exposed separately so
     * the q196 audit can report per-round candidate volume and recall
     * without re-deriving the recurrence.
+    *
+    * `broadcastVecs` keeps the N·cap² candidate pairs NARROW end to end:
+    * without it the checkpointed vector table's stats-reset (8 EiB)
+    * forces sort-merge joins, and the 64-double arrays ride the
+    * candidate shuffle — measured at the 25x corpus: ~20 GB sorted
+    * twice, 342 s for round 1 vs ~30 s broadcast. Callers set it from a
+    * size guard (knnGraph) or by construction (the sample-bounded q196
+    * audit).
     */
-  def iterate(g: DataFrame, vecs: DataFrame, k: Int, cap: Int = -1): (DataFrame, DataFrame) = {
+  def iterate(g: DataFrame, vecs: DataFrame, k: Int, cap: Int = -1,
+      broadcastVecs: Boolean = false): (DataFrame, DataFrame) = {
     // Undirected adjacency CAPPED per node (default 2k): out-degree is
     // <= k by construction, but REVERSE degree is unbounded — on
     // clustered data a hub vector can sit in millions of top-k lists,
@@ -102,22 +130,35 @@ object NnDescent {
         col("dst").asc)))
       .filter(col("rk") <= capN)
       .select("src", "dst")
-    val cand = und.alias("a")
+    // the candidate BAG (duplicates allowed: one pair per generating
+    // pivot) — the scoring path works on this, never on the deduped set
+    val candBag = und.alias("a")
       .join(und.alias("b"),
         col("a.dst") === col("b.src") && col("b.dst") =!= col("a.src"))
       .select(col("a.src").as("src"), col("b.dst").as("dst"))
       .union(g.select(col("src"), col("dst")))
-      .distinct()
+    // the candidate SET — returned for the audit's volume count (the
+    // oracle's c$t is DISTINCT); the build itself never materializes it:
+    // deduping the N·cap² bag was measured at 57 s of a 85 s round at
+    // the 25x corpus while scoring the ~5% duplicate surplus costs ~1 s
+    val cand = candBag.distinct()
     val cos = Similarity.dot(col("dv_a"), col("dv_b")) / (col("nrm_a") * col("nrm_b"))
-    val ranked = cand
-      .join(vecs.select(col("vec_id").as("src"), col("dv").as("dv_a"), col("nrm").as("nrm_a")), Seq("src"))
-      .join(vecs.select(col("vec_id").as("dst"), col("dv").as("dv_b"), col("nrm").as("nrm_b")), Seq("dst"))
+    // dense_rank over the BAG ≡ row_number over the SET: within a src
+    // partition the order key (cos_sim desc, dst asc) is strict across
+    // DISTINCT pairs (equal keys ⟹ equal dst ⟹ same pair), so ties are
+    // exactly the duplicates — dense_rank collapses them to one rank and
+    // the post-top-k distinct (≤ N·k rows + duplicate surplus, ~40x
+    // smaller than the bag) collapses the rows
+    val ranked = candBag
+      .join(vecSide(vecs, "src", "dv_a", "nrm_a", broadcastVecs), Seq("src"))
+      .join(vecSide(vecs, "dst", "dv_b", "nrm_b", broadcastVecs), Seq("dst"))
       .withColumn("cos_sim", cos)
       .select("src", "dst", "cos_sim")
-      .withColumn("rank", row_number().over(
+      .withColumn("rank", dense_rank().over(
         Window.partitionBy("src").orderBy(col("cos_sim").desc, col("dst").asc))
         .cast("long"))
       .filter(col("rank") <= k)
+      .distinct()
     (cand, ranked)
   }
 
@@ -155,7 +196,8 @@ object NnDescent {
     * n_cand from the first element, so the audit's candidate-volume
     * column measures exactly what this round paid for.
     */
-  def iterateInc(g: DataFrame, vecs: DataFrame, k: Int, cap: Int = -1): (DataFrame, DataFrame) = {
+  def iterateInc(g: DataFrame, vecs: DataFrame, k: Int, cap: Int = -1,
+      broadcastVecs: Boolean = false): (DataFrame, DataFrame) = {
     val capN = if (cap > 0) cap else 2 * k
     // undirected capped adjacency as in `iterate` (same md5-rank sample,
     // so the SAME (src, dst) set survives the cap) — plus the edge flag,
@@ -168,26 +210,41 @@ object NnDescent {
         col("dst").asc)))
       .filter(col("rk") <= capN)
       .select("src", "dst", "is_new")
-    val newCand = und.alias("a")
+    // new-leg candidate BAG (duplicates allowed — see iterate); pairs
+    // already in the graph carry their score in `g` and are never
+    // rescored (the anti-join also keeps the next union free of
+    // (src,dst) collisions, which the dense_rank dedup relies on). The
+    // graph side is k·N narrow rows — same size class as the vector
+    // table, so it shares the broadcast guard.
+    val gPairs = {
+      val p = g.select("src", "dst")
+      if (broadcastVecs) broadcast(p) else p
+    }
+    val newCandBag = und.alias("a")
       .join(und.alias("b"),
         col("a.dst") === col("b.src") && col("b.dst") =!= col("a.src") &&
           (col("a.is_new") || col("b.is_new")))
       .select(col("a.src").as("src"), col("b.dst").as("dst"))
-      .distinct()
-      // pairs already in the graph carry their score in `g` — never rescore
-      .join(g.select("src", "dst"), Seq("src", "dst"), "left_anti")
+      .join(gPairs, Seq("src", "dst"), "left_anti")
+    // the SET, for the audit's volume count only (oracle c$t is DISTINCT)
+    val newCand = newCandBag.distinct()
     val cos = Similarity.dot(col("dv_a"), col("dv_b")) / (col("nrm_a") * col("nrm_b"))
-    val scored = newCand
-      .join(vecs.select(col("vec_id").as("src"), col("dv").as("dv_a"), col("nrm").as("nrm_a")), Seq("src"))
-      .join(vecs.select(col("vec_id").as("dst"), col("dv").as("dv_b"), col("nrm").as("nrm_b")), Seq("dst"))
+    val scored = newCandBag
+      .join(vecSide(vecs, "src", "dv_a", "nrm_a", broadcastVecs), Seq("src"))
+      .join(vecSide(vecs, "dst", "dv_b", "nrm_b", broadcastVecs), Seq("dst"))
       .withColumn("cos_sim", cos)
       .select("src", "dst", "cos_sim")
+    // dense_rank over the bag ≡ row_number over the set (see iterate);
+    // g's rows are distinct and anti-joined away from scored, so the
+    // only (src,dst) collisions are scored-side duplicates, which agree
+    // on every column including is_new
     val ranked = g.select("src", "dst", "cos_sim").withColumn("is_new", lit(false))
       .unionByName(scored.withColumn("is_new", lit(true)))
-      .withColumn("rank", row_number().over(
+      .withColumn("rank", dense_rank().over(
         Window.partitionBy("src").orderBy(col("cos_sim").desc, col("dst").asc))
         .cast("long"))
       .filter(col("rank") <= k)
+      .distinct()
     (newCand, ranked)
   }
 
@@ -207,11 +264,19 @@ object NnDescent {
   ): DataFrame = {
     require(iters >= 1, "NN-Descent needs at least one refinement round")
     val vecs = CheckpointStats.freshCheckpoint(vecFrame(vectors, idCol, vecCol))
+    // size guard for the per-round scoring joins: the checkpoint above
+    // resets stats (correct for the graph frames, whose self-joins must
+    // never broadcast), so Catalyst cannot see that the vector table is
+    // tiny next to the N·cap² candidate pairs — decide here from the
+    // materialized count (the frame is already checkpointed; the count
+    // reads cached blocks)
+    val bcastVecs = vecs.count() <= BroadcastMaxVecRows
     val g0 = CheckpointStats.freshCheckpoint(initGraph(vectors, idCol, k))
-    var g = CheckpointStats.freshCheckpoint(markNew(iterate(g0, vecs, k, cap)._2, g0))
+    var g = CheckpointStats.freshCheckpoint(
+      markNew(iterate(g0, vecs, k, cap, bcastVecs)._2, g0))
     var iter = 1
     while (iter < iters) {
-      g = CheckpointStats.freshCheckpoint(iterateInc(g, vecs, k, cap)._2)
+      g = CheckpointStats.freshCheckpoint(iterateInc(g, vecs, k, cap, bcastVecs)._2)
       iter += 1
     }
     g.select("src", "dst", "cos_sim", "rank")

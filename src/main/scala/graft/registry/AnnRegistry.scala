@@ -565,9 +565,11 @@ trait AnnRegistry extends RegistryBase {
       val nndRows = (1 to NndIters).map { t =>
         val (candT, rankedT) =
           if (t == 1) {
-            val (c, r) = NnDescent.iterate(g, vecs, NndK, cap = NndCap)
+            // broadcastVecs by construction: the audit sample is
+            // target-bounded (~1000 rows), never corpus-sized
+            val (c, r) = NnDescent.iterate(g, vecs, NndK, cap = NndCap, broadcastVecs = true)
             (c, NnDescent.markNew(r, g))
-          } else NnDescent.iterateInc(g, vecs, NndK, cap = NndCap)
+          } else NnDescent.iterateInc(g, vecs, NndK, cap = NndCap, broadcastVecs = true)
         g = org.apache.spark.sql.graft.CheckpointStats.freshCheckpoint(rankedT)
         val hitsT = g.filter(col("rank") <= KnnGraphK)
           .join(exact, Seq("src", "dst"))

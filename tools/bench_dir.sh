@@ -27,11 +27,14 @@ OPENS=(java.base/java.lang java.base/java.lang.invoke
   java.base/sun.util.calendar)
 FLAGS=()
 for p in "${OPENS[@]}"; do FLAGS+=("--add-opens=$p=ALL-UNNAMED"); done
+# fixed pre-touched heap: lazy G1 heap growth under the default -Xms
+# cost 100-270 s of GC on heavy queries and swung identical runs 2-8x
+# (round-13 NND A/B: 298 s -> 42 s from these flags alone)
 SPARK_GRAFT_SF_DIR="$DIR" \
 SPARK_GRAFT_BENCH_RUNS="${RUNS:-1}" \
 SPARK_GRAFT_CPUS="${CPUS:-32}" \
 SPARK_GRAFT_BENCH_OUT="$BENCH_OUT" \
-exec java "${FLAGS[@]}" "-Xmx${MEM:-8g}" \
+exec java "${FLAGS[@]}" "-Xms${MEM:-8g}" "-Xmx${MEM:-8g}" -XX:+AlwaysPreTouch \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
   graft.Bench "$@"
