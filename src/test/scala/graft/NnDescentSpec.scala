@@ -108,6 +108,28 @@ class NnDescentSpec extends SparkSpec {
     assert(g == brute, "capped build must still converge on the clustered fixture")
   }
 
+  test("incremental rounds ≡ full rounds when the cap does not bind") {
+    // With cap above every node's undirected degree there is no ρ-sample
+    // churn, and the new-leg skip is EXACT: an old-old two-hop pair's
+    // legs were both in the previous round's adjacency, so the pair was
+    // scored then, and the per-src top-k threshold only rises (g ⊆ the
+    // merged candidates each round) — rescoring cannot change the graph.
+    // This pins the incremental recurrence (knnGraph's path) against the
+    // full recurrence it replaced.
+    val vecs = NnDescent.vecFrame(clusteredVecs, "vec_id", "embedding")
+    val bigCap = 1000 // > N, never binds on the 40-node fixture
+    def edges(df: org.apache.spark.sql.DataFrame) =
+      df.select("src", "dst", "cos_sim", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val inc = edges(NnDescent.knnGraph(clusteredVecs, "vec_id", "embedding",
+      k = 4, iters = 3, cap = bigCap))
+    var g = NnDescent.initGraph(clusteredVecs, "vec_id", 4)
+    for (_ <- 1 to 3) g = NnDescent.iterate(g, vecs, 4, cap = bigCap)._2
+    val full = edges(g)
+    assert(inc == full,
+      "incremental new-leg rounds diverged from the full recurrence at an unbinding cap")
+  }
+
   test("knnGraph: ranks are 1..k contiguous per node, k respected") {
     val g = NnDescent.knnGraph(clusteredVecs, "vec_id", "embedding", k = 4, iters = 2)
       .collect()
