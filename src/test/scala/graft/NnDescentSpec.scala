@@ -130,6 +130,24 @@ class NnDescentSpec extends SparkSpec {
       "incremental new-leg rounds diverged from the full recurrence at an unbinding cap")
   }
 
+  test("scoring round plan: broadcast vector joins + rank-limit pushdown") {
+    // The two plan properties the round-13 rework bought, pinned so a
+    // refactor can't silently lose them: (1) with broadcastVecs the two
+    // vector-side joins are BroadcastHashJoins — the N·cap² candidate
+    // pairs stay narrow and the 64-double arrays never ride a sorted
+    // shuffle; (2) the dense_rank top-k cut gets WindowGroupLimit
+    // pushdown (partial per-partition limiting before the exchange), so
+    // the window never buffers the full candidate bag.
+    val vecs = NnDescent.vecFrame(clusteredVecs, "vec_id", "embedding")
+    val g0 = NnDescent.initGraph(clusteredVecs, "vec_id", 3)
+    val (_, ranked) = NnDescent.iterate(g0, vecs, 3, cap = 100, broadcastVecs = true)
+    val plan = ranked.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"scoring joins are not broadcast:\n${plan.take(2000)}")
+    assert(plan.contains("WindowGroupLimit") && plan.contains("dense_rank"),
+      s"dense_rank top-k lost WindowGroupLimit pushdown:\n${plan.take(2000)}")
+  }
+
   test("knnGraph: ranks are 1..k contiguous per node, k respected") {
     val g = NnDescent.knnGraph(clusteredVecs, "vec_id", "embedding", k = 4, iters = 2)
       .collect()
