@@ -164,14 +164,18 @@ object NnDescent {
 
   /** Flag round 0's survivors: an edge of the first ranked cut is NEW
     * unless it was already present in the init graph `g0`. Incremental
-    * rounds (iterateInc) key off this flag.
+    * rounds (iterateInc) key off this flag. `broadcastG0` shares the
+    * callers' vector-table size guard — the init graph is k·N narrow
+    * rows, the same size class, and broadcasting it keeps the flag join
+    * off a sorted shuffle of the ranked cut.
     */
-  def markNew(ranked: DataFrame, g0: DataFrame): DataFrame =
+  def markNew(ranked: DataFrame, g0: DataFrame, broadcastG0: Boolean = false): DataFrame = {
+    val marks = g0.select(col("src"), col("dst")).withColumn("w0", lit(true))
     ranked
-      .join(g0.select(col("src"), col("dst")).withColumn("w0", lit(true)),
-        Seq("src", "dst"), "left")
+      .join(if (broadcastG0) broadcast(marks) else marks, Seq("src", "dst"), "left")
       .withColumn("is_new", col("w0").isNull)
       .drop("w0")
+  }
 
   /** One INCREMENTAL NN-Descent round (Dong et al. §2.2's "local join on
     * new items"): a two-hop pair needs scoring only if at least ONE of
@@ -273,7 +277,7 @@ object NnDescent {
     val bcastVecs = vecs.count() <= BroadcastMaxVecRows
     val g0 = CheckpointStats.freshCheckpoint(initGraph(vectors, idCol, k))
     var g = CheckpointStats.freshCheckpoint(
-      markNew(iterate(g0, vecs, k, cap, bcastVecs)._2, g0))
+      markNew(iterate(g0, vecs, k, cap, bcastVecs)._2, g0, broadcastG0 = bcastVecs))
     var iter = 1
     while (iter < iters) {
       g = CheckpointStats.freshCheckpoint(iterateInc(g, vecs, k, cap, bcastVecs)._2)

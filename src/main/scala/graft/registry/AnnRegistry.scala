@@ -568,7 +568,7 @@ trait AnnRegistry extends RegistryBase {
             // broadcastVecs by construction: the audit sample is
             // target-bounded (~1000 rows), never corpus-sized
             val (c, r) = NnDescent.iterate(g, vecs, NndK, cap = NndCap, broadcastVecs = true)
-            (c, NnDescent.markNew(r, g))
+            (c, NnDescent.markNew(r, g, broadcastG0 = true))
           } else NnDescent.iterateInc(g, vecs, NndK, cap = NndCap, broadcastVecs = true)
         g = org.apache.spark.sql.graft.CheckpointStats.freshCheckpoint(rankedT)
         val hitsT = g.filter(col("rank") <= KnnGraphK)
