@@ -26,12 +26,21 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // FIXED, PRE-TOUCHED heap: with the default tiny -Xms, G1's lazy heap
-  // growth under allocation-heavy stages (window sorts, hash aggs) cost
-  // 100-270 s of GC per heavy query and swung identical runs 2-8x —
-  // the round-13 NND A/B measured 298 s -> 42 s from this flag pair
-  // alone. Benchmarks are uninterpretable without it.
+)
+// FIXED, PRE-TOUCHED heap: with the default tiny -Xms, G1's lazy heap
+// growth under allocation-heavy stages (window sorts, hash aggs) cost
+// 100-270 s of GC per heavy query and swung identical runs 2-8x —
+// the round-13 NND A/B measured 298 s -> 42 s from this flag pair
+// alone. Benchmarks are uninterpretable without it. Scoped to run/bench
+// ONLY (round-13 advice): a project-level -Xms8g -XX:+AlwaysPreTouch
+// also made every forked Test JVM commit and pre-touch 8 GiB up front —
+// slow suite startup, and an outright launch failure on small hosts.
+// Tests measure correctness, not time; they get a capped lazy heap.
+run / javaOptions ++= Seq(
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   "-XX:+AlwaysPreTouch",
+)
+Test / javaOptions ++= Seq(
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -55,10 +55,20 @@ object Bench {
       // q179/q180 read the shared cent8 trained artifact
       "q179_ivf_filtered_topk", "q180_hybrid_rrf")
     var times = Vector.empty[(String, Double)]
-    // per-query spread (max - min over the N samples): the round-12
-    // verdict could not separate host noise from real regressions because
-    // only the min survived into the JSON — the spread IS the noise floor
+    // per-query spread: gap between the two best samples — the noise
+    // floor of the MIN statistic (the round-12 verdict could not separate
+    // host noise from real regressions because only the min survived into
+    // the JSON). At the default 2 samples this equals max - min (the r13
+    // semantics); when adaptive resampling (below) takes extra samples,
+    // the runner-up gap is the honest floor — a run-1 artifact build or a
+    // GC outlier confirmed as an outlier by a third sample must not keep
+    // reading as "this query is ±40 s noisy".
     var spreads = Vector.empty[(String, Double)]
+    // queries that triggered adaptive resampling, with every sample —
+    // visible in the JSON so a high-spread query is auditable (and so
+    // artifact-backed queries' run-1 build vs warm serve split is
+    // readable straight off the record)
+    var resampled = Vector.empty[(String, Seq[Double])]
     var errors = Vector.empty[(String, String)]
     var streamStats = Map.empty[String, graft.streaming.StreamMetrics.GateStats]
     SparkEntry.queries.toSeq.sortBy(_._1)
@@ -68,7 +78,7 @@ object Bench {
         if (registryBacked(name))
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         graft.streaming.StreamMetrics.drain() // discard warm-run gate stats
-        val samples = (1 to runs).map { _ =>
+        def sampleOnce(): (Double, Map[String, graft.streaming.StreamMetrics.GateStats]) = {
           // drop the previous run's localCheckpoint blocks + cached plans
           // BEFORE timing: 100+ queries each checkpointing a diamond left
           // gigabytes pinned in the block manager, and the resulting
@@ -86,9 +96,25 @@ object Bench {
           // produced a 55 s summed addBatch "inside" an 11 s query wall
           (secs, graft.streaming.StreamMetrics.drain())
         }
+        var samples = (1 to runs).map(_ => sampleOnce())
+        // ADAPTIVE RESAMPLING (round-13 verdict item 4): when the two
+        // best samples disagree by more than max(1 s, the min itself),
+        // the min is not yet a measurement — take up to 2 extra samples
+        // until the two best agree (or the budget runs out). min-of-2
+        // left single gates swinging 16-19 s in the r13 driver run.
+        def bestTwoGap(ss: Seq[Double]): Double = {
+          val sorted = ss.sorted
+          if (sorted.length < 2) 0.0 else sorted(1) - sorted(0)
+        }
+        var extra = 0
+        while (runs > 1 && extra < 2 && {
+          val ws = samples.map(_._1)
+          bestTwoGap(ws) > math.max(1.0, ws.min)
+        }) { samples :+= sampleOnce(); extra += 1 }
+        if (extra > 0) resampled :+= (name -> samples.map(_._1))
         val best = samples.minBy(_._1)
         times :+= (name -> best._1)
-        spreads :+= (name -> (samples.map(_._1).max - best._1))
+        spreads :+= (name -> bestTwoGap(samples.map(_._1)))
         // attribute the MIN-wall run's streaming-gate progress (if any) to
         // this query, so Σ add_batch ≤ query wall holds within the JSON
         streamStats ++= best._2
@@ -116,11 +142,14 @@ object Bench {
     // spread_total over the queries that ran: a run-level noise floor —
     // round-over-round total deltas smaller than this are host noise
     val spreadTotal = spreads.collect { case (k, v) if times.exists(t => t._1 == k && t._2 >= 0) => v }.sum
+    val rs = resampled.map { case (k, v) =>
+      s"${jstr(k)}:${v.map("%.3f".format(_)).mkString("[", ",", "]")}"
+    }.mkString("{", ",", "}")
     val heapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
     val config =
-      s"""{"runs":$runs,"cpus":${jstr(cpus)},"heap_mb":$heapMb,"statistic":"min"}"""
+      s"""{"runs":$runs,"cpus":${jstr(cpus)},"heap_mb":$heapMb,"statistic":"min","spread_stat":"runnerup_minus_min","adaptive_extra_max":2}"""
     val line =
-      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"spread":$sp,"spread_total":${"%.3f".format(spreadTotal)},"config":$config,"errors":$es,"stream":$ss,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"spread":$sp,"spread_total":${"%.3f".format(spreadTotal)},"resampled":$rs,"config":$config,"errors":$es,"stream":$ss,"sf":${jstr(sfDir)}}"""
     println(line)
     // the stdout line dies under sbt's [info] prefix + the driver's tail
     // truncation (ten rounds of "parsed": null) — also persist it where

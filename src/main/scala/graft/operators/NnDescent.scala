@@ -84,7 +84,25 @@ object NnDescent {
     * this builder, documented here so nobody mistakes the broadcast for
     * the scale path).
     */
-  val BroadcastMaxVecRows = 500000L
+  def BroadcastMaxVecRows: Long =
+    sys.props.get("graft.nnd.broadcastMaxVecRows")
+      .orElse(sys.env.get("SPARK_GRAFT_NND_BCAST_MAX"))
+      .map(_.toLong).getOrElse(500000L)
+
+  /** Separate row bound for the GRAPH-side broadcasts (iterateInc's
+    * anti-join pair set, markNew's init-graph marks): those frames are
+    * k·N narrow (two longs) rows — up to 10M at NndK = 20 under the
+    * 500k-vector guard — and a HashedRelation's per-row overhead, not
+    * the 16-byte payload, dominates their footprint. Guarding them on
+    * the VECTOR row count alone (round-13 advice) let several
+    * hundred-MB-class graph relations pile on top of the two vector
+    * broadcasts near the guard boundary. 8x the vector bound ≈ equal
+    * bytes: a vector row is ~520 B of payload vs ~65 B/row for a
+    * hashed narrow pair. Scales with any override of the vector bound
+    * so a forced-shuffle A/B (bound = 0) forces BOTH sides off
+    * broadcast.
+    */
+  def BroadcastMaxGraphRows: Long = 8L * BroadcastMaxVecRows
 
   private def vecSide(vecs: DataFrame, idAs: String, dvAs: String, nrmAs: String,
       bcast: Boolean): DataFrame = {
@@ -164,9 +182,9 @@ object NnDescent {
 
   /** Flag round 0's survivors: an edge of the first ranked cut is NEW
     * unless it was already present in the init graph `g0`. Incremental
-    * rounds (iterateInc) key off this flag. `broadcastG0` shares the
-    * callers' vector-table size guard — the init graph is k·N narrow
-    * rows, the same size class, and broadcasting it keeps the flag join
+    * rounds (iterateInc) key off this flag. `broadcastG0` follows the
+    * callers' GRAPH-side row bound (BroadcastMaxGraphRows) — the init
+    * graph is k·N narrow rows, and broadcasting it keeps the flag join
     * off a sorted shuffle of the ranked cut.
     */
   def markNew(ranked: DataFrame, g0: DataFrame, broadcastG0: Boolean = false): DataFrame = {
@@ -201,7 +219,7 @@ object NnDescent {
     * column measures exactly what this round paid for.
     */
   def iterateInc(g: DataFrame, vecs: DataFrame, k: Int, cap: Int = -1,
-      broadcastVecs: Boolean = false): (DataFrame, DataFrame) = {
+      broadcastVecs: Boolean = false, broadcastGraph: Boolean = false): (DataFrame, DataFrame) = {
     val capN = if (cap > 0) cap else 2 * k
     // undirected capped adjacency as in `iterate` (same md5-rank sample,
     // so the SAME (src, dst) set survives the cap) — plus the edge flag,
@@ -218,11 +236,12 @@ object NnDescent {
     // already in the graph carry their score in `g` and are never
     // rescored (the anti-join also keeps the next union free of
     // (src,dst) collisions, which the dense_rank dedup relies on). The
-    // graph side is k·N narrow rows — same size class as the vector
-    // table, so it shares the broadcast guard.
+    // graph side is k·N narrow rows; it rides its OWN row bound
+    // (BroadcastMaxGraphRows via the caller's broadcastGraph), not the
+    // vector guard — see the bound's scaladoc.
     val gPairs = {
       val p = g.select("src", "dst")
-      if (broadcastVecs) broadcast(p) else p
+      if (broadcastGraph) broadcast(p) else p
     }
     val newCandBag = und.alias("a")
       .join(und.alias("b"),
@@ -268,19 +287,24 @@ object NnDescent {
   ): DataFrame = {
     require(iters >= 1, "NN-Descent needs at least one refinement round")
     val vecs = CheckpointStats.freshCheckpoint(vecFrame(vectors, idCol, vecCol))
-    // size guard for the per-round scoring joins: the checkpoint above
+    // size guards for the per-round scoring joins: the checkpoint above
     // resets stats (correct for the graph frames, whose self-joins must
     // never broadcast), so Catalyst cannot see that the vector table is
     // tiny next to the N·cap² candidate pairs — decide here from the
     // materialized count (the frame is already checkpointed; the count
-    // reads cached blocks)
-    val bcastVecs = vecs.count() <= BroadcastMaxVecRows
+    // reads cached blocks). The graph-side frames (k·N narrow rows) get
+    // their OWN bound: near the vector-guard boundary they are 10M-row
+    // HashedRelations that must not pile on top of the vector broadcasts.
+    val nVecs = vecs.count()
+    val bcastVecs = nVecs <= BroadcastMaxVecRows
+    val bcastGraph = k.toLong * nVecs <= BroadcastMaxGraphRows
     val g0 = CheckpointStats.freshCheckpoint(initGraph(vectors, idCol, k))
     var g = CheckpointStats.freshCheckpoint(
-      markNew(iterate(g0, vecs, k, cap, bcastVecs)._2, g0, broadcastG0 = bcastVecs))
+      markNew(iterate(g0, vecs, k, cap, bcastVecs)._2, g0, broadcastG0 = bcastGraph))
     var iter = 1
     while (iter < iters) {
-      g = CheckpointStats.freshCheckpoint(iterateInc(g, vecs, k, cap, bcastVecs)._2)
+      g = CheckpointStats.freshCheckpoint(
+        iterateInc(g, vecs, k, cap, bcastVecs, bcastGraph)._2)
       iter += 1
     }
     g.select("src", "dst", "cos_sim", "rank")

@@ -569,7 +569,8 @@ trait AnnRegistry extends RegistryBase {
             // target-bounded (~1000 rows), never corpus-sized
             val (c, r) = NnDescent.iterate(g, vecs, NndK, cap = NndCap, broadcastVecs = true)
             (c, NnDescent.markNew(r, g, broadcastG0 = true))
-          } else NnDescent.iterateInc(g, vecs, NndK, cap = NndCap, broadcastVecs = true)
+          } else NnDescent.iterateInc(g, vecs, NndK, cap = NndCap,
+            broadcastVecs = true, broadcastGraph = true)
         g = org.apache.spark.sql.graft.CheckpointStats.freshCheckpoint(rankedT)
         val hitsT = g.filter(col("rank") <= KnnGraphK)
           .join(exact, Seq("src", "dst"))

@@ -29,23 +29,35 @@ import graft.streaming.StreamMetrics
 class StreamBatch0Spec extends SparkSpec {
 
   test("streaming gates: no lazy localCheckpoint before .start()") {
-    val src = new String(
-      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
-        "src/main/scala/graft/registry/StreamingRegistry.scala")),
+    // build-anchored source path (round-13 advice): resolve relative to
+    // the repo root by walking up from the forked test JVM's cwd, so the
+    // audit cannot silently read nothing under a different fork cwd
+    val rel = java.nio.file.Paths.get(
+      "src/main/scala/graft/registry/StreamingRegistry.scala")
+    val srcPath = Iterator.iterate(
+        java.nio.file.Paths.get(sys.props("user.dir")).toAbsolutePath)(_.getParent)
+      .takeWhile(_ != null).map(_.resolve(rel))
+      .find(java.nio.file.Files.exists(_))
+      .getOrElse(fail(s"cannot locate $rel above ${sys.props("user.dir")}"))
+    val src = new String(java.nio.file.Files.readAllBytes(srcPath),
       java.nio.charset.StandardCharsets.UTF_8)
     // gate blocks run from their name-literal to their awaitGate call;
-    // everything up to `.start()` executes before the stream runs
+    // everything up to each `.start()` executes before that stream runs.
+    // Audit EVERY pre-start segment, not just the text before the FIRST
+    // .start() (round-13 advice): a gate with two streams, or a lazy
+    // checkpoint added between one .start() and the next, still executes
+    // pre-stream for the later start and must stay eager.
     val gateName = """"(q\d+[a-z0-9_]*)" ->""".r
     val gates = gateName.findAllMatchIn(src).map(m => (m.group(1), m.start)).toSeq
     assert(gates.nonEmpty, "no gate blocks found — audit is vacuous")
     for (((name, begin), idx) <- gates.zipWithIndex) {
       val end = if (idx + 1 < gates.length) gates(idx + 1)._2 else src.length
       val block = src.substring(begin, end)
-      val startAt = block.indexOf(".start()")
-      if (startAt >= 0) { // blocks without .start() are batch-side helpers
-        val preStart = block.substring(0, startAt)
+      val lastStart = block.lastIndexOf(".start()")
+      if (lastStart >= 0) { // blocks without .start() are batch-side helpers
+        val preStart = block.substring(0, lastStart)
         assert(!preStart.contains("localCheckpoint(false)"),
-          s"$name: lazy localCheckpoint(false) before .start() — the static " +
+          s"$name: lazy localCheckpoint(false) before a .start() — the static " +
             "index build would land inside batch 0's addBatch (round-12 weak " +
             "item); use localCheckpoint(true) for every pre-start frame")
       }
@@ -53,6 +65,13 @@ class StreamBatch0Spec extends SparkSpec {
   }
 
   test("static-index gates: batch 0 addBatch stays near the later-batch median") {
+    // Wall-clock pin — inherently load-sensitive. The SOURCE AUDIT above
+    // is the hard structural gate; this behavioral pin's warm-up
+    // allowance is env-tunable for loaded/slow hosts (round-13 advice),
+    // and SPARK_GRAFT_SKIP_TIMING_PINS=1 skips it outright under CI load.
+    assume(!sys.env.get("SPARK_GRAFT_SKIP_TIMING_PINS").contains("1"),
+      "timing pin skipped via SPARK_GRAFT_SKIP_TIMING_PINS")
+    val allowMs = sys.env.getOrElse("SPARK_GRAFT_BATCH0_ALLOW_MS", "3000").toLong
     val sf = "/root/testdata/sf0.001"
     for (gate <- Seq("q191_stream_bottomk_screen", "q194_stream_ann_topk")) {
       StreamMetrics.drain() // discard anything a previous test recorded
@@ -67,10 +86,11 @@ class StreamBatch0Spec extends SparkSpec {
         assert(per.length == st.batches, s"$gate/$name per-batch stats missing")
         val later = per.drop(1).sorted
         val median = later(later.length / 2)
-        // 3 s fixed allowance absorbs batch-0 codegen/broadcast warm-up on
-        // a tiny dataset (observed eager ratio ~2x); the lazy-build regime
-        // at sf0.1 measured ~8x and seconds of absolute skew — far above
-        val bound = 3000L + 2L * median
+        // default 3 s fixed allowance absorbs batch-0 codegen/broadcast
+        // warm-up on a tiny dataset (observed eager ratio ~2x); the
+        // lazy-build regime at sf0.1 measured ~8x and seconds of absolute
+        // skew — far above
+        val bound = allowMs + 2L * median
         assert(per.head <= bound,
           s"$gate/$name batch 0 addBatch ${per.head} ms exceeds $bound ms " +
             s"(later-batch median $median ms, per-batch ${per.mkString(",")}) — " +

@@ -5,7 +5,9 @@
 #
 # Usage: tools/bench_dir.sh <table-dir> [query-substring ...]
 # Env:   MEM  driver heap (default 8g; heavy graph builds want 96g)
-#        RUNS samples per query, min reported (default 1)
+#        RUNS samples per query, min reported (default 2 — matching
+#             Bench.scala's default; at RUNS=1 the spread/spread_total
+#             noise floor is vacuously 0, defeating the round-12 fix)
 #        CPUS local[] threads (default 32)
 #        OUT  bench JSON path. Default: BENCH_LOCAL.json for a FULL run,
 #             a /tmp scratch file for a FILTERED run — a partial run must
@@ -31,7 +33,7 @@ for p in "${OPENS[@]}"; do FLAGS+=("--add-opens=$p=ALL-UNNAMED"); done
 # cost 100-270 s of GC on heavy queries and swung identical runs 2-8x
 # (round-13 NND A/B: 298 s -> 42 s from these flags alone)
 SPARK_GRAFT_SF_DIR="$DIR" \
-SPARK_GRAFT_BENCH_RUNS="${RUNS:-1}" \
+SPARK_GRAFT_BENCH_RUNS="${RUNS:-2}" \
 SPARK_GRAFT_CPUS="${CPUS:-32}" \
 SPARK_GRAFT_BENCH_OUT="$BENCH_OUT" \
 exec java "${FLAGS[@]}" "-Xms${MEM:-8g}" "-Xmx${MEM:-8g}" -XX:+AlwaysPreTouch \
