@@ -271,6 +271,83 @@ object NnDescent {
     (newCand, ranked)
   }
 
+  /** INCREMENTAL GRAPH MAINTENANCE (the production ingest shape): insert
+    * a batch of new vectors into a previously-built ranked graph without
+    * rebuilding it. Each new node gets k deterministic md5 seed edges
+    * into the MERGED id space (salt "nndu" — disjoint from the build's
+    * "nnd0" draws, so re-running a build never aliases an upsert), the
+    * seeds are scored and merged with the base graph flagged `is_new`,
+    * and `rounds` incremental local-join rounds (iterateInc) propagate:
+    * round 1 already scores old→new pairs (a new node's seed edge
+    * reversed exposes its neighborhood to the old side) and new→new
+    * pairs mix in as the rounds converge. Cost per round is bounded by
+    * the NEW-leg two-hop set — proportional to the batch's neighborhood,
+    * not the corpus (the audit-measured shrinking-volume property of
+    * iterateInc) — which is the whole point: a rebuild pays O(N·cap²)
+    * per round, an upsert pays O(batch·cap²).
+    *
+    * `baseGraph` is a previous knnGraph/upsertGraph result (src, dst,
+    * cos_sim, ...) whose src ids are disjoint from `newVectors`'s ids;
+    * `vectors` is the MERGED corpus (base ∪ new). Old edges keep their
+    * scores (never rescored); old neighbors get DISPLACED when a new
+    * vector out-ranks them — real maintenance, not append-only. Returns
+    * the merged ranked edge list (src, dst, cos_sim, rank <= k).
+    *
+    * Determinism: seed draws are content-stable md5 arithmetic over the
+    * dense merged id space (the initGraph convention) and every rank cut
+    * shares iterate's total order — the whole upsert reproduces
+    * bit-for-bit from SQL (the q203 oracle unrolls this recurrence).
+    */
+  def upsertGraph(
+      baseGraph: DataFrame,
+      vectors: DataFrame,
+      newVectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      rounds: Int,
+      cap: Int = -1
+  ): DataFrame = {
+    require(rounds >= 1, "graph upsert needs at least one incremental round")
+    val vecs = CheckpointStats.freshCheckpoint(vecFrame(vectors, idCol, vecCol))
+    // same two-bound guard policy as knnGraph (vector payloads vs narrow
+    // graph relations), decided from the merged materialized count
+    val nAll = vecs.count()
+    val bcastVecs = nAll <= BroadcastMaxVecRows
+    val bcastGraph = k.toLong * nAll <= BroadcastMaxGraphRows
+    val nRow = vectors.agg(count(lit(1)).as("n"))
+    val seeds = newVectors.select(col(idCol).cast("long").as("src"))
+      .crossJoin(broadcast(nRow))
+      .select(col("src"), col("n"), explode(sequence(lit(1L), lit(k.toLong))).as("i"))
+      .withColumn("dst", pmod(
+        Md5Long60.column(concat_ws("_", lit("nndu"), col("src"), col("i"))),
+        col("n")))
+      .filter(col("dst") =!= col("src"))
+      .select("src", "dst")
+      .distinct()
+    val cos = Similarity.dot(col("dv_a"), col("dv_b")) / (col("nrm_a") * col("nrm_b"))
+    val seedScored = seeds
+      .join(vecSide(vecs, "src", "dv_a", "nrm_a", bcastVecs), Seq("src"))
+      .join(vecSide(vecs, "dst", "dv_b", "nrm_b", bcastVecs), Seq("dst"))
+      .withColumn("cos_sim", cos)
+      .select("src", "dst", "cos_sim")
+    // merged working graph: base edges ride with their stored scores and
+    // is_new = false (their build-time flags are stale by definition);
+    // seeds are the new legs. Src sets are disjoint, so the union is
+    // (src, dst)-collision-free — the invariant iterateInc's dense_rank
+    // dedup relies on.
+    var g = CheckpointStats.freshCheckpoint(
+      baseGraph.select("src", "dst", "cos_sim").withColumn("is_new", lit(false))
+        .unionByName(seedScored.withColumn("is_new", lit(true))))
+    var r = 0
+    while (r < rounds) {
+      g = CheckpointStats.freshCheckpoint(
+        iterateInc(g, vecs, k, cap, bcastVecs, bcastGraph)._2)
+      r += 1
+    }
+    g.select("src", "dst", "cos_sim", "rank")
+  }
+
   /** The composed builder: init + `iters` refinement rounds, each cut
     * from lineage with a stats-reset checkpoint. Round 0 scores the full
     * two-hop ∪ init set (every edge is new); later rounds run the

@@ -110,6 +110,46 @@ trait AnnRegistry extends RegistryBase {
        |topm AS MATERIALIZED (SELECT src, dst, cos_sim, rank FROM g$NndIters WHERE rank <= $KnnGraphK)""".stripMargin
   }
 
+  /** Oracle twin of the q203/q204 graph upsert — shared VERBATIM by the
+    * batch query and the streaming gate (the q121/q130 bridge
+    * convention). Unrolls the exact recurrence NnDescent runs: the base
+    * build restricted to the dense id prefix (vec_id < nbase, init draws
+    * mod nbase — the same "nnd0" recurrence as knnCtesSql on a smaller
+    * n), then the upsert: "nndu" seed draws for the id tail over the
+    * MERGED space, base edges reset to nw = FALSE, seeds scored and
+    * flagged TRUE, and GraphUpsertRounds incremental rounds (the same
+    * nndIterSql template the build uses — the upsert IS iterateInc from
+    * a different starting graph).
+    */
+  protected lazy val knnUpsertOracle: String = {
+    val baseIters = (0 until NndIters).map(t => nndIterSql("", t)).mkString(",\n")
+    val upIters = (1 to GraphUpsertRounds).map(t => nndIterSql("up", t)).mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+       |np AS (SELECT count(*) AS n, count(*) - count(*) // $IncrementalMod AS nbase FROM embeddings),
+       |${nndAllCosSql("")},
+       |g0 AS (SELECT DISTINCT src, dst FROM (
+       |    SELECT e.vec_id AS src,
+       |           ('0x' || substr(md5('nnd0_' || e.vec_id || '_' || g.i), 1, 15))::BIGINT % np.nbase AS dst
+       |    FROM e, np, range(1, ${NndK + 1}) g(i) WHERE e.vec_id < np.nbase)
+       |  WHERE dst <> src),
+       |$baseIters,
+       |seeds AS (SELECT DISTINCT src, dst FROM (
+       |    SELECT e.vec_id AS src,
+       |           ('0x' || substr(md5('nndu_' || e.vec_id || '_' || g.i), 1, 15))::BIGINT % np.n AS dst
+       |    FROM e, np, range(1, ${NndK + 1}) g(i) WHERE e.vec_id >= np.nbase)
+       |  WHERE dst <> src),
+       |upallcos AS (SELECT * FROM allcos),
+       |upg1 AS MATERIALIZED (
+       |  SELECT src, dst, cos_sim, FALSE AS nw FROM g$NndIters
+       |  UNION ALL
+       |  SELECT sd.src, sd.dst, ac.cos_sim, TRUE AS nw
+       |  FROM seeds sd JOIN allcos ac ON ac.src = sd.src AND ac.dst = sd.dst),
+       |$upIters
+       |SELECT src, dst, cos_sim, rank FROM upg${GraphUpsertRounds + 1}
+       |WHERE rank <= $KnnGraphK ORDER BY src, rank""".stripMargin
+  }
+
   /** q186's candidate build — the NN-Descent-refined ranked edge list
     * (rank <= NndK per src), built ONCE per corpus and persisted as a
     * trained artifact (the q126/q132 persisted-index pattern): q186
@@ -613,6 +653,24 @@ trait AnnRegistry extends RegistryBase {
         .orderBy("anchor", "positive", "neg_rank")
     }),
 
+    // pillar similarity: INCREMENTAL kNN-GRAPH MAINTENANCE — the missing
+    // member of the incremental family (text q118/q132, image q169,
+    // containment q175/q190): a batch of new vectors (the id tail — ids
+    // are assigned at ingest) lands in the PERSISTED base graph without a
+    // rebuild: md5 seed edges into the merged id space, then
+    // GraphUpsertRounds incremental local-join rounds touching only
+    // new-leg pairs. Cost ∝ batch neighborhood, not corpus; a rebuild
+    // pays O(N·cap²) per round, this pays O(batch·cap²).
+    // GraphUpsertSpec gates recall ≥ 0.98 of the full rebuild; the
+    // oracle unrolls the exact upsert recurrence (bit-equal, not just
+    // recall-close). q204 is the streaming twin, same oracle verbatim.
+    "q203_knn_graph_upsert" -> ((s, dir) => {
+      val e = rd(s, dir, "embeddings")
+      val arrivals = e.crossJoin(broadcast(graphUpsertSplit(e)))
+        .filter(col("vec_id") >= col("nbase"))
+      upsertIntoBaseGraph(s, dir, arrivals).orderBy("src", "rank")
+    }),
+
     // pillar similarity: ANN QUALITY REPORT — the recall@k / MRR audit
     // an ANN deployment runs continuously, as a first-class query: the
     // trained-IVF index (q43's exact configuration) joined against
@@ -859,6 +917,13 @@ trait AnnRegistry extends RegistryBase {
          |SELECT anchor, positive, neg_rank, neg_id FROM ranked
          |WHERE neg_rank <= $NumNegatives
          |ORDER BY anchor, positive, neg_rank""".stripMargin,
+
+    // the graph-upsert recurrence unrolled; q204 (the streaming twin in
+    // StreamingRegistry) shares it VERBATIM — single-trigger staging
+    // makes streaming == batch provable, so the bridge must not change
+    // answers
+    "q203_knn_graph_upsert" -> knnUpsertOracle,
+    "q204_stream_knn_upsert" -> knnUpsertOracle,
 
     // the q186-family generator audit over the corpus-scaled 1-in-m
     // sample: SRP band configs from the shared SrpPlanes64 constants +

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, HeurFuzz, Multimodal, Quota, Similarity, Sketches, TextAnalysis}
+import graft.operators.{Dedup, HeurFuzz, Multimodal, NnDescent, Quota, Similarity, Sketches, TextAnalysis}
 
 /** Shared helpers for the registry pillars: readers, partition-spread
   * shims, the flagship match pipeline, and every constant / CTE-SQL
@@ -462,6 +462,61 @@ trait RegistryBase {
     */
   protected val NndRho = 0.7
   protected val NndCap: Int = math.max(1, math.round(NndRho * 2 * NndK).toInt)
+
+  /** Incremental rounds per graph upsert (q203/q204, shared with the
+    * generated oracle SQL). Sized like NndIters was — by measurement
+    * against the gate: 2 rounds reach recall ≥ 0.98 of the full rebuild
+    * on the sf corpora (GraphUpsertSpec pins it); 1 round leaves new→new
+    * pairs under-mixed (seeds are random, so two nearby arrivals only
+    * find each other through a shared neighborhood — one propagation hop
+    * is not reliably enough).
+    */
+  protected val GraphUpsertRounds = 2
+
+  /** The id tail that plays the "arriving batch" role for the graph
+    * upsert family: the top 1/IncrementalMod of the dense vec_id space
+    * (ids are assigned at ingest, so arrivals ARE the id tail — and the
+    * base prefix stays dense, which keeps the base build's init draw on
+    * the same recurrence as the full build). Returns a 1-row
+    * (n, nbase) frame to ride broadcast cross joins — the split never
+    * touches the driver.
+    */
+  protected def graphUpsertSplit(e: DataFrame): DataFrame =
+    e.agg(count(lit(1)).as("n"))
+      .select(col("n"), (col("n") - expr(s"n div $IncrementalMod")).as("nbase"))
+
+  /** The persisted BASE-corpus NN-Descent graph the upsert family
+    * maintains (vec_id < nbase; the merged-corpus artifact is
+    * "nndGraph"). Same build, same layout — one graph build for both
+    * upsert gates.
+    */
+  protected def nndGraphBase(s: SparkSession, dir: String): DataFrame =
+    trainedArtifact(s, dir, "nndGraphBase", layout = _.repartition(col("src"))) {
+      val e = rd(s, dir, "embeddings")
+      val base = e.crossJoin(broadcast(graphUpsertSplit(e)))
+        .filter(col("vec_id") < col("nbase"))
+        .select("vec_id", "embedding")
+      NnDescent.knnGraph(base, "vec_id", "embedding",
+        k = NndK, iters = NndIters, cap = NndCap)
+    }
+
+  /** q203/q204's shared upsert step: insert `arrivals` (vec_id,
+    * embedding, ...) into the persisted base graph and cut the merged
+    * edge list at the serving width. The caller materializes
+    * nndGraphBase BEFORE any stream starts (the StreamBatch0 rule).
+    */
+  protected def upsertIntoBaseGraph(
+      s: SparkSession, dir: String, arrivals: DataFrame): DataFrame = {
+    val e = rd(s, dir, "embeddings")
+    val base = e.crossJoin(broadcast(graphUpsertSplit(e)))
+      .filter(col("vec_id") < col("nbase"))
+      .select("vec_id", "embedding")
+    val merged = base.unionByName(arrivals.select("vec_id", "embedding"))
+    NnDescent.upsertGraph(nndGraphBase(s, dir), merged,
+        arrivals.select("vec_id", "embedding"), "vec_id", "embedding",
+        k = NndK, rounds = GraphUpsertRounds, cap = NndCap)
+      .filter(col("rank") <= KnnGraphK)
+  }
 
   /** q195 contrastive export: negatives kept per (anchor, positive) pair
     * and the (slack-padded) deterministic draw count they are selected

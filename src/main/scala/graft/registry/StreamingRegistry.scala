@@ -725,6 +725,44 @@ trait StreamingRegistry extends RegistryBase {
         awaitGate("q171", q)
         s.read.parquet(outDir).drop("batch").orderBy("doc_id").localCheckpoint(true)
       } finally Staging.discard(stage)
+    }),
+
+    // pillar similarity + streaming (22nd gate): INCREMENTAL kNN-GRAPH
+    // MAINTENANCE ON ARRIVAL — q203's upsert driven from the foreachBatch
+    // bridge: the persisted base graph is materialized ONCE before
+    // .start(); an arriving vector batch is seeded and folded in with
+    // incremental local-join rounds. A graph upsert is a STATEFUL FOLD
+    // over the graph (unlike the per-row screens q121/q171/q191, batch
+    // boundaries would change which pairs mix), so the arrivals are
+    // staged as ONE file -> ONE micro-batch — the q130/q104 bridge
+    // convention: single-trigger staging is what makes streaming == batch
+    // provable, and the gate shares q203's oracle VERBATIM. A multi-batch
+    // ingest is just this gate fired per arrival wave, each wave's output
+    // graph persisted as the next wave's base.
+    "q204_stream_knn_upsert" -> ((s, dir) => {
+      val stage = Staging.dir("q204-")
+      try {
+        val inDir = stage.resolve("in").toString
+        val outDir = stage.resolve("out").toString
+        val e = rd(s, dir, "embeddings")
+        e.crossJoin(broadcast(graphUpsertSplit(e)))
+          .filter(col("vec_id") >= col("nbase"))
+          .select("vec_id", "embedding")
+          .coalesce(1).write.mode("overwrite").parquet(inDir)
+        // the base graph artifact (an O(N·cap²)-per-round build) lands on
+        // disk HERE, before .start() — batch 0 pays only the upsert
+        // (O(batch·cap²)), never the base build (the StreamBatch0 rule)
+        nndGraphBase(s, dir)
+        val schema = e.select("vec_id", "embedding").schema
+        val stream = s.readStream.schema(schema).parquet(inDir)
+        val q = graft.streaming.EventStream.foreachBatchSink(stream, identity) {
+          (batch, batchId) =>
+            upsertIntoBaseGraph(s, dir, spreadBatch(s, batch))
+              .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        }.start()
+        awaitGate("q204", q)
+        s.read.parquet(outDir).drop("batch").orderBy("src", "rank").localCheckpoint(true)
+      } finally Staging.discard(stage)
     })
   )
 

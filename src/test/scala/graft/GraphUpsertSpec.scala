@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.NnDescent
+
+/** The incremental kNN-graph maintenance operator (q203/q204): insert a
+  * batch of new vectors into a persisted NN-Descent graph without a
+  * rebuild. The round-13 verdict's gate: the upserted graph must reach
+  * recall@3 >= 0.98 of the FULL REBUILD on the merged corpus — cheap
+  * maintenance is only interesting if it lands (almost) where the
+  * expensive rebuild lands.
+  */
+class GraphUpsertSpec extends SparkSpec {
+
+  /** The NnDescentSpec fixture: 4 well-separated clusters x 10 vectors
+    * in 64 dims — within-cluster cosine ~1, across ~0.
+    */
+  private def clusteredVecs = {
+    import spark.implicits._
+    (0 until 40).map { i =>
+      val c = i % 4
+      val v = Array.fill(64)(0.001f * ((i * 31) % 7 - 3))
+      v(c * 16 + (i / 4) % 16) = 0.05f
+      v(c * 16) += 1.0f
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  private def edgeSet(df: DataFrame, k: Long): Set[(Long, Long)] =
+    df.filter(col("rank") <= k).select("src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def recallVs(got: Set[(Long, Long)], truth: Set[(Long, Long)]): Double =
+    if (truth.isEmpty) 1.0 else (got & truth).size.toDouble / truth.size
+
+  test("upsert on the clustered fixture: new nodes integrate, old nodes re-rank") {
+    val all = clusteredVecs
+    val base = all.filter(col("vec_id") < 32)
+    val arrivals = all.filter(col("vec_id") >= 32)
+    val baseGraph = NnDescent.knnGraph(base, "vec_id", "embedding", k = 6, iters = 4)
+    val up = NnDescent.upsertGraph(baseGraph, all, arrivals,
+      "vec_id", "embedding", k = 6, rounds = 2)
+    val rows = up.collect()
+    // every node — including all 8 arrivals — has contiguous ranks 1..k
+    val bySrc = rows.groupBy(_.getLong(0))
+    assert((32L until 40L).forall(bySrc.contains), "arrival nodes missing from the upserted graph")
+    bySrc.foreach { case (srcId, es) =>
+      val ranks = es.map(_.getLong(3)).sorted
+      assert(ranks.sameElements(1L to ranks.length), s"node $srcId ranks: ${ranks.toSeq}")
+      assert(ranks.length <= 6)
+    }
+    // displacement is real maintenance: old nodes acquire arrival
+    // neighbors (each arrival joins a 10-node cluster whose members are
+    // mutually closest — the old members' lists MUST admit it)
+    val oldToNew = rows.filter(r => r.getLong(0) < 32 && r.getLong(1) >= 32)
+    assert(oldToNew.nonEmpty, "no old->new edge formed — arrivals are invisible to the base side")
+    // and the upsert CONVERGES: one round past the shipped config
+    // recovers the rebuilt top-3 graph exactly (the NnDescentSpec
+    // convention — an extra round buys back slower mixing; at the
+    // shipped 2 rounds this 40-node fixture sits at recall ~0.96, an
+    // artifact of 8 arrivals sharing k random seeds on a tiny graph —
+    // the sf0.001 gate below pins the shipped config on a real corpus)
+    val truth = edgeSet(
+      NnDescent.knnGraph(all, "vec_id", "embedding", k = 6, iters = 4), 3)
+    val up3 = NnDescent.upsertGraph(baseGraph, all, arrivals,
+      "vec_id", "embedding", k = 6, rounds = 3)
+    assert(edgeSet(up3, 3) == truth,
+      "clustered fixture: 3-round upsert diverged from the rebuilt graph")
+  }
+
+  test("q203 gate: recall@3 >= 0.98 of the full rebuild at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    // the registry query itself (base build on the id prefix + upsert of
+    // the id tail, cut at KnnGraphK = 3)
+    val up = SparkEntry.queries("q203_knn_graph_upsert")(spark, dir)
+    // the expensive alternative the upsert replaces: full NN-Descent
+    // rebuild on the merged corpus at the shipped config
+    val rebuild = NnDescent.knnGraph(
+      spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+      k = 20, iters = 3, cap = 28)
+    val got = edgeSet(up, 3)
+    val want = edgeSet(rebuild, 3)
+    val rec = recallVs(got, want)
+    info(f"upsert vs rebuild recall@3 = $rec%.4f (${(got & want).size}/${want.size})")
+    assert(rec >= 0.98, f"upsert recall@3 $rec%.4f < 0.98 of the full rebuild")
+  }
+
+  test("upsert seed draws are deterministic and disjoint from build draws") {
+    val all = clusteredVecs
+    val base = all.filter(col("vec_id") < 32)
+    val arrivals = all.filter(col("vec_id") >= 32)
+    val baseGraph = NnDescent.knnGraph(base, "vec_id", "embedding", k = 4, iters = 2)
+    def run() = NnDescent.upsertGraph(baseGraph, all, arrivals,
+        "vec_id", "embedding", k = 4, rounds = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(run() == run(), "upsert must be reproducible (md5 seeds, total-order cuts)")
+  }
+}
