@@ -1,0 +1,204 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.{NnDescent, Similarity}
+
+/** Builder-local measurement harness behind SCALE.md's at-scale rows —
+  * the numbers the bench suite cannot produce: same-JVM paired A/Bs
+  * (the only trustworthy comparison on this drifting host; see SCALE.md
+  * round-13 second wave) and quality audits that need a brute-force
+  * truth pass too expensive for the per-round oracle gate. Subcommands:
+  *
+  *   nnd-ab <table-dir>       knnGraph build, broadcast regime vs the
+  *                            forced-shuffle regime (guard override = 0),
+  *                            interleaved B S B S in one pinned-heap JVM
+  *   ivf-quality <table-dir>  recall@3/MRR of the q179 filtered-ANN
+  *                            consumer per label-frequency band against
+  *                            exact same-label truth, the q180 vector
+  *                            leg's recall@10, and q180's fused ranking
+  *                            vs a fusion with an EXACT vector leg
+  *
+  * Prints one JSON line per subcommand (the Bench convention). Extends
+  * RegistryBase so the probes run the SAME constants and helpers the
+  * registry queries run — a probe that re-derives k or the df stop cut
+  * by hand would audit a config nobody ships.
+  */
+object ScaleProbe extends RegistryBase {
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse(
+      "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    args(0) match {
+      case "nnd-ab"      => nndAb(spark, args(1))
+      case "ivf-quality" => ivfQuality(spark, args(1))
+      case other         => sys.error(s"unknown subcommand: $other")
+    }
+    spark.stop()
+  }
+
+  private def timed(f: => Unit): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
+  private def reset(s: SparkSession): Unit = {
+    s.catalog.clearCache()
+    s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    System.gc()
+  }
+
+  /** Same-JVM interleaved A/B of the two knnGraph scoring regimes: the
+    * broadcast path (vector table under the guard) vs the documented
+    * 100 TB fallback (guard forced to 0 → stats-reset sort-merge joins
+    * everywhere). Interleaving B S B S samples both regimes early and
+    * late in the JVM's life, so codegen/heap warm-up cannot masquerade
+    * as a regime difference.
+    */
+  private def nndAb(s: SparkSession, dir: String): Unit = {
+    val e = rd(s, dir, "embeddings")
+    val n = e.count()
+    def build(): Double = { reset(s); timed {
+      NnDescent.knnGraph(e, "vec_id", "embedding", k = NndK, iters = NndIters, cap = NndCap)
+        .write.format("noop").mode("overwrite").save()
+    } }
+    val key = "graft.nnd.broadcastMaxVecRows"
+    var rows = Vector.empty[(String, Double)]
+    for (regime <- Seq("broadcast", "shuffle", "broadcast", "shuffle")) {
+      try {
+        if (regime == "shuffle") sys.props(key) = "0" else sys.props.remove(key)
+        rows :+= (regime -> build())
+      } finally sys.props.remove(key)
+    }
+    def arr(r: String) =
+      rows.filter(_._1 == r).map(v => "%.1f".format(v._2)).mkString("[", ",", "]")
+    println(s"""{"probe":"nnd_ab","n_vecs":$n,"k":$NndK,"iters":$NndIters,"cap":$NndCap,"broadcast_s":${arr("broadcast")},"shuffle_s":${arr("shuffle")}}""")
+  }
+
+  /** Quality record for the IVF consumers (round-13 verdict item 1):
+    * q179's bucket key is (centroid_id, label), so rare labels inside
+    * probed buckets can under-return harder than the unfiltered q131
+    * sweep shows — this measures it per label-frequency band. q180's
+    * vector leg is the cent8 ivfTopKQ at nprobe = 2; its at-scale effect
+    * on the FUSED ranking is what matters, so the probe swaps in an
+    * exact vector leg and diffs the fusion.
+    */
+  private def ivfQuality(s: SparkSession, dir: String): Unit = {
+    val e = rd(s, dir, "embeddings")
+
+    // ---- q179 (filtered ANN) vs exact same-label truth ----------------
+    val got179 = SparkEntry.queries("q179_ivf_filtered_topk")(s, dir)
+      .select("q_id", "r_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("label").as("q_lbl"),
+        Similarity.asDouble(col("embedding")).as("qv"))
+      .withColumn("qn", Similarity.l2Norm(col("qv")))
+    val c = e.select(col("vec_id").as("r_id"), col("label").as("r_lbl"),
+        Similarity.asDouble(col("embedding")).as("rv"))
+      .withColumn("rn", Similarity.l2Norm(col("rv")))
+    val truth179 = c.join(broadcast(q),
+        col("q_lbl") === col("r_lbl") && col("q_id") =!= col("r_id"))
+      .withColumn("cos_sim",
+        Similarity.dot(col("qv"), col("rv")) / (col("qn") * col("rn")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("r_id").asc))
+        .cast("long"))
+      .filter(col("rank") <= 3)
+      .select("q_id", "r_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val labelN = e.groupBy("label").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
+    val qLbl = q.select("q_id", "q_lbl").collect()
+      .map(r => r.getLong(0) -> String.valueOf(r.get(1))).toMap
+    val perQ = qLbl.keys.toSeq.sorted.map { qid =>
+      val truth = truth179.filter(_._1 == qid)
+      val got = got179.filter(_._1 == qid).sortBy(_._3).map(_._2)
+      val hit = truth.count(t => got.contains(t._2))
+      val recall = if (truth.isEmpty) 1.0 else hit.toDouble / truth.length
+      val top1 = truth.find(_._3 == 1L).map(_._2)
+      val rr = top1.map(t => got.indexOf(t)).filter(_ >= 0)
+        .map(i => 1.0 / (i + 1)).getOrElse(0.0)
+      (qid, labelN(qLbl(qid)), recall, rr)
+    }
+    // label-frequency bands: terciles of the queries by their label's
+    // corpus count (rare | mid | common)
+    val sortedByFreq = perQ.sortBy(_._2)
+    val bandOf = sortedByFreq.zipWithIndex.map { case (r, i) =>
+      r._1 -> Seq("rare", "mid", "common")(math.min(2, 3 * i / sortedByFreq.length))
+    }.toMap
+    def agg(rows: Seq[(Long, Long, Double, Double)]) =
+      if (rows.isEmpty) (0, 0.0, 0.0)
+      else (rows.length, rows.map(_._3).sum / rows.length, rows.map(_._4).sum / rows.length)
+    val bands = Seq("rare", "mid", "common").map { b =>
+      val (nq, rec, mrr) = agg(perQ.filter(r => bandOf(r._1) == b))
+      s""""$b":{"n":$nq,"recall3":${"%.3f".format(rec)},"mrr":${"%.3f".format(mrr)}}"""
+    }.mkString(",")
+    val (_, rec179, mrr179) = agg(perQ)
+    val perQJson = perQ.map { case (qid, ln, rec, rr) =>
+      s"""{"q":$qid,"label_n":$ln,"recall3":${"%.3f".format(rec)},"rr":${"%.3f".format(rr)}}"""
+    }.mkString("[", ",", "]")
+
+    // ---- q180 (hybrid RRF): IVF leg recall + fusion vs exact-leg fusion
+    val queries180 = e.filter(col("vec_id") % Bm25QueryMod === 0)
+    val exactVec = Similarity.cosineTopK(queries180, e, "vec_id", "embedding", 10)
+      .select(col("q_id"), col("r_id").as("doc_id"), col("rank").as("rk_v"))
+      .localCheckpoint(false) // feeds the leg recall AND the exact fusion
+    val cents = trainedArtifact(s, dir, "cent8") {
+      val (tr, init) = trainSample8(s, e)
+      Similarity.trainCentroids(tr, "vec_id", "embedding", init, KmeansIters)
+    }
+    val ivfVec = Similarity.ivfTopKQ(queries180, spread(s, e), cents,
+        "vec_id", "embedding", k = 10, nprobe = 2)
+      .select(col("q_id"), col("r_id").as("doc_id"), col("rank").as("rk_v"))
+    val exactSets = exactVec.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k2, v) => k2 -> v.map(_._2).toSet }
+    val ivfSets = ivfVec.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k2, v) => k2 -> v.map(_._2).toSet }
+    val legRecall = exactSets.toSeq.map { case (qid, t) =>
+      if (t.isEmpty) 1.0 else (ivfSets.getOrElse(qid, Set.empty) & t).size.toDouble / t.size
+    }
+    val legRecall10 = if (legRecall.isEmpty) 1.0 else legRecall.sum / legRecall.length
+    val hybrid = SparkEntry.queries("q180_hybrid_rrf")(s, dir)
+      .select("q_id", "doc_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val text = SparkEntry.queries("q159_bm25_selective")(s, dir)
+      .select(col("q_id"), col("doc_id"), col("rk").as("rk_t"))
+    val exactFused = text.join(exactVec, Seq("q_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(expr("1000000000L div (60 + rk_t)"), lit(0L))
+          + coalesce(expr("1000000000L div (60 + rk_v)"), lit(0L)))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("rrf").desc, col("doc_id")))
+        .cast("long"))
+      .filter(col("rank") <= 5)
+      .select("q_id", "doc_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val qids = exactFused.map(_._1).distinct.sorted
+    val fusionRows = qids.map { qid =>
+      val ex = exactFused.filter(_._1 == qid).sortBy(_._3).map(_._2)
+      val hy = hybrid.filter(_._1 == qid).sortBy(_._3).map(_._2)
+      val overlap =
+        if (ex.isEmpty) 1.0 else (ex.toSet & hy.toSet).size.toDouble / ex.length
+      val top1 = ex.headOption == hy.headOption
+      (overlap, top1)
+    }
+    val overlap5 =
+      if (fusionRows.isEmpty) 1.0 else fusionRows.map(_._1).sum / fusionRows.length
+    val top1Agree =
+      if (fusionRows.isEmpty) 1.0 else fusionRows.count(_._2).toDouble / fusionRows.length
+
+    println(
+      s"""{"probe":"ivf_quality","n_vecs":${e.count()},""" +
+        s""""q179":{"recall3":${"%.3f".format(rec179)},"mrr":${"%.3f".format(mrr179)},"bands":{$bands},"per_query":$perQJson},""" +
+        s""""q180":{"n_queries":${qids.length},"vec_leg_recall10":${"%.3f".format(legRecall10)},"fused_overlap5":${"%.3f".format(overlap5)},"fused_top1_agree":${"%.3f".format(top1Agree)}}}""")
+  }
+}

@@ -565,23 +565,21 @@ trait AnnRegistry extends RegistryBase {
           col("y.vec_id").as("dst"))
         .distinct()
         .localCheckpoint(true) // feeds the volume count AND the top-K hits; eager — see `e`
-      val srpHits = cand
+      // ROUND-14 floor shave (r13 carry-over item): ONE volume aggregate
+      // and ONE hit aggregate over ALL configs — SRP layouts and NND
+      // rounds folded through tagged unions — instead of per-config/
+      // per-round 1-row aggregates. The old shape built ~10 broadcast-
+      // exchange subtrees whose codegen constants WERE the measured
+      // 7.8 s warm floor. Values are unchanged: same counts, same
+      // zero-fill left join from the config list, same recall expression.
+      val srpHitRows = cand
         .join(vecs.select(col("vec_id").as("src"), col("dv").as("dv_a"), col("nrm").as("nrm_a")), Seq("src"))
         .join(vecs.select(col("vec_id").as("dst"), col("dv").as("dv_b"), col("nrm").as("nrm_b")), Seq("dst"))
         .withColumn("rank", row_number().over(
           Window.partitionBy("config", "src").orderBy(cos.desc, col("dst").asc)))
         .filter(col("rank") <= KnnGraphK)
         .join(exact, Seq("src", "dst"))
-        .groupBy("config").agg(count(lit(1)).as("n_hit"))
-      // left-join from the config LIST so a layout with zero band
-      // collisions reports n_cand = 0 instead of vanishing from the
-      // audit (the q183 zero-candidate convention)
-      val cfgDf = { import s.implicits._; SrpBandConfigs.map(_._1).toDF("config") }
-      val srpRows = cfgDf
-        .join(cand.groupBy("config").agg(count(lit(1)).as("n_cand")), Seq("config"), "left")
-        .join(srpHits, Seq("config"), "left")
-        .select(col("config"), coalesce(col("n_cand"), lit(0L)).as("n_cand"),
-          coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+        .select("config")
       // NN-Descent rounds on the SAME sample: init draws land on the
       // sampled id grid (vec_id = idx * m — dense multiples by
       // construction of the spread), so m = 1 reproduces the shipped
@@ -602,7 +600,7 @@ trait AnnRegistry extends RegistryBase {
       // same round shape as the shipped knnGraph: full local join on
       // round 1 (every init edge is new), incremental new-leg rounds
       // after — so n_cand reports exactly what each shipped round pays
-      val nndRows = (1 to NndIters).map { t =>
+      val nndParts = (1 to NndIters).map { t =>
         val (candT, rankedT) =
           if (t == 1) {
             // broadcastVecs by construction: the audit sample is
@@ -612,17 +610,29 @@ trait AnnRegistry extends RegistryBase {
           } else NnDescent.iterateInc(g, vecs, NndK, cap = NndCap,
             broadcastVecs = true, broadcastGraph = true)
         g = org.apache.spark.sql.graft.CheckpointStats.freshCheckpoint(rankedT)
-        val hitsT = g.filter(col("rank") <= KnnGraphK)
-          .join(exact, Seq("src", "dst"))
-          .agg(count(lit(1)).as("n_hit"))
-        candT.agg(count(lit(1)).as("n_cand"))
-          .crossJoin(broadcast(hitsT))
-          .select(lit(s"nnd_iter_$t").as("config"), col("n_cand"), col("n_hit"))
-      }.reduce(_ union _)
-      srpRows.union(nndRows)
+        (t, candT, g)
+      }
+      val volRows = nndParts.map { case (t, candT, _) =>
+          candT.select(lit(s"nnd_iter_$t").as("config"))
+        }.foldLeft(cand.select("config"))(_ union _)
+      val hitRows = nndParts.map { case (t, _, gT) =>
+          gT.filter(col("rank") <= KnnGraphK)
+            .join(exact, Seq("src", "dst"))
+            .select(lit(s"nnd_iter_$t").as("config"))
+        }.foldLeft(srpHitRows)(_ union _)
+      // left-join from the config LIST so a layout with zero band
+      // collisions reports n_cand = 0 instead of vanishing from the
+      // audit (the q183 zero-candidate convention)
+      val cfgDf = { import s.implicits._;
+        (SrpBandConfigs.map(_._1) ++ (1 to NndIters).map(t => s"nnd_iter_$t")).toDF("config") }
+      cfgDf
+        .join(volRows.groupBy("config").agg(count(lit(1)).as("n_cand")), Seq("config"), "left")
+        .join(hitRows.groupBy("config").agg(count(lit(1)).as("n_hit")), Seq("config"), "left")
         .crossJoin(broadcast(nRow.select(col("n_nodes"))))
-        .select(col("config"), col("n_cand"), col("n_hit"),
-          (col("n_hit").cast("double") /
+        .select(col("config"),
+          coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          (coalesce(col("n_hit"), lit(0L)).cast("double") /
             (col("n_nodes") * KnnGraphK).cast("double")).as("recall"))
         .orderBy("config")
     }),

@@ -148,6 +148,44 @@ class NnDescentSpec extends SparkSpec {
       s"dense_rank top-k lost WindowGroupLimit pushdown:\n${plan.take(2000)}")
   }
 
+  test("forced shuffle regime (BroadcastMaxVecRows = 0): same graph, sort-merge plan") {
+    // The documented 100 TB fallback (vector corpus beyond the broadcast
+    // guard → shuffle joins) had never been exercised end-to-end before
+    // round 14 — its correctness and plan were assertions in a comment.
+    // Two pins: (1) the guard override forces the WHOLE build down the
+    // shuffle path and the result is bit-identical to the broadcast
+    // build (the plans must be semantically interchangeable, or the
+    // guard boundary is a correctness cliff); (2) the scoring round's
+    // physical plan under the stats-reset checkpoint really is
+    // sort-merge — no auto-broadcast sneaks back in via stale stats.
+    val key = "graft.nnd.broadcastMaxVecRows"
+    def edges(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val broadcastBuild = edges(
+      NnDescent.knnGraph(clusteredVecs, "vec_id", "embedding", k = 4, iters = 3))
+    val shuffleBuild =
+      try {
+        sys.props(key) = "0"
+        edges(NnDescent.knnGraph(clusteredVecs, "vec_id", "embedding", k = 4, iters = 3))
+      } finally sys.props.remove(key)
+    assert(shuffleBuild == broadcastBuild,
+      "shuffle-regime build diverged from the broadcast build")
+    // the round shape knnGraph runs in the shuffle regime: stats-reset
+    // vector table, no broadcast hints
+    val vecs = org.apache.spark.sql.graft.CheckpointStats.freshCheckpoint(
+      NnDescent.vecFrame(clusteredVecs, "vec_id", "embedding"))
+    // the graph frame is stats-reset too (exactly knnGraph's round shape:
+    // every per-round frame rides a freshCheckpoint)
+    val g0 = org.apache.spark.sql.graft.CheckpointStats.freshCheckpoint(
+      NnDescent.initGraph(clusteredVecs, "vec_id", 4))
+    val (_, ranked) = NnDescent.iterate(g0, vecs, 4, cap = 8, broadcastVecs = false)
+    val plan = ranked.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"),
+      s"shuffle regime lost its sort-merge joins:\n${plan.take(2000)}")
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"shuffle regime still broadcasts (stale stats?):\n${plan.take(2000)}")
+  }
+
   test("knnGraph: ranks are 1..k contiguous per node, k respected") {
     val g = NnDescent.knnGraph(clusteredVecs, "vec_id", "embedding", k = 4, iters = 2)
       .collect()
