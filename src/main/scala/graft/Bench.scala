@@ -33,6 +33,24 @@ object Bench {
       SparkEntry.queries("q02_byte_len")(spark, sfDir).write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () } // warmup failures surface per-query below
 
+    // HOST-THROUGHPUT CALIBRATION (round 14): a fixed pure-CPU job whose
+    // wall time rides in the JSON as `calib`. Round-over-round totals on
+    // this box shift uniformly with invisible external load (r13 -> r14:
+    // every untouched query drifted ~+25%, max single delta +3.7 s, two
+    // same-session runs agreeing to 0.6% — a throughput change, not a
+    // regression); within-run spread cannot see a BETWEEN-session shift,
+    // but the ratio of two rounds' calib times can. Min of 2 (same
+    // statistic as the queries).
+    def calibrate(): Double = (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(0, 2000000000L, 1, 32)
+        // modulo keeps the ANSI sum far from long overflow
+        .selectExpr("sum(xxhash64(id) % 1000003)")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    val calibStart = calibrate()
+
     // optional args: query-name substrings to run (builder-local iteration;
     // the driver passes none and benches everything)
     val only = args.toSet
@@ -151,9 +169,13 @@ object Bench {
     val rs = resampled.map { case (k, v) =>
       s"${jstr(k)}:${v.map("%.3f".format(_)).mkString("[", ",", "]")}"
     }.mkString("{", ",", "}")
+    // end-of-run calibration too: the start sample alone misses weather
+    // that arrives mid-run (measured: a suite that started at calib 0.70
+    // finished 17% slower than its same-code predecessor)
+    val calibEnd = calibrate()
     val heapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
     val config =
-      s"""{"runs":$runs,"cpus":${jstr(cpus)},"heap_mb":$heapMb,"statistic":"min","spread_stat":"runnerup_minus_min","adaptive_extra_max":2}"""
+      s"""{"runs":$runs,"cpus":${jstr(cpus)},"heap_mb":$heapMb,"statistic":"min","spread_stat":"runnerup_minus_min","adaptive_extra_max":2,"calib_start_s":${"%.3f".format(calibStart)},"calib_end_s":${"%.3f".format(calibEnd)}}"""
     val line =
       s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"spread":$sp,"spread_total":${"%.3f".format(spreadTotal)},"samples":$rs,"config":$config,"errors":$es,"stream":$ss,"sf":${jstr(sfDir)}}"""
     println(line)
