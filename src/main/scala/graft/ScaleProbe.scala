@@ -39,11 +39,80 @@ object ScaleProbe extends RegistryBase {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     args(0) match {
-      case "nnd-ab"      => nndAb(spark, args(1))
-      case "ivf-quality" => ivfQuality(spark, args(1))
-      case other         => sys.error(s"unknown subcommand: $other")
+      case "nnd-ab"         => nndAb(spark, args(1))
+      case "ivf-quality"    => ivfQuality(spark, args(1))
+      case "upsert-quality" => upsertQuality(spark, args(1))
+      case other            => sys.error(s"unknown subcommand: $other")
     }
     spark.stop()
+  }
+
+  /** At-scale twin of GraphUpsertSpec's sf0.001 gate: recall@KnnGraphK of
+    * the q203 upserted graph against the FULL NN-Descent REBUILD on the
+    * merged corpus at the shipped config, plus both wall times — the
+    * cheap-maintenance-vs-rebuild trade stated with its quality cost on
+    * the same corpus it was measured on.
+    */
+  private def upsertQuality(s: SparkSession, dir: String): Unit = {
+    def edges(df: DataFrame) =
+      df.filter(col("rank") <= KnnGraphK).select("src", "dst")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // warm the base-graph artifact UNTIMED first: the production shape
+    // is "graph exists, batch arrives", so the maintenance cost to
+    // report is the warm upsert, not base-build + upsert
+    SparkEntry.queries("q203_knn_graph_upsert")(s, dir)
+      .write.format("noop").mode("overwrite").save()
+    reset(s)
+    val t0 = System.nanoTime()
+    val up = edges(SparkEntry.queries("q203_knn_graph_upsert")(s, dir))
+    val tUp = (System.nanoTime() - t0) / 1e9
+    reset(s)
+    val t1 = System.nanoTime()
+    val rebuild = edges(NnDescent.knnGraph(
+      rd(s, dir, "embeddings"), "vec_id", "embedding",
+      k = NndK, iters = NndIters, cap = NndCap))
+    val tRb = (System.nanoTime() - t1) / 1e9
+    val rec = if (rebuild.isEmpty) 1.0 else (up & rebuild).size.toDouble / rebuild.size
+    // SAMPLED EXACT TRUTH (1-in-50 queries, full corpus scan per query):
+    // on the near-uniform synthetic corpus the 3-round rebuild is itself
+    // an approximation, so "recall vs rebuild" alone cannot distinguish
+    // "upsert is bad" from "both are far from exact and disagree" —
+    // anchor both against exact before concluding anything.
+    val e = rd(s, dir, "embeddings")
+    val exact = edges(Similarity.cosineTopK(
+        e.filter(col("vec_id") % 50 === 0), e, "vec_id", "embedding", KnnGraphK.toInt)
+      .select(col("q_id").as("src"), col("r_id").as("dst"), col("rank")))
+    val nb = graphUpsertSplit(e).collect()(0)
+    val nbase = nb.getLong(1)
+    def vsExact(g: Set[(Long, Long)], newOnly: Boolean) = {
+      val t = if (newOnly) exact.filter(_._1 >= nbase) else exact
+      if (t.isEmpty) 1.0 else (g & t).size.toDouble / t.size
+    }
+    // rounds sweep: does the gap to the rebuild close with more
+    // incremental rounds (log-N mixing), and at what cost?
+    val base = e.crossJoin(broadcast(graphUpsertSplit(e)))
+      .filter(col("vec_id") < col("nbase")).select("vec_id", "embedding")
+    val arrivals = e.crossJoin(broadcast(graphUpsertSplit(e)))
+      .filter(col("vec_id") >= col("nbase")).select("vec_id", "embedding")
+    val baseGraph = nndGraphBase(s, dir)
+    val sweep = (2 to 4).map { r =>
+      reset(s)
+      val t2 = System.nanoTime()
+      val g = edges(NnDescent.upsertGraph(baseGraph, e, arrivals,
+        "vec_id", "embedding", k = NndK, rounds = r, cap = NndCap))
+      val w = (System.nanoTime() - t2) / 1e9
+      s""""rounds_$r":{"recall_vs_rebuild":${"%.4f".format(if (rebuild.isEmpty) 1.0 else (g & rebuild).size.toDouble / rebuild.size)},""" +
+        s""""recall_vs_exact":${"%.4f".format(vsExact(g, newOnly = false))},""" +
+        s""""new_node_recall_vs_exact":${"%.4f".format(vsExact(g, newOnly = true))},"wall_s":${"%.1f".format(w)}}"""
+    }.mkString(",")
+    println(
+      s"""{"probe":"upsert_quality","n_edges_rebuild":${rebuild.size},"recall_vs_rebuild":${"%.4f".format(rec)},""" +
+        s""""upsert_s":${"%.1f".format(tUp)},"rebuild_s":${"%.1f".format(tRb)},""" +
+        s""""rebuild_recall_vs_exact":${"%.4f".format(vsExact(rebuild, newOnly = false))},""" +
+        s""""rebuild_new_node_recall_vs_exact":${"%.4f".format(vsExact(rebuild, newOnly = true))},""" +
+        s""""upsert_recall_vs_exact":${"%.4f".format(vsExact(up, newOnly = false))},""" +
+        s""""upsert_new_node_recall_vs_exact":${"%.4f".format(vsExact(up, newOnly = true))},""" +
+        s"""$sweep}""")
   }
 
   private def timed(f: => Unit): Double = {
