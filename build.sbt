@@ -41,6 +41,10 @@ run / javaOptions ++= Seq(
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   "-XX:+AlwaysPreTouch",
 )
+// builder-local profiling hook (e.g. -XX:+PrintCompilation for the q196
+// warm-floor investigation); empty in every driver invocation
+run / javaOptions ++= sys.env.get("SPARK_GRAFT_EXTRA_JVM_OPTS")
+  .map(_.split("\\s+").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
 Test / javaOptions ++= Seq(
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

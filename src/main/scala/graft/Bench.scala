@@ -49,7 +49,24 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }.min
+    // MEMORY-BOUND twin (round-14 verdict item 3a): the xxhash64 loop
+    // never leaves registers, so it is blind to memory-bandwidth / GC /
+    // page-cache contention — the channel suspected in the r14 driver
+    // run, whose checkpoint-heavy queries read 5-12x while the pure-CPU
+    // calib read calm. This one allocates and folds ~8 GB of long arrays
+    // (2M rows x 512-long sequence), so allocation rate and bandwidth
+    // dominate; the calib pair (cpu, mem) separates "CPUs busy" from
+    // "memory subsystem busy".
+    def calibrateMem(): Double = (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(0, 2000000L, 1, 32)
+        .selectExpr("aggregate(sequence(0L, 511L), 0L, (a, x) -> a + x + id) AS s")
+        .selectExpr("sum(s % 1000003)")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }.min
     val calibStart = calibrate()
+    val calibMemStart = calibrateMem()
 
     // optional args: query-name substrings to run (builder-local iteration;
     // the driver passes none and benches everything)
@@ -116,10 +133,13 @@ object Bench {
         }
         var samples = (1 to runs).map(_ => sampleOnce())
         // ADAPTIVE RESAMPLING (round-13 verdict item 4): when the two
-        // best samples disagree by more than max(1 s, the min itself),
+        // best samples disagree by more than max(1 s, 25% of the min),
         // the min is not yet a measurement — take up to 2 extra samples
         // until the two best agree (or the budget runs out). min-of-2
         // left single gates swinging 16-19 s in the r13 driver run.
+        // The threshold was max(1 s, min) through round 14 — >100%
+        // relative disagreement — which never fired for a long query
+        // swinging by tens of seconds (round-14 advice item 2).
         def bestTwoGap(ss: Seq[Double]): Double = {
           val sorted = ss.sorted
           if (sorted.length < 2) 0.0 else sorted(1) - sorted(0)
@@ -127,7 +147,7 @@ object Bench {
         var extra = 0
         while (runs > 1 && extra < 2 && {
           val ws = samples.map(_._1)
-          bestTwoGap(ws) > math.max(1.0, ws.min)
+          bestTwoGap(ws) > math.max(1.0, 0.25 * ws.min)
         }) { samples :+= sampleOnce(); extra += 1 }
         // SPARK_GRAFT_BENCH_EMIT_SAMPLES=1: emit EVERY query's sample
         // list, not just the adaptively-resampled ones — the SCALE.md
@@ -173,9 +193,10 @@ object Bench {
     // that arrives mid-run (measured: a suite that started at calib 0.70
     // finished 17% slower than its same-code predecessor)
     val calibEnd = calibrate()
+    val calibMemEnd = calibrateMem()
     val heapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
     val config =
-      s"""{"runs":$runs,"cpus":${jstr(cpus)},"heap_mb":$heapMb,"statistic":"min","spread_stat":"runnerup_minus_min","adaptive_extra_max":2,"calib_start_s":${"%.3f".format(calibStart)},"calib_end_s":${"%.3f".format(calibEnd)}}"""
+      s"""{"runs":$runs,"cpus":${jstr(cpus)},"heap_mb":$heapMb,"statistic":"min","spread_stat":"runnerup_minus_min","adaptive_extra_max":2,"calib_start_s":${"%.3f".format(calibStart)},"calib_end_s":${"%.3f".format(calibEnd)},"calib_mem_start_s":${"%.3f".format(calibMemStart)},"calib_mem_end_s":${"%.3f".format(calibMemEnd)}}"""
     val line =
       s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"spread":$sp,"spread_total":${"%.3f".format(spreadTotal)},"samples":$rs,"config":$config,"errors":$es,"stream":$ss,"sf":${jstr(sfDir)}}"""
     println(line)

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.{NnDescent, Similarity}
+import org.apache.spark.sql.graft.CheckpointStats
 
 /** Builder-local measurement harness behind SCALE.md's at-scale rows —
   * the numbers the bench suite cannot produce: same-JVM paired A/Bs
@@ -40,6 +41,10 @@ object ScaleProbe extends RegistryBase {
     spark.sparkContext.setLogLevel("WARN")
     args(0) match {
       case "nnd-ab"         => nndAb(spark, args(1))
+      case "nnd-rounds"     => nndRounds(spark, args(1),
+        if (args.length > 2) args(2).toInt else 8,
+        if (args.length > 3) args(3).toInt else NndK,
+        if (args.length > 4) args(4).toInt else NndCap)
       case "ivf-quality"    => ivfQuality(spark, args(1))
       case "upsert-quality" => upsertQuality(spark, args(1))
       case other            => sys.error(s"unknown subcommand: $other")
@@ -70,7 +75,7 @@ object ScaleProbe extends RegistryBase {
     val t1 = System.nanoTime()
     val rebuild = edges(NnDescent.knnGraph(
       rd(s, dir, "embeddings"), "vec_id", "embedding",
-      k = NndK, iters = NndIters, cap = NndCap))
+      k = 0, iters = 0, cap = 0))
     val tRb = (System.nanoTime() - t1) / 1e9
     val rec = if (rebuild.isEmpty) 1.0 else (up & rebuild).size.toDouble / rebuild.size
     // SAMPLED EXACT TRUTH (1-in-50 queries, full corpus scan per query):
@@ -90,8 +95,6 @@ object ScaleProbe extends RegistryBase {
     }
     // rounds sweep: does the gap to the rebuild close with more
     // incremental rounds (log-N mixing), and at what cost?
-    val base = e.crossJoin(broadcast(graphUpsertSplit(e)))
-      .filter(col("vec_id") < col("nbase")).select("vec_id", "embedding")
     val arrivals = e.crossJoin(broadcast(graphUpsertSplit(e)))
       .filter(col("vec_id") >= col("nbase")).select("vec_id", "embedding")
     val baseGraph = nndGraphBase(s, dir)
@@ -99,7 +102,7 @@ object ScaleProbe extends RegistryBase {
       reset(s)
       val t2 = System.nanoTime()
       val g = edges(NnDescent.upsertGraph(baseGraph, e, arrivals,
-        "vec_id", "embedding", k = NndK, rounds = r, cap = NndCap))
+        "vec_id", "embedding", k = 0, rounds = r, cap = 0))
       val w = (System.nanoTime() - t2) / 1e9
       s""""rounds_$r":{"recall_vs_rebuild":${"%.4f".format(if (rebuild.isEmpty) 1.0 else (g & rebuild).size.toDouble / rebuild.size)},""" +
         s""""recall_vs_exact":${"%.4f".format(vsExact(g, newOnly = false))},""" +
@@ -135,21 +138,76 @@ object ScaleProbe extends RegistryBase {
   private def nndAb(s: SparkSession, dir: String): Unit = {
     val e = rd(s, dir, "embeddings")
     val n = e.count()
+    val itersUsed = NnDescent.autoIters(n) // the shipped derived counts
+    val kUsed = NnDescent.autoK(n)
     def build(): Double = { reset(s); timed {
-      NnDescent.knnGraph(e, "vec_id", "embedding", k = NndK, iters = NndIters, cap = NndCap)
+      NnDescent.knnGraph(e, "vec_id", "embedding", k = 0, iters = 0, cap = 0)
         .write.format("noop").mode("overwrite").save()
     } }
     val key = "graft.nnd.broadcastMaxVecRows"
+    // pin the broadcast arm EXPLICITLY to the shipped default: the bound
+    // falls back to the SPARK_GRAFT_NND_BCAST_MAX env var after
+    // sys.props, so merely removing the prop would silently compare an
+    // env-overridden regime against itself (round-14 advice)
+    require(!sys.env.contains("SPARK_GRAFT_NND_BCAST_MAX"),
+      "unset SPARK_GRAFT_NND_BCAST_MAX: the A/B pins both regimes via sys.props")
     var rows = Vector.empty[(String, Double)]
     for (regime <- Seq("broadcast", "shuffle", "broadcast", "shuffle")) {
       try {
-        if (regime == "shuffle") sys.props(key) = "0" else sys.props.remove(key)
+        sys.props(key) = if (regime == "shuffle") "0" else "500000"
         rows :+= (regime -> build())
       } finally sys.props.remove(key)
     }
     def arr(r: String) =
       rows.filter(_._1 == r).map(v => "%.1f".format(v._2)).mkString("[", ",", "]")
-    println(s"""{"probe":"nnd_ab","n_vecs":$n,"k":$NndK,"iters":$NndIters,"cap":$NndCap,"broadcast_s":${arr("broadcast")},"shuffle_s":${arr("shuffle")}}""")
+    println(s"""{"probe":"nnd_ab","n_vecs":$n,"k":$kUsed,"iters":$itersUsed,"cap":${NnDescent.autoCap(kUsed)},"broadcast_s":${arr("broadcast")},"shuffle_s":${arr("shuffle")}}""")
+  }
+
+  /** Calibration curve behind autoIters (round-14 verdict item 1): ONE
+    * incremental NN-Descent build at the shipped (k, cap), with
+    * recall@KnnGraphK against SAMPLED EXACT truth (1-in-50 queries,
+    * full-corpus scan each) measured after EVERY round — rounds 1..max
+    * from a single pass, because round r's graph IS round r-1's plus one
+    * iterateInc. The registry's derived round count is set from this
+    * curve, not from the q196 audit (which certifies the recurrence on a
+    * size-capped sample and is blind to round-count underscaling by
+    * construction — the round-14 finding).
+    */
+  private def nndRounds(s: SparkSession, dir: String, maxRounds: Int,
+      k: Int, cap: Int): Unit = {
+    val e = rd(s, dir, "embeddings")
+    val n = e.count()
+    val vecs = CheckpointStats.freshCheckpoint(
+      NnDescent.vecFrame(e, "vec_id", "embedding"))
+    val exact = Similarity.cosineTopK(
+        e.filter(col("vec_id") % 50 === 0), e, "vec_id", "embedding", KnnGraphK.toInt)
+      .select("q_id", "r_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(g: DataFrame): Double = {
+      val got = g.filter(col("rank") <= KnnGraphK && col("src") % 50 === 0)
+        .select("src", "dst").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      if (exact.isEmpty) 1.0 else (got & exact).size.toDouble / exact.size
+    }
+    val bcastVecs = n <= NnDescent.BroadcastMaxVecRows
+    val bcastGraph = k.toLong * n <= NnDescent.BroadcastMaxGraphRows
+    val g0 = CheckpointStats.freshCheckpoint(NnDescent.initGraph(e, "vec_id", k))
+    var g: DataFrame = null
+    val rows = (1 to maxRounds).map { r =>
+      val t0 = System.nanoTime()
+      g = CheckpointStats.freshCheckpoint(
+        if (r == 1)
+          NnDescent.markNew(
+            NnDescent.iterate(g0, vecs, k, cap, bcastVecs, round = 0)._2,
+            g0, broadcastG0 = bcastGraph)
+        else NnDescent.iterateInc(g, vecs, k, cap, bcastVecs, bcastGraph,
+          round = r - 1)._2)
+      val w = (System.nanoTime() - t0) / 1e9
+      val rec = recall(g)
+      System.err.println(f"[nnd-rounds] k=$k cap=$cap round $r recall3=$rec%.4f wall=$w%.1fs")
+      f"""{"round":$r,"recall3":$rec%.4f,"wall_s":$w%.1f,"auto_pick":${NnDescent.autoIters(n) == r}}"""
+    }.mkString(",")
+    println(s"""{"probe":"nnd_rounds","n_vecs":$n,"k":$k,"cap":$cap,"rounds":[$rows]}""")
   }
 
   /** Quality record for the IVF consumers (round-13 verdict item 1):

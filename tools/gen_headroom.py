@@ -73,18 +73,38 @@ def gen_documents(src: str, out: str, rng, n: int, zipf: bool) -> None:
     pq.write_table(table, f"{out}/documents.parquet")
 
 
-def gen_embeddings(src: str, out: str, rng, n: int) -> None:
+def gen_embeddings(src: str, out: str, rng, n: int,
+                   zipf_labels: bool = False) -> None:
     emb = pq.read_table(f"{src}/embeddings.parquet").to_pydict()
     mat = np.array(emb["embedding"], dtype=np.float32)  # rows x dims
     labels, lab_c = np.unique(emb["label"], return_counts=True)
     # per-dimension empirical marginals, sampled independently
     cols = [rng.choice(mat[:, d], size=n) for d in range(mat.shape[1])]
     vecs = np.stack(cols, axis=1)
+    if zipf_labels:
+        # Rare-label regime for the q179 filtered-ANN revisit trigger
+        # (SCALE.md keep-IVF decision names sub-1% labels): 20 labels with
+        # Zipf(s=1.5) frequencies — labels 12..19 each land below 1% of
+        # the corpus. The testdata's own marginal is uniform 10 x ~10%,
+        # which can never exercise the trigger. The 10 q179 query vectors
+        # (vec_id < 10) are pinned to the EVEN label ranks 0,2,..,18 so
+        # every frequency band — head, mid, and sub-1% tail — gets
+        # queried; everything else about the corpus matches the default
+        # path (same vectors, same ids).
+        n_lab = 20
+        ranks = np.arange(1, n_lab + 1, dtype=np.float64)
+        lab_p = 1.0 / ranks ** 1.5
+        lab_p /= lab_p.sum()
+        lab_col = rng.choice(np.arange(n_lab, dtype=np.int64), size=n, p=lab_p)
+        lab_col[:10] = np.arange(10, dtype=np.int64) * 2
+        lab_arr = pa.array(lab_col, pa.int64())
+    else:
+        lab_arr = pa.array(rng.choice(labels, size=n, p=lab_c / lab_c.sum()))
     etable = pa.table({
         "vec_id": pa.array(range(n), pa.int64()),
         "embedding": pa.array([list(map(float, v)) for v in vecs],
                               pa.list_(pa.float32())),
-        "label": pa.array(rng.choice(labels, size=n, p=lab_c / lab_c.sum())),
+        "label": lab_arr,
     })
     pq.write_table(etable, f"{out}/embeddings.parquet")
 
@@ -119,11 +139,14 @@ def gen_events(src: str, out: str, rng, factor: int) -> None:
     print(f"wrote {n} events over {n_users} users (+ customer dim) to {out}")
 
 
-def main(src: str, out: str, n: int, zipf: bool, events_factor: int) -> None:
+def main(src: str, out: str, n: int, zipf: bool, events_factor: int,
+         zipf_labels: bool = False) -> None:
     rng = np.random.default_rng(1234)
     gen_documents(src, out, rng, n, zipf)
-    gen_embeddings(src, out, rng, n)
-    print(f"wrote {n} docs + {n} vectors to {out}" + (" [zipf vocab]" if zipf else ""))
+    gen_embeddings(src, out, rng, n, zipf_labels)
+    print(f"wrote {n} docs + {n} vectors to {out}"
+          + (" [zipf vocab]" if zipf else "")
+          + (" [zipf labels]" if zipf_labels else ""))
     if events_factor > 0:
         gen_events(src, out, rng, events_factor)
 
@@ -136,8 +159,11 @@ if __name__ == "__main__":
     p.add_argument("out")
     p.add_argument("n_docs", nargs="?", type=int, default=50000)
     p.add_argument("--zipf", action="store_true")
+    p.add_argument("--zipf-labels", action="store_true",
+                   help="Zipf(1.5) label marginal over 20 labels "
+                        "(labels 12+ are sub-1%% — the q179 rare-label regime)")
     p.add_argument("--events-factor", type=int, default=10,
                    help="events users multiplier; 0 skips events")
     a = p.parse_args()
     os.makedirs(a.out, exist_ok=True)
-    main(a.src, a.out, a.n_docs, a.zipf, a.events_factor)
+    main(a.src, a.out, a.n_docs, a.zipf, a.events_factor, a.zipf_labels)
