@@ -179,12 +179,15 @@ object ScaleProbe extends RegistryBase {
     val n = e.count()
     val vecs = CheckpointStats.freshCheckpoint(
       NnDescent.vecFrame(e, "vec_id", "embedding"))
+    // exact-truth sample: ~1000 queries regardless of N (each query is a
+    // full corpus scan, so the truth pass stays ~1000*N dots at any scale)
+    val qMod = math.max(50L, n / 1000L)
     val exact = Similarity.cosineTopK(
-        e.filter(col("vec_id") % 50 === 0), e, "vec_id", "embedding", KnnGraphK.toInt)
+        e.filter(col("vec_id") % qMod === 0), e, "vec_id", "embedding", KnnGraphK.toInt)
       .select("q_id", "r_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     def recall(g: DataFrame): Double = {
-      val got = g.filter(col("rank") <= KnnGraphK && col("src") % 50 === 0)
+      val got = g.filter(col("rank") <= KnnGraphK && col("src") % qMod === 0)
         .select("src", "dst").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       if (exact.isEmpty) 1.0 else (got & exact).size.toDouble / exact.size
@@ -207,7 +210,7 @@ object ScaleProbe extends RegistryBase {
       System.err.println(f"[nnd-rounds] k=$k cap=$cap round $r recall3=$rec%.4f wall=$w%.1fs")
       f"""{"round":$r,"recall3":$rec%.4f,"wall_s":$w%.1f,"auto_pick":${NnDescent.autoIters(n) == r}}"""
     }.mkString(",")
-    println(s"""{"probe":"nnd_rounds","n_vecs":$n,"k":$k,"cap":$cap,"rounds":[$rows]}""")
+    println(s"""{"probe":"nnd_rounds","n_vecs":$n,"k":$k,"cap":$cap,"bcast_vecs":$bcastVecs,"bcast_graph":$bcastGraph,"rounds":[$rows]}""")
   }
 
   /** Quality record for the IVF consumers (round-13 verdict item 1):
