@@ -60,6 +60,14 @@ object Similarity {
       .withColumn("q_nrm", l2Norm(col("q_vec")))
     val c = corpus.select(col(idCol).as("r_id"), asDouble(col(vecCol)).as("r_vec"))
       .withColumn("r_nrm", l2Norm(col("r_vec")))
+      // the per-pair dot work inherits the CORPUS side's partitioning —
+      // a broadcast join adds no exchange — so a compact corpus (one
+      // parquet file ≈ 3 splits) would compute |corpus|·|queries| dots
+      // on 3 tasks while every other core idles (measured: the 600k x
+      // 1000-query truth pass sat at ~1 core for 15+ min). One narrow
+      // round-robin shuffle of the corpus rows buys full-width scoring;
+      // values are unchanged (the window re-sorts per q_id anyway).
+      .repartition(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
     val scored = c
       .crossJoin(broadcast(q))
       .where(col("q_id") =!= col("r_id"))
