@@ -37,6 +37,12 @@ object ScaleProbe extends RegistryBase {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // multi-round shuffle-regime builds leave each round's shuffle
+      // files on disk until the ContextCleaner GCs their references —
+      // the default 30 min periodic GC lets a 7-round build stack every
+      // round's spill on one box. At cluster scale the same knob exists
+      // per-executor; locally a 1-min sweep keeps peak disk ≈ one round.
+      .config("spark.cleaner.periodicGC.interval", "60s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     args(0) match {
@@ -46,6 +52,7 @@ object ScaleProbe extends RegistryBase {
         if (args.length > 3) args(3).toInt else NndK,
         if (args.length > 4) args(4).toInt else NndCap)
       case "ivf-quality"    => ivfQuality(spark, args(1))
+      case "ivf-sweep"      => ivfSweep(spark, args(1))
       case "upsert-quality" => upsertQuality(spark, args(1))
       case other            => sys.error(s"unknown subcommand: $other")
     }
@@ -151,16 +158,28 @@ object ScaleProbe extends RegistryBase {
     // env-overridden regime against itself (round-14 advice)
     require(!sys.env.contains("SPARK_GRAFT_NND_BCAST_MAX"),
       "unset SPARK_GRAFT_NND_BCAST_MAX: the A/B pins both regimes via sys.props")
-    var rows = Vector.empty[(String, Double)]
+    // spill + shuffle-write bytes per arm: round 15's shuffle arms DIED
+    // on disk with no number attached — the A/B's job now includes
+    // recording what each regime writes (the r15 verdict's done-bar)
+    val metrics = new org.apache.spark.sql.graft.TaskMetricsAgg(s.sparkContext)
+    var rows = Vector.empty[(String, Double, Long, Long)]
     for (regime <- Seq("broadcast", "shuffle", "broadcast", "shuffle")) {
       try {
         sys.props(key) = if (regime == "shuffle") "0" else "500000"
-        rows :+= (regime -> build())
+        metrics.snapshotAndReset()
+        val w = build()
+        val (spill, shuf) = metrics.snapshotAndReset()
+        rows :+= ((regime, w, spill, shuf))
       } finally sys.props.remove(key)
     }
     def arr(r: String) =
       rows.filter(_._1 == r).map(v => "%.1f".format(v._2)).mkString("[", ",", "]")
-    println(s"""{"probe":"nnd_ab","n_vecs":$n,"k":$kUsed,"iters":$itersUsed,"cap":${NnDescent.autoCap(kUsed)},"broadcast_s":${arr("broadcast")},"shuffle_s":${arr("shuffle")}}""")
+    def mb(r: String, f: ((String, Double, Long, Long)) => Long) =
+      rows.filter(_._1 == r).map(v => (f(v) / (1L << 20)).toString).mkString("[", ",", "]")
+    println(s"""{"probe":"nnd_ab","n_vecs":$n,"k":$kUsed,"iters":$itersUsed,"cap":${NnDescent.autoCap(kUsed)},""" +
+      s""""broadcast_s":${arr("broadcast")},"shuffle_s":${arr("shuffle")},""" +
+      s""""broadcast_spill_mb":${mb("broadcast", _._3)},"shuffle_spill_mb":${mb("shuffle", _._3)},""" +
+      s""""broadcast_shufwrite_mb":${mb("broadcast", _._4)},"shuffle_shufwrite_mb":${mb("shuffle", _._4)}}""")
   }
 
   /** Calibration curve behind autoIters (round-14 verdict item 1): ONE
@@ -194,9 +213,11 @@ object ScaleProbe extends RegistryBase {
     }
     val bcastVecs = n <= NnDescent.BroadcastMaxVecRows
     val bcastGraph = k.toLong * n <= NnDescent.BroadcastMaxGraphRows
+    val metrics = new org.apache.spark.sql.graft.TaskMetricsAgg(s.sparkContext)
     val g0 = CheckpointStats.freshCheckpoint(NnDescent.initGraph(e, "vec_id", k))
     var g: DataFrame = null
     val rows = (1 to maxRounds).map { r =>
+      metrics.snapshotAndReset()
       val t0 = System.nanoTime()
       g = CheckpointStats.freshCheckpoint(
         if (r == 1)
@@ -206,9 +227,11 @@ object ScaleProbe extends RegistryBase {
         else NnDescent.iterateInc(g, vecs, k, cap, bcastVecs, bcastGraph,
           round = r - 1)._2)
       val w = (System.nanoTime() - t0) / 1e9
+      val (spill, shuf) = metrics.snapshotAndReset()
       val rec = recall(g)
-      System.err.println(f"[nnd-rounds] k=$k cap=$cap round $r recall3=$rec%.4f wall=$w%.1fs")
-      f"""{"round":$r,"recall3":$rec%.4f,"wall_s":$w%.1f,"auto_pick":${NnDescent.autoIters(n) == r}}"""
+      System.err.println(f"[nnd-rounds] k=$k cap=$cap round $r recall3=$rec%.4f " +
+        f"wall=$w%.1fs spill=${spill / (1L << 20)}MB shufwrite=${shuf / (1L << 20)}MB")
+      f"""{"round":$r,"recall3":$rec%.4f,"wall_s":$w%.1f,"spill_mb":${spill / (1L << 20)},"shufwrite_mb":${shuf / (1L << 20)},"auto_pick":${NnDescent.autoIters(n) == r}}"""
     }.mkString(",")
     println(s"""{"probe":"nnd_rounds","n_vecs":$n,"k":$k,"cap":$cap,"bcast_vecs":$bcastVecs,"bcast_graph":$bcastGraph,"rounds":[$rows]}""")
   }
@@ -330,5 +353,66 @@ object ScaleProbe extends RegistryBase {
       s"""{"probe":"ivf_quality","n_vecs":${e.count()},""" +
         s""""q179":{"recall3":${"%.3f".format(rec179)},"mrr":${"%.3f".format(mrr179)},"bands":{$bands},"per_query":$perQJson},""" +
         s""""q180":{"n_queries":${qids.length},"vec_leg_recall10":${"%.3f".format(legRecall10)},"fused_overlap5":${"%.3f".format(overlap5)},"fused_top1_agree":${"%.3f".format(top1Agree)}}}""")
+  }
+
+  /** Probe-depth → recall curve for the √N-IVF serving family (round-15
+    * verdict item 3): the rare-label revisit trigger is dead — label
+    * frequency is not the failure axis — while absolute recall@3 sits
+    * at ~0.37–0.53 at h10, and the keep-IVF decision had no numeric bar
+    * under it. This sweeps EXPLICIT probe depths around the shipped
+    * auto rule (nprobe = ceil(sqrt(k_centroids))) on the exact serving
+    * path (ivfTopKQServeStoredAuto over the persisted self-contained
+    * index), measuring recall@3 vs exact truth for the unfiltered
+    * q43 shape AND the label-filtered q179 shape, plus per-depth wall —
+    * the depth/recall/cost curve the serving bar is written against.
+    * ~500 sampled queries so the truth pass stays ~500·N dots at any N.
+    */
+  private def ivfSweep(s: SparkSession, dir: String): Unit = {
+    val e = rd(s, dir, "embeddings")
+    val n = e.count()
+    val kc = math.ceil(math.sqrt(n.toDouble)).toLong
+    val autoNp = math.ceil(math.sqrt(kc.toDouble)).toInt
+    val qMod = math.max(50L, n / 500L)
+    val queries = e.filter(col("vec_id") % qMod === 0).localCheckpoint(true)
+    val index = ivfSqrtIndex(s, dir)
+    val cents = sqrtCentroids(s, dir)
+    def pairs(df: DataFrame): Set[(Long, Long)] =
+      df.select("q_id", "r_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.cosineTopK(queries, e, "vec_id", "embedding", 3))
+    // same-label exact truth (the q179 contract: top-3 among same-label
+    // corpus vectors, self excluded)
+    val q = queries.select(col("vec_id").as("q_id"), col("label").as("q_lbl"),
+        Similarity.asDouble(col("embedding")).as("qv"))
+      .withColumn("qn", Similarity.l2Norm(col("qv")))
+    val c = e.select(col("vec_id").as("r_id"), col("label").as("r_lbl"),
+        Similarity.asDouble(col("embedding")).as("rv"))
+      .withColumn("rn", Similarity.l2Norm(col("rv")))
+    val exactF = pairs(c.join(broadcast(q),
+        col("q_lbl") === col("r_lbl") && col("q_id") =!= col("r_id"))
+      .withColumn("cos_sim",
+        Similarity.dot(col("qv"), col("rv")) / (col("qn") * col("rn")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("r_id").asc)))
+      .filter(col("rank") <= 3))
+    def recall(got: Set[(Long, Long)], truth: Set[(Long, Long)]): Double =
+      if (truth.isEmpty) 1.0 else (got & truth).size.toDouble / truth.size
+    val depths = Seq(1, 2, 4, autoNp / 2, autoNp, 2 * autoNp, 4 * autoNp, 8 * autoNp)
+      .filter(d => d >= 1 && d <= kc).distinct.sorted
+    val rows = depths.map { np =>
+      val t0 = System.nanoTime()
+      val got = pairs(Similarity.ivfTopKQServeStoredAuto(
+        queries, index, cents, "vec_id", "embedding", k = 3, nprobe = np))
+      val w = (System.nanoTime() - t0) / 1e9
+      val gotF = pairs(Similarity.ivfTopKQServeStoredAuto(
+        queries, index, cents, "vec_id", "embedding", k = 3,
+        labelCol = Some("label"), nprobe = np))
+      val rec = recall(got, exact)
+      val recF = recall(gotF, exactF)
+      System.err.println(f"[ivf-sweep] nprobe=$np%3d (auto=$autoNp) recall3=$rec%.3f " +
+        f"filtered=$recF%.3f wall=$w%.1fs probed_frac=${np.toDouble / kc}%.3f")
+      f"""{"nprobe":$np,"recall3":$rec%.4f,"recall3_filtered":$recF%.4f,""" +
+        f""""wall_s":$w%.1f,"probed_frac":${np.toDouble / kc}%.4f,"auto":${np == autoNp}}"""
+    }.mkString(",")
+    println(s"""{"probe":"ivf_sweep","n_vecs":$n,"k_centroids":$kc,"auto_nprobe":$autoNp,"n_queries":${queries.count()},"depths":[$rows]}""")
   }
 }

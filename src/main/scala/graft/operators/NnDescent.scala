@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.{CheckpointStats, Md5Long60}
@@ -110,6 +110,63 @@ object NnDescent {
     if (bcast) broadcast(side) else side
   }
 
+  /** Score a FLAT (src, dst) pair set: attach both endpoint vectors and
+    * emit (src, dst, cos_sim). In the broadcast regime both joins are
+    * map-side; in the shuffle regime the pair rows carry ONE vector
+    * payload through one sorted shuffle — acceptable ONLY for pair sets
+    * linear in N (current edges, upsert seeds: k·N rows), never for the
+    * N·cap² two-hop expansion (which scores at the pivot — see
+    * scoreTwoHopLocal).
+    */
+  private def scoreFlat(pairs: DataFrame, vecs: DataFrame, bcastVecs: Boolean): DataFrame =
+    pairs
+      .join(vecSide(vecs, "src", "dv_a", "nrm_a", bcastVecs), Seq("src"))
+      .join(vecSide(vecs, "dst", "dv_b", "nrm_b", bcastVecs), Seq("dst"))
+      .withColumn("cos_sim",
+        Similarity.dot(col("dv_a"), col("dv_b")) / (col("nrm_a") * col("nrm_b")))
+      .select("src", "dst", "cos_sim")
+
+  /** Score the two-hop expansion of a capped undirected adjacency WITHOUT
+    * ever materializing an N·cap²-row frame that carries a vector
+    * payload — the shuffle-regime scale fix (round 16; the r15 verdict's
+    * #1 item). The broadcast-regime plan keeps candidates narrow for
+    * free (both vector joins are map-side), but past the broadcast
+    * boundary the old shape (expand pairs, then join vectors per
+    * endpoint) sorted N·cap² rows WITH a 64-double payload riding along:
+    * measured spill >60 GB at 50k·cap 56 and an 80 GB-disk death at
+    * 600k·cap 28 (SCALE.md round-15 waves 6 & 8) — ~N·cap²·vecWidth
+    * bytes of disk, which no cluster absorbs at 1B nodes.
+    *
+    * This shape is Dong et al.'s LOCAL JOIN made physical: attach each
+    * endpoint's vector to the N·cap adjacency EDGES (two sorted shuffles
+    * of N·cap wide rows — linear in N·cap·vecWidth), sort-merge the two
+    * edge sides on the shared pivot (each pivot holds ≤ cap rows per
+    * side, so the join output is the same N·cap² bag, bounded per key —
+    * no skew blowup), and compute cos_sim IN the join's projection so
+    * only narrow (src, dst, cos_sim) triples flow downstream. Spill
+    * drops by the vector-width factor (~30× for 64-double embeddings);
+    * the cos expression, operand order, and bag multiplicity are
+    * identical to the flat shape, so scores are bit-identical and every
+    * family oracle is unaffected.
+    *
+    * `extraCond` lets iterateInc push its new-leg predicate into the
+    * pivot join (columns of the aliased sides "a"/"b" are in scope).
+    */
+  private def scoreTwoHopLocal(und: DataFrame, vecs: DataFrame,
+      extraCond: Column = lit(true)): DataFrame = {
+    val sideA = und.join(
+      vecs.select(col("vec_id").as("src"), col("dv").as("dv_a"), col("nrm").as("nrm_a")),
+      Seq("src"))
+    val sideB = und.join(
+      vecs.select(col("vec_id").as("dst"), col("dv").as("dv_b"), col("nrm").as("nrm_b")),
+      Seq("dst"))
+    sideA.alias("a").join(sideB.alias("b"),
+        col("a.dst") === col("b.src") && col("b.dst") =!= col("a.src") && extraCond)
+      .select(col("a.src").as("src"), col("b.dst").as("dst"),
+        (Similarity.dot(col("dv_a"), col("dv_b")) / (col("nrm_a") * col("nrm_b")))
+          .as("cos_sim"))
+  }
+
   /** One NN-Descent round. `g` is the current edge set (src, dst, ...);
     * `vecs` is vecFrame's (vec_id, dv, nrm). Returns (candidates,
     * ranked): the round's distinct scored candidate set — the
@@ -118,13 +175,14 @@ object NnDescent {
     * the q196 audit can report per-round candidate volume and recall
     * without re-deriving the recurrence.
     *
-    * `broadcastVecs` keeps the N·cap² candidate pairs NARROW end to end:
-    * without it the checkpointed vector table's stats-reset (8 EiB)
-    * forces sort-merge joins, and the 64-double arrays ride the
-    * candidate shuffle — measured at the 25x corpus: ~20 GB sorted
-    * twice, 342 s for round 1 vs ~30 s broadcast. Callers set it from a
-    * size guard (knnGraph) or by construction (the sample-bounded q196
-    * audit).
+    * `broadcastVecs` selects the scoring shape: true → the narrow bag +
+    * two map-side broadcast vector joins (nothing wide anywhere); false
+    * (the 100 TB regime) → the pivot-local join (scoreTwoHopLocal), so
+    * the sorted shuffles carry vectors only on N·cap-row frames and the
+    * N·cap² expansion flows as narrow (src, dst, cos_sim) triples.
+    * Callers set it from a size guard (knnGraph) or by construction
+    * (the sample-bounded q196 audit). Scores are bit-identical across
+    * the shapes (same bag multiset, same cos expression).
     */
   def iterate(g: DataFrame, vecs: DataFrame, k: Int, cap: Int = -1,
       broadcastVecs: Boolean = false, round: Int = 0): (DataFrame, DataFrame) = {
@@ -161,7 +219,8 @@ object NnDescent {
       .filter(col("rk") <= capN)
       .select("src", "dst")
     // the candidate BAG (duplicates allowed: one pair per generating
-    // pivot) — the scoring path works on this, never on the deduped set
+    // pivot) — the broadcast-regime scoring path works on this, never on
+    // the deduped set
     val candBag = und.alias("a")
       .join(und.alias("b"),
         col("a.dst") === col("b.src") && col("b.dst") =!= col("a.src"))
@@ -172,18 +231,23 @@ object NnDescent {
     // deduping the N·cap² bag was measured at 57 s of a 85 s round at
     // the 25x corpus while scoring the ~5% duplicate surplus costs ~1 s
     val cand = candBag.distinct()
-    val cos = Similarity.dot(col("dv_a"), col("dv_b")) / (col("nrm_a") * col("nrm_b"))
+    // Scoring: broadcast regime keeps the narrow bag + two map-side
+    // vector joins (no shuffle touches the bag at all); shuffle regime
+    // scores the two-hop expansion AT THE PIVOT (scoreTwoHopLocal) so
+    // no N·cap²-row frame ever carries a vector payload, plus a flat
+    // pass over the k·N current edges. Same bag multiset, same cos
+    // expression ⟹ bit-identical scores in both shapes.
+    val scoredBag =
+      if (broadcastVecs) scoreFlat(candBag, vecs, bcastVecs = true)
+      else scoreTwoHopLocal(und, vecs)
+        .union(scoreFlat(g.select(col("src"), col("dst")), vecs, bcastVecs = false))
     // dense_rank over the BAG ≡ row_number over the SET: within a src
     // partition the order key (cos_sim desc, dst asc) is strict across
     // DISTINCT pairs (equal keys ⟹ equal dst ⟹ same pair), so ties are
     // exactly the duplicates — dense_rank collapses them to one rank and
     // the post-top-k distinct (≤ N·k rows + duplicate surplus, ~40x
     // smaller than the bag) collapses the rows
-    val ranked = candBag
-      .join(vecSide(vecs, "src", "dv_a", "nrm_a", broadcastVecs), Seq("src"))
-      .join(vecSide(vecs, "dst", "dv_b", "nrm_b", broadcastVecs), Seq("dst"))
-      .withColumn("cos_sim", cos)
-      .select("src", "dst", "cos_sim")
+    val ranked = scoredBag
       .withColumn("rank", dense_rank().over(
         Window.partitionBy("src").orderBy(col("cos_sim").desc, col("dst").asc))
         .cast("long"))
@@ -266,12 +330,19 @@ object NnDescent {
       .join(gPairs, Seq("src", "dst"), "left_anti")
     // the SET, for the audit's volume count only (oracle c$t is DISTINCT)
     val newCand = newCandBag.distinct()
-    val cos = Similarity.dot(col("dv_a"), col("dv_b")) / (col("nrm_a") * col("nrm_b"))
-    val scored = newCandBag
-      .join(vecSide(vecs, "src", "dv_a", "nrm_a", broadcastVecs), Seq("src"))
-      .join(vecSide(vecs, "dst", "dv_b", "nrm_b", broadcastVecs), Seq("dst"))
-      .withColumn("cos_sim", cos)
-      .select("src", "dst", "cos_sim")
+    // Scoring, regime-split exactly as in `iterate`: broadcast keeps the
+    // narrow anti-joined bag + map-side vector joins; shuffle scores the
+    // new-leg two-hop expansion at the pivot (the new-leg predicate rides
+    // INTO the pivot join) and anti-joins the already-narrow scored
+    // triples against gPairs AFTER — same pairs survive, same cos values,
+    // and the expensive frame never carries a vector payload. Scoring a
+    // pair the anti-join then drops costs only its in-join projection;
+    // nothing wide hits a shuffle either way.
+    val scored =
+      if (broadcastVecs) scoreFlat(newCandBag, vecs, bcastVecs = true)
+      else scoreTwoHopLocal(und.select("src", "dst", "is_new"), vecs,
+          extraCond = col("a.is_new") || col("b.is_new"))
+        .join(gPairs, Seq("src", "dst"), "left_anti")
     // dense_rank over the bag ≡ row_number over the set (see iterate);
     // g's rows are distinct and anti-joined away from scored, so the
     // only (src,dst) collisions are scored-side duplicates, which agree
@@ -334,9 +405,12 @@ object NnDescent {
     // k == 0 / cap == 0 derive from MERGED N (knnGraph's convention) —
     // the derived width may exceed the base graph's build width by a
     // little near an autoK breakpoint, which is safe: old lists simply
-    // hold <= base-k edges until new candidates fill the wider cut
+    // hold <= base-k edges until new candidates fill the wider cut.
+    // When k derives, ANY cap <= 0 derives too (round-15 advice): the
+    // legacy cap = -1 default must not silently pair a derived width
+    // with the uncapped-2k legacy sample no oracle models.
     val kUse = if (k >= 1) k else autoK(nAll)
-    val capUse = if (cap == 0) autoCap(kUse) else cap
+    val capUse = if (cap > 0) cap else if (cap == 0 || k < 1) autoCap(kUse) else cap
     val bcastVecs = nAll <= BroadcastMaxVecRows
     val bcastGraph = kUse.toLong * nAll <= BroadcastMaxGraphRows
     val nRow = vectors.agg(count(lit(1)).as("n"))
@@ -349,12 +423,9 @@ object NnDescent {
       .filter(col("dst") =!= col("src"))
       .select("src", "dst")
       .distinct()
-    val cos = Similarity.dot(col("dv_a"), col("dv_b")) / (col("nrm_a") * col("nrm_b"))
-    val seedScored = seeds
-      .join(vecSide(vecs, "src", "dv_a", "nrm_a", bcastVecs), Seq("src"))
-      .join(vecSide(vecs, "dst", "dv_b", "nrm_b", bcastVecs), Seq("dst"))
-      .withColumn("cos_sim", cos)
-      .select("src", "dst", "cos_sim")
+    // flat-scored: batch·k rows — linear in the batch, so one wide sorted
+    // shuffle in the shuffle regime is fine (see scoreFlat's scaladoc)
+    val seedScored = scoreFlat(seeds, vecs, bcastVecs)
     // merged working graph: base edges ride with their stored scores and
     // is_new = false (their build-time flags are stale by definition);
     // seeds are the new legs. Src sets are disjoint, so the union is
@@ -452,10 +523,12 @@ object NnDescent {
     val nIters = if (iters >= 1) iters else autoIters(nVecs)
     // k == 0 derives the working width from N; cap == 0 derives the
     // ρ-cap from that width (the shipped registry mode). cap < 0 keeps
-    // the legacy "2k uncapped-in-expectation" default for direct/spec
-    // callers with an explicit k.
+    // the legacy "2k uncapped-in-expectation" default ONLY for
+    // direct/spec callers with an explicit k — when k derives, any
+    // cap <= 0 derives too (round-15 advice: the asymmetric sentinel
+    // could silently build a derived-width/ρ=1 config no oracle models).
     val kUse = if (k >= 1) k else autoK(nVecs)
-    val capUse = if (cap == 0) autoCap(kUse) else cap
+    val capUse = if (cap > 0) cap else if (cap == 0 || k < 1) autoCap(kUse) else cap
     val bcastVecs = nVecs <= BroadcastMaxVecRows
     val bcastGraph = kUse.toLong * nVecs <= BroadcastMaxGraphRows
     val g0 = CheckpointStats.freshCheckpoint(initGraph(vectors, idCol, kUse))

@@ -58,16 +58,20 @@ object Similarity {
     // same doubles, so oracle parity is unchanged)
     val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("q_vec"))
       .withColumn("q_nrm", l2Norm(col("q_vec")))
-    val c = corpus.select(col(idCol).as("r_id"), asDouble(col(vecCol)).as("r_vec"))
+    val c0 = corpus.select(col(idCol).as("r_id"), asDouble(col(vecCol)).as("r_vec"))
       .withColumn("r_nrm", l2Norm(col("r_vec")))
-      // the per-pair dot work inherits the CORPUS side's partitioning —
-      // a broadcast join adds no exchange — so a compact corpus (one
-      // parquet file ≈ 3 splits) would compute |corpus|·|queries| dots
-      // on 3 tasks while every other core idles (measured: the 600k x
-      // 1000-query truth pass sat at ~1 core for 15+ min). One narrow
-      // round-robin shuffle of the corpus rows buys full-width scoring;
-      // values are unchanged (the window re-sorts per q_id anyway).
-      .repartition(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+    // the per-pair dot work inherits the CORPUS side's partitioning —
+    // a broadcast join adds no exchange — so a compact corpus (one
+    // parquet file ≈ 3 splits) would compute |corpus|·|queries| dots
+    // on 3 tasks while every other core idles (measured: the 600k x
+    // 1000-query truth pass sat at ~1 core for 15+ min). One narrow
+    // round-robin shuffle of the corpus rows buys full-width scoring;
+    // values are unchanged (the window re-sorts per q_id anyway).
+    // Skipped when the scan is already at least shuffle-width (round-15
+    // advice: don't pay a shuffle that buys no parallelism), and read
+    // via the resolved Int conf (the string key may hold "auto").
+    val width = org.apache.spark.sql.graft.SessionConf.numShufflePartitions(corpus)
+    val c = if (c0.rdd.getNumPartitions >= width) c0 else c0.repartition(width)
     val scored = c
       .crossJoin(broadcast(q))
       .where(col("q_id") =!= col("r_id"))
@@ -536,9 +540,14 @@ object Similarity {
       vecCol: String,
       k: Int,
       labelCol: Option[String] = None,
-      scale: Int = 1000
+      scale: Int = 1000,
+      nprobe: Int = 0
   ): DataFrame = {
-    val baseProbes = autoProbes(queries, qcentroids, idCol, vecCol, scale)
+    // nprobe = 0 (every registry call site) keeps the shipped auto rule
+    // ceil(sqrt(k_centroids)); > 0 pins an explicit depth — the
+    // ScaleProbe ivf-sweep's knob for the depth→recall curve that
+    // justifies (or indicts) the auto rule.
+    val baseProbes = autoProbes(queries, qcentroids, idCol, vecCol, scale, nprobe)
     val (probes, joinKeys) = labelCol match {
       case Some(lc) => (
         baseProbes
@@ -578,10 +587,12 @@ object Similarity {
       qcentroids: DataFrame,
       idCol: String,
       vecCol: String,
-      scale: Int
+      scale: Int,
+      nprobe: Int = 0
   ): DataFrame = {
-    val npRow = qcentroids.agg(
-      ceil(sqrt(count(lit(1)))).cast("long").as("np"))
+    val npRow =
+      if (nprobe > 0) qcentroids.agg(lit(nprobe.toLong).as("np"))
+      else qcentroids.agg(ceil(sqrt(count(lit(1)))).cast("long").as("np"))
     val v = queries.select(col(idCol).as("id"), quantize(col(vecCol), scale).as("qv"))
     val wp = Window.partitionBy("id").orderBy(col("score").desc, col("centroid_id").asc)
     v.crossJoin(broadcast(qcentroids.select(col("centroid_id"), col("cv"))))

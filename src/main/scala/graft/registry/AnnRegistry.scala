@@ -137,6 +137,19 @@ trait AnnRegistry extends RegistryBase {
     */
   protected def knnUpsertOracle: String = {
     val n = nndOracleN
+    // memoized per primed N (round-15 advice): the multi-KB unrolled SQL
+    // is referenced by BOTH q203 and q204 and annOracle is a def, so an
+    // unmemoized build re-renders it on every oracleSql access
+    val cached = knnUpsertOracleCache
+    if (cached != null && cached._1 == n) return cached._2
+    val rendered = renderKnnUpsertOracle(n)
+    knnUpsertOracleCache = (n, rendered)
+    rendered
+  }
+
+  @volatile private var knnUpsertOracleCache: (Long, String) = null
+
+  private def renderKnnUpsertOracle(n: Long): String = {
     val nBase = n - n / IncrementalMod
     // base build sized from the id prefix (knnGraph derives from ITS
     // input's count); upsert rounds sized from the merged corpus

@@ -193,6 +193,72 @@ class NnDescentSpec extends SparkSpec {
       s"shuffle regime still broadcasts (stale stats?):\n${plan.take(2000)}")
   }
 
+  test("shuffle regime: the cap² expansion join scores at the pivot — nothing wide above it") {
+    // The round-16 scale fix, pinned structurally (r15 verdict item 1):
+    // past the broadcast boundary the two-hop expansion must be a
+    // LOCAL JOIN — vectors attach to the N·cap adjacency edges BEFORE
+    // the pivot self-join, cos_sim is computed in the join's projection,
+    // and only narrow (src, dst, cos_sim) triples flow above it. The old
+    // shape (expand narrow pairs, then join vectors per endpoint) sorted
+    // N·cap² rows WITH a 64-double payload — measured at >60 GB of spill
+    // at 50k vectors · cap 56 (SCALE.md round-15 wave 8). Identification:
+    // the expansion join is the ONLY join with a non-equi residual
+    // condition (dst != src rides the pivot join); the flat passes are
+    // pure equi-joins.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.types.ArrayType
+    val vecs = org.apache.spark.sql.graft.CheckpointStats.freshCheckpoint(
+      NnDescent.vecFrame(clusteredVecs, "vec_id", "embedding"))
+    val g0 = org.apache.spark.sql.graft.CheckpointStats.freshCheckpoint(
+      NnDescent.initGraph(clusteredVecs, "vec_id", 4))
+    def isWide(p: SparkPlan): Boolean =
+      p.output.exists(_.dataType.isInstanceOf[ArrayType])
+    // expansion joins found; wideAbove = ancestors of p that output an array column
+    var found = 0
+    def check(p: SparkPlan, wideAbove: Seq[String]): Unit = p match {
+      case j: SortMergeJoinExec if j.condition.isDefined =>
+        found += 1
+        assert(isWide(j.left) && isWide(j.right),
+          s"expansion join must consume vector payloads on BOTH inputs " +
+            s"(scoring at the pivot), got:\n${j.toString.take(1500)}")
+        assert(wideAbove.isEmpty,
+          s"wide operators above the expansion join (vector payload rides the " +
+            s"N·cap² frame): ${wideAbove.mkString("; ")}")
+        j.children.foreach(c => check(c, Seq.empty))
+      case _ =>
+        val wa = if (isWide(p)) wideAbove :+ p.nodeName else wideAbove
+        p.children.foreach(c => check(c, wa))
+    }
+    // iterate (round 0): one expansion join
+    val (_, r0) = NnDescent.iterate(g0, vecs, 4, cap = 8, broadcastVecs = false)
+    check(r0.queryExecution.sparkPlan, Seq.empty)
+    assert(found == 1, s"expected exactly 1 expansion join in iterate, found $found")
+    // iterateInc: the new-leg predicate rides into the same pivot join
+    found = 0
+    val g1 = org.apache.spark.sql.graft.CheckpointStats.freshCheckpoint(
+      NnDescent.markNew(r0, g0))
+    val (_, r1) = NnDescent.iterateInc(g1, vecs, 4, cap = 8,
+      broadcastVecs = false, broadcastGraph = false, round = 1)
+    check(r1.queryExecution.sparkPlan, Seq.empty)
+    assert(found == 1, s"expected exactly 1 expansion join in iterateInc, found $found")
+  }
+
+  test("derived-config sentinels are symmetric: k = 0 with default cap derives autoCap") {
+    // Round-15 advice: cap's -1 default must not pair a derived width
+    // with the legacy 2k sample when k derives. With k = 0 and cap left
+    // at the default, the build must equal the fully-derived
+    // (k = 0, cap = 0) build bit-for-bit.
+    def edges(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val derived = edges(NnDescent.knnGraph(clusteredVecs, "vec_id", "embedding",
+      k = 0, iters = 2, cap = 0))
+    val defaulted = edges(NnDescent.knnGraph(clusteredVecs, "vec_id", "embedding",
+      k = 0, iters = 2))
+    assert(defaulted == derived,
+      "k = 0 with the default cap must derive autoCap, not the legacy 2k sample")
+  }
+
   test("knnGraph: ranks are 1..k contiguous per node, k respected") {
     val g = NnDescent.knnGraph(clusteredVecs, "vec_id", "embedding", k = 4, iters = 2)
       .collect()

@@ -4,9 +4,10 @@ package graft
 class RegistrySpec extends SparkSpec {
 
   test("every registered query has an oracle (no rows-only checks remain)") {
-    // the NND oracles are sized from the primed corpus (Verify does the
-    // same before dumping oracle_sql.json)
-    SparkEntry.primeOracleScale(spark, "/root/testdata/sf0.001")
+    // NND oracle sizing is primed once for the whole test JVM in
+    // SparkTestSession (Verify does the same before dumping
+    // oracle_sql.json); `spark` forces that init
+    spark
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracles without queries: ${o.diff(q)}")

@@ -5,18 +5,34 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** One shared local SparkSession for the whole forked test JVM. */
 object SparkTestSession {
-  lazy val spark: SparkSession = SparkSession
-    .builder()
-    .master("local[4]")
-    .appName("graft-test")
-    .withExtensions(new org.apache.spark.sql.graft.GraftExtensions)
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  /** The driver-generated fixture tables every registry-facing test
+    * reads — one constant instead of per-suite literals.
+    */
+  val testDataDir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession
+      .builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .withExtensions(new org.apache.spark.sql.graft.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    // prime the corpus-scaled oracle unrolls ONCE for the whole test JVM
+    // (round-15 advice: priming inside one suite made every other suite's
+    // SparkEntry.oracleSql access depend on test ordering)
+    if (new java.io.File(testDataDir).isDirectory)
+      SparkEntry.primeOracleScale(s, testDataDir)
+    s
+  }
 }
 
 trait SparkSpec extends AnyFunSuite {
+  /** Fixture-table directory (sf0.001). */
+  def testDataDir: String = SparkTestSession.testDataDir
+
   lazy val spark: SparkSession = {
     val s = SparkTestSession.spark
     s.sparkContext.setLogLevel("ERROR")

@@ -74,13 +74,32 @@ def gen_documents(src: str, out: str, rng, n: int, zipf: bool) -> None:
 
 
 def gen_embeddings(src: str, out: str, rng, n: int,
-                   zipf_labels: bool = False) -> None:
+                   zipf_labels: bool = False, clusters: int = 0) -> None:
     emb = pq.read_table(f"{src}/embeddings.parquet").to_pydict()
     mat = np.array(emb["embedding"], dtype=np.float32)  # rows x dims
     labels, lab_c = np.unique(emb["label"], return_counts=True)
-    # per-dimension empirical marginals, sampled independently
-    cols = [rng.choice(mat[:, d], size=n) for d in range(mat.shape[1])]
-    vecs = np.stack(cols, axis=1)
+    if clusters > 0:
+        # CLUSTERED regime (round-15 verdict item 4): the default path
+        # samples dimensions independently — the structure-free worst
+        # case NN-Descent's autoK/autoIters were calibrated on. Real
+        # embedding corpora are mixtures: K centers (each drawn from the
+        # per-dim empirical marginals, so scale/offset match the default
+        # corpus) + per-dim Gaussian noise at half the empirical std.
+        # Zipf(1.1) cluster sizes — real topic clusters are not uniform.
+        dims = mat.shape[1]
+        centers = np.stack(
+            [rng.choice(mat[:, d], size=clusters) for d in range(dims)], axis=1)
+        stds = mat.std(axis=0)
+        ranks = np.arange(1, clusters + 1, dtype=np.float64)
+        cl_p = 1.0 / ranks ** 1.1
+        cl_p /= cl_p.sum()
+        assign = rng.choice(np.arange(clusters), size=n, p=cl_p)
+        vecs = (centers[assign]
+                + rng.normal(0.0, 0.5, size=(n, dims)).astype(np.float32) * stds)
+    else:
+        # per-dimension empirical marginals, sampled independently
+        cols = [rng.choice(mat[:, d], size=n) for d in range(mat.shape[1])]
+        vecs = np.stack(cols, axis=1)
     if zipf_labels:
         # Rare-label regime for the q179 filtered-ANN revisit trigger
         # (SCALE.md keep-IVF decision names sub-1% labels): 20 labels with
@@ -140,13 +159,14 @@ def gen_events(src: str, out: str, rng, factor: int) -> None:
 
 
 def main(src: str, out: str, n: int, zipf: bool, events_factor: int,
-         zipf_labels: bool = False) -> None:
+         zipf_labels: bool = False, clusters: int = 0) -> None:
     rng = np.random.default_rng(1234)
     gen_documents(src, out, rng, n, zipf)
-    gen_embeddings(src, out, rng, n, zipf_labels)
+    gen_embeddings(src, out, rng, n, zipf_labels, clusters)
     print(f"wrote {n} docs + {n} vectors to {out}"
           + (" [zipf vocab]" if zipf else "")
-          + (" [zipf labels]" if zipf_labels else ""))
+          + (" [zipf labels]" if zipf_labels else "")
+          + (f" [{clusters} gaussian clusters]" if clusters else ""))
     if events_factor > 0:
         gen_events(src, out, rng, events_factor)
 
@@ -164,6 +184,10 @@ if __name__ == "__main__":
                         "(labels 12+ are sub-1%% — the q179 rare-label regime)")
     p.add_argument("--events-factor", type=int, default=10,
                    help="events users multiplier; 0 skips events")
+    p.add_argument("--clusters", type=int, default=0,
+                   help="mixture-of-Gaussians embeddings with K Zipf-sized "
+                        "clusters (0 = independent-dimension default)")
     a = p.parse_args()
     os.makedirs(a.out, exist_ok=True)
-    main(a.src, a.out, a.n_docs, a.zipf, a.events_factor, a.zipf_labels)
+    main(a.src, a.out, a.n_docs, a.zipf, a.events_factor, a.zipf_labels,
+         a.clusters)
