@@ -31,9 +31,18 @@ object ScaleProbe extends RegistryBase {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse(
       "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
+    // SPARK_GRAFT_SHUFFLE_PARTS > cpus shrinks PER-TASK state: a
+    // shuffle-regime bag sort's transient disk is (concurrent tasks ×
+    // per-task spill), and per-task spill scales with rows/partition —
+    // at h120's 2.9B-row round-0 bag, 32 partitions put ~90M rows under
+    // each local sort (≈ 2.7 GB spill/task × 28 concurrent > the box's
+    // disk) where 256 partitions keep each sort near-memory-resident.
+    // On a real cluster this is just "don't undersize
+    // spark.sql.shuffle.partitions for the biggest stage".
+    val shufParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufParts)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
