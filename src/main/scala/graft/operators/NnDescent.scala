@@ -89,6 +89,34 @@ object NnDescent {
       .orElse(sys.env.get("SPARK_GRAFT_NND_BCAST_MAX"))
       .map(_.toLong).getOrElse(500000L)
 
+  /** Number of pivot slices the SHUFFLE-regime expansion executes in
+    * (default 1 = single pass). Slicing bounds PEAK DISK, which round
+    * 16 measured to be the shuffle regime's true capacity limit even
+    * after the narrow-triple fix: one h120 (600k · cap 70) round keeps
+    * ~46 GB of wide attach shuffle + ~22 GB of partial-window output +
+    * ~17 GB of flat-pass sort resident in a single job — more than
+    * this box's 78 GB budget, and at 1B nodes more than a per-executor
+    * disk budget too. With S slices the round runs as S independent
+    * jobs, each expanding only the pivots with pivot_id % S == s,
+    * cutting that slice's bag to per-src top-k, and CHECKPOINTING the
+    * narrow cut so the slice's shuffle files are GC-able before the
+    * next slice starts — peak disk drops ~1/S at the cost of S scans
+    * of the (tiny) vector table and adjacency.
+    *
+    * EXACT, not approximate: every bag occurrence of a candidate pair
+    * lands in exactly the slice of its generating pivot, and a pair in
+    * the final per-src top-k ranks <= k within any subset of the bag
+    * it appears in — so the union of slice top-k cuts is a superset of
+    * the global top-k, and the final (cheap, narrow) re-rank
+    * reproduces ranks bit-for-bit (the NnDescentSpec slicing test pins
+    * slices = 3 ≡ slices = 1 on the fixture). Ids are dense 0..N-1, so
+    * pmod(pivot, S) is a balanced split with zero hashing cost.
+    */
+  def ExpansionSlices: Int =
+    sys.props.get("graft.nnd.expansionSlices")
+      .orElse(sys.env.get("SPARK_GRAFT_NND_SLICES"))
+      .map(_.toInt).getOrElse(1)
+
   /** Separate row bound for the GRAPH-side broadcasts (iterateInc's
     * anti-join pair set, markNew's init-graph marks): those frames are
     * k·N narrow (two longs) rows — up to 10M at NndK = 20 under the
@@ -126,6 +154,21 @@ object NnDescent {
         Similarity.dot(col("dv_a"), col("dv_b")) / (col("nrm_a") * col("nrm_b")))
       .select("src", "dst", "cos_sim")
 
+  /** Per-src top-k cut of a scored (src, dst, cos_sim) bag — the shared
+    * tail of every scoring shape. dense_rank over the bag ≡ row_number
+    * over the set: within a src partition the order key is strict
+    * across DISTINCT pairs (equal keys ⟹ equal dst ⟹ same pair), so
+    * ties are exactly the duplicates — dense_rank collapses them to one
+    * rank and the post-cut distinct collapses the rows.
+    */
+  private def topKCut(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .withColumn("rank", dense_rank().over(
+        Window.partitionBy("src").orderBy(col("cos_sim").desc, col("dst").asc))
+        .cast("long"))
+      .filter(col("rank") <= k)
+      .distinct()
+
   /** Score the two-hop expansion of a capped undirected adjacency WITHOUT
     * ever materializing an N·cap²-row frame that carries a vector
     * payload — the shuffle-regime scale fix (round 16; the r15 verdict's
@@ -153,11 +196,19 @@ object NnDescent {
     * pivot join (columns of the aliased sides "a"/"b" are in scope).
     */
   private def scoreTwoHopLocal(und: DataFrame, vecs: DataFrame,
-      extraCond: Column = lit(true)): DataFrame = {
-    val sideA = und.join(
+      extraCond: Column = lit(true), slice: Int = 0, slices: Int = 1): DataFrame = {
+    // slices > 1 restricts the expansion to the pivots with
+    // pivot % slices == slice (the pivot is a.dst == b.src); ids are
+    // dense 0..N-1 so pmod is a balanced, zero-cost split. See
+    // ExpansionSlices for why and for the exactness argument.
+    val undA = if (slices <= 1) und
+      else und.filter(pmod(col("dst"), lit(slices.toLong)) === slice)
+    val undB = if (slices <= 1) und
+      else und.filter(pmod(col("src"), lit(slices.toLong)) === slice)
+    val sideA = undA.join(
       vecs.select(col("vec_id").as("src"), col("dv").as("dv_a"), col("nrm").as("nrm_a")),
       Seq("src"))
-    val sideB = und.join(
+    val sideB = undB.join(
       vecs.select(col("vec_id").as("dst"), col("dv").as("dv_b"), col("nrm").as("nrm_b")),
       Seq("dst"))
     sideA.alias("a").join(sideB.alias("b"),
@@ -237,22 +288,31 @@ object NnDescent {
     // no N·cap²-row frame ever carries a vector payload, plus a flat
     // pass over the k·N current edges. Same bag multiset, same cos
     // expression ⟹ bit-identical scores in both shapes.
+    val slices = if (broadcastVecs) 1 else math.max(1, ExpansionSlices)
     val scoredBag =
       if (broadcastVecs) scoreFlat(candBag, vecs, bcastVecs = true)
-      else scoreTwoHopLocal(und, vecs)
-        .union(scoreFlat(g.select(col("src"), col("dst")), vecs, bcastVecs = false))
-    // dense_rank over the BAG ≡ row_number over the SET: within a src
-    // partition the order key (cos_sim desc, dst asc) is strict across
-    // DISTINCT pairs (equal keys ⟹ equal dst ⟹ same pair), so ties are
-    // exactly the duplicates — dense_rank collapses them to one rank and
-    // the post-top-k distinct (≤ N·k rows + duplicate surplus, ~40x
-    // smaller than the bag) collapses the rows
-    val ranked = scoredBag
-      .withColumn("rank", dense_rank().over(
-        Window.partitionBy("src").orderBy(col("cos_sim").desc, col("dst").asc))
-        .cast("long"))
-      .filter(col("rank") <= k)
-      .distinct()
+      else if (slices == 1)
+        scoreTwoHopLocal(und, vecs)
+          .union(scoreFlat(g.select(col("src"), col("dst")), vecs, bcastVecs = false))
+      else {
+        // bounded-peak-disk execution (see ExpansionSlices): each slice
+        // expands its pivots, scores, cuts to per-src top-k, and
+        // CHECKPOINTS the narrow cut so its shuffle files free before
+        // the next slice; the union re-ranks below — exact.
+        (0 until slices).map { sl =>
+          CheckpointStats.freshCheckpoint(topKCut(
+            scoreTwoHopLocal(und, vecs, slice = sl, slices = slices)
+              .union(scoreFlat(
+                g.select(col("src"), col("dst"))
+                  .filter(pmod(col("dst"), lit(slices.toLong)) === sl),
+                vecs, bcastVecs = false)), k)
+            .select("src", "dst", "cos_sim"))
+        }.reduce(_.unionByName(_))
+      }
+    // final per-src top-k (see topKCut for the bag ≡ set argument); the
+    // cut output is ≤ N·k rows + duplicate surplus, ~40x smaller than
+    // the bag (or ≤ slices·N·k when sliced)
+    val ranked = topKCut(scoredBag, k)
     (cand, ranked)
   }
 
@@ -338,11 +398,26 @@ object NnDescent {
     // and the expensive frame never carries a vector payload. Scoring a
     // pair the anti-join then drops costs only its in-join projection;
     // nothing wide hits a shuffle either way.
+    val slices = if (broadcastVecs) 1 else math.max(1, ExpansionSlices)
     val scored =
       if (broadcastVecs) scoreFlat(newCandBag, vecs, bcastVecs = true)
-      else scoreTwoHopLocal(und.select("src", "dst", "is_new"), vecs,
+      else if (slices == 1)
+        scoreTwoHopLocal(und.select("src", "dst", "is_new"), vecs,
           extraCond = col("a.is_new") || col("b.is_new"))
-        .join(gPairs, Seq("src", "dst"), "left_anti")
+          .join(gPairs, Seq("src", "dst"), "left_anti")
+      else
+        // bounded-peak-disk slices (see ExpansionSlices / iterate); the
+        // per-slice cut is a superset of each pair's final rank
+        // eligibility, and the anti-join applies per slice so the union
+        // stays (src, dst)-collision-free against g
+        (0 until slices).map { sl =>
+          CheckpointStats.freshCheckpoint(topKCut(
+            scoreTwoHopLocal(und.select("src", "dst", "is_new"), vecs,
+              extraCond = col("a.is_new") || col("b.is_new"),
+              slice = sl, slices = slices)
+              .join(gPairs, Seq("src", "dst"), "left_anti"), k)
+            .select("src", "dst", "cos_sim"))
+        }.reduce(_.unionByName(_))
     // dense_rank over the bag ≡ row_number over the set (see iterate);
     // g's rows are distinct and anti-joined away from scored, so the
     // only (src,dst) collisions are scored-side duplicates, which agree

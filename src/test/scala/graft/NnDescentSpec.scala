@@ -244,6 +244,32 @@ class NnDescentSpec extends SparkSpec {
     assert(found == 1, s"expected exactly 1 expansion join in iterateInc, found $found")
   }
 
+  test("sliced expansion (bounded peak disk) is bit-identical to the single pass") {
+    // ExpansionSlices > 1 runs the shuffle-regime expansion as S
+    // checkpointed pivot-slice jobs (peak disk ~1/S). Exactness pin:
+    // a full shuffle-regime build at slices = 3 must equal the
+    // single-pass shuffle build AND the broadcast build bit-for-bit —
+    // the union of per-slice top-k cuts is a superset of the global
+    // top-k, and the final re-rank reproduces ranks exactly.
+    val bKey = "graft.nnd.broadcastMaxVecRows"
+    val sKey = "graft.nnd.expansionSlices"
+    def edges(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    def build() = edges(
+      NnDescent.knnGraph(clusteredVecs, "vec_id", "embedding", k = 4, iters = 3, cap = 5))
+    val broadcastBuild = build()
+    val (shuffle1, shuffle3) =
+      try {
+        sys.props(bKey) = "0"
+        val s1 = build()
+        sys.props(sKey) = "3"
+        val s3 = build()
+        (s1, s3)
+      } finally { sys.props.remove(bKey); sys.props.remove(sKey) }
+    assert(shuffle1 == broadcastBuild, "single-pass shuffle build diverged")
+    assert(shuffle3 == shuffle1, "sliced expansion diverged from the single pass")
+  }
+
   test("derived-config sentinels are symmetric: k = 0 with default cap derives autoCap") {
     // Round-15 advice: cap's -1 default must not pair a derived width
     // with the legacy 2k sample when k derives. With k = 0 and cap left
