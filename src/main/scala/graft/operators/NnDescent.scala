@@ -27,15 +27,21 @@ import org.apache.spark.sql.graft.{CheckpointStats, Md5Long60}
   *
   * 100 TB shape: every step is an equi-join or a bounded window —
   * never a cross join, never a driver loop over data. The per-round
-  * candidate set is <= N * (2k)^2 rows BY CONSTRUCTION (each node
-  * contributes its <= 2k undirected neighbors' <= 2k neighbor lists),
-  * so total work is LINEAR in N per round at fixed k; rounds needed
-  * grow ~log N. Vector payloads never ride the candidate shuffle:
-  * candidates are narrow (src, dst) pairs that re-join the vector
-  * table by id. Each round is cut from lineage with freshCheckpoint
-  * (stats-reset localCheckpoint — see CheckpointStats) exactly like
-  * the q52 pointer-jumping loop; on a cluster this would be a
-  * reliable-storage checkpoint.
+  * candidate set is <= N * cap^2 rows BY CONSTRUCTION (each node
+  * contributes its <= cap undirected neighbors' <= cap neighbor
+  * lists), so total work is LINEAR in N per round at fixed k; rounds
+  * needed grow ~log N. Vector payloads never ride a cap²-sized frame:
+  * in the broadcast regime candidates stay narrow through map-side
+  * vector joins, and in the shuffle regime scoring happens INSIDE the
+  * pivot self-join (scoreTwoHopLocal) so only narrow
+  * (src, dst, cos_sim) triples flow above it — spill drops by the
+  * vector-width factor (round 16: the previously disk-fatal 50k·cap 56
+  * A/B completes at 15.6 GB, and a 600k·cap 70 build completes
+  * end-to-end). Peak disk is further boundable by pivot-slice
+  * execution (ExpansionSlices). Each round is cut from lineage with
+  * freshCheckpoint (stats-reset localCheckpoint — see CheckpointStats)
+  * exactly like the q52 pointer-jumping loop; on a cluster this would
+  * be a reliable-storage checkpoint.
   *
   * Determinism: the init graph is k deterministic md5-arithmetic draws
   * per node (the q195/q161 content-stable trick — reproducible by a
@@ -544,14 +550,21 @@ object NnDescent {
     * 4 at 2k, 5 at 50k (one round past the measured 0.9 crossing),
     * 7 at 2M, 10 at 1B. Per-round cost is N·cap² = N·(1.4·autoK)² —
     * the k² growth is the honest price of recall on structure-less
-    * data; clustered corpora (the realistic regime — sf0.01 reads
-    * 1.000 at HALF this budget) converge earlier, and the incremental
-    * rounds' candidate volume shrinks as the graph converges, so late
-    * rounds cost little (h10: rounds 6-8 cost 6-9 s vs 32-53 s for
-    * rounds 1-4 at k = 40). The registry builds pass k = 0 / iters = 0
-    * / cap = 0 and the generated oracles unroll the SAME formulas from
-    * the primed corpus count, so both engines walk one recurrence at
-    * every scale.
+    * data; clustered corpora (the realistic regime) converge earlier
+    * AND higher — round-16 calibration on a 200-cluster 50k mixture:
+    * the derived config reads 0.998 at its own pick (0.989 by round 3)
+    * and even the quarter-cost k = 20 / cap = 28 config reads 0.960
+    * where it plateaus at 0.600 on uniform data — so these formulas
+    * are a FLOOR calibration; deployments that measure structure can
+    * halve k. The incremental rounds' candidate volume shrinks as the
+    * graph converges, so late rounds cost little (h10: rounds 6-8 cost
+    * 6-9 s vs 32-53 s for rounds 1-4 at k = 40; h120: round 7 costs
+    * 185 s vs round 1's 1061 s). At 12× the calibration N the floor
+    * regime loses ground (600k uniform: 0.800 at the derived pick —
+    * SCALE.md round 16); structured corpora hold near 1.0. The
+    * registry builds pass k = 0 / iters = 0 / cap = 0 and the
+    * generated oracles unroll the SAME formulas from the primed corpus
+    * count, so both engines walk one recurrence at every scale.
     */
   def autoIters(n: Long): Int =
     math.max(3, math.ceil(log2Ceil(n) / 3.2).toInt)
