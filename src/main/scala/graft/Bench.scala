@@ -65,8 +65,51 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }.min
+    // DISK-BOUND third axis (round-16 verdict item 1): the cpu+mem pair
+    // missed a ~15% host drift because the drifted resource was disk
+    // I/O — after a 1.3 TB-shuffle round, the checkpoint/shuffle-heavy
+    // queries (q95 2.8→11 s) moved on identical code while both calib
+    // probes read calm, and the judge had to adjudicate by hand-building
+    // r15's code. This probe measures the axis those queries actually
+    // bill: sustained sequential WRITE+fsync throughput on the device
+    // Spark spills/shuffles/checkpoints to (spark.local.dir, default
+    // /tmp). 1 GiB in 8 MiB chunks, force(metaData=false), delete. The
+    // read side is deliberately not probed: a just-written file reads
+    // from page cache (no O_DIRECT from the JVM), so a "read" sample
+    // would measure memory — and the moved queries are write-bound
+    // (shuffle files, state-store commits) anyway. Min of 2, like the
+    // cpu/mem probes.
+    def calibrateDisk(): Double = {
+      val dir = java.nio.file.Paths.get(
+        sys.props.getOrElse("spark.local.dir",
+          System.getProperty("java.io.tmpdir", "/tmp")))
+      val chunk = java.nio.ByteBuffer.allocate(8 << 20)
+      // non-zero, incompressible-ish content: some filesystems/devices
+      // short-circuit all-zero extents
+      val rnd = new java.util.Random(42)
+      rnd.nextBytes(chunk.array())
+      (1 to 2).map { _ =>
+        val f = java.nio.file.Files.createTempFile(dir, "graft-calib-disk", ".bin")
+        val t0 = System.nanoTime()
+        val ch = java.nio.channels.FileChannel.open(f,
+          java.nio.file.StandardOpenOption.WRITE)
+        try {
+          var written = 0L
+          while (written < (1L << 30)) {
+            chunk.rewind()
+            written += ch.write(chunk)
+          }
+          ch.force(false)
+        } finally {
+          ch.close()
+          java.nio.file.Files.deleteIfExists(f)
+        }
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
     val calibStart = calibrate()
     val calibMemStart = calibrateMem()
+    val calibDiskStart = calibrateDisk()
 
     // optional args: query-name substrings to run (builder-local iteration;
     // the driver passes none and benches everything)
@@ -194,9 +237,10 @@ object Bench {
     // finished 17% slower than its same-code predecessor)
     val calibEnd = calibrate()
     val calibMemEnd = calibrateMem()
+    val calibDiskEnd = calibrateDisk()
     val heapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
     val config =
-      s"""{"runs":$runs,"cpus":${jstr(cpus)},"heap_mb":$heapMb,"statistic":"min","spread_stat":"runnerup_minus_min","adaptive_extra_max":2,"calib_start_s":${"%.3f".format(calibStart)},"calib_end_s":${"%.3f".format(calibEnd)},"calib_mem_start_s":${"%.3f".format(calibMemStart)},"calib_mem_end_s":${"%.3f".format(calibMemEnd)}}"""
+      s"""{"runs":$runs,"cpus":${jstr(cpus)},"heap_mb":$heapMb,"statistic":"min","spread_stat":"runnerup_minus_min","adaptive_extra_max":2,"calib_start_s":${"%.3f".format(calibStart)},"calib_end_s":${"%.3f".format(calibEnd)},"calib_mem_start_s":${"%.3f".format(calibMemStart)},"calib_mem_end_s":${"%.3f".format(calibMemEnd)},"calib_disk_start_s":${"%.3f".format(calibDiskStart)},"calib_disk_end_s":${"%.3f".format(calibDiskEnd)}}"""
     val line =
       s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"spread":$sp,"spread_total":${"%.3f".format(spreadTotal)},"samples":$rs,"config":$config,"errors":$es,"stream":$ss,"sf":${jstr(sfDir)}}"""
     println(line)

@@ -117,11 +117,82 @@ object NnDescent {
     * reproduces ranks bit-for-bit (the NnDescentSpec slicing test pins
     * slices = 3 ≡ slices = 1 on the fixture). Ids are dense 0..N-1, so
     * pmod(pivot, S) is a balanced split with zero hashing cost.
+    *
+    * Round 17: the slice count is DERIVED by default (autoSlices) in
+    * knnGraph/upsertGraph — round 16 proved slicing is load-bearing for
+    * any big shuffle-regime build (the unsliced 600k pass needed ~95 GB
+    * of disk and died; S = 3 completed at 44 GB peak), so the engine
+    * must not default to the plan that dies. The env/prop here is now
+    * an explicit OVERRIDE for A/Bs and probes; unset means "derive".
     */
-  def ExpansionSlices: Int =
+  def ExpansionSlicesOverride: Option[Int] =
     sys.props.get("graft.nnd.expansionSlices")
       .orElse(sys.env.get("SPARK_GRAFT_NND_SLICES"))
-      .map(_.toInt).getOrElse(1)
+      .map(_.toInt)
+
+  /** Legacy accessor: override or single-pass. Direct iterate/iterateInc
+    * callers that pass no slice count land here; the composed builders
+    * derive instead (see ExpansionSlicesOverride's scaladoc).
+    */
+  def ExpansionSlices: Int = ExpansionSlicesOverride.getOrElse(1)
+
+  /** Local-disk budget one shuffle-regime expansion pass may occupy,
+    * in bytes. Override via graft.nnd.diskBudgetBytes /
+    * SPARK_GRAFT_NND_DISK_BUDGET; the default measures the usable space
+    * on the device Spark actually spills to (spark.local.dir, default
+    * java.io.tmpdir) and takes HALF — the safety factor covers what the
+    * footprint model leaves out (checkpoint blocks from earlier rounds
+    * awaiting the periodic cleaner, the vector/adjacency frames, other
+    * tenants of the device). On a real cluster this conf would be the
+    * per-executor scratch allotment; measuring the driver's tmpdir is
+    * the local[k] stand-in.
+    */
+  def DiskBudgetBytes: Long =
+    sys.props.get("graft.nnd.diskBudgetBytes")
+      .orElse(sys.env.get("SPARK_GRAFT_NND_DISK_BUDGET"))
+      .map(_.toLong)
+      .getOrElse {
+        val dir = new java.io.File(
+          sys.props.getOrElse("spark.local.dir",
+            System.getProperty("java.io.tmpdir", "/tmp")))
+        math.max(1L << 30, dir.getUsableSpace / 2)
+      }
+
+  /** Resident-disk footprint model for ONE unsliced shuffle-regime
+    * expansion pass, calibrated on the round-16 h120 measurement
+    * (N = 600k, cap = 70, dim = 64: ~46 GB of wide attach shuffle +
+    * ~22 GB of partial-window output + ~17 GB of flat-pass sort
+    * resident in a single job — SCALE.md round-16 second wave):
+    *
+    *   attach  = 2 · N · cap · (8·dim + 48)   — both pivot sides carry
+    *             one vector payload per adjacency edge (the narrow-
+    *             triple fix bounds WIDE rows to these N·cap frames);
+    *             48 B/row of ids/norm/shuffle framing. 47.0 GB at the
+    *             anchor vs ~46 measured.
+    *   narrow  = 14 · N · cap²                — the candidate bag's
+    *             window partials + sort runs at ~13.3 B/row measured
+    *             (the triples are 3 numbers, but sort framing and
+    *             partial-window duplication ride along). 41.2 GB at
+    *             the anchor vs ~39 measured.
+    *
+    * Total at the anchor: 88 GB modeled vs ~85 GB measured — the model
+    * runs a few % conservative, which is the right side to miss on.
+    */
+  def roundFootprintBytes(n: Long, cap: Int, dim: Int): Long =
+    2L * n * cap * (8L * dim + 48L) + 14L * n * cap * cap
+
+  /** Derived slice count: the smallest S whose per-slice footprint
+    * (footprint/S — both attach sides and the bag shrink linearly in S)
+    * fits the disk budget. At the round-16 anchors: h120 (600k, cap 70,
+    * dim 64) on this box's ~39 GB budget derives S = 3 — exactly the
+    * hand-picked value that completed at 44 GB peak — and the h10 A/B
+    * (50k, cap 56) derives S = 1 (5.3 GB footprint, fits outright).
+    * NnDescentSpec pins this arithmetic.
+    */
+  def autoSlices(n: Long, cap: Int, dim: Int,
+      budget: Long = DiskBudgetBytes): Int =
+    math.max(1, math.ceil(
+      roundFootprintBytes(n, cap, dim).toDouble / math.max(1L, budget)).toInt)
 
   /** Separate row bound for the GRAPH-side broadcasts (iterateInc's
     * anti-join pair set, markNew's init-graph marks): those frames are
@@ -240,9 +311,15 @@ object NnDescent {
     * Callers set it from a size guard (knnGraph) or by construction
     * (the sample-bounded q196 audit). Scores are bit-identical across
     * the shapes (same bag multiset, same cos expression).
+    *
+    * `slices >= 1` pins the shuffle-regime slice count (the composed
+    * builders pass autoSlices' derivation); `slices <= 0` keeps the
+    * legacy behavior — the ExpansionSlices env/prop, default single
+    * pass — for direct spec/probe callers.
     */
   def iterate(g: DataFrame, vecs: DataFrame, k: Int, cap: Int = -1,
-      broadcastVecs: Boolean = false, round: Int = 0): (DataFrame, DataFrame) = {
+      broadcastVecs: Boolean = false, round: Int = 0,
+      slices: Int = 0): (DataFrame, DataFrame) = {
     // Undirected adjacency CAPPED per node (default 2k): out-degree is
     // <= k by construction, but REVERSE degree is unbounded — on
     // clustered data a hub vector can sit in millions of top-k lists,
@@ -294,10 +371,13 @@ object NnDescent {
     // no N·cap²-row frame ever carries a vector payload, plus a flat
     // pass over the k·N current edges. Same bag multiset, same cos
     // expression ⟹ bit-identical scores in both shapes.
-    val slices = if (broadcastVecs) 1 else math.max(1, ExpansionSlices)
+    val slicesEff =
+      if (broadcastVecs) 1
+      else if (slices >= 1) slices
+      else math.max(1, ExpansionSlices)
     val scoredBag =
       if (broadcastVecs) scoreFlat(candBag, vecs, bcastVecs = true)
-      else if (slices == 1)
+      else if (slicesEff == 1)
         scoreTwoHopLocal(und, vecs)
           .union(scoreFlat(g.select(col("src"), col("dst")), vecs, bcastVecs = false))
       else {
@@ -305,12 +385,12 @@ object NnDescent {
         // expands its pivots, scores, cuts to per-src top-k, and
         // CHECKPOINTS the narrow cut so its shuffle files free before
         // the next slice; the union re-ranks below — exact.
-        (0 until slices).map { sl =>
+        (0 until slicesEff).map { sl =>
           CheckpointStats.freshCheckpoint(topKCut(
-            scoreTwoHopLocal(und, vecs, slice = sl, slices = slices)
+            scoreTwoHopLocal(und, vecs, slice = sl, slices = slicesEff)
               .union(scoreFlat(
                 g.select(col("src"), col("dst"))
-                  .filter(pmod(col("dst"), lit(slices.toLong)) === sl),
+                  .filter(pmod(col("dst"), lit(slicesEff.toLong)) === sl),
                 vecs, bcastVecs = false)), k)
             .select("src", "dst", "cos_sim"))
         }.reduce(_.unionByName(_))
@@ -362,7 +442,7 @@ object NnDescent {
     */
   def iterateInc(g: DataFrame, vecs: DataFrame, k: Int, cap: Int = -1,
       broadcastVecs: Boolean = false, broadcastGraph: Boolean = false,
-      round: Int = 0): (DataFrame, DataFrame) = {
+      round: Int = 0, slices: Int = 0): (DataFrame, DataFrame) = {
     val capN = if (cap > 0) cap else 2 * k
     // undirected capped adjacency as in `iterate` (the same round-salted
     // md5-rank sample — see iterate's scaladoc: a fresh draw per round is
@@ -404,10 +484,13 @@ object NnDescent {
     // and the expensive frame never carries a vector payload. Scoring a
     // pair the anti-join then drops costs only its in-join projection;
     // nothing wide hits a shuffle either way.
-    val slices = if (broadcastVecs) 1 else math.max(1, ExpansionSlices)
+    val slicesEff =
+      if (broadcastVecs) 1
+      else if (slices >= 1) slices
+      else math.max(1, ExpansionSlices)
     val scored =
       if (broadcastVecs) scoreFlat(newCandBag, vecs, bcastVecs = true)
-      else if (slices == 1)
+      else if (slicesEff == 1)
         scoreTwoHopLocal(und.select("src", "dst", "is_new"), vecs,
           extraCond = col("a.is_new") || col("b.is_new"))
           .join(gPairs, Seq("src", "dst"), "left_anti")
@@ -416,11 +499,11 @@ object NnDescent {
         // per-slice cut is a superset of each pair's final rank
         // eligibility, and the anti-join applies per slice so the union
         // stays (src, dst)-collision-free against g
-        (0 until slices).map { sl =>
+        (0 until slicesEff).map { sl =>
           CheckpointStats.freshCheckpoint(topKCut(
             scoreTwoHopLocal(und.select("src", "dst", "is_new"), vecs,
               extraCond = col("a.is_new") || col("b.is_new"),
-              slice = sl, slices = slices)
+              slice = sl, slices = slicesEff)
               .join(gPairs, Seq("src", "dst"), "left_anti"), k)
             .select("src", "dst", "cos_sim"))
         }.reduce(_.unionByName(_))
@@ -494,6 +577,7 @@ object NnDescent {
     val capUse = if (cap > 0) cap else if (cap == 0 || k < 1) autoCap(kUse) else cap
     val bcastVecs = nAll <= BroadcastMaxVecRows
     val bcastGraph = kUse.toLong * nAll <= BroadcastMaxGraphRows
+    val slicesUse = deriveSlices(vecs, nAll, capUse, bcastVecs)
     val nRow = vectors.agg(count(lit(1)).as("n"))
     val seeds = newVectors.select(col(idCol).cast("long").as("src"))
       .crossJoin(broadcast(nRow))
@@ -520,7 +604,8 @@ object NnDescent {
       // round salt r + 1: the oracle's upsert unroll indexes upg rounds
       // from t = 1 (t = 0 is the base build's iterate round)
       g = CheckpointStats.freshCheckpoint(
-        iterateInc(g, vecs, kUse, capUse, bcastVecs, bcastGraph, round = r + 1)._2)
+        iterateInc(g, vecs, kUse, capUse, bcastVecs, bcastGraph,
+          round = r + 1, slices = slicesUse)._2)
       r += 1
     }
     g.select("src", "dst", "cos_sim", "rank")
@@ -619,16 +704,38 @@ object NnDescent {
     val capUse = if (cap > 0) cap else if (cap == 0 || k < 1) autoCap(kUse) else cap
     val bcastVecs = nVecs <= BroadcastMaxVecRows
     val bcastGraph = kUse.toLong * nVecs <= BroadcastMaxGraphRows
+    val slicesUse = deriveSlices(vecs, nVecs, capUse, bcastVecs)
     val g0 = CheckpointStats.freshCheckpoint(initGraph(vectors, idCol, kUse))
     var g = CheckpointStats.freshCheckpoint(
-      markNew(iterate(g0, vecs, kUse, capUse, bcastVecs)._2, g0, broadcastG0 = bcastGraph))
+      markNew(iterate(g0, vecs, kUse, capUse, bcastVecs, slices = slicesUse)._2,
+        g0, broadcastG0 = bcastGraph))
     var iter = 1
     while (iter < nIters) {
       // round salt = the oracle's unroll index t (iterate above is t = 0)
       g = CheckpointStats.freshCheckpoint(
-        iterateInc(g, vecs, kUse, capUse, bcastVecs, bcastGraph, round = iter)._2)
+        iterateInc(g, vecs, kUse, capUse, bcastVecs, bcastGraph,
+          round = iter, slices = slicesUse)._2)
       iter += 1
     }
     g.select("src", "dst", "cos_sim", "rank")
   }
+
+  /** Slice count for the composed builders: the explicit override if
+    * set (A/Bs, probes), else autoSlices from (N, cap, measured vector
+    * width, disk budget). Broadcast-regime builds never slice — the
+    * expansion is never materialized to disk there — so the dimension
+    * lookup (one row off the already-checkpointed vecs frame) is paid
+    * only past the broadcast boundary, where a build costs minutes and
+    * the lookup costs milliseconds. The derived default must be the
+    * plan that survives: round 16's unsliced 600k pass died at ~95 GB
+    * while the S the formula picks (3) completed at 44 GB peak.
+    */
+  private def deriveSlices(vecs: DataFrame, n: Long, cap: Int,
+      bcastVecs: Boolean): Int =
+    if (bcastVecs) 1
+    else ExpansionSlicesOverride.getOrElse {
+      val dim = vecs.select(size(col("dv")))
+        .limit(1).collect().headOption.map(_.getInt(0)).getOrElse(0)
+      autoSlices(n, cap, dim)
+    }
 }

@@ -747,6 +747,49 @@ trait AnnRegistry extends RegistryBase {
         .orderBy("q_id")
     }),
 
+    // pillar similarity: ANN FAMILY ROUTING — the round-16 serving bar
+    // ("IVF at the shipped auto probe depth iff measured recall@3 >= 0.9
+    // on its corpus; below the bar, recall-sensitive consumers route to
+    // the NND kNN-graph family or buy probe depth along the measured
+    // curve" — SCALE.md round-16 fourth wave) as an EXECUTABLE query
+    // instead of a paragraph: a 100 TB deployment runs queries, not
+    // prose. Measures the SHIPPED serving path (the same persisted
+    // self-contained index + ceil(sqrt k) auto depth q43/q131/q194
+    // serve from) against exhaustive cosine truth on the q131 query
+    // sample, aggregates to one corpus-level recall, and emits the
+    // routing decision. The recall double is one integer division
+    // (n_hits / n_truth) so both engines produce the identical IEEE
+    // value; decision/fallback are pure threshold CASE arithmetic over
+    // it. ScaleProbe ivf-sweep is the same bar at probe-level depth
+    // resolution (~500 queries, explicit depths); this is the
+    // continuously-runnable per-corpus verdict.
+    "q205_ann_serving_route" -> ((s, dir) => {
+      val e = rd(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 10)
+      val approx = Similarity.ivfTopKQServeStoredAuto(queries,
+          ivfSqrtIndex(s, dir), sqrtCentroids(s, dir),
+          "vec_id", "embedding", k = 3)
+        .select("q_id", "r_id").withColumn("hit", lit(1))
+      val truth = Similarity.cosineTopK(queries, spread(s, e), "vec_id", "embedding", 3)
+        .select("q_id", "r_id")
+      truth.join(approx, Seq("q_id", "r_id"), "left")
+        .agg(
+          countDistinct(col("q_id")).as("n_queries"),
+          count(lit(1)).as("n_truth"),
+          count(col("hit")).as("n_hits"))
+        .withColumn("recall_at_auto",
+          col("n_hits").cast("double") / col("n_truth"))
+        .select(
+          lit("embeddings").as("corpus"),
+          col("n_queries"), col("n_truth"), col("n_hits"),
+          col("recall_at_auto"),
+          lit(0.9).as("bar"),
+          when(col("recall_at_auto") >= 0.9, lit("ivf_auto_depth"))
+            .otherwise(lit("nnd_knn_graph")).as("decision"),
+          when(col("recall_at_auto") >= 0.9, lit("nnd_knn_graph"))
+            .otherwise(lit("deeper_ivf_probes")).as("fallback"))
+    }),
+
     // pillar similarity: k-means TRAINING itself as a gradeable surface —
     // the trained coarse-quantizer centroids (Lloyd's, KmeansIters steps
     // from the vec_id < 8 seed) in long form (centroid_id, dim, cval),
@@ -1138,6 +1181,45 @@ trait AnnRegistry extends RegistryBase {
         |SELECT q_id, n_hits, n_hits::DOUBLE / 3 AS recall_at_3,
         |       coalesce(1.0 / rot, 0.0) AS rr_top1
         |FROM hits ORDER BY q_id""".stripMargin,
+
+    // the q131 serving-vs-truth CTEs aggregated to the one-row routing
+    // verdict; decision arithmetic is a threshold CASE over the single
+    // integer-division double, so both engines agree bit-for-bit
+    "q205_ann_serving_route" ->
+      s"""WITH $embAssignCtes,
+        |npr AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS np FROM c),
+        |probes AS (
+        |  SELECT id AS q_id, centroid_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY sc DESC, centroid_id ASC) AS rk
+        |    FROM score WHERE id < 10), npr
+        |  WHERE rk <= npr.np),
+        |cand AS (SELECT q_id, vec_id AS r_id FROM probes JOIN assign USING (centroid_id)
+        |         WHERE q_id <> vec_id),
+        |ref AS (
+        |  SELECT cand.q_id, cand.r_id,
+        |         list_sum(list_transform(range(1, 65), i -> qn.dv[i::INT] * rn.dv[i::INT])) / (qn.nrm * rn.nrm) AS cos_sim
+        |  FROM cand JOIN n qn ON qn.vec_id = cand.q_id JOIN n rn ON rn.vec_id = cand.r_id),
+        |approx AS (SELECT q_id, r_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, r_id ASC) AS rank FROM ref)
+        |  WHERE rank <= 3),
+        |ex AS (
+        |  SELECT q.vec_id AS q_id, r.vec_id AS r_id,
+        |         list_sum(list_transform(range(1, 65), i -> q.dv[i::INT] * r.dv[i::INT])) / (q.nrm * r.nrm) AS cos_sim
+        |  FROM n q JOIN n r ON q.vec_id < 10 AND q.vec_id <> r.vec_id),
+        |truth AS (SELECT q_id, r_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, r_id ASC) AS xrank FROM ex)
+        |  WHERE xrank <= 3),
+        |agg AS (
+        |  SELECT CAST(count(DISTINCT t.q_id) AS BIGINT) AS n_queries,
+        |         CAST(count(*) AS BIGINT) AS n_truth,
+        |         CAST(count(a.r_id) AS BIGINT) AS n_hits
+        |  FROM truth t LEFT JOIN approx a ON a.q_id = t.q_id AND a.r_id = t.r_id)
+        |SELECT 'embeddings' AS corpus, n_queries, n_truth, n_hits,
+        |       n_hits::DOUBLE / n_truth AS recall_at_auto,
+        |       0.9::DOUBLE AS bar,
+        |       CASE WHEN n_hits::DOUBLE / n_truth >= 0.9 THEN 'ivf_auto_depth' ELSE 'nnd_knn_graph' END AS decision,
+        |       CASE WHEN n_hits::DOUBLE / n_truth >= 0.9 THEN 'nnd_knn_graph' ELSE 'deeper_ivf_probes' END AS fallback
+        |FROM agg""".stripMargin,
 
     // shared with the streaming q188 gate — see RegistryBase.cmsOracle
     "q129_cms_heavy_hitters" -> cmsOracle,

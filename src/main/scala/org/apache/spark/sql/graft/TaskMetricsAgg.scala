@@ -13,8 +13,14 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
   * per round instead of an autopsy. Lives in an org.apache.spark
   * subpackage for `listenerBus.waitUntilEmpty()` (private[spark]) so a
   * snapshot can flush in-flight task-end events instead of sleeping.
+  *
+  * Lifecycle: the constructor registers the listener; call close()
+  * when the measured region ends. Instantiating one per region in a
+  * long-lived session without closing stacks listeners and
+  * double-counts (round-16 advice; current probe usage is one per
+  * JVM, but the contract is now explicit and enforceable).
   */
-final class TaskMetricsAgg(sc: SparkContext) extends SparkListener {
+final class TaskMetricsAgg(sc: SparkContext) extends SparkListener with AutoCloseable {
   private val spill = new AtomicLong(0L)
   private val shufWrite = new AtomicLong(0L)
   sc.addSparkListener(this)
@@ -29,13 +35,15 @@ final class TaskMetricsAgg(sc: SparkContext) extends SparkListener {
 
   /** Flush pending listener events, return (spillBytes,
     * shuffleWriteBytes) accumulated since the last reset, and zero the
-    * counters.
+    * counters. getAndSet keeps read-and-reset atomic per counter: a
+    * task-end delivered between a plain get and set(0) would be
+    * silently dropped (round-16 advice).
     */
   def snapshotAndReset(): (Long, Long) = {
     sc.listenerBus.waitUntilEmpty()
-    val r = (spill.get(), shufWrite.get())
-    spill.set(0L)
-    shufWrite.set(0L)
-    r
+    (spill.getAndSet(0L), shufWrite.getAndSet(0L))
   }
+
+  /** Deregister from the listener bus. */
+  override def close(): Unit = sc.removeSparkListener(this)
 }

@@ -285,6 +285,31 @@ class NnDescentSpec extends SparkSpec {
       "k = 0 with the default cap must derive autoCap, not the legacy 2k sample")
   }
 
+  test("autoSlices: derivation arithmetic pinned at the round-16 anchors") {
+    // Footprint model calibrated on the measured h120 round (SCALE.md
+    // round-16 second wave): ~46 GB attach + ~39 GB narrow at
+    // N = 600k, cap = 70, dim = 64. Budget fixed at this box's
+    // measured ~39 GB (78 GB usable / 2) so the pins are host-free.
+    val budget = 39L * 1000 * 1000 * 1000
+    // h120 derived config: the S that completed (hand-picked in r16)
+    assert(NnDescent.roundFootprintBytes(600000, 70, 64) === 88200000000L)
+    assert(NnDescent.autoSlices(600000, 70, 64, budget) === 3)
+    // h10 A/B (50k, cap 56): fits outright, must not slice
+    assert(NnDescent.autoSlices(50000, 56, 64, budget) === 1)
+    // the 1e9-derived width at 600k (the round-17 width-price run)
+    assert(NnDescent.autoSlices(600000, 105, 64, budget) === 5)
+    // degenerate inputs stay sane
+    assert(NnDescent.autoSlices(0, 70, 64, budget) === 1)
+    assert(NnDescent.autoSlices(600000, 70, 64, 1L) > 1)
+    // the env/prop override wins over derivation in the builders
+    val sKey = "graft.nnd.expansionSlices"
+    try {
+      sys.props(sKey) = "7"
+      assert(NnDescent.ExpansionSlicesOverride === Some(7))
+    } finally sys.props.remove(sKey)
+    assert(NnDescent.ExpansionSlicesOverride === None)
+  }
+
   test("knnGraph: ranks are 1..k contiguous per node, k respected") {
     val g = NnDescent.knnGraph(clusteredVecs, "vec_id", "embedding", k = 4, iters = 2)
       .collect()

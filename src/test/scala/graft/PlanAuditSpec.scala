@@ -43,6 +43,9 @@ class PlanAuditSpec extends SparkSpec {
     // q131: IVF index vs exhaustive-truth audit — runs BOTH the q43 and
     // q34 scoring passes by definition
     "q131_ann_quality_report",
+    // q205: the routing verdict aggregates the q131 serving-vs-truth
+    // comparison, so it inherits the same two scoring passes
+    "q205_ann_serving_route",
     // q125: the per-lang plan table joins the broadcast ONE-ROW
     // (n_tot, sum_w) aggregate — the q74/q97 1-row-broadcast-total
     // shape, not an all-pairs plan

@@ -324,6 +324,27 @@ class SimilaritySpec extends SparkSpec {
       s"flag set ${flagged.size} != pair dup side ${pairDupSide.size}")
   }
 
+  test("q205 routing verdict: one row, decision consistent with the measured recall") {
+    // The executable form of the round-16 serving bar: the decision
+    // column must be pure threshold arithmetic over the recall the same
+    // row reports — anything else and the query is prose again.
+    val rows = SparkEntry.queries("q205_ann_serving_route")(spark, testDataDir).collect()
+    assert(rows.length === 1)
+    val r = rows(0)
+    val nQueries = r.getAs[Long]("n_queries")
+    val nTruth = r.getAs[Long]("n_truth")
+    val nHits = r.getAs[Long]("n_hits")
+    val recall = r.getAs[Double]("recall_at_auto")
+    assert(nQueries > 0 && nTruth === 3 * nQueries)
+    assert(nHits >= 0 && nHits <= nTruth)
+    assert(recall === nHits.toDouble / nTruth)
+    val expectedDecision = if (recall >= 0.9) "ivf_auto_depth" else "nnd_knn_graph"
+    val expectedFallback = if (recall >= 0.9) "nnd_knn_graph" else "deeper_ivf_probes"
+    assert(r.getAs[String]("decision") === expectedDecision)
+    assert(r.getAs[String]("fallback") === expectedFallback)
+    assert(r.getAs[String]("corpus") === "embeddings")
+  }
+
   test("assignToCentroids: picks argmax dot with lowest-id tie-break") {
     val cents = vecs.filter(col("vec_id") < 2) // (1,0,0) and (0,1,0)
     val assign = Similarity.assignToCentroids(vecs, cents, "vec_id", "embedding")

@@ -22,9 +22,14 @@ object SparkTestSession {
       .getOrCreate()
     // prime the corpus-scaled oracle unrolls ONCE for the whole test JVM
     // (round-15 advice: priming inside one suite made every other suite's
-    // SparkEntry.oracleSql access depend on test ordering)
-    if (new java.io.File(testDataDir).isDirectory)
-      SparkEntry.primeOracleScale(s, testDataDir)
+    // SparkEntry.oracleSql access depend on test ordering). Fail FAST
+    // when the fixture dir is missing (round-16 advice): a silent skip
+    // here resurfaces later as confusing unprimed-oracle errors deep in
+    // whichever registry-facing suite runs first.
+    require(new java.io.File(testDataDir).isDirectory,
+      s"driver fixture dir $testDataDir is missing - registry-facing tests " +
+        "cannot run (regenerate the driver testdata before `sbt test`)")
+    SparkEntry.primeOracleScale(s, testDataDir)
     s
   }
 }
