@@ -222,6 +222,20 @@ object ScaleProbe extends RegistryBase {
     }
     val bcastVecs = n <= NnDescent.BroadcastMaxVecRows
     val bcastGraph = k.toLong * n <= NnDescent.BroadcastMaxGraphRows
+    // same slice policy as the composed builders (knnGraph/upsertGraph):
+    // explicit override if set, else derive from (N, cap, dim, budget) —
+    // the probe must exercise the plan the engine ships, and the shipped
+    // default is now the sliced plan that survives, not the unsliced one
+    // that died at 600k
+    val slices =
+      if (bcastVecs) 1
+      else NnDescent.ExpansionSlicesOverride.getOrElse {
+        val dim = vecs.select(size(col("dv"))).limit(1).collect()
+          .headOption.map(_.getInt(0)).getOrElse(0)
+        NnDescent.autoSlices(n, cap, dim)
+      }
+    System.err.println(s"[nnd-rounds] n=$n k=$k cap=$cap slices=$slices " +
+      s"(override=${NnDescent.ExpansionSlicesOverride}, budget=${NnDescent.DiskBudgetBytes / (1L << 30)}GB)")
     val metrics = new org.apache.spark.sql.graft.TaskMetricsAgg(s.sparkContext)
     val g0 = CheckpointStats.freshCheckpoint(NnDescent.initGraph(e, "vec_id", k))
     var g: DataFrame = null
@@ -231,10 +245,11 @@ object ScaleProbe extends RegistryBase {
       g = CheckpointStats.freshCheckpoint(
         if (r == 1)
           NnDescent.markNew(
-            NnDescent.iterate(g0, vecs, k, cap, bcastVecs, round = 0)._2,
+            NnDescent.iterate(g0, vecs, k, cap, bcastVecs, round = 0,
+              slices = slices)._2,
             g0, broadcastG0 = bcastGraph)
         else NnDescent.iterateInc(g, vecs, k, cap, bcastVecs, bcastGraph,
-          round = r - 1)._2)
+          round = r - 1, slices = slices)._2)
       val w = (System.nanoTime() - t0) / 1e9
       val (spill, shuf) = metrics.snapshotAndReset()
       val rec = recall(g)
@@ -242,7 +257,7 @@ object ScaleProbe extends RegistryBase {
         f"wall=$w%.1fs spill=${spill / (1L << 20)}MB shufwrite=${shuf / (1L << 20)}MB")
       f"""{"round":$r,"recall3":$rec%.4f,"wall_s":$w%.1f,"spill_mb":${spill / (1L << 20)},"shufwrite_mb":${shuf / (1L << 20)},"auto_pick":${NnDescent.autoIters(n) == r}}"""
     }.mkString(",")
-    println(s"""{"probe":"nnd_rounds","n_vecs":$n,"k":$k,"cap":$cap,"bcast_vecs":$bcastVecs,"bcast_graph":$bcastGraph,"rounds":[$rows]}""")
+    println(s"""{"probe":"nnd_rounds","n_vecs":$n,"k":$k,"cap":$cap,"slices":$slices,"bcast_vecs":$bcastVecs,"bcast_graph":$bcastGraph,"rounds":[$rows]}""")
   }
 
   /** Quality record for the IVF consumers (round-13 verdict item 1):
