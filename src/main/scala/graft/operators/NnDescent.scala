@@ -183,16 +183,24 @@ object NnDescent {
 
   /** Derived slice count: the smallest S whose per-slice footprint
     * (footprint/S — both attach sides and the bag shrink linearly in S)
-    * fits the disk budget. At the round-16 anchors: h120 (600k, cap 70,
-    * dim 64) on this box's ~39 GB budget derives S = 3 — exactly the
-    * hand-picked value that completed at 44 GB peak — and the h10 A/B
-    * (50k, cap 56) derives S = 1 (5.3 GB footprint, fits outright).
-    * NnDescentSpec pins this arithmetic.
+    * fits HALF the disk budget, because TWO slices' shuffle files can
+    * be resident at once: slice s's files are freed by the periodic
+    * ContextCleaner sweep AFTER slice s+1's jobs have started writing,
+    * so the honest peak is base + 2·footprint/S, not base + footprint/S.
+    * Measured, not assumed (round 17): at 600k·cap 105 the
+    * one-resident model derived S = 4 (per-slice ~41 GB on a 78 GB
+    * device, "fits") and the build died of ENOSPC in round 2 exactly
+    * when two ~41 GB slices overlapped; the same model explains why
+    * round 16's hand-picked S = 3 at cap 70 survived — 2·29 GB + 16 GB
+    * base = 74 GB, just under the device. With the factor of 2: h120
+    * cap 70 derives S = 5, cap 105 (the 1e9-width price run) derives
+    * S = 8, and the h10 A/B still derives S = 1. NnDescentSpec pins
+    * this arithmetic.
     */
   def autoSlices(n: Long, cap: Int, dim: Int,
       budget: Long = DiskBudgetBytes): Int =
     math.max(1, math.ceil(
-      roundFootprintBytes(n, cap, dim).toDouble / math.max(1L, budget)).toInt)
+      2.0 * roundFootprintBytes(n, cap, dim) / math.max(1L, budget)).toInt)
 
   /** Separate row bound for the GRAPH-side broadcasts (iterateInc's
     * anti-join pair set, markNew's init-graph marks): those frames are

@@ -291,13 +291,19 @@ class NnDescentSpec extends SparkSpec {
     // N = 600k, cap = 70, dim = 64. Budget fixed at this box's
     // measured ~39 GB (78 GB usable / 2) so the pins are host-free.
     val budget = 39L * 1000 * 1000 * 1000
-    // h120 derived config: the S that completed (hand-picked in r16)
+    // h120 derived config: 2x29.4 GB per-slice-pair under the 39 GB
+    // budget's half — S = 5 (round 16's hand-picked S = 3 survived with
+    // 2x29+16 = 74 GB peak on a 78 GB device; the derivation must not
+    // cut that close by default)
     assert(NnDescent.roundFootprintBytes(600000, 70, 64) === 88200000000L)
-    assert(NnDescent.autoSlices(600000, 70, 64, budget) === 3)
+    assert(NnDescent.autoSlices(600000, 70, 64, budget) === 5)
     // h10 A/B (50k, cap 56): fits outright, must not slice
     assert(NnDescent.autoSlices(50000, 56, 64, budget) === 1)
-    // the 1e9-derived width at 600k (the round-17 width-price run)
-    assert(NnDescent.autoSlices(600000, 105, 64, budget) === 5)
+    // the 1e9-derived width at 600k (the round-17 width-price run):
+    // the one-resident model's S = 4 died of ENOSPC in round 2 when two
+    // ~41 GB slices overlapped the cleaner lag; two-resident derives 9
+    // at this fixed budget (8 at the live ~41 GB budget the run sees)
+    assert(NnDescent.autoSlices(600000, 105, 64, budget) === 9)
     // degenerate inputs stay sane
     assert(NnDescent.autoSlices(0, 70, 64, budget) === 1)
     assert(NnDescent.autoSlices(600000, 70, 64, 1L) > 1)
