@@ -1107,43 +1107,74 @@ object Dedup {
     // checkpoint INHERITS the child plan's size estimate — the estimate
     // would be squared per round until Catalyst's stats visitor overflows
     // BigInteger during planning (see CheckpointStats' scaladoc)
+    // hash-partitioned by src BEFORE the checkpoint: freshCheckpoint now
+    // preserves output partitioning (round 17), so every round's edge-
+    // propagation join reads the edge list pre-clustered on its join key
+    // instead of re-exchanging it each round
     val edges = org.apache.spark.sql.graft.CheckpointStats.freshCheckpoint(
       pairs
         .select(col("id_a").as("src"), col("id_b").as("dst"))
-        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .repartition(col("src")))
     // iterate ONLY over edge-touched vertices: at realistic near-dup
     // density (~0.02% of pairs at j>=0.8 on this corpus) the propagation
     // frames are orders of magnitude smaller than the corpus; every
     // untouched doc is a singleton (keep_id = id) and is merged back in
     // one final left join instead of riding through every round
+    // seed with min(id, min neighbor) — the old id->id seed spent the
+    // whole first round discovering exactly this, for the same shuffle
+    // cost as the distinct() it replaces (round-17 optimization: the
+    // loop's fixed per-round cost dominates at bench scale, and every
+    // label candidate below is still a component member, so the fixpoint
+    // — component-min labels — is unchanged)
     var labels = org.apache.spark.sql.graft.CheckpointStats.freshCheckpoint(
       edges
-        .select(col("src").as("id"))
-        .distinct()
-        .select(col("id"), col("id").as("keep_id")))
+        .groupBy("src")
+        .agg(min("dst").as("mn"))
+        .select(col("src").as("id"), least(col("src"), col("mn")).as("keep_id")))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
-      val prop = edges
-        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
-        .select(col("dst").as("id"), col("keep_id"), lit(null).cast("long").as("old_keep"))
-      // pointer jumping: every label is itself a vertex id, so following
-      // keep_id -> that vertex's keep_id halves chains each round
-      val jump = labels.alias("x")
-        .join(labels.alias("y"), col("x.keep_id") === col("y.id"))
-        .select(col("x.id").as("id"), col("y.keep_id").as("keep_id"),
+      val trr0 = System.nanoTime()
+      def lap(tag: String): Unit = if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(f"[resolveGroups] round $iter $tag ${(System.nanoTime() - trr0) / 1e6}%.0f ms")
+      // ONE lookup join per round (round-17 optimization): edge
+      // propagation ("give dst the label of src") and pointer jumping
+      // ("give v the label of its label") are both lookups of
+      // labels(key) delivered to a receiver — union the two request
+      // frames first and resolve them with a single join instead of the
+      // old prop-join + jump-join pair. Same candidates, same fixpoint,
+      // identical round count — but the loop's dominant cost at bench
+      // scale is PER-STAGE fixed overhead (each exchange is an AQE
+      // stage materialization: measured ~13 mini-jobs/round, 4-30 ms of
+      // tasks each, wall ~0.45 s/round on KB-sized frames), and this
+      // halves the exchanges per round. At cluster scale the same fusion
+      // halves the number of shuffle barriers per round.
+      val requests = edges
+        .select(col("dst").as("id"), col("src").as("k"))
+        .union(labels.select(col("id"), col("keep_id").as("k")))
+      val looked = requests
+        .join(labels.select(col("id").as("k"), col("keep_id").as("lbl")), Seq("k"))
+        .select(col("id"), col("lbl").as("keep_id"),
           lit(null).cast("long").as("old_keep"))
       // the previous label rides along as `old_keep` (max ignores the
-      // nulls from the other branches), so the convergence check is a
-      // scan of THIS checkpointed frame — no extra join+shuffle per round
+      // nulls from the lookup branch), so the convergence check is a
+      // scan of THIS checkpointed frame — no extra join+shuffle per
+      // round. LAZY checkpoint (round 17): the convergence count below
+      // is the materializing action, so each round pays ONE driver-side
+      // action instead of checkpoint-job + count-job.
       val next = org.apache.spark.sql.graft.CheckpointStats.freshCheckpoint(
         labels
           .select(col("id"), col("keep_id"), col("keep_id").as("old_keep"))
-          .union(prop)
-          .union(jump)
+          .union(looked)
           .groupBy("id")
-          .agg(min("keep_id").as("keep_id"), max("old_keep").as("old_keep")))
+          .agg(min("keep_id").as("keep_id"), max("old_keep").as("old_keep")),
+        eager = false)
+      lap("checkpoint")
+      val tr0 = System.nanoTime()
       changed = next.filter(col("keep_id") =!= col("old_keep")).count()
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(f"[resolveGroups] round $iter changed=$changed countMs=${(System.nanoTime() - tr0) / 1e6}%.0f")
       labels = next.select("id", "keep_id")
       iter += 1
     }

@@ -30,10 +30,30 @@ import org.apache.spark.sql.classic.{Dataset, SparkSession}
   * corpus-proportional, never safely broadcastable at scale.
   */
 object CheckpointStats {
+  /** localCheckpoint + stats reset. Since round 17 the checkpoint's
+    * OUTPUT PARTITIONING (and ordering) survive the re-wrap: the
+    * checkpoint Dataset's own plan is a LogicalRDD that carries them,
+    * and copying it with originStats = None strips exactly the squared
+    * size estimate — so an iterative loop whose rounds join the
+    * checkpointed frame on its own grouping key no longer re-exchanges
+    * a frame that is already hash-partitioned by that key (measured on
+    * the q52 resolveGroups loop: the per-round label-side exchanges
+    * vanish from the plan). `eager = false` defers materialization to
+    * the caller's next action — an iterative loop whose round ends in a
+    * convergence count can fold checkpoint materialization into that
+    * count instead of paying a separate job.
+    */
   def freshCheckpoint(df: DataFrame, eager: Boolean = true): DataFrame = {
     val ds = df.asInstanceOf[Dataset[Row]]
     val cp = ds.localCheckpoint(eager).asInstanceOf[Dataset[Row]]
     val sp = cp.sparkSession.asInstanceOf[SparkSession]
-    sp.internalCreateDataFrame(cp.queryExecution.toRdd, cp.schema)
+    cp.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        Dataset.ofRows(sp, org.apache.spark.sql.execution.LogicalRDD(
+          lr.output, lr.rdd, lr.outputPartitioning, lr.outputOrdering,
+          lr.isStreaming, lr.stream)(sp, None, None))
+      case _ =>
+        sp.internalCreateDataFrame(cp.queryExecution.toRdd, cp.schema)
+    }
   }
 }
