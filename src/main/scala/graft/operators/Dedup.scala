@@ -606,6 +606,10 @@ object Dedup {
     // order shared by every doc, which is all the prefix theorem needs
     val ordered = ex
       .join(freq, Seq("h"))
+      // pinned keyed repartition before the CPU-heavy per-doc reorder —
+      // AQE's byte-based coalescing otherwise folds it into one task
+      // (see containmentPairs; the groupBy reuses this partitioning)
+      .repartition(col(idCol))
       .groupBy(col(idCol), col("nsh"))
       .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("sg"))
     val prefixLen = (col("nsh") - ceil(lit(threshold) * col("nsh")) + 1).cast("int")
@@ -628,7 +632,12 @@ object Dedup {
     // comparison conservative.
     val alpha = lit(threshold / (1.0 + threshold)) * (col("nsh_a") + col("nsh_b"))
     val ubound = lit(1) + least(col("nsh_a") - col("pa") - 1, col("nsh_b") - col("pb") - 1)
-    val cands = prefixes.alias("a")
+    // SHUFFLE_HASH (round 17, guide §3.1): stale checkpoint stats under
+    // the posexplode made the planner sort both multi-million-row sides
+    // by h for a sort-merge join; a per-partition hash build skips the
+    // sorts, and the self-join's identical child subplans still share
+    // one exchange
+    val cands = prefixes.alias("a").hint("shuffle_hash")
       .join(
         prefixes.alias("b"),
         col("a.h") === col("b.h") && col(s"a.$idCol") < col(s"b.$idCol")
@@ -697,7 +706,14 @@ object Dedup {
     val ex = hashed.select(col(idCol), col("nsh"), explode(col("hs")).as("h"))
     val freq = ex.groupBy("h").agg(count(lit(1)).as("df"))
     // rare-first reorder under the shared (df, h) total order, kept as a
-    // plain array; checkpointed because BOTH join sides slice from it
+    // plain array; checkpointed because BOTH join sides slice from it.
+    // (round 17: a pinned repartition(id) before this reorder and a
+    // SHUFFLE_HASH hint on the candidate join were both tried and
+    // MEASURED SLOWER here — paired 4-run bench 9.23 -> 9.81 s and
+    // 9.23 -> 16.77 s respectively: the stats-driven broadcast of the
+    // full posting side is what makes this exact-truth baseline fast at
+    // audit scale, and the reorder is not on its warm critical path.
+    // ngramJaccardPairs keeps both changes, where they measured faster.)
     val ordered = ex
       .join(freq, Seq("h"))
       .groupBy(col(idCol), col("nsh"))
