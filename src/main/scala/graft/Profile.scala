@@ -26,6 +26,7 @@ object Profile {
       var firstLaunch: Long = Long.MaxValue, var lastFinish: Long = 0)
 
   def main(args: Array[String]): Unit = {
+    if (sys.env.get("GRAFT_PROFILE_SWEEP").contains("1")) { sweep(args); return }
     require(args.nonEmpty, "usage: Profile <query-name-substring> [runs]")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse(
@@ -109,6 +110,62 @@ object Profile {
         f"tsum=${a.wallMs}%7d ms in=${a.inputB / 1e6}%8.1f MB " +
         f"sR=${a.shufRB / 1e6}%8.1f MB sW=${a.shufWB / 1e6}%8.1f MB  ${a.name.take(90)}")
     }
+    spark.stop()
+  }
+
+  /** GRAFT_PROFILE_SWEEP=1: run EVERY query (or the given substrings)
+    * once warm + once timed, and print one classification line each —
+    * wall, job count, summed job wall, summed task time — separating
+    * driver/overhead-bound queries (wall >> task-parallel floor) from
+    * compute-bound ones (task-sum / wall ~ core count).
+    */
+  private def sweep(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse(
+      "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val only = args.toSet
+    @volatile var jobs = 0
+    @volatile var jobWall = 0L
+    @volatile var taskSum = 0L
+    val jobT0 = mutable.Map.empty[Int, Long]
+    val listener = new SparkListener {
+      override def onJobStart(e: SparkListenerJobStart): Unit = { jobT0(e.jobId) = e.time }
+      override def onJobEnd(e: SparkListenerJobEnd): Unit =
+        jobT0.remove(e.jobId).foreach { t0 => jobs += 1; jobWall += e.time - t0 }
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+        taskSum += (e.taskInfo.finishTime - e.taskInfo.launchTime)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    println("query,wall_s,jobs,job_wall_s,task_sum_s")
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only.exists(n.contains) }
+      .foreach { case (name, fn) =>
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save() // warm
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+          System.gc()
+          Thread.sleep(200)
+          jobs = 0; jobWall = 0L; taskSum = 0L
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          val wall = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(300) // drain listener bus
+          println(f"$name,$wall%.2f,$jobs,${jobWall / 1e3}%.2f,${taskSum / 1e3}%.2f")
+        } catch { case e: Throwable =>
+          System.err.println(s"[sweep] $name failed: ${e.getMessage}")
+        }
+      }
     spark.stop()
   }
 }

@@ -244,10 +244,15 @@ trait MatchRegistry extends RegistryBase {
     "q105_scorer_long_needle" -> ((s, dir) => {
       org.apache.spark.sql.graft.GraftExtensions.ensureRegistered(s)
       rd(s, dir, "documents").createOrReplaceTempView("graft_docs_v")
+      // REPARTITION(q_id) (round 17): the one-file scan left the cross
+      // join's stream side in a single task, serializing ~400 generic-DP
+      // long-needle scores (profile sweep: 2.6 s at 0.9x parallelism);
+      // the keyed repartition spreads the needles at the session's
+      // shuffle width without changing a row
       s.sql(
         """SELECT q.q_id, r.r_id,
           |       CAST(partial_ratio_cutoff(q.needle, r.text, 55) AS BIGINT) AS score
-          |FROM (SELECT doc_id AS q_id,
+          |FROM (SELECT /*+ REPARTITION(q_id) */ doc_id AS q_id,
           |             substr(text, 1, CAST(63 + doc_id % 64 AS INT)) AS needle
           |      FROM graft_docs_v WHERE doc_id < 40 AND length(text) >= 130) q
           |CROSS JOIN (SELECT doc_id AS r_id, text FROM graft_docs_v

@@ -349,7 +349,11 @@ trait RegistryBase {
     val queries = rd(s, dir, "part")
       .groupBy(lower(col("p_name")).as("term"))
       .agg(min(col("p_partkey")).cast("long").as("id"))
-    val refs = rd(s, dir, "documents")
+    // spread the ref side (round 17): the one-file documents scan put the
+    // whole BroadcastNestedLoopJoin stream side — ~10M pair coverage
+    // computations — in a single task (profile sweep: q50 wall 3.8 s at
+    // 0.9x parallelism); on a many-file cluster scan the shim is a no-op
+    val refs = spread(s, rd(s, dir, "documents"))
       .select(col("doc_id").as("id"), substring(col("text"), 1, 40).as("term"))
     HeurFuzz.matchTable(queries, refs,
         HeurFuzz.Params(topK = 10, scoreCutoff = 70, useInvertedIndex = inverted))
